@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is backed by an engine operator from
+``jsonoid_discovery_spark`` (see SURVEY.md §2 for the reference mapping);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Column names and
+types are aligned on both sides (counts -> BIGINT, ratios -> DOUBLE).
 """
 
 from __future__ import annotations
@@ -12,27 +11,328 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-pass per-lang profile of `documents` (discovery
+    lifecycle of SURVEY.md §3 — scan -> one agg -> profile rows)."""
+    from jsonoid_discovery_spark.operators.profile import profile_sql
+
+    docs = _t(spark, SF_SMOKE, "documents")
+    return profile_sql(docs, columns=["text", "n_chars", "source"], group_by=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# queries: each callable (spark, sf_dir) -> DataFrame
+
+
+def _profile_documents_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("n_text"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        F.count_distinct("source").alias("distinct_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-flavored monoid aggregation (exact decimal arithmetic so the
+    oracle hash matches bit-for-bit)."""
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc) * (F.lit(1).cast("decimal(18,2)") + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _uniqueness_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.constraints import uniqueness_summary
+
+    return uniqueness_summary(_t(spark, sf, "orders"), ["o_orderkey"])
+
+
+def _uniqueness_violations_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.constraints import uniqueness_violations
+
+    return uniqueness_violations(_t(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber"])
+
+
+def _ri_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.constraints import referential_summary
+
+    return referential_summary(_t(spark, sf, "orders"), ["o_custkey"], _t(spark, sf, "customer"), ["c_custkey"])
+
+
+def _ri_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.constraints import referential_summary
+
+    return referential_summary(_t(spark, sf, "lineitem"), ["l_orderkey"], _t(spark, sf, "orders"), ["o_orderkey"])
+
+
+def _not_null_documents(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    total = F.count(F.lit(1))
+    return docs.agg(
+        total.alias("total_rows"),
+        (total - F.count("text")).alias("nulls_text"),
+        (total - F.count("lang")).alias("nulls_lang"),
+        (total - F.count("source")).alias("nulls_source"),
+        (total - F.count("n_chars")).alias("nulls_n_chars"),
+    )
+
+
+def _string_bounds_documents(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.min(F.length("text")).cast("long").alias("text_min_len"),
+        F.max(F.length("text")).cast("long").alias("text_max_len"),
+        F.min("lang").alias("lang_min"),
+        F.max("lang").alias("lang_max"),
+        F.min("source").alias("source_min"),
+        F.max("source").alias("source_max"),
+    )
+
+
+def _length_histogram_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable log2-binned length histogram (the SQL-expressible analog of
+    the engine's gamma-binned LogHistogram; map-side combine, one shuffle)."""
+    docs = _t(spark, sf, "documents")
+    bucket = F.floor(F.log2(F.length("text"))).cast("long")
+    return (
+        docs.where(F.col("text").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ", -1)).cast("long")).alias("tokens")
+    )
+
+
+def _dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.dedup import exact_dedup_summary
+
+    return exact_dedup_summary(_t(spark, sf, "documents"), "text")
+
+
+def _gcd_lineitem_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.gcd import gcd_aggregate
+
+    return gcd_aggregate(_t(spark, sf, "lineitem"), "l_quantity")
+
+
+def _value_bounds_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+
+
+def _bool_percent_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.sum((F.col("value") > 0).cast("long")).alias("true_count"),
+        F.count("value").alias("n"),
+    )
+
+
+def _enum_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _field_presence_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    total = F.count(F.lit(1))
+    return ev.agg(
+        total.alias("total_rows"),
+        F.count("user_id").alias("present_user_id"),
+        F.count("event_type").alias("present_event_type"),
+        F.count("value").alias("present_value"),
+        F.count("props").alias("present_props"),
+    )
+
+
+def _moments_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact decimal power sums (mergeable moment state; variance and
+    higher moments derive from these exactly)."""
+    docs = _t(spark, sf, "documents")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    return docs.agg(
+        F.count("n_chars").alias("n"),
+        F.sum(x).cast("double").alias("sum_x"),
+        F.sum(x * x).cast("double").alias("sum_x2"),
+        F.min("n_chars").alias("min_x"),
+        F.max("n_chars").alias("max_x"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "profile_documents_by_lang": _profile_documents_by_lang,
+        "pricing_summary": _pricing_summary,
+        "uniqueness_orders": _uniqueness_orders,
+        "uniqueness_violations_lineitem": _uniqueness_violations_lineitem,
+        "ri_orders_customer": _ri_orders_customer,
+        "ri_lineitem_orders": _ri_lineitem_orders,
+        "not_null_documents": _not_null_documents,
+        "string_bounds_documents": _string_bounds_documents,
+        "length_histogram_documents": _length_histogram_documents,
+        "token_counts_documents": _token_counts_documents,
+        "dedup_exact_documents": _dedup_exact_documents,
+        "gcd_lineitem_quantity": _gcd_lineitem_quantity,
+        "value_bounds_lineitem": _value_bounds_lineitem,
+        "bool_percent_events": _bool_percent_events,
+        "enum_event_types": _enum_event_types,
+        "field_presence_events": _field_presence_events,
+        "moments_documents": _moments_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_documents_by_lang": """
+            SELECT lang,
+                   count(*) AS n_rows,
+                   count(text) AS n_text,
+                   min(length(text)) AS min_len,
+                   max(length(text)) AS max_len,
+                   count(DISTINCT source) AS distinct_sources,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "uniqueness_orders": """
+            SELECT count(*) AS total_rows,
+                   count(DISTINCT o_orderkey) AS distinct_keys,
+                   count(*) - count(DISTINCT o_orderkey) AS duplicate_rows,
+                   count(*) = count(DISTINCT o_orderkey) AS is_unique
+            FROM orders
+        """,
+        "uniqueness_violations_lineitem": """
+            SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        """,
+        "ri_orders_customer": """
+            SELECT count(DISTINCT o_custkey) AS distinct_child_keys,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+                        EXCEPT SELECT c_custkey FROM customer)) AS orphan_keys,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+                        EXCEPT SELECT c_custkey FROM customer)) = 0 AS is_valid
+            FROM orders WHERE o_custkey IS NOT NULL
+        """,
+        "ri_lineitem_orders": """
+            SELECT count(DISTINCT l_orderkey) AS distinct_child_keys,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+                        EXCEPT SELECT o_orderkey FROM orders)) AS orphan_keys,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+                        EXCEPT SELECT o_orderkey FROM orders)) = 0 AS is_valid
+            FROM lineitem WHERE l_orderkey IS NOT NULL
+        """,
+        "not_null_documents": """
+            SELECT count(*) AS total_rows,
+                   count(*) - count(text) AS nulls_text,
+                   count(*) - count(lang) AS nulls_lang,
+                   count(*) - count(source) AS nulls_source,
+                   count(*) - count(n_chars) AS nulls_n_chars
+            FROM documents
+        """,
+        "string_bounds_documents": """
+            SELECT min(length(text)) AS text_min_len,
+                   max(length(text)) AS text_max_len,
+                   min(lang) AS lang_min, max(lang) AS lang_max,
+                   min(source) AS source_min, max(source) AS source_max
+            FROM documents
+        """,
+        "length_histogram_documents": """
+            SELECT CAST(floor(log2(length(text))) AS BIGINT) AS bucket, count(*) AS n
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
+        """,
+        "token_counts_documents": """
+            SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact_documents": """
+            SELECT count(*) AS total_rows,
+                   count(DISTINCT sha256(text)) AS distinct_hashes,
+                   count(*) - count(DISTINCT sha256(text)) AS duplicate_rows
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "gcd_lineitem_quantity": """
+            SELECT list_reduce(list(CAST(l_quantity AS BIGINT)), (a,b) -> gcd(a,b)) AS gcd_value
+            FROM lineitem WHERE l_quantity IS NOT NULL
+        """,
+        "value_bounds_lineitem": """
+            SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+                   min(l_discount) AS min_disc, max(l_discount) AS max_disc
+            FROM lineitem
+        """,
+        "bool_percent_events": """
+            SELECT CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
+                   count(value) AS n
+            FROM events
+        """,
+        "enum_event_types": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "field_presence_events": """
+            SELECT count(*) AS total_rows,
+                   count(user_id) AS present_user_id,
+                   count(event_type) AS present_event_type,
+                   count(value) AS present_value,
+                   count(props) AS present_props
+            FROM events
+        """,
+        "moments_documents": """
+            SELECT count(n_chars) AS n,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sum_x,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sum_x2,
+                   min(n_chars) AS min_x, max(n_chars) AS max_x
+            FROM documents
+        """,
+    }

@@ -1,0 +1,18 @@
+"""jsonoid_discovery_spark — a from-scratch PySpark-native schema-discovery +
+constraint-validation engine with the capabilities of
+dataunitylab/jsonoid-discovery (reference at /root/reference, MIT).
+
+NOT a port: the reference is a single-process Scala engine folding
+commutative-monoid "schema properties" over a stream of JSON documents
+(reference: discovery/DiscoverSchema.scala:94-103).  This engine re-expresses
+every property as either (a) a Catalyst aggregate expression (partial+final
+aggregation IS the monoid), or (b) an Arrow-vectorized per-batch partial
+state merged tree-style (the treeAggregate analog of
+discovery/spark/JsonoidRDD.scala:45-47), over Spark DataFrames.
+"""
+
+from jsonoid_discovery_spark.config import EngineParams
+from jsonoid_discovery_spark.session import get_spark
+
+__all__ = ["EngineParams", "get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,88 @@
+"""Engine parameters — the analog of the reference's JsonoidParams
+(reference: discovery/JsonoidParams.scala:14-80).
+
+Sketch constants are fixed to the reference's values for parity
+(see BASELINE.md):
+  * HLL: 2^10 registers          (utils/HyperLogLog.scala:21)
+  * Bloom: n=100_000, fp=0.01    (utils/BloomFilter.scala:17-21)
+  * histogram: log-binned, relative accuracy 0.01 (utils/Histogram.scala:24-25)
+  * examples: <=100 values, strings truncated to 100 chars
+    (JsonoidParams.scala:26, schemas/ExamplesProperty.scala:11)
+  * format threshold: emit `format` only when >=10 values seen and the
+    dominant format's share >= threshold (schemas/StringSchema.scala:495,577-601)
+  * dependencies: give up above 50 keys (schemas/ObjectSchema.scala:820)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+
+class AnomalyLevel(IntEnum):
+    """Severity levels, ordered (reference: discovery/Anomaly.scala:10-30)."""
+
+    INFO = 0
+    WARNING = 1
+    FATAL = 2
+
+
+class MergeType(IntEnum):
+    """Union vs Intersect merge (reference: discovery/MergeType.scala:4-14)."""
+
+    UNION = 0
+    INTERSECT = 1
+
+
+# Property-set names, mirroring PropertySets.scala:102-134.
+PROPERTY_SETS = ("all", "simple", "min")
+
+
+@dataclass(frozen=True)
+class BloomConfig:
+    """Fixed-parameter Bloom filter (bitmap owned by us so that
+    filter-subset tests work — reference utils/BloomFilter.scala:56-58)."""
+
+    expected_items: int = 100_000
+    fp_rate: float = 0.01
+
+    @property
+    def num_bits(self) -> int:
+        # standard optimal sizing: m = -n ln p / (ln 2)^2
+        m = -self.expected_items * math.log(self.fp_rate) / (math.log(2) ** 2)
+        # round bytes up so numpy bitmaps are byte-aligned
+        return int(math.ceil(m / 8.0)) * 8
+
+    @property
+    def num_hashes(self) -> int:
+        return max(1, round((self.num_bits / self.expected_items) * math.log(2)))
+
+
+@dataclass(frozen=True)
+class EngineParams:
+    """All tunables, with reference-parity defaults."""
+
+    hll_lg_k: int = 10  # 2^10 registers
+    bloom: BloomConfig = field(default_factory=BloomConfig)
+    histogram_rel_accuracy: float = 0.01  # DDSketch-style gamma tolerance
+    max_examples: int = 100
+    example_max_len: int = 100
+    format_threshold: float = 1.0
+    format_min_examples: int = 10
+    pattern_min_examples: int = 10
+    dependencies_max_keys: int = 50
+    # EnumTransformer rules (transformers/EnumTransformer.scala:10-11)
+    enum_ratio: int = 10  # examples > 10x distinct -> enum
+    enum_max_values: int = 50
+    # drift thresholds (our chi-square / KS checks; driver-side scipy-free)
+    drift_chi2_pvalue: float = 0.01
+    drift_ks_stat: float = 0.1
+
+    @property
+    def histogram_gamma(self) -> float:
+        a = self.histogram_rel_accuracy
+        return (1.0 + a) / (1.0 - a)
+
+
+DEFAULT_PARAMS = EngineParams()

@@ -1,0 +1,253 @@
+"""Deterministic synthetic data generator for the north-rule input table
+``source_files(repo, path, commit, lang, content)`` plus companion fixtures
+(see FIXTURES.md).
+
+Everything is a pure function of (seed, row_id): generation runs distributed
+via ``spark.range(n).mapInArrow`` so the same code synthesizes 1k rows for
+tests or billions on a cluster with no driver bottleneck, and any two runs
+(at any parallelism) produce identical tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+LANGS = np.array(
+    ["python", "javascript", "java", "go", "rust", "c", "cpp", "scala", "markdown", "yaml"]
+)
+# fixed skewed distribution (python+js ~ 45%)
+LANG_WEIGHTS = np.array([0.25, 0.20, 0.12, 0.10, 0.08, 0.07, 0.06, 0.05, 0.04, 0.03])
+LANG_EXT = {
+    "python": "py",
+    "javascript": "js",
+    "java": "java",
+    "go": "go",
+    "rust": "rs",
+    "c": "c",
+    "cpp": "cc",
+    "scala": "scala",
+    "markdown": "md",
+    "yaml": "yaml",
+}
+_WORDS = np.array(
+    (
+        "def class import return self if else for while try except lambda yield "
+        "function const let var async await export module struct impl trait fn "
+        "match enum public static void int float string bool map list vec println "
+        "package interface extends implements new this super null true false"
+    ).split()
+)
+N_REPOS = 500
+N_DIRS = 24
+N_NAMES = 200
+MAX_COMMITS_PER_REPO = 50
+
+
+def _rng(seed: int, *streams: int) -> np.random.Generator:
+    return np.random.Generator(np.random.Philox(key=seed, counter=list(streams) + [0] * (4 - len(streams))))
+
+
+def _zipf_repo_ids(seed: int, ids: np.ndarray) -> np.ndarray:
+    """Map row ids to repo ids with zipf(s=1.3) sizes — a few repos hold most
+    files, exercising skew handling. Pure function of (seed, id)."""
+    ranks = np.arange(1, N_REPOS + 1, dtype=np.float64)
+    probs = ranks ** -1.3
+    probs /= probs.sum()
+    cdf = np.cumsum(probs)
+    # deterministic uniform from the row id
+    u = _hash_to_unit(ids, seed, 1)
+    return np.searchsorted(cdf, u).astype(np.int64)
+
+
+def _hash64(ids: np.ndarray, seed: int, stream: int) -> np.ndarray:
+    """Vectorized splitmix64-style mix of (id, seed, stream) -> uint64."""
+    mix = (seed * 0x9E3779B97F4A7C15 + stream * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ids.astype(np.uint64) + np.uint64(mix)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_to_unit(ids: np.ndarray, seed: int, stream: int) -> np.ndarray:
+    return (_hash64(ids, seed, stream) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _hex40(vals: np.ndarray) -> np.ndarray:
+    """40-char lowercase hex commit ids from integer commit keys (sha1-like)."""
+    return np.array([hashlib.sha1(str(int(v)).encode()).hexdigest() for v in vals])
+
+
+def _gen_batch(ids: np.ndarray, seed: int, max_content: int) -> pa.RecordBatch:
+    n = len(ids)
+    repo_id = _zipf_repo_ids(seed, ids)
+    org = repo_id % 37
+    repo = np.char.add(
+        np.char.add("org", org.astype(str)),
+        np.char.add("/repo", repo_id.astype(str)),
+    )
+
+    lang_cdf = np.cumsum(LANG_WEIGHTS)
+    lang_idx = np.searchsorted(lang_cdf, _hash_to_unit(ids, seed, 2))
+    lang = LANGS[lang_idx].astype(object)
+    # ~1% nulls in lang
+    lang_null = _hash_to_unit(ids, seed, 3) < 0.01
+    ext = np.array([LANG_EXT[l] for l in LANGS])[lang_idx]
+
+    d = _hash64(ids, seed, 4) % np.uint64(N_DIRS)
+    nm = _hash64(ids, seed, 5) % np.uint64(N_NAMES)
+    depth = (_hash64(ids, seed, 6) % np.uint64(3)).astype(np.int64)
+    mid = np.where(depth > 0, np.char.add(np.char.add("pkg", (d % np.uint64(7)).astype(str)), "/"), "")
+    path = np.char.add(
+        np.char.add(np.char.add("src/dir", d.astype(str)), "/"),
+        np.char.add(mid, np.char.add(np.char.add("file", nm.astype(str)), np.char.add(".", ext))),
+    )
+
+    # commits: per-repo pool of 1..50, commit chosen deterministically per row
+    pool = (repo_id % MAX_COMMITS_PER_REPO) + 1
+    commit_slot = _hash64(ids, seed, 7) % pool.astype(np.uint64)
+    commit_key = repo_id * MAX_COMMITS_PER_REPO + commit_slot.astype(np.int64)
+    commit = _hex40(commit_key)
+
+    # content: lognormal(6.2, 1.1) length, pseudo-source words, seeded per row
+    ln = _hash_to_unit(ids, seed, 8)
+    ln2 = _hash_to_unit(ids, seed, 9)
+    # Box-Muller from two deterministic uniforms
+    z = np.sqrt(-2.0 * np.log(np.clip(ln, 1e-12, 1))) * np.cos(2 * np.pi * ln2)
+    length = np.clip(np.exp(6.2 + 1.1 * z), 8, max_content).astype(np.int64)
+    widx = _hash64(ids, seed, 10)
+    contents = []
+    for i in range(n):
+        g = np.random.Generator(np.random.Philox(key=seed, counter=[int(widx[i]), 0, 0, 0]))
+        words = _WORDS[g.integers(0, len(_WORDS), size=max(1, int(length[i] // 6)))]
+        contents.append(" ".join(words)[: int(length[i])])
+
+    return pa.RecordBatch.from_pydict(
+        {
+            "repo": pa.array(repo.astype(object), pa.string()),
+            "path": pa.array(path.astype(object), pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array([None if isnull else l for l, isnull in zip(lang, lang_null)], pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
+SOURCE_FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def source_files(
+    spark: SparkSession,
+    n_rows: int = 1000,
+    seed: int = 42,
+    max_content: int = 65536,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The north-rule table, generated distributed + deterministically."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            yield _gen_batch(ids, seed, max_content)
+
+    rng = spark.range(0, n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInArrow(gen, SOURCE_FILES_SCHEMA)
+
+
+def repo_commits(spark: SparkSession, seed: int = 42) -> DataFrame:
+    """Parent table: every legitimate commit of every repo (FIXTURES.md §2)."""
+    rows = []
+    for repo_id in range(N_REPOS):
+        pool = repo_id % MAX_COMMITS_PER_REPO + 1
+        repo = f"org{repo_id % 37}/repo{repo_id}"
+        for slot in range(pool):
+            key = repo_id * MAX_COMMITS_PER_REPO + slot
+            rows.append((repo, hashlib.sha1(str(key).encode()).hexdigest(), slot))
+    return spark.createDataFrame(rows, "repo string, commit string, commit_seq int")
+
+
+def source_files_with_violations(
+    spark: SparkSession,
+    n_rows: int = 1000,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(table, expected_violations(row_key, rule)) with labeled injected
+    defects per FIXTURES.md §1a. Mutations are applied as column expressions
+    keyed on deterministic row hashes, so the expected set is exact."""
+    from pyspark.sql import functions as F
+
+    base = source_files(spark, n_rows, seed).withColumn(
+        "_rid", F.xxhash64("repo", "path", "commit", F.lit(seed))
+    )
+    u = (F.pmod(F.col("_rid"), F.lit(10000)) / 10000.0).alias("u")
+    df = base.withColumn("u", u)
+
+    dup = df.where(F.col("u") < 0.005).withColumn("rule", F.lit("dup-key"))
+    orphan = (
+        df.where((F.col("u") >= 0.005) & (F.col("u") < 0.008))
+        .withColumn("commit", F.sha1(F.concat(F.lit("orphan"), F.col("commit"))))
+        .withColumn("rule", F.lit("orphan-commit"))
+    )
+    badfmt = (
+        df.where((F.col("u") >= 0.008) & (F.col("u") < 0.010))
+        .withColumn("commit", F.concat(F.lit("NOT-A-SHA-"), F.substring("commit", 1, 8)))
+        .withColumn("rule", F.lit("bad-format"))
+    )
+    nullreq = (
+        df.where((F.col("u") >= 0.010) & (F.col("u") < 0.012))
+        .withColumn("content", F.lit(None).cast("string"))
+        .withColumn("rule", F.lit("null-required"))
+    )
+    outlier = (
+        df.where((F.col("u") >= 0.012) & (F.col("u") < 0.013))
+        .withColumn("content", F.repeat(F.lit("x"), 200000))
+        .withColumn("rule", F.lit("length-outlier"))
+    )
+
+    mutated = orphan.unionByName(badfmt).unionByName(nullreq).unionByName(outlier)
+    clean = df.where(F.col("u") >= 0.013).withColumn("rule", F.lit(None).cast("string"))
+    full = clean.unionByName(df.where(F.col("u") < 0.005).withColumn("rule", F.lit(None).cast("string"))).unionByName(
+        dup
+    ).unionByName(mutated)
+
+    expected = (
+        full.where(F.col("rule").isNotNull())
+        .select(F.concat_ws("|", "repo", "path", "commit").alias("row_key"), "rule")
+        .distinct()
+    )
+    table = full.select("repo", "path", "commit", "lang", "content")
+    return table, expected
+
+
+def documents_drifted(spark: SparkSession, n_rows: int = 1000, seed: int = 42, drift: bool = True) -> DataFrame:
+    """Drift pair for chi-square/KS checks: lang weights shifted and length
+    location raised when ``drift`` (FIXTURES.md §1b)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            w = LANG_WEIGHTS.copy()
+            mu = 6.2
+            if drift:
+                w[0] -= 0.15
+                w[4] += 0.15
+                mu += 0.5
+            cdf = np.cumsum(w / w.sum())
+            lang = LANGS[np.searchsorted(cdf, _hash_to_unit(ids, seed, 2))]
+            z = np.sqrt(-2.0 * np.log(np.clip(_hash_to_unit(ids, seed, 8), 1e-12, 1))) * np.cos(
+                2 * np.pi * _hash_to_unit(ids, seed, 9)
+            )
+            length = np.clip(np.exp(mu + 1.1 * z), 8, 65536).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "lang": pa.array(lang.astype(object), pa.string()),
+                    "content_len": pa.array(length, pa.int64()),
+                }
+            )
+
+    return spark.range(0, n_rows, numPartitions=8).mapInArrow(gen, "lang string, content_len long")

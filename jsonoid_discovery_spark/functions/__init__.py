@@ -1,0 +1,17 @@
+from jsonoid_discovery_spark.functions.sketches import (
+    HllSketch,
+    BloomSketch,
+    LogHistogram,
+    Moments,
+    TopKExamples,
+    hash64_array,
+)
+
+__all__ = [
+    "HllSketch",
+    "BloomSketch",
+    "LogHistogram",
+    "Moments",
+    "TopKExamples",
+    "hash64_array",
+]

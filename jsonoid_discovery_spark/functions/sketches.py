@@ -1,0 +1,417 @@
+"""Mergeable sketch monoids, numpy-vectorized.
+
+Each sketch is a commutative monoid: ``new()`` is the identity,
+``update(values)`` folds a batch in (the reference's ``mergeValue``,
+schemas/SchemaProperty.scala:80), ``merge(other)`` combines two states
+(``unionMerge``, schemas/SchemaProperty.scala:57). All updates take numpy
+arrays (Arrow batches), never scalars — the engine has no per-row Python.
+
+Constants match the reference for parity (see BASELINE.md):
+  * HLL 2^10 registers                    (utils/HyperLogLog.scala:21)
+  * Bloom n=100_000 fp=0.01, bitmap owned by us so the filter-subset test of
+    utils/BloomFilter.scala:56-58 works   (no Spark equivalent — §4.3.1)
+  * log-binned histogram, relative accuracy 0.01 (utils/Histogram.scala:24-25)
+  * examples reservoir <=100, but deterministic: rank-by-hash top-K replaces
+    the reference's RNG reservoir (schemas/ExamplesProperty.scala:56-91) so
+    results are identical across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+
+# ---------------------------------------------------------------------------
+# vectorized hashing
+
+
+def hash64_array(values: pd.Series | np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a column batch (uint64).
+
+    pandas' siphash-based ``hash_array`` has a fixed key, so hashes are
+    stable across processes, executors, and runs — required for
+    parallelism-invariant sketches.
+    """
+    if isinstance(values, np.ndarray):
+        values = pd.Series(values)
+    if values.dtype == object or str(values.dtype) in ("string", "str"):
+        values = values.astype(str)
+    return pd.util.hash_pandas_object(values, index=False, categorize=False).to_numpy(dtype=np.uint64)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64."""
+    n = np.full(x.shape, 64, dtype=np.int64)
+    shift = np.zeros_like(x)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = y >= (np.uint64(1) << np.uint64(s))
+        shift = np.where(mask, shift + np.uint64(s), shift)
+        y = np.where(mask, y >> np.uint64(s), y)
+    nz = x != 0
+    n[nz] = 63 - shift[nz].astype(np.int64)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+@dataclass
+class HllSketch:
+    """Dense HLL with 2^lg_k registers (reference utils/HyperLogLog.scala)."""
+
+    lg_k: int = DEFAULT_PARAMS.hll_lg_k
+    registers: np.ndarray = None  # uint8[2^lg_k]
+
+    def __post_init__(self) -> None:
+        if self.registers is None:
+            self.registers = np.zeros(1 << self.lg_k, dtype=np.uint8)
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        k = np.uint64(self.lg_k)
+        idx = (h >> (np.uint64(64) - k)).astype(np.int64)
+        w = (h << k).astype(np.uint64)
+        rho = np.minimum(_clz64(w) + 1, 64 - self.lg_k + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    def update(self, values: pd.Series | np.ndarray) -> None:
+        self.update_hashes(hash64_array(values))
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert self.lg_k == other.lg_k
+        return HllSketch(self.lg_k, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(1 << self.lg_k)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if e <= 2.5 * m and zeros > 0:
+            e = m * math.log(m / zeros)
+        return float(e)
+
+    @property
+    def stderr(self) -> float:
+        return 1.04 / math.sqrt(1 << self.lg_k)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, lg_k: int = DEFAULT_PARAMS.hll_lg_k) -> "HllSketch":
+        return cls(lg_k, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter with subset test
+
+
+@dataclass
+class BloomSketch:
+    """Fixed-parameter Bloom filter as a numpy bitmap.
+
+    Owns the raw bits so that ``maybe_subset_of`` (reference
+    utils/BloomFilter.scala:56-58, the basis of ForeignKeyFinder) is
+    expressible: A ⊆ B candidates iff (A & ~B) == 0.
+    """
+
+    num_bits: int = DEFAULT_PARAMS.bloom.num_bits
+    num_hashes: int = DEFAULT_PARAMS.bloom.num_hashes
+    bits: np.ndarray = None  # uint8[num_bits/8] packed
+
+    def __post_init__(self) -> None:
+        if self.bits is None:
+            self.bits = np.zeros(self.num_bits // 8, dtype=np.uint8)
+
+    def _positions(self, h1: np.ndarray) -> np.ndarray:
+        """k positions per hash via double hashing; (n, k) int64."""
+        h2 = _splitmix64(h1 ^ np.uint64(0xDEADBEEFCAFEF00D))
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.num_bits)
+        return pos.astype(np.int64)
+
+    def update_hashes(self, h1: np.ndarray) -> None:
+        if len(h1) == 0:
+            return
+        pos = self._positions(h1).ravel()
+        byte_idx = pos >> 3
+        bit = (np.uint8(1) << (pos & 7).astype(np.uint8)).astype(np.uint8)
+        np.bitwise_or.at(self.bits, byte_idx, bit)
+
+    def update(self, values: pd.Series | np.ndarray) -> None:
+        self.update_hashes(hash64_array(values))
+
+    def contains_hashes(self, h1: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1)
+        byte_idx = pos >> 3
+        bit = (np.uint8(1) << (pos & 7).astype(np.uint8)).astype(np.uint8)
+        return ((self.bits[byte_idx] & bit) == bit).all(axis=1)
+
+    def contains(self, values: pd.Series | np.ndarray) -> np.ndarray:
+        return self.contains_hashes(hash64_array(values))
+
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        assert self.num_bits == other.num_bits
+        return BloomSketch(self.num_bits, self.num_hashes, np.bitwise_or(self.bits, other.bits))
+
+    def maybe_subset_of(self, other: "BloomSketch") -> bool:
+        """True iff every bit of self is set in other (no member of self is
+        definitely missing from other)."""
+        return not np.any(self.bits & ~other.bits)
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, params: EngineParams = DEFAULT_PARAMS) -> "BloomSketch":
+        return cls(params.bloom.num_bits, params.bloom.num_hashes, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
+# log-binned histogram (DDSketch-flavored)
+
+
+@dataclass
+class LogHistogram:
+    """Mergeable log-binned histogram with relative accuracy alpha=0.01.
+
+    Buckets: value v>0 -> ceil(log_gamma(v)); v=0 -> zero count; v<0 ->
+    negative mirror (reference utils/Histogram.scala:77-104 keeps signed
+    buckets and a zero bucket). Merge = key-wise count sum.
+    """
+
+    gamma: float = DEFAULT_PARAMS.histogram_gamma
+    bins: dict[int, int] = field(default_factory=dict)  # bucket -> count (positive values)
+    neg_bins: dict[int, int] = field(default_factory=dict)
+    zero_count: int = 0
+    total: int = 0
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.total += len(v)
+        self.zero_count += int(np.count_nonzero(v == 0))
+        lg = math.log(self.gamma)
+        for sign, store in ((1, self.bins), (-1, self.neg_bins)):
+            sel = v > 0 if sign == 1 else v < 0
+            if not np.any(sel):
+                continue
+            b = np.ceil(np.log(np.abs(v[sel])) / lg).astype(np.int64)
+            uniq, cnt = np.unique(b, return_counts=True)
+            for u, c in zip(uniq.tolist(), cnt.tolist()):
+                store[u] = store.get(u, 0) + int(c)
+
+    def merge(self, other: "LogHistogram") -> "LogHistogram":
+        out = LogHistogram(self.gamma, dict(self.bins), dict(self.neg_bins), self.zero_count, self.total)
+        for k, c in other.bins.items():
+            out.bins[k] = out.bins.get(k, 0) + c
+        for k, c in other.neg_bins.items():
+            out.neg_bins[k] = out.neg_bins.get(k, 0) + c
+        out.zero_count += other.zero_count
+        out.total += other.total
+        return out
+
+    def bucket_lower(self, bucket: int) -> float:
+        return self.gamma ** (bucket - 1)
+
+    def bucket_upper(self, bucket: int) -> float:
+        return self.gamma ** bucket
+
+    def bounds(self) -> tuple[float, float] | None:
+        """(lower-of-min-bucket, upper-of-max-bucket) over observed values —
+        the anomaly bounds of utils/Histogram.scala:211-255."""
+        if self.total == 0:
+            return None
+        lo, hi = math.inf, -math.inf
+        if self.neg_bins:
+            lo = min(lo, -self.bucket_upper(max(self.neg_bins)))
+            hi = max(hi, -self.bucket_lower(min(self.neg_bins)))
+        if self.zero_count:
+            lo, hi = min(lo, 0.0), max(hi, 0.0)
+        if self.bins:
+            lo = min(lo, self.bucket_lower(min(self.bins)))
+            hi = max(hi, self.bucket_upper(max(self.bins)))
+        return (lo, hi)
+
+    def quantile(self, q: float) -> float | None:
+        """Approximate quantile (within the relative accuracy)."""
+        if self.total == 0:
+            return None
+        target = q * self.total
+        acc = 0
+        for b in sorted(self.neg_bins, reverse=True):
+            acc += self.neg_bins[b]
+            if acc >= target:
+                return -math.sqrt(self.bucket_lower(b) * self.bucket_upper(b))
+        acc += self.zero_count
+        if acc >= target and self.zero_count:
+            return 0.0
+        for b in sorted(self.bins):
+            acc += self.bins[b]
+            if acc >= target:
+                return math.sqrt(self.bucket_lower(b) * self.bucket_upper(b))
+        return None
+
+    def cdf_points(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted bucket upper bounds, cumulative fraction) for KS tests."""
+        keys: list[float] = []
+        counts: list[int] = []
+        for b in sorted(self.neg_bins, reverse=True):
+            keys.append(-self.bucket_lower(b))
+            counts.append(self.neg_bins[b])
+        if self.zero_count:
+            keys.append(0.0)
+            counts.append(self.zero_count)
+        for b in sorted(self.bins):
+            keys.append(self.bucket_upper(b))
+            counts.append(self.bins[b])
+        x = np.array(keys)
+        c = np.cumsum(counts) / max(self.total, 1)
+        return x, c
+
+
+# ---------------------------------------------------------------------------
+# streaming central moments (mean/var/skew/kurtosis)
+
+
+@dataclass
+class Moments:
+    """Parallel Welford/Chan moments m1-m4 (reference
+    schemas/StatsProperty.scala:28-112, formulas from johndcook.com)."""
+
+    n: int = 0
+    mean: float = 0.0
+    m2: float = 0.0
+    m3: float = 0.0
+    m4: float = 0.0
+    total_sum: float = 0.0
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        nb = len(v)
+        mb = float(v.mean())
+        d = v - mb
+        batch = Moments(
+            n=nb,
+            mean=mb,
+            m2=float(np.sum(d**2)),
+            m3=float(np.sum(d**3)),
+            m4=float(np.sum(d**4)),
+            total_sum=float(v.sum()),
+        )
+        merged = self.merge(batch)
+        self.n, self.mean, self.m2, self.m3, self.m4 = merged.n, merged.mean, merged.m2, merged.m3, merged.m4
+        self.total_sum = merged.total_sum
+
+    def merge(self, o: "Moments") -> "Moments":
+        if self.n == 0:
+            return Moments(o.n, o.mean, o.m2, o.m3, o.m4, o.total_sum)
+        if o.n == 0:
+            return Moments(self.n, self.mean, self.m2, self.m3, self.m4, self.total_sum)
+        a, b = self, o
+        n = a.n + b.n
+        delta = b.mean - a.mean
+        d2, d3, d4 = delta**2, delta**3, delta**4
+        mean = a.mean + delta * b.n / n
+        m2 = a.m2 + b.m2 + d2 * a.n * b.n / n
+        m3 = (
+            a.m3
+            + b.m3
+            + d3 * a.n * b.n * (a.n - b.n) / n**2
+            + 3.0 * delta * (a.n * b.m2 - b.n * a.m2) / n
+        )
+        m4 = (
+            a.m4
+            + b.m4
+            + d4 * a.n * b.n * (a.n**2 - a.n * b.n + b.n**2) / n**3
+            + 6.0 * d2 * (a.n**2 * b.m2 + b.n**2 * a.m2) / n**2
+            + 4.0 * delta * (a.n * b.m3 - b.n * a.m3) / n
+        )
+        return Moments(n, mean, m2, m3, m4, a.total_sum + b.total_sum)
+
+    @property
+    def variance(self) -> float | None:  # sample variance
+        return self.m2 / (self.n - 1) if self.n > 1 else None
+
+    @property
+    def stddev(self) -> float | None:
+        v = self.variance
+        return math.sqrt(v) if v is not None else None
+
+    @property
+    def skewness(self) -> float | None:
+        if self.n < 2 or self.m2 == 0:
+            return None
+        return math.sqrt(float(self.n)) * self.m3 / self.m2**1.5
+
+    @property
+    def kurtosis(self) -> float | None:  # excess kurtosis
+        if self.n < 2 or self.m2 == 0:
+            return None
+        return self.n * self.m4 / (self.m2 * self.m2) - 3.0
+
+
+# ---------------------------------------------------------------------------
+# deterministic examples: rank-by-hash top-K
+
+
+@dataclass
+class TopKExamples:
+    """Keeps the K values with the smallest hash — a deterministic,
+    merge-commutative stand-in for the reference's RNG reservoir
+    (schemas/ExamplesProperty.scala:56-91): same bound, same uniformity
+    given a good hash, but identical across runs and partitionings."""
+
+    k: int = DEFAULT_PARAMS.max_examples
+    max_len: int = DEFAULT_PARAMS.example_max_len
+    items: list[tuple[int, object]] = field(default_factory=list)  # (hash, value) sorted
+
+    def update(self, values: pd.Series | np.ndarray) -> None:
+        s = pd.Series(values).dropna().drop_duplicates()
+        if len(s) == 0:
+            return
+        h = hash64_array(s)
+        vals = s.to_numpy(dtype=object)
+        if len(h) > self.k:
+            sel = np.argsort(h, kind="stable")[: self.k]
+            h, vals = h[sel], vals[sel]
+        new = [(int(hh), self._trunc(v)) for hh, v in zip(h, vals)]
+        self._absorb(new)
+
+    def _trunc(self, v: object) -> object:
+        if isinstance(v, str) and len(v) > self.max_len:
+            return v[: self.max_len]
+        return v
+
+    def _absorb(self, new: list[tuple[int, object]]) -> None:
+        combined = {h: v for h, v in self.items}
+        combined.update({h: v for h, v in new})
+        self.items = sorted(combined.items())[: self.k]
+
+    def merge(self, other: "TopKExamples") -> "TopKExamples":
+        out = TopKExamples(self.k, self.max_len, list(self.items))
+        out._absorb(other.items)
+        return out
+
+    def values(self) -> list[object]:
+        return [v for _, v in self.items]

@@ -1,0 +1,3 @@
+from jsonoid_discovery_spark.operators.profile import ColumnState, ProfileResult, profile, profile_sql
+
+__all__ = ["ColumnState", "ProfileResult", "profile", "profile_sql"]

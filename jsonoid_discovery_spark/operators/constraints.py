@@ -1,0 +1,280 @@
+"""Constraint compilation + validation — the engine's ``collectAnomalies``
+(reference schemas/SchemaProperty.scala:137-141 and the per-schema
+implementations). A constraint is a named Spark SQL predicate with an anomaly
+level; validation is ONE declarative pass emitting a violations DataFrame —
+Catalyst fuses all predicates into the scan, no per-row Python.
+
+Includes the whole-table analyses:
+  * uniqueness (PrimaryKeyFinder analog, discovery/PrimaryKeyFinder.scala)
+  * referential integrity (ForeignKeyFinder analog, discovery/ForeignKeyFinder.scala)
+plus profile-derived constraints with expandTo-style widening
+(reference schemas/JsonSchema.scala:630-672, Helpers.scala:75-235).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, AnomalyLevel, EngineParams
+from jsonoid_discovery_spark.operators.profile import ColumnState, ProfileResult
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """A named validation predicate. ``ok`` must evaluate TRUE for rows that
+    satisfy the constraint (NULL counts as a violation unless the constraint
+    says otherwise — predicates below are written null-safe)."""
+
+    name: str
+    ok: Column
+    level: AnomalyLevel = AnomalyLevel.WARNING
+
+
+# ---------------------------------------------------------------------------
+# expandTo-style widening (Helpers.scala:75-129 / 177-235): learned numeric
+# bounds are widened to the nearest power of 2 (or 10 for large magnitudes)
+# before being used as validation thresholds, so a schema trained on a sample
+# doesn't overfit.
+
+
+def widen_max(v: float) -> float:
+    if v <= 0:
+        return 0.0 if v == 0 else -widen_min(-v)
+    p2 = 2 ** math.ceil(math.log2(v)) if v > 1 else 1.0
+    return float(p2) if p2 / v <= 2 or v <= 1 else float(v)
+
+
+def widen_min(v: float) -> float:
+    if v < 0:
+        return -widen_max(-v)
+    if v == 0:
+        return 0.0
+    p2 = 2 ** math.floor(math.log2(v)) if v >= 1 else 0.0
+    return float(p2)
+
+
+# ---------------------------------------------------------------------------
+# constraint derivation from a learned profile (discovery -> validation)
+
+
+def constraints_from_profile(
+    result: ProfileResult,
+    group: tuple = (),
+    params: EngineParams = DEFAULT_PARAMS,
+    widen: bool = True,
+) -> list[Constraint]:
+    """Compile a learned per-column profile into validation predicates — the
+    discovery->validation round trip of the reference (discover a schema,
+    then ``collectAnomalies`` future rows against it)."""
+    out: list[Constraint] = []
+    for name, st in result.states[group].items():
+        col = F.col(name)
+        if st.required:
+            out.append(Constraint(f"{name}.required", col.isNotNull(), AnomalyLevel.FATAL))
+        if st.kind == "string" and st.count:
+            lo, hi = st.min_len, st.max_len
+            if widen:
+                lo, hi = int(widen_min(lo)), int(widen_max(hi))
+            out.append(
+                Constraint(
+                    f"{name}.lengthBounds",
+                    col.isNull() | F.length(col).between(F.lit(lo), F.lit(hi)),
+                    AnomalyLevel.WARNING,
+                )
+            )
+            pat = st.pattern()
+            if pat is not None:
+                out.append(
+                    Constraint(f"{name}.pattern", col.isNull() | col.rlike(pat), AnomalyLevel.FATAL)
+                )
+            fmt = st.detected_format()
+            if fmt is not None:
+                from jsonoid_discovery_spark.operators.profile import FORMAT_PATTERNS
+
+                rx = dict((n, p.pattern) for n, p in FORMAT_PATTERNS)[fmt]
+                out.append(Constraint(f"{name}.format[{fmt}]", col.isNull() | col.rlike(rx), AnomalyLevel.WARNING))
+        elif st.kind in ("int", "float") and st.count:
+            lo, hi = st.min_v, st.max_v
+            if widen:
+                lo, hi = widen_min(float(lo)), widen_max(float(hi))
+            out.append(
+                Constraint(
+                    f"{name}.valueBounds",
+                    col.isNull() | col.between(F.lit(lo), F.lit(hi)),
+                    AnomalyLevel.WARNING,
+                )
+            )
+            if st.gcd and st.gcd > 1 and st.all_integral:
+                out.append(
+                    Constraint(
+                        f"{name}.multipleOf",
+                        col.isNull() | (F.pmod(col.cast("long"), F.lit(st.gcd)) == 0),
+                        AnomalyLevel.WARNING,
+                    )
+                )
+            b = st.hist.bounds()
+            if b is not None:
+                out.append(
+                    Constraint(
+                        f"{name}.histogramBounds",
+                        col.isNull() | col.between(F.lit(b[0]), F.lit(b[1])),
+                        AnomalyLevel.INFO,
+                    )
+                )
+        if st.kind == "string" and st.count and st.hist.bounds() is not None:
+            b = st.hist.bounds()
+            out.append(
+                Constraint(
+                    f"{name}.lengthHistogram",
+                    col.isNull() | F.length(col).between(F.lit(b[0]), F.lit(b[1])),
+                    AnomalyLevel.INFO,
+                )
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the validation pass
+
+
+def validate(
+    df: DataFrame,
+    constraints: list[Constraint],
+    key_cols: list[str] | None = None,
+    content_col: str | None = None,
+    min_level: AnomalyLevel = AnomalyLevel.INFO,
+) -> DataFrame:
+    """One declarative pass: rows x constraints -> violations DataFrame
+    (row keys, rule, level, optional sha256-of-content lineage — the per-row
+    invariant of BASELINE.json).
+
+    Implementation: build an array of violation structs per row, filter the
+    array, explode non-empty results. Catalyst keeps this whole-stage
+    codegen; rows that violate nothing never shuffle.
+    """
+    checks = [c for c in constraints if c.level >= min_level]
+    structs = [
+        F.when(~c.ok, F.struct(F.lit(c.name).alias("rule"), F.lit(int(c.level)).alias("level")))
+        for c in checks
+    ]
+    arr = F.array_compact(F.array(*structs)) if structs else F.array().cast("array<struct<rule:string,level:int>>")
+    keys = key_cols or [c for c, _ in df.dtypes]
+    base = df.withColumn("_violations", arr).where(F.size("_violations") > 0)
+    extra = []
+    if content_col is not None:
+        base = base.withColumn(
+            "content_sha256", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
+        )
+        extra = [F.col("content_sha256")]
+    return base.select(*[F.col(k) for k in keys], *extra, F.explode("_violations").alias("v")).select(
+        *keys,
+        F.col("v.rule").alias("rule"),
+        F.col("v.level").alias("level"),
+        *extra,
+    )
+
+
+def partition_verdicts(
+    df: DataFrame,
+    constraints: list[Constraint],
+    partition_cols: list[str],
+) -> DataFrame:
+    """Per-partition pass/fail rollup (north rule): one row per partition
+    group with bool_and over every constraint + counts. Single shuffle on the
+    partition keys; map-side partial aggregation does the heavy lifting."""
+    def _safe(name: str) -> str:
+        return name.replace(".", "_").replace("[", "_").replace("]", "")
+
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in constraints:
+        ok = c.ok
+        aggs.append(F.min(ok.cast("int")).cast("boolean").alias(f"pass__{_safe(c.name)}"))
+        aggs.append(F.sum((~ok).cast("long")).alias(f"violations__{_safe(c.name)}"))
+    pass_all = F.forall(
+        F.array(*[F.col(f"pass__{_safe(c.name)}") for c in constraints]), lambda x: x
+    ) if constraints else F.lit(True)
+    return df.groupBy(*partition_cols).agg(*aggs).withColumn("pass_all", pass_all)
+
+
+# ---------------------------------------------------------------------------
+# whole-table analyses
+
+
+def uniqueness_summary(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Exact uniqueness verdict on a key tuple (PrimaryKeyFinder analog but
+    exact; the HLL prefilter is ColumnState.is_unique_candidate)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("distinct_keys"),
+    ).select(
+        "total_rows",
+        "distinct_keys",
+        (F.col("total_rows") - F.col("distinct_keys")).alias("duplicate_rows"),
+        (F.col("total_rows") == F.col("distinct_keys")).alias("is_unique"),
+    )
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key groups appearing more than once. groupBy + filter — one shuffle on
+    the keys; AQE splits skewed key groups."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def referential_summary(
+    child: DataFrame,
+    child_keys: list[str],
+    parent: DataFrame,
+    parent_keys: list[str],
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Orphan accounting for child->parent RI (ForeignKeyFinder analog, made
+    exact). Distinct child keys first (shrinks the join input), then a
+    left_anti join — broadcast when the parent key set is dimension-sized."""
+    orphans = referential_orphans(child, child_keys, parent, parent_keys, broadcast_parent)
+    total = child.select(*[F.col(k) for k in child_keys]).na.drop().distinct().count()
+    n_orphans = orphans.count()
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(total, n_orphans, n_orphans == 0)],
+        "distinct_child_keys long, orphan_keys long, is_valid boolean",
+    )
+
+
+def referential_orphans(
+    child: DataFrame,
+    child_keys: list[str],
+    parent: DataFrame,
+    parent_keys: list[str],
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    p = parent.select(*[F.col(k).alias(f"__p_{i}") for i, k in enumerate(parent_keys)]).distinct()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    c = child.select(*[F.col(k) for k in child_keys]).na.drop().distinct()
+    cond = [c[k] == p[f"__p_{i}"] for i, k in enumerate(child_keys)]
+    from functools import reduce
+
+    return c.join(p, reduce(lambda a, b: a & b, cond), "left_anti")
+
+
+def bloom_fk_candidates(
+    states: dict[str, ColumnState],
+) -> list[tuple[str, str]]:
+    """All-pairs Bloom subset test over profiled columns — the scalable FK
+    *prefilter* (ForeignKeyFinder, discovery/ForeignKeyFinder.scala:28-71):
+    (a, b) listed when a's values are plausibly a subset of b's."""
+    cands: list[tuple[str, str]] = []
+    cols = [(n, s) for n, s in states.items() if s.with_bloom and s.count > 0]
+    for na, sa in cols:
+        for nb, sb in cols:
+            if na != nb and sa.bloom.maybe_subset_of(sb.bloom):
+                cands.append((na, nb))
+    return cands

@@ -1,0 +1,173 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a hash-groupBy; near-dup comes in MinHash+LSH, SimHash, and
+n-gram-Jaccard flavors. Everything is built from Spark SQL primitives
+(hashes, arrays, joins) — the only shuffles are the groupBys/joins on
+band-bucket keys, which is the LSH design point: candidate pairs colocate,
+everything else never meets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_hash(col: str) -> F.Column:
+    return F.sha2(F.col(col), 256)
+
+
+def exact_dedup_summary(df: DataFrame, col: str) -> DataFrame:
+    """total / distinct-by-sha256 / duplicates accounting."""
+    d = df.where(F.col(col).isNotNull())
+    return d.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct(content_hash(col)).alias("distinct_hashes"),
+        (F.count(F.lit(1)) - F.count_distinct(content_hash(col))).alias("duplicate_rows"),
+    )
+
+
+def exact_dedup_groups(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """One row per duplicate group: content sha256, member count, and the
+    minimum id (the canonical survivor)."""
+    d = df.where(F.col(col).isNotNull())
+    return (
+        d.groupBy(content_hash(col).alias("content_sha256"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+def exact_deduplicate(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content. Window over the content hash
+    (single shuffle); at extreme scale prefer this over dropDuplicates since
+    the survivor choice is deterministic."""
+    w = Window.partitionBy(content_hash(col)).orderBy(F.col(id_col))
+    return (
+        df.where(F.col(col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+
+
+def shingles(col: str, k: int = 3) -> F.Column:
+    """Distinct word k-shingles of a text column, as array<string> — pure SQL
+    (split + transform over indices), no Python."""
+    words = F.split(F.trim(F.col(col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, (i + F.lit(j) + 1).cast("int")) for j in range(k)])
+    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def minhash_signature(col: str, num_hashes: int = 64, shingle_k: int = 3) -> F.Column:
+    """array<bigint> MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i). All JVM-side; one pass over the shingle array per
+    seed via aggregate()."""
+    sh = shingles(col, shingle_k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs: signature -> band hashes
+    -> explode -> self-join per (band, bucket). Returns (id_a, id_b) with
+    id_a < id_b, distinct.
+
+    Scale notes: the only shuffle is on (band, bucket); identical documents
+    land in the same bucket in every band. Giant buckets (degenerate content)
+    are capped upstream by exact-dedup first.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(col, num_hashes, shingle_k)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage after
+    LSH): |A ∩ B| / |A ∪ B| on distinct shingle sets, all with array
+    built-ins. With no candidates given, verifies ALL pairs sharing any
+    shingle — small-scale only."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(col, shingle_k).alias("sh"))
+    if candidates is None:
+        ex = sh.select("id", F.explode("sh").alias("s"))
+        candidates = (
+            ex.alias("x")
+            .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+    j = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+    )
+    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(col: str, bits: int = 64, shingle_k: int = 2) -> F.Column:
+    """64-bit SimHash fingerprint as bigint: sign-sum of shingle hash bits.
+
+    SQL-only formulation: for each bit position, count shingles whose hash
+    has that bit set; bit is 1 when count > half the shingles."""
+    sh = shingles(col, shingle_k)
+    n = F.size(sh)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    def bit_expr(i: int) -> F.Column:
+        # i == 63 is the sign bit in two's complement
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != F.lit(0)))
+        return F.when(ones * 2 > n, F.lit(mask)).otherwise(F.lit(0))
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc.bitwiseOR(bit_expr(i).cast("long"))
+    return acc

@@ -1,0 +1,582 @@
+"""Single-pass column profiling — the engine's `discover` (reference
+discovery/DiscoverSchema.scala:94-103 folds per-value schemas with a monoid
+merge; we fold per-BATCH partial states, Arrow-vectorized, and let Spark
+tree-merge them).
+
+Two execution paths over the same input:
+
+* ``profile(df, ...)`` — the full path: one ``mapInArrow`` scan emits one
+  small serialized partial state per (batch, group, column); a salted
+  two-level ``applyInPandas`` merge (the treeAggregate analog of
+  discovery/spark/JsonoidRDD.scala:45-47) combines them; the driver folds the
+  per-group survivors. Scales to arbitrary input size: state size is bounded
+  (sketch constants), merge fan-in is bounded by the salt, and no raw row
+  ever reaches the driver.
+
+* ``profile_sql(df, ...)`` — the Catalyst fast path: a single ``df.agg`` of
+  built-in expressions (min/max/count/moments/approx distinct), whole-stage
+  codegen end to end. Used for the SQL-expressible metric subset and as an
+  internal cross-check of the Arrow path.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pickle
+import re
+from dataclasses import dataclass, field
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+from jsonoid_discovery_spark.functions.sketches import (
+    BloomSketch,
+    HllSketch,
+    LogHistogram,
+    Moments,
+    TopKExamples,
+    hash64_array,
+)
+
+# format checkers in reference priority order (first match wins,
+# schemas/StringSchema.scala:505-530); vectorized regexes
+FORMAT_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("date", re.compile(r"^\d{4}-\d{2}-\d{2}$")),
+    ("date-time", re.compile(r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$")),
+    ("time", re.compile(r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$")),
+    ("uuid", re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")),
+    ("email", re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")),
+    ("ipv4", re.compile(r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$")),
+    ("ipv6", re.compile(r"^([0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$")),
+    ("uri", re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://\S+$")),
+]
+
+_KIND_BY_SPARK_TYPE = {
+    "string": "string",
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "int",
+    "long": "int",
+    "float": "float",
+    "double": "float",
+    "boolean": "bool",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "timestamp",
+}
+
+
+def _kind_of(dtype: str) -> str:
+    if dtype.startswith("array"):
+        return "array"
+    if dtype.startswith("decimal"):
+        return "float"
+    return _KIND_BY_SPARK_TYPE.get(dtype, "other")
+
+
+@dataclass
+class ColumnState:
+    """Mergeable per-column profile state — the analog of one JsonSchema
+    node's SchemaProperties map (reference schemas/SchemaProperties.scala).
+
+    Every field is a commutative monoid; ``merge`` is the reference's
+    ``unionMerge``. Updates are batch-vectorized only.
+    """
+
+    column: str
+    kind: str
+    params: EngineParams = field(default_factory=lambda: DEFAULT_PARAMS, repr=False)
+    count: int = 0
+    nulls: int = 0
+    # numeric (MinNumValue/MaxNumValue, schemas/NumberSchema.scala:218-469)
+    min_v: float | int | None = None
+    max_v: float | int | None = None
+    moments: Moments = field(default_factory=Moments)
+    gcd: int | None = None  # NumMultipleOf (schemas/NumberSchema.scala:662-764)
+    all_integral: bool = True
+    # string (schemas/StringSchema.scala)
+    min_len: int | None = None
+    max_len: int | None = None
+    min_s: str | None = None
+    max_s: str | None = None
+    min_rs: str | None = None  # min/max of reversed string -> common suffix
+    max_rs: str | None = None
+    formats: dict[str, int] = field(default_factory=dict)
+    all_numeric_strings: bool = True  # StringNumericProperty latch (:974-1047)
+    # bool (BooleanPercent/Constant, schemas/BooleanSchema.scala:96-204)
+    true_count: int = 0
+    # array (schemas/ArraySchema.scala)
+    min_items: int | None = None
+    max_items: int | None = None
+    all_unique: bool = True
+    # sketches
+    hll: HllSketch = field(default_factory=HllSketch)
+    bloom: BloomSketch = field(default_factory=BloomSketch)
+    hist: LogHistogram = field(default_factory=LogHistogram)
+    examples: TopKExamples = field(default_factory=TopKExamples)
+    with_bloom: bool = True
+
+    # -- update ------------------------------------------------------------
+    def update_array(self, arr: pa.Array) -> None:
+        """Fold one Arrow column chunk into the state (mergeValue analog)."""
+        n_total = len(arr)
+        nulls = arr.null_count
+        self.nulls += nulls
+        n = n_total - nulls
+        if n == 0:
+            return
+        self.count += n
+        if self.kind == "array":
+            self._update_arraycol(arr)
+            return
+        s = arr.drop_null().to_pandas()
+        if self.kind == "string":
+            self._update_string(s)
+        elif self.kind in ("int", "float"):
+            self._update_numeric(s)
+        elif self.kind == "bool":
+            v = s.to_numpy(dtype=bool)
+            self.true_count += int(v.sum())
+        elif self.kind == "timestamp":
+            mn, mx = s.min(), s.max()
+            self.min_v = mn if self.min_v is None else min(self.min_v, mn)
+            self.max_v = mx if self.max_v is None else max(self.max_v, mx)
+            self.hll.update(s.astype(str))
+        else:
+            self.hll.update(s.astype(str))
+
+    def _update_string(self, s: pd.Series) -> None:
+        s = s.astype(str)
+        lens = s.str.len().to_numpy()
+        self.min_len = int(lens.min()) if self.min_len is None else min(self.min_len, int(lens.min()))
+        self.max_len = int(lens.max()) if self.max_len is None else max(self.max_len, int(lens.max()))
+        mn, mx = s.min(), s.max()
+        self.min_s = mn if self.min_s is None else min(self.min_s, mn)
+        self.max_s = mx if self.max_s is None else max(self.max_s, mx)
+        rev = s.str[::-1]
+        rmn, rmx = rev.min(), rev.max()
+        self.min_rs = rmn if self.min_rs is None else min(self.min_rs, rmn)
+        self.max_rs = rmx if self.max_rs is None else max(self.max_rs, rmx)
+        self.hist.update(lens)
+        h = hash64_array(s)
+        self.hll.update_hashes(h)
+        if self.with_bloom:
+            self.bloom.update_hashes(h)
+        self.examples.update(s)
+        # FormatProperty: first-match-wins counts
+        matched = np.zeros(len(s), dtype=bool)
+        for name, pat in FORMAT_PATTERNS:
+            m = s.str.match(pat).to_numpy(dtype=bool) & ~matched
+            c = int(m.sum())
+            if c:
+                self.formats[name] = self.formats.get(name, 0) + c
+                matched |= m
+        nm = int((~matched).sum())
+        if nm:
+            self.formats["none"] = self.formats.get("none", 0) + nm
+        if self.all_numeric_strings:
+            parsed = pd.to_numeric(s, errors="coerce")
+            self.all_numeric_strings = bool(parsed.notna().all())
+
+    def _update_numeric(self, s: pd.Series) -> None:
+        v = s.to_numpy(dtype=np.float64)
+        mn, mx = s.min(), s.max()
+        self.min_v = mn if self.min_v is None else min(self.min_v, mn)
+        self.max_v = mx if self.max_v is None else max(self.max_v, mx)
+        self.moments.update(v)
+        self.hist.update(v)
+        h = hash64_array(s)
+        self.hll.update_hashes(h)
+        if self.with_bloom:
+            self.bloom.update_hashes(h)
+        self.examples.update(s)
+        if self.all_integral:
+            self.all_integral = bool(np.all(np.floor(v) == v) and np.all(np.abs(v) < 2**62))
+        if self.all_integral:
+            g = int(np.gcd.reduce(np.abs(v.astype(np.int64))))
+            self.gcd = g if self.gcd is None else math.gcd(self.gcd, g)
+        else:
+            self.gcd = None
+
+    def _update_arraycol(self, arr: pa.Array) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        import pyarrow.compute as pc
+
+        sizes = pc.list_value_length(arr).drop_null().to_numpy(zero_copy_only=False)
+        if len(sizes) == 0:
+            return
+        self.min_items = int(sizes.min()) if self.min_items is None else min(self.min_items, int(sizes.min()))
+        self.max_items = int(sizes.max()) if self.max_items is None else max(self.max_items, int(sizes.max()))
+        self.hist.update(sizes.astype(np.float64))
+        if self.all_unique:
+            s = arr.drop_null().to_pandas()
+            ex = s.explode().dropna()
+            if len(ex):
+                nun = ex.groupby(level=0).nunique()
+                cnt = ex.groupby(level=0).size()
+                self.all_unique = bool((nun == cnt).all())
+
+    # -- merge (unionMerge analog) ------------------------------------------
+    def merge(self, o: "ColumnState") -> "ColumnState":
+        assert self.column == o.column and self.kind == o.kind
+
+        def _mn(a, b):
+            return b if a is None else (a if b is None else min(a, b))
+
+        def _mx(a, b):
+            return b if a is None else (a if b is None else max(a, b))
+
+        out = ColumnState(self.column, self.kind, self.params)
+        out.count = self.count + o.count
+        out.nulls = self.nulls + o.nulls
+        out.min_v, out.max_v = _mn(self.min_v, o.min_v), _mx(self.max_v, o.max_v)
+        out.moments = self.moments.merge(o.moments)
+        out.all_integral = self.all_integral and o.all_integral
+        if out.all_integral:
+            if self.gcd is None:
+                out.gcd = o.gcd
+            elif o.gcd is None:
+                out.gcd = self.gcd
+            else:
+                out.gcd = math.gcd(self.gcd, o.gcd)
+        out.min_len, out.max_len = _mn(self.min_len, o.min_len), _mx(self.max_len, o.max_len)
+        out.min_s, out.max_s = _mn(self.min_s, o.min_s), _mx(self.max_s, o.max_s)
+        out.min_rs, out.max_rs = _mn(self.min_rs, o.min_rs), _mx(self.max_rs, o.max_rs)
+        out.formats = dict(self.formats)
+        for k, c in o.formats.items():
+            out.formats[k] = out.formats.get(k, 0) + c
+        out.all_numeric_strings = self.all_numeric_strings and o.all_numeric_strings
+        out.true_count = self.true_count + o.true_count
+        out.min_items, out.max_items = _mn(self.min_items, o.min_items), _mx(self.max_items, o.max_items)
+        out.all_unique = self.all_unique and o.all_unique
+        out.hll = self.hll.merge(o.hll)
+        out.with_bloom = self.with_bloom and o.with_bloom
+        if out.with_bloom:
+            out.bloom = self.bloom.merge(o.bloom)
+        out.hist = self.hist.merge(o.hist)
+        out.examples = self.examples.merge(o.examples)
+        return out
+
+    # -- derived emissions ---------------------------------------------------
+    @property
+    def total(self) -> int:
+        return self.count + self.nulls
+
+    @property
+    def required(self) -> bool:
+        """RequiredProperty analog: present in every row
+        (schemas/ObjectSchema.scala:739-814)."""
+        return self.nulls == 0 and self.count > 0
+
+    @property
+    def field_presence(self) -> float | None:
+        return self.count / self.total if self.total else None
+
+    def common_prefix(self) -> str | None:
+        """PatternProperty prefix: LCP of a totally-ordered string set equals
+        LCP(min, max) (schemas/StringSchema.scala:702-763)."""
+        if self.min_s is None or self.max_s is None:
+            return None
+        return _lcp(self.min_s, self.max_s)
+
+    def common_suffix(self) -> str | None:
+        if self.min_rs is None or self.max_rs is None:
+            return None
+        return _lcp(self.min_rs, self.max_rs)[::-1]
+
+    def pattern(self) -> str | None:
+        """Anchored regex from common prefix/suffix, valid only with >=10
+        values and prefix+suffix shorter than the min length
+        (schemas/StringSchema.scala:713-746)."""
+        if self.count < self.params.pattern_min_examples or self.min_len is None:
+            return None
+        pre, suf = self.common_prefix() or "", self.common_suffix() or ""
+        if not pre and not suf:
+            return None
+        if len(pre) + len(suf) > self.min_len:
+            # overlapping prefix/suffix (e.g. constant column): keep prefix only
+            suf = ""
+        parts = []
+        if pre:
+            parts.append("^" + re.escape(pre))
+        parts.append(".*")
+        if suf:
+            parts.append(re.escape(suf) + "$")
+        return "".join(parts)
+
+    def detected_format(self) -> str | None:
+        """Emit a format only with >=formatMinExamples values and dominant
+        share >= threshold (schemas/StringSchema.scala:495,577-601)."""
+        if self.count < self.params.format_min_examples or not self.formats:
+            return None
+        cand = {k: v for k, v in self.formats.items() if k != "none"}
+        if not cand:
+            return None
+        best, cnt = max(cand.items(), key=lambda kv: kv[1])
+        if cnt / self.count >= self.params.format_threshold:
+            return best
+        return None
+
+    def pct_true(self) -> float | None:
+        return self.true_count / self.count if self.kind == "bool" and self.count else None
+
+    def distinct_estimate(self) -> float:
+        return self.hll.estimate()
+
+    def is_unique_candidate(self) -> bool:
+        """PrimaryKeyFinder-style uniqueness via HLL: estimate*(1+stderr) >=
+        count (discovery/PrimaryKeyFinder.scala:158-190)."""
+        return self.count > 0 and self.hll.estimate() * (1 + self.hll.stderr) >= self.count
+
+    def to_dict(self) -> dict:
+        d: dict = {
+            "column": self.column,
+            "kind": self.kind,
+            "count": self.count,
+            "nulls": self.nulls,
+            "required": self.required,
+            "fieldPresence": self.field_presence,
+            "distinctEstimate": round(self.distinct_estimate(), 2),
+            "examples": self.examples.values()[: self.params.max_examples],
+        }
+        if self.kind in ("int", "float", "timestamp"):
+            d.update(minimum=_jsonable(self.min_v), maximum=_jsonable(self.max_v))
+        if self.kind in ("int", "float"):
+            d.update(
+                mean=self.moments.mean if self.count else None,
+                stddev=self.moments.stddev,
+                skewness=self.moments.skewness,
+                kurtosis=self.moments.kurtosis,
+                multipleOf=self.gcd if (self.gcd or 0) > 1 else None,
+                histogramBounds=self.hist.bounds(),
+            )
+        if self.kind == "string":
+            d.update(
+                minLength=self.min_len,
+                maxLength=self.max_len,
+                format=self.detected_format(),
+                pattern=self.pattern(),
+                lengthHistogramBounds=self.hist.bounds(),
+                allNumericStrings=self.all_numeric_strings if self.count else None,
+            )
+        if self.kind == "bool":
+            d.update(pctTrue=self.pct_true())
+        if self.kind == "array":
+            d.update(minItems=self.min_items, maxItems=self.max_items, uniqueItems=self.all_unique)
+        return d
+
+
+def _lcp(a: str, b: str) -> str:
+    i = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        i += 1
+    return a[:i]
+
+
+def _jsonable(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return v
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ProfileResult:
+    """Profile states keyed by group tuple (() for global)."""
+
+    group_by: tuple[str, ...]
+    states: dict[tuple, dict[str, ColumnState]]
+
+    def state(self, column: str, group: tuple = ()) -> ColumnState:
+        return self.states[group][column]
+
+    def merge(self, other: "ProfileResult") -> "ProfileResult":
+        assert self.group_by == other.group_by
+        out: dict[tuple, dict[str, ColumnState]] = {}
+        for g in set(self.states) | set(other.states):
+            a, b = self.states.get(g), other.states.get(g)
+            if a is None:
+                out[g] = dict(b)
+            elif b is None:
+                out[g] = dict(a)
+            else:
+                out[g] = {c: (a[c].merge(b[c]) if c in b else a[c]) for c in a}
+                for c, st in b.items():
+                    out[g].setdefault(c, st)
+        return ProfileResult(self.group_by, out)
+
+    def to_json(self) -> str:
+        payload = [
+            {"group": dict(zip(self.group_by, g)), "columns": {c: st.to_dict() for c, st in cols.items()}}
+            for g, cols in sorted(self.states.items(), key=lambda kv: str(kv[0]))
+        ]
+        return json.dumps(payload, indent=2, default=_jsonable)
+
+
+PARTIAL_SCHEMA = "g string, column string, state binary"
+
+
+def _partial_state_gen(columns, kinds, group_by, params, with_bloom):
+    """Build the mapInArrow function computing per-batch partial states."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if group_by:
+                key_pdf = pd.DataFrame({k: tbl.column(k).to_pandas().astype(object) for k in group_by})
+                groups = {
+                    (gval if isinstance(gval, tuple) else (gval,)): np.asarray(idx)
+                    for gval, idx in key_pdf.groupby(group_by, dropna=False, sort=False).indices.items()
+                }
+            else:
+                groups = {(): None}
+            out_g, out_c, out_s = [], [], []
+            for gval, idx in groups.items():
+                sub = tbl if idx is None else tbl.take(pa.array(idx))
+                for col, kind in zip(columns, kinds):
+                    st = ColumnState(col, kind, params, with_bloom=with_bloom)
+                    st.update_array(sub.column(col))
+                    gkey = [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gval]
+                    out_g.append(json.dumps(gkey))
+                    out_c.append(col)
+                    out_s.append(pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL))
+            yield pa.RecordBatch.from_pydict(
+                {"g": pa.array(out_g, pa.string()), "column": pa.array(out_c, pa.string()), "state": pa.array(out_s, pa.binary())}
+            )
+
+    return gen
+
+
+def _merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    states = [pickle.loads(b) for b in pdf["state"]]
+    st = states[0]
+    for s in states[1:]:
+        st = st.merge(s)
+    return pd.DataFrame(
+        {"g": [pdf["g"].iloc[0]], "column": [pdf["column"].iloc[0]], "state": [pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL)]}
+    )
+
+
+def partial_states(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    params: EngineParams = DEFAULT_PARAMS,
+    with_bloom: bool = True,
+    merge_fanin: int = 64,
+) -> DataFrame:
+    """DataFrame[g, column, state] with ONE merged state row per
+    (group, column): scan -> per-batch partials -> salted two-level merge.
+
+    The salt bounds fan-in per merge task, so no single task ever sees more
+    than ``merge_fanin`` partial states at level 1 — the explicit skew/scale
+    story required by the north rule (a global profile at 10^12 rows has ~1e6
+    batch partials; level 1 spreads them over the salt space).
+    """
+    group_by = list(group_by or [])
+    if columns is None:
+        columns = [c for c, t in df.dtypes if c not in group_by and _kind_of(t) != "other"]
+    kinds = dict(df.dtypes)
+    sel = df.select(*(group_by + columns))
+    partials = sel.mapInArrow(
+        _partial_state_gen(columns, [_kind_of(kinds[c]) for c in columns], group_by, params, with_bloom),
+        PARTIAL_SCHEMA,
+    )
+    salted = partials.withColumn("salt", F.pmod(F.xxhash64(F.col("g"), F.col("column"), F.rand(seed=7)), F.lit(merge_fanin)))
+    level1 = salted.groupBy("g", "column", "salt").applyInPandas(
+        lambda pdf: _merge_partials(pdf.drop(columns=["salt"])), PARTIAL_SCHEMA
+    )
+    return level1.groupBy("g", "column").applyInPandas(_merge_partials, PARTIAL_SCHEMA)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    params: EngineParams = DEFAULT_PARAMS,
+    with_bloom: bool = True,
+) -> ProfileResult:
+    """Full single-pass profile; collects only the tiny merged states."""
+    group_by = list(group_by or [])
+    merged = partial_states(df, columns, group_by, params, with_bloom).collect()
+    states: dict[tuple, dict[str, ColumnState]] = {}
+    for row in merged:
+        g = tuple(json.loads(row["g"]))
+        states.setdefault(g, {})[row["column"]] = pickle.loads(row["state"])
+    return ProfileResult(tuple(group_by), states)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst fast path
+
+
+def profile_sql(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Pure-Catalyst profile: one ``agg`` of built-in expressions — a single
+    scan, partial+final aggregation planned by Spark (whole-stage codegen).
+
+    Emits the SQL-expressible metric subset in long-friendly wide columns
+    ``{col}__{metric}``. Exact analogs for the oracle gate.
+    """
+    group_by = list(group_by or [])
+    if columns is None:
+        columns = [c for c, t in df.dtypes if c not in group_by and _kind_of(t) != "other"]
+    kinds = dict(df.dtypes)
+    exprs: list = [F.count(F.lit(1)).alias("total_rows")]
+    for c in columns:
+        kind = _kind_of(kinds[c])
+        col = F.col(c)
+        exprs.append(F.count(col).alias(f"{c}__count"))
+        exprs.append((F.count(F.lit(1)) - F.count(col)).alias(f"{c}__nulls"))
+        if kind == "string":
+            exprs += [
+                F.min(F.length(col)).alias(f"{c}__min_len"),
+                F.max(F.length(col)).alias(f"{c}__max_len"),
+                F.min(col).alias(f"{c}__min_s"),
+                F.max(col).alias(f"{c}__max_s"),
+                F.approx_count_distinct(col).alias(f"{c}__approx_distinct"),
+            ]
+        elif kind in ("int", "float"):
+            exprs += [
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.avg(col).alias(f"{c}__mean"),
+                F.stddev_samp(col).alias(f"{c}__stddev"),
+                F.skewness(col).alias(f"{c}__skewness"),
+                F.kurtosis(col).alias(f"{c}__kurtosis"),
+                F.approx_count_distinct(col).alias(f"{c}__approx_distinct"),
+            ]
+        elif kind == "bool":
+            exprs += [F.sum(col.cast("long")).alias(f"{c}__true_count")]
+        elif kind == "timestamp":
+            exprs += [F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
+        elif kind == "array":
+            exprs += [
+                F.min(F.size(col)).alias(f"{c}__min_items"),
+                F.max(F.size(col)).alias(f"{c}__max_items"),
+                F.min((F.size(F.array_distinct(col)) == F.size(col)).cast("int")).alias(f"{c}__all_unique"),
+            ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*exprs)
+    return df.agg(*exprs)

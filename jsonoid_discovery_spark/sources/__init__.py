@@ -1,0 +1,4 @@
+from jsonoid_discovery_spark.sources.tables import TESTDATA_TABLES, load_table, load_tables
+from jsonoid_discovery_spark.sources.ndjson import read_ndjson
+
+__all__ = ["TESTDATA_TABLES", "load_table", "load_tables", "read_ndjson"]

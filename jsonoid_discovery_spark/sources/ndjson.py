@@ -1,0 +1,27 @@
+"""NDJSON source: line-delimited JSON with malformed lines silently skipped.
+
+Reference behavior: ``jsonFromSource`` drops unparseable lines via
+``Try(parse(s)).toOption`` (discovery/DiscoverSchema.scala:166-168).
+
+Spark-first mapping: read lines with the Catalyst text source, keep the raw
+line for downstream discovery, and mark validity with ``try_parse_json`` /
+``from_json`` in PERMISSIVE mode — all JVM-side, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_ndjson(spark: SparkSession, path: str, line_col: str = "doc") -> DataFrame:
+    """Lines of a text file (or directory / glob) -> DataFrame[doc: string]
+    containing only syntactically-valid JSON lines.
+
+    Validity check uses Spark 4's VariantType parser (``try_parse_json``)
+    which returns NULL for malformed input — a whole-stage-codegen
+    expression, so invalid-line filtering costs no Python.
+    """
+    lines = spark.read.text(path).select(F.col("value").alias(line_col))
+    valid = F.try_parse_json(F.col(line_col)).isNotNull()
+    return lines.where(F.trim(F.col(line_col)) != "").where(valid)

@@ -1,0 +1,47 @@
+"""Parquet/Iceberg-style table sources.
+
+At 100 TB the real input is an Iceberg table (``spark.read.table``); the
+sandbox substitutes per-table parquet files under a scale-factor directory.
+Catalyst file sources give vectorized reads + predicate/partition pruning for
+free — the reason sources stay declarative (reference analog: the plain text
+scan at discovery/spark/JsonoidSpark.scala:76-78 has none of that).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Accepts an Iceberg/catalog table name when ``sf_dir``
+    is a catalog prefix (contains no path separator), else parquet files."""
+    if os.sep not in sf_dir and not sf_dir.startswith("/"):
+        return spark.read.table(f"{sf_dir}.{name}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view (idempotent)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from jsonoid_discovery_spark import get_spark
+
+    s = get_spark("local[8]", app_name="jsonoid-tests", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="session")
+def source_files_small(spark):
+    from jsonoid_discovery_spark.datagen import source_files
+
+    return source_files(spark, n_rows=2000, seed=42, max_content=4096, partitions=8).cache()

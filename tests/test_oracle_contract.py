@@ -1,0 +1,84 @@
+"""Mimics the driver's correctness gate: run every queries() entry at
+sf=0.01 and compare to the oracle_sql() DuckDB result — row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse float noise exactly like a value-hash would not — we are
+        # stricter: exact equality required, no rounding
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _all_pairs():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q), "oracle entries must have matching queries"
+    return [(name, q[name], o.get(name)) for name in q]
+
+
+@pytest.mark.parametrize("name,fn,sql", _all_pairs(), ids=[p[0] for p in _all_pairs()])
+def test_query_matches_oracle(spark, ddb, name, fn, sql):
+    sdf = fn(spark, SF_ORACLE)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+    if sql is None:
+        assert len(spark_rows) >= 0  # rows-only check for non-SQL ops
+        return
+    rel = ddb.sql(sql)
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    assert _rowset(spark_cols, [tuple(r) for r in spark_rows]) == _rowset(duck_cols, duck_rows), (
+        f"{name}: value mismatch"
+    )
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns

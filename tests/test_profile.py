@@ -1,0 +1,104 @@
+"""Profiler correctness: exact stats, merge laws, parallelism invariance
+(the reference's core invariant — schemas/SchemaProperty.scala:42-80 — is
+that any partitioning of the fold yields the same state)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jsonoid_discovery_spark.operators.profile import profile, profile_sql
+
+
+@pytest.fixture(scope="module")
+def prof(docs):
+    return profile(docs)
+
+
+def test_counts_and_lengths_exact(spark, docs, prof):
+    exact = docs.selectExpr(
+        "count(text) c",
+        "min(length(text)) mn",
+        "max(length(text)) mx",
+        "count(distinct lang) dl",
+    ).collect()[0]
+    st = prof.state("text")
+    assert st.count == exact["c"] and st.nulls == 0
+    assert st.min_len == exact["mn"] and st.max_len == exact["mx"]
+    assert prof.state("lang").hll.estimate() == pytest.approx(exact["dl"], rel=0.1)
+
+
+def test_numeric_stats_match_sql(spark, docs, prof):
+    row = docs.selectExpr(
+        "min(n_chars) mn",
+        "max(n_chars) mx",
+        "avg(n_chars) mean",
+        "stddev_samp(n_chars) sd",
+    ).collect()[0]
+    st = prof.state("n_chars")
+    assert st.min_v == row["mn"] and st.max_v == row["mx"]
+    assert st.moments.mean == pytest.approx(row["mean"], rel=1e-9)
+    assert st.moments.stddev == pytest.approx(row["sd"], rel=1e-9)
+
+
+def test_parallelism_invariance(spark, docs):
+    a = profile(docs.repartition(1), columns=["text", "n_chars"])
+    b = profile(docs.repartition(17), columns=["text", "n_chars"])
+    for c in ("text", "n_chars"):
+        sa, sb = a.state(c), b.state(c)
+        assert sa.count == sb.count
+        assert np.array_equal(sa.hll.registers, sb.hll.registers)
+        assert np.array_equal(sa.bloom.bits, sb.bloom.bits)
+        assert sa.examples.values() == sb.examples.values()
+        assert sa.hist.bins == sb.hist.bins
+        assert np.isclose(sa.moments.m2, sb.moments.m2, rtol=1e-9)
+
+
+def test_profile_merge_equals_whole(spark, docs):
+    left = profile(docs.where("doc_id % 2 = 0"), columns=["text"])
+    right = profile(docs.where("doc_id % 2 = 1"), columns=["text"])
+    whole = profile(docs, columns=["text"])
+    merged = left.merge(right)
+    sa, sb = merged.state("text"), whole.state("text")
+    assert sa.count == sb.count and sa.min_len == sb.min_len and sa.max_len == sb.max_len
+    assert np.array_equal(sa.hll.registers, sb.hll.registers)
+    assert sa.examples.values() == sb.examples.values()
+
+
+def test_grouped_profile(spark, docs):
+    res = profile(docs, columns=["n_chars"], group_by=["lang"])
+    exact = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg({"n_chars": "count"}).withColumnRenamed("count(n_chars)", "c").collect()}
+    got = {g[0]: cols["n_chars"].count for g, cols in res.states.items()}
+    assert got == exact
+
+
+def test_discovered_profile_never_flags_own_rows(spark, docs, prof):
+    """Reference invariant: a discovered schema accepts every source value
+    (test/DiscoverSchemaSpec.scala:14-19)."""
+    st = prof.state("text")
+    rows = docs.selectExpr("text", "length(text) l").collect()
+    lo, hi = st.hist.bounds()
+    for r in rows:
+        assert st.min_len <= r["l"] <= st.max_len
+        assert lo <= r["l"] <= hi
+    assert st.bloom.contains(np.array([r["text"] for r in rows], dtype=object)).all()
+
+
+def test_profile_sql_agrees_with_arrow_path(spark, docs, prof):
+    row = profile_sql(docs, columns=["text", "n_chars"]).collect()[0]
+    st, sn = prof.state("text"), prof.state("n_chars")
+    assert row["text__count"] == st.count
+    assert row["text__min_len"] == st.min_len and row["text__max_len"] == st.max_len
+    assert row["n_chars__min"] == sn.min_v and row["n_chars__max"] == sn.max_v
+    assert row["n_chars__mean"] == pytest.approx(sn.moments.mean, rel=1e-9)
+
+
+def test_string_derivations(spark, source_files_small):
+    res = profile(source_files_small, columns=["commit", "repo", "lang", "content"])
+    commit = res.state("commit")
+    # 40-char hex commits: length bounds collapse to [40, 40]
+    assert commit.min_len == 40 and commit.max_len == 40
+    assert res.state("repo").common_prefix().startswith("org")
+    lang = res.state("lang")
+    assert lang.nulls > 0 and not lang.required
+    assert res.state("content").required

@@ -1,0 +1,132 @@
+"""Sketch monoid laws — the analog of the reference per-property specs
+(e.g. test/schemas/StringSchemaSpec.scala: merge semantics, bloom tracking)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonoid_discovery_spark.functions.sketches import (
+    BloomSketch,
+    HllSketch,
+    LogHistogram,
+    Moments,
+    TopKExamples,
+)
+
+
+def _vals(n, prefix="v"):
+    return pd.Series([f"{prefix}{i}" for i in range(n)])
+
+
+class TestHll:
+    def test_estimate_within_stderr(self):
+        h = HllSketch()
+        h.update(_vals(20000))
+        assert abs(h.estimate() - 20000) / 20000 < 3 * h.stderr
+
+    def test_merge_equals_bulk(self):
+        a, b, bulk = HllSketch(), HllSketch(), HllSketch()
+        v = _vals(5000)
+        a.update(v[:2000])
+        b.update(v[2000:])
+        bulk.update(v)
+        assert np.array_equal(a.merge(b).registers, bulk.registers)
+        assert np.array_equal(a.merge(b).registers, b.merge(a).registers)
+
+    def test_serde_roundtrip(self):
+        h = HllSketch()
+        h.update(_vals(100))
+        assert np.array_equal(HllSketch.from_bytes(h.to_bytes()).registers, h.registers)
+
+
+class TestBloom:
+    def test_membership_and_fp(self):
+        b = BloomSketch()
+        b.update(_vals(10000))
+        assert b.contains(_vals(10000)).all()
+        fp = b.contains(_vals(10000, "x")).mean()
+        assert fp < 0.02  # configured 1%
+
+    def test_subset(self):
+        small, big = BloomSketch(), BloomSketch()
+        small.update(_vals(100))
+        big.update(_vals(5000))
+        assert small.maybe_subset_of(big)
+        assert not big.maybe_subset_of(small)
+
+    def test_merge_is_or(self):
+        a, b, bulk = BloomSketch(), BloomSketch(), BloomSketch()
+        v = _vals(1000)
+        a.update(v[:500])
+        b.update(v[500:])
+        bulk.update(v)
+        assert np.array_equal(a.merge(b).bits, bulk.bits)
+
+
+class TestHistogram:
+    def test_bins_and_bounds(self):
+        h = LogHistogram()
+        h.update(np.array([0.0, -3.0, 5.0, 500.0]))
+        lo, hi = h.bounds()
+        assert lo <= -3 and hi >= 500
+        assert h.total == 4 and h.zero_count == 1
+
+    def test_merge(self):
+        a, b, bulk = LogHistogram(), LogHistogram(), LogHistogram()
+        x = np.arange(-50.0, 50.0)
+        a.update(x[:30])
+        b.update(x[30:])
+        bulk.update(x)
+        m = a.merge(b)
+        assert m.bins == bulk.bins and m.neg_bins == bulk.neg_bins and m.zero_count == bulk.zero_count
+
+    def test_quantile_accuracy(self):
+        h = LogHistogram()
+        x = np.linspace(1, 1000, 5000)
+        h.update(x)
+        q = h.quantile(0.5)
+        assert abs(q - 500) / 500 < 0.03
+
+
+class TestMoments:
+    @given(st.lists(st.floats(-1e6, 1e6), min_size=2, max_size=200), st.integers(1, 199))
+    @settings(max_examples=50, deadline=None)
+    def test_merge_equals_bulk(self, xs, split):
+        split = min(split, len(xs) - 1)
+        a, b, bulk = Moments(), Moments(), Moments()
+        arr = np.array(xs)
+        a.update(arr[:split])
+        b.update(arr[split:])
+        bulk.update(arr)
+        m = a.merge(b)
+        assert m.n == bulk.n
+        assert np.isclose(m.mean, bulk.mean, rtol=1e-8, atol=1e-8)
+        assert np.isclose(m.m2, bulk.m2, rtol=1e-6, atol=1e-3)
+
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(10, 3, 10000)
+        m = Moments()
+        m.update(x)
+        assert np.isclose(m.variance, x.var(ddof=1), rtol=1e-9)
+        assert np.isclose(m.stddev, x.std(ddof=1), rtol=1e-9)
+
+
+class TestTopK:
+    def test_deterministic_and_mergeable(self):
+        v = _vals(1000)
+        a, b, bulk = TopKExamples(k=20), TopKExamples(k=20), TopKExamples(k=20)
+        a.update(v[:400])
+        b.update(v[400:])
+        bulk.update(v)
+        assert a.merge(b).values() == bulk.values() == b.merge(a).values()
+        assert len(bulk.values()) == 20
+
+    def test_truncates_long_strings(self):
+        t = TopKExamples(k=5, max_len=10)
+        t.update(pd.Series(["a" * 50]))
+        assert t.values() == ["a" * 10]
