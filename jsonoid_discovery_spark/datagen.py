@@ -79,8 +79,11 @@ def _hash_to_unit(ids: np.ndarray, seed: int, stream: int) -> np.ndarray:
 
 
 def _hex40(vals: np.ndarray) -> np.ndarray:
-    """40-char lowercase hex commit ids from integer commit keys (sha1-like)."""
-    return np.array([hashlib.sha1(str(int(v)).encode()).hexdigest() for v in vals])
+    """40-char lowercase hex commit ids from integer commit keys (sha1-like).
+    Hashes only the distinct keys (the commit pool is small), then gathers."""
+    uniq, inv = np.unique(vals, return_inverse=True)
+    lut = np.array([hashlib.sha1(str(int(v)).encode()).hexdigest() for v in uniq])
+    return lut[inv]
 
 
 def _gen_batch(ids: np.ndarray, seed: int, max_content: int) -> pa.RecordBatch:
@@ -103,9 +106,13 @@ def _gen_batch(ids: np.ndarray, seed: int, max_content: int) -> pa.RecordBatch:
     nm = _hash64(ids, seed, 5) % np.uint64(N_NAMES)
     depth = (_hash64(ids, seed, 6) % np.uint64(3)).astype(np.int64)
     mid = np.where(depth > 0, np.char.add(np.char.add("pkg", (d % np.uint64(7)).astype(str)), "/"), "")
+    # the row id inside the file name makes (repo,path,commit) unique by
+    # construction (paths are unique within a real repo snapshot); dup-key
+    # violations are injected explicitly in source_files_with_violations
+    fname = np.char.add(np.char.add("file", nm.astype(str)), np.char.add("_", ids.astype(str)))
     path = np.char.add(
         np.char.add(np.char.add("src/dir", d.astype(str)), "/"),
-        np.char.add(mid, np.char.add(np.char.add("file", nm.astype(str)), np.char.add(".", ext))),
+        np.char.add(mid, np.char.add(fname, np.char.add(".", ext))),
     )
 
     # commits: per-repo pool of 1..50, commit chosen deterministically per row
@@ -120,12 +127,20 @@ def _gen_batch(ids: np.ndarray, seed: int, max_content: int) -> pa.RecordBatch:
     # Box-Muller from two deterministic uniforms
     z = np.sqrt(-2.0 * np.log(np.clip(ln, 1e-12, 1))) * np.cos(2 * np.pi * ln2)
     length = np.clip(np.exp(6.2 + 1.1 * z), 8, max_content).astype(np.int64)
-    widx = _hash64(ids, seed, 10)
-    contents = []
-    for i in range(n):
-        g = np.random.Generator(np.random.Philox(key=seed, counter=[int(widx[i]), 0, 0, 0]))
-        words = _WORDS[g.integers(0, len(_WORDS), size=max(1, int(length[i] // 6)))]
-        contents.append(" ".join(words)[: int(length[i])])
+    # fully vectorized word synthesis: word j of row i is a pure function of
+    # (id_i, j), so content is independent of batching/partitioning
+    counts = np.maximum(1, length // 6)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    id_rep = np.repeat(ids.astype(np.uint64), counts)
+    pos = np.arange(total, dtype=np.uint64) - np.repeat(starts.astype(np.uint64), counts)
+    widx = _hash64(id_rep * np.uint64(0x9E3779B1) + pos, seed, 11) % np.uint64(len(_WORDS))
+    words = _WORDS[widx]
+    bounds = np.cumsum(counts)
+    contents = [
+        " ".join(words[s:e])[: int(L)]
+        for s, e, L in zip(starts.tolist(), bounds.tolist(), length.tolist())
+    ]
 
     return pa.RecordBatch.from_pydict(
         {

@@ -1,0 +1,142 @@
+"""Distribution-drift checks against a baseline snapshot (north rule:
+"lang/content-length distribution-drift checks via chi-square and KS
+statistics against a baseline snapshot").
+
+The reference's analog is schema compatibility diffing
+(IncompatibilityCollector, discovery/IncompatiblityCollector.scala) — it
+reports *which constraints* of a new schema deviate from a baseline schema.
+We add the statistical form: categorical drift by Pearson chi-square over
+per-category counts, numeric drift by a Kolmogorov-Smirnov statistic over
+mergeable log-binned histogram CDFs.
+
+Everything statistical runs on AGGREGATED small data (per-category counts,
+histogram bins) — driver-side numpy, no scipy dependency (the chi-square
+p-value uses the Wilson-Hilferty approximation).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, AnomalyLevel, EngineParams
+from jsonoid_discovery_spark.functions.sketches import LogHistogram
+
+
+@dataclass
+class DriftReport:
+    check: str
+    statistic: float
+    threshold: float
+    drifted: bool
+    level: AnomalyLevel
+    detail: dict
+
+
+def category_counts(df: DataFrame, col: str) -> dict[str, int]:
+    """Aggregated per-category counts (one shuffle, map-side combine)."""
+    rows = df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
+    return {("<null>" if r[col] is None else str(r[col])): r["n"] for r in rows}
+
+
+def _chi2_sf(x: float, k: int) -> float:
+    """Survival function of chi-square with k dof via the Wilson-Hilferty
+    normal approximation (good for k >= 1, adequate for drift gating)."""
+    if k <= 0:
+        return 1.0
+    z = ((x / k) ** (1.0 / 3.0) - (1 - 2.0 / (9 * k))) / math.sqrt(2.0 / (9 * k))
+    return 0.5 * math.erfc(z / math.sqrt(2))
+
+
+def chi_square_drift(
+    baseline: dict[str, int],
+    current: dict[str, int],
+    params: EngineParams = DEFAULT_PARAMS,
+) -> DriftReport:
+    """Pearson chi-square of current counts vs baseline proportions.
+
+    Expected counts scale baseline shares to the current total; categories
+    unseen in the baseline get a 0.5-count prior so novel categories drift
+    loudly instead of dividing by zero.
+    """
+    cats = sorted(set(baseline) | set(current))
+    btot = sum(baseline.values())
+    ctot = sum(current.values())
+    if btot == 0 or ctot == 0:
+        return DriftReport("chi_square", 0.0, params.drift_chi2_pvalue, False, AnomalyLevel.INFO, {})
+    stat = 0.0
+    per_cat = {}
+    for c in cats:
+        expected = max(baseline.get(c, 0), 0.5) / btot * ctot
+        observed = current.get(c, 0)
+        contrib = (observed - expected) ** 2 / expected
+        stat += contrib
+        per_cat[c] = round(contrib, 4)
+    dof = max(len(cats) - 1, 1)
+    pvalue = _chi2_sf(stat, dof)
+    drifted = pvalue < params.drift_chi2_pvalue
+    return DriftReport(
+        "chi_square",
+        round(stat, 6),
+        params.drift_chi2_pvalue,
+        drifted,
+        AnomalyLevel.WARNING if drifted else AnomalyLevel.INFO,
+        {"pvalue": pvalue, "dof": dof, "per_category": per_cat},
+    )
+
+
+def ks_drift(
+    baseline: LogHistogram,
+    current: LogHistogram,
+    params: EngineParams = DEFAULT_PARAMS,
+) -> DriftReport:
+    """Two-sample KS statistic over the histogram CDFs (evaluated at the
+    union of bucket boundaries; resolution-limited by the 1% relative
+    accuracy of the sketch, which is ample for drift gating)."""
+    xb, cb = baseline.cdf_points()
+    xc, cc = current.cdf_points()
+    if len(xb) == 0 or len(xc) == 0:
+        return DriftReport("ks", 0.0, params.drift_ks_stat, False, AnomalyLevel.INFO, {})
+    grid = np.union1d(xb, xc)
+    fb = np.interp(grid, xb, cb, left=0.0, right=1.0)
+    fc = np.interp(grid, xc, cc, left=0.0, right=1.0)
+    stat = float(np.max(np.abs(fb - fc)))
+    drifted = stat > params.drift_ks_stat
+    return DriftReport(
+        "ks",
+        round(stat, 6),
+        params.drift_ks_stat,
+        drifted,
+        AnomalyLevel.WARNING if drifted else AnomalyLevel.INFO,
+        {"n_baseline": baseline.total, "n_current": current.total},
+    )
+
+
+def drift_report(
+    baseline_df: DataFrame,
+    current_df: DataFrame,
+    categorical_col: str,
+    numeric_len_col: str,
+    params: EngineParams = DEFAULT_PARAMS,
+) -> list[DriftReport]:
+    """End-to-end drift check of two snapshots: chi-square on the categorical
+    column, KS on the numeric column's log-binned histogram. Two aggregations
+    per side, all heavy work distributed."""
+    from jsonoid_discovery_spark.operators.profile import profile
+
+    reports = [
+        chi_square_drift(
+            category_counts(baseline_df, categorical_col),
+            category_counts(current_df, categorical_col),
+            params,
+        )
+    ]
+    hb = profile(baseline_df, columns=[numeric_len_col], with_bloom=False).state(numeric_len_col).hist
+    hc = profile(current_df, columns=[numeric_len_col], with_bloom=False).state(numeric_len_col).hist
+    reports.append(ks_drift(hb, hc, params))
+    return reports

@@ -155,7 +155,8 @@ class ColumnState:
             self.hll.update(s.astype(str))
 
     def _update_string(self, s: pd.Series) -> None:
-        s = s.astype(str)
+        if s.dtype != object:
+            s = s.astype(str)
         lens = s.str.len().to_numpy()
         self.min_len = int(lens.min()) if self.min_len is None else min(self.min_len, int(lens.min()))
         self.max_len = int(lens.max()) if self.max_len is None else max(self.max_len, int(lens.max()))
@@ -172,20 +173,31 @@ class ColumnState:
         if self.with_bloom:
             self.bloom.update_hashes(h)
         self.examples.update(s)
-        # FormatProperty: first-match-wins counts
-        matched = np.zeros(len(s), dtype=bool)
+        # FormatProperty: first-match-wins counts. Every known format is a
+        # short token (uuid=36, ipv6<=45, date-time<=35, uri/email bounded in
+        # practice) — values longer than 128 chars can't match, so they're
+        # counted as 'none' without touching a regex (big win on `content`).
+        short = s[lens <= 128]
+        matched = np.zeros(len(short), dtype=bool)
         for name, pat in FORMAT_PATTERNS:
-            m = s.str.match(pat).to_numpy(dtype=bool) & ~matched
+            if matched.all():
+                break
+            m = short.str.match(pat).to_numpy(dtype=bool) & ~matched
             c = int(m.sum())
             if c:
                 self.formats[name] = self.formats.get(name, 0) + c
                 matched |= m
-        nm = int((~matched).sum())
+        nm = int((~matched).sum()) + int(len(s) - len(short))
         if nm:
             self.formats["none"] = self.formats.get("none", 0) + nm
         if self.all_numeric_strings:
-            parsed = pd.to_numeric(s, errors="coerce")
-            self.all_numeric_strings = bool(parsed.notna().all())
+            # StringNumericProperty latch: cheap head-probe first — one
+            # non-numeric value anywhere kills the latch for good
+            head = pd.to_numeric(s.head(32), errors="coerce")
+            if head.isna().any():
+                self.all_numeric_strings = False
+            else:
+                self.all_numeric_strings = bool(pd.to_numeric(s, errors="coerce").notna().all())
 
     def _update_numeric(self, s: pd.Series) -> None:
         v = s.to_numpy(dtype=np.float64)

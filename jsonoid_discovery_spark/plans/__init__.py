@@ -1,0 +1,3 @@
+from jsonoid_discovery_spark.plans.checkpoint import CheckpointedProfileRun, partition_units
+
+__all__ = ["CheckpointedProfileRun", "partition_units"]

@@ -1,0 +1,142 @@
+"""Checkpointed, resumable profiling runs with per-partition lineage and
+metrics tables (north rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Because every profile state is a commutative monoid (the reference's design
+premise — schemas/SchemaProperty.scala:42-80 — and the serialized-sketch
+precedent of utils/HyperLogLog.scala:38-45 / BloomFilter.scala:61-68), resume
+is trivial algebra: fold the states of unprocessed units into the persisted
+states of finished ones. No unit is ever re-read.
+
+Layout under ``checkpoint_dir`` (all parquet, Delta-style append semantics):
+  state/run_id=<id>/unit=<u>/   one merged state table per finished unit
+  lineage/                      (run_id, unit, status, row_count, wall_sec)
+  metrics/                      (run_id, unit, metric, value)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+from jsonoid_discovery_spark.operators.profile import ProfileResult, partial_states
+
+LINEAGE_SCHEMA = "run_id string, unit string, status string, row_count long, wall_sec double"
+METRICS_SCHEMA = "run_id string, unit string, metric string, value double"
+STATE_SCHEMA = "g string, column string, state binary"
+
+
+def partition_units(df: DataFrame, bucket_col: str, n_units: int) -> list[tuple[str, DataFrame]]:
+    """Split an input into deterministic hash-bucket units for incremental
+    processing. On a real Iceberg table the units would be partitions/files;
+    hash bucketing is the layout-independent fallback."""
+    b = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_units))
+    return [(f"bucket={i}", df.where(b == i)) for i in range(n_units)]
+
+
+class CheckpointedProfileRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        run_id: str,
+        columns: list[str] | None = None,
+        group_by: list[str] | None = None,
+        params: EngineParams = DEFAULT_PARAMS,
+        with_bloom: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.run_id = run_id
+        self.columns = columns
+        self.group_by = list(group_by or [])
+        self.params = params
+        self.with_bloom = with_bloom
+
+    # -- lineage -------------------------------------------------------------
+    def finished_units(self) -> set[str]:
+        path = os.path.join(self.dir, "lineage")
+        if not os.path.exists(path):
+            return set()
+        rows = (
+            self.spark.read.parquet(path)
+            .where((F.col("run_id") == self.run_id) & (F.col("status") == "done"))
+            .select("unit")
+            .collect()
+        )
+        return {r["unit"] for r in rows}
+
+    def _append(self, sub: str, rows: list[tuple], schema: str) -> None:
+        self.spark.createDataFrame(rows, schema).write.mode("append").parquet(os.path.join(self.dir, sub))
+
+    # -- unit processing -----------------------------------------------------
+    def process_unit(self, unit: str, df: DataFrame) -> None:
+        """Profile one unit and persist its merged state + lineage + metrics.
+        State is written BEFORE the lineage 'done' marker, so a crash between
+        the two re-processes the unit (at-least-once; the overwrite of the
+        unit's state dir keeps it idempotent)."""
+        t0 = time.perf_counter()
+        states = partial_states(df, self.columns, self.group_by, self.params, self.with_bloom)
+        state_path = os.path.join(self.dir, "state", f"run_id={self.run_id}", f"unit={unit}")
+        states.write.mode("overwrite").parquet(state_path)
+        wall = time.perf_counter() - t0
+        persisted = self.spark.read.parquet(state_path)
+        row_count = (
+            persisted.select(F.col("g"), F.col("column"))
+            .groupBy("g")
+            .count()
+            .count()
+        )  # cheap sanity read-back; row_count of groups, not rows
+        n_rows = df.count()
+        self._append("lineage", [(self.run_id, unit, "done", n_rows, wall)], LINEAGE_SCHEMA)
+        self._append(
+            "metrics",
+            [
+                (self.run_id, unit, "rows_profiled", float(n_rows)),
+                (self.run_id, unit, "wall_sec", float(wall)),
+                (self.run_id, unit, "state_groups", float(row_count)),
+            ],
+            METRICS_SCHEMA,
+        )
+
+    def run(self, units: list[tuple[str, DataFrame]]) -> ProfileResult:
+        """Process all not-yet-finished units, then fold every persisted unit
+        state into the final profile. Re-invocation after a crash (or with new
+        units appended) resumes exactly where it left off."""
+        done = self.finished_units()
+        for unit, df in units:
+            if unit not in done:
+                self.process_unit(unit, df)
+        return self.result()
+
+    def result(self) -> ProfileResult:
+        """Merge all persisted unit states (a Spark job over tiny state rows:
+        groupBy(g, column) + pandas merge — the unionMerge fold)."""
+        import glob as _glob
+
+        base = os.path.join(self.dir, "state", f"run_id={self.run_id}")
+        unit_dirs = sorted(_glob.glob(os.path.join(base, "unit=*")))
+        states: dict[tuple, dict] = {}
+        for d in unit_dirs:
+            for row in self.spark.read.parquet(d).collect():
+                g = tuple(json.loads(row["g"]))
+                st = pickle.loads(row["state"])
+                cur = states.setdefault(g, {})
+                cur[row["column"]] = st if row["column"] not in cur else cur[row["column"]].merge(st)
+        return ProfileResult(tuple(self.group_by), states)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "metrics")).where(
+            F.col("run_id") == self.run_id
+        )
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "lineage")).where(
+            F.col("run_id") == self.run_id
+        )

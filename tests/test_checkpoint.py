@@ -1,0 +1,51 @@
+"""Checkpoint/resume: half-run then resume must equal the one-shot profile
+byte-for-byte on sketch state (FIXTURES.md §5 resume-equivalence)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jsonoid_discovery_spark.operators.profile import profile
+from jsonoid_discovery_spark.plans.checkpoint import CheckpointedProfileRun, partition_units
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def test_resume_equals_oneshot(spark, docs, ckpt_dir):
+    units = partition_units(docs, "doc_id", 4)
+
+    # first attempt: process only half the units (simulated crash)
+    run = CheckpointedProfileRun(spark, ckpt_dir, "r1", columns=["text", "n_chars"])
+    for unit, df in units[:2]:
+        run.process_unit(unit, df)
+    assert run.finished_units() == {u for u, _ in units[:2]}
+
+    # resume: run() must skip the finished units and complete the rest
+    resumed = CheckpointedProfileRun(spark, ckpt_dir, "r1", columns=["text", "n_chars"])
+    result = resumed.run(units)
+
+    oneshot = profile(docs, columns=["text", "n_chars"])
+    a, b = result.state("text"), oneshot.state("text")
+    assert a.count == b.count and a.min_len == b.min_len and a.max_len == b.max_len
+    assert np.array_equal(a.hll.registers, b.hll.registers)
+    assert np.array_equal(a.bloom.bits, b.bloom.bits)
+    assert a.examples.values() == b.examples.values()
+    assert a.hist.bins == b.hist.bins
+
+    # lineage + metrics recorded per unit
+    assert resumed.lineage().count() == 4
+    m = {r["metric"] for r in resumed.metrics().collect()}
+    assert {"rows_profiled", "wall_sec", "state_groups"} <= m
+
+
+def test_resume_skips_finished_units(spark, docs, ckpt_dir):
+    units = partition_units(docs, "doc_id", 2)
+    run = CheckpointedProfileRun(spark, ckpt_dir, "r2", columns=["text"])
+    run.run(units)
+    lin1 = run.lineage().count()
+    run.run(units)  # second invocation: nothing new to do
+    assert run.lineage().count() == lin1

@@ -1,0 +1,113 @@
+"""Validation round trip: learn a profile from the clean table, validate the
+mutated table, and recover exactly the injected violations (FIXTURES.md §1a).
+This is the engine's anomaly-collection contract (reference
+collectAnomalies + Bowtie validation, SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import AnomalyLevel
+from jsonoid_discovery_spark.datagen import repo_commits, source_files, source_files_with_violations
+from jsonoid_discovery_spark.operators.constraints import (
+    Constraint,
+    bloom_fk_candidates,
+    constraints_from_profile,
+    partition_verdicts,
+    referential_orphans,
+    referential_summary,
+    uniqueness_summary,
+    uniqueness_violations,
+    validate,
+    widen_max,
+    widen_min,
+)
+from jsonoid_discovery_spark.operators.profile import profile
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    clean = source_files(spark, n_rows=N, seed=42, partitions=8).cache()
+    mutated, expected = source_files_with_violations(spark, n_rows=N, seed=42)
+    mutated = mutated.cache()
+    exp = {(r["row_key"], r["rule"]) for r in expected.collect()}
+    return clean, mutated, exp
+
+
+def _keys_for(exp, rule):
+    return {k for k, r in exp if r == rule}
+
+
+def test_widening():
+    assert widen_max(40) == 64 and widen_min(40) == 32
+    assert widen_max(0) == 0 and widen_min(0) == 0
+    assert widen_min(-40) == -64 and widen_max(-40) == -32
+
+
+def test_uniqueness(spark, fixture):
+    clean, mutated, exp = fixture
+    assert uniqueness_summary(clean, ["repo", "path", "commit"]).collect()[0]["is_unique"]
+    dup_rows = uniqueness_violations(mutated, ["repo", "path", "commit"]).collect()
+    got = {f"{r['repo']}|{r['path']}|{r['commit']}" for r in dup_rows}
+    assert got == _keys_for(exp, "dup-key")
+
+
+def test_referential_integrity(spark, fixture):
+    clean, mutated, exp = fixture
+    parents = repo_commits(spark)
+    assert referential_summary(clean, ["commit"], parents, ["commit"]).collect()[0]["is_valid"]
+    orphans = {r["commit"] for r in referential_orphans(mutated, ["commit"], parents, ["commit"]).collect()}
+    # bad-format commits are necessarily orphans too (absent from the parent)
+    expected_commits = {k.split("|")[2] for k in _keys_for(exp, "orphan-commit") | _keys_for(exp, "bad-format")}
+    assert orphans == expected_commits
+
+
+def test_learned_constraints_catch_injections(spark, fixture):
+    clean, mutated, exp = fixture
+    prof = profile(clean, columns=["repo", "path", "commit", "lang", "content"])
+    cons = constraints_from_profile(prof)
+    # declared constraint (StaticPatternProperty analog): commit is 40-hex
+    cons.append(Constraint("commit.hex40", F.col("commit").rlike("^[0-9a-f]{40}$"), AnomalyLevel.FATAL))
+    viol = validate(mutated, cons, key_cols=["repo", "path", "commit"], content_col="content")
+    rows = viol.collect()
+    by_rule: dict[str, set] = {}
+    for r in rows:
+        by_rule.setdefault(r["rule"], set()).add(f"{r['repo']}|{r['path']}|{r['commit']}")
+    assert by_rule.get("commit.hex40", set()) == _keys_for(exp, "bad-format")
+    assert by_rule.get("content.required", set()) == _keys_for(exp, "null-required")
+    assert _keys_for(exp, "length-outlier") <= by_rule.get("content.lengthBounds", set())
+    # clean rows are never flagged (profile never flags its own source)
+    all_flagged = set().union(*by_rule.values()) if by_rule else set()
+    injected = {k for k, _ in exp}
+    assert all_flagged <= injected
+
+
+def test_violation_rows_carry_content_sha(spark, fixture):
+    clean, mutated, exp = fixture
+    prof = profile(clean, columns=["content"])
+    viol = validate(mutated, constraints_from_profile(prof), key_cols=["repo"], content_col="content")
+    row = viol.limit(1).collect()
+    if row:
+        assert len(row[0]["content_sha256"]) == 64
+
+
+def test_partition_verdicts(spark, fixture):
+    clean, mutated, exp = fixture
+    prof = profile(clean, columns=["content", "commit"])
+    cons = constraints_from_profile(prof)
+    v = partition_verdicts(mutated, cons, ["lang"]).collect()
+    assert any(not r["pass_all"] for r in v)  # injected nulls break some group
+    clean_v = partition_verdicts(clean, cons, ["lang"]).collect()
+    assert all(r["pass_all"] for r in clean_v)
+
+
+def test_bloom_fk_prefilter(spark, fixture):
+    clean, _, _ = fixture
+    child = profile(clean.select(F.col("commit").alias("c")), columns=["c"]).state("c")
+    parents = profile(repo_commits(spark).select("commit"), columns=["commit"]).state("commit")
+    assert bloom_fk_candidates({"child_commit": child, "parent_commit": parents}) == [
+        ("child_commit", "parent_commit")
+    ]

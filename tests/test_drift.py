@@ -1,0 +1,61 @@
+"""Drift checks: the shifted pair must trip chi-square + KS; the unshifted
+control must not (FIXTURES.md §1b)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonoid_discovery_spark.datagen import documents_drifted
+from jsonoid_discovery_spark.operators.drift import (
+    category_counts,
+    chi_square_drift,
+    drift_report,
+    ks_drift,
+)
+from jsonoid_discovery_spark.functions.sketches import LogHistogram
+
+N = 6000
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    base = documents_drifted(spark, N, seed=42, drift=False).cache()
+    same = documents_drifted(spark, N, seed=43, drift=False).cache()
+    drifted = documents_drifted(spark, N, seed=44, drift=True).cache()
+    return base, same, drifted
+
+
+def test_chi_square_trips_on_shift(spark, snapshots):
+    base, same, drifted = snapshots
+    b = category_counts(base, "lang")
+    assert chi_square_drift(b, category_counts(drifted, "lang")).drifted
+    assert not chi_square_drift(b, category_counts(same, "lang")).drifted
+
+
+def test_ks_trips_on_length_shift(spark, snapshots):
+    base, same, drifted = snapshots
+    import numpy as np
+
+    def hist_of(df):
+        h = LogHistogram()
+        vals = np.array([r["content_len"] for r in df.select("content_len").collect()], dtype=float)
+        h.update(vals)
+        return h
+
+    hb = hist_of(base)
+    assert ks_drift(hb, hist_of(drifted)).drifted
+    assert not ks_drift(hb, hist_of(same)).drifted
+
+
+def test_end_to_end_drift_report(spark, snapshots):
+    base, same, drifted = snapshots
+    reports = drift_report(base, drifted, "lang", "content_len")
+    assert all(r.drifted for r in reports)
+    control = drift_report(base, same, "lang", "content_len")
+    assert not any(r.drifted for r in control)
+
+
+def test_novel_category_drifts():
+    base = {"a": 500, "b": 500}
+    cur = {"a": 450, "b": 450, "zzz": 100}
+    assert chi_square_drift(base, cur).drifted
