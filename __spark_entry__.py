@@ -197,6 +197,100 @@ def _moments_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _json_discovery_events(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON schema discovery over events.props -> per-key type counts
+    (the ObjectTypesProperty analog, SURVEY.md §2.6)."""
+    from jsonoid_discovery_spark.operators.discovery import discover
+
+    res = discover(_t(spark, sf, "events"), "props")
+    rows = []
+    for key, node in res.schema.fields.items():
+        for jtype, n in node.type_counts.items():
+            rows.append((key, jtype, n))
+    return spark.createDataFrame(rows, "key string, jtype string, n long")
+
+
+def _ann_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where("vec_id = 0").select("embedding").first()[0]
+    out = brute_force_topk(emb, "embedding", "vec_id", [float(x) for x in q], k=10)
+    return out.select("vec_id", F.round("cosine", 9).alias("cosine"))
+
+
+def _lang_id_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.text import lang_id
+
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(lang_id("text").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _quality_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.text import quality_score
+
+    return _t(spark, sf, "documents").select("doc_id", quality_score("text").alias("q"))
+
+
+def _bpe_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.text import bpe_ish_token_count
+
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum(bpe_ish_token_count("text")).alias("tokens"))
+    )
+
+
+def _fingerprint_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.text import fingerprint_md5
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    return d.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct(fingerprint_md5("text")).alias("distinct_fps"),
+    )
+
+
+def _dedup_groups_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _minhash_lsh_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup candidate pairs (rows-only check: xxhash64 has no DuckDB
+    equivalent; exactness is covered by pytest with a python oracle)."""
+    from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8)
+
+
+def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonoid_discovery_spark.operators.dedup import simhash
+
+    return _t(spark, sf, "documents").select("doc_id", simhash("text").alias("simhash"))
+
+
+def _drift_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square + KS drift between the even/odd doc_id halves (a no-drift
+    control on real data; rows-only check — the statistic math is covered by
+    pytest against shifted/control generators)."""
+    from jsonoid_discovery_spark.operators.drift import drift_report
+
+    d = _t(spark, sf, "documents")
+    base = d.where("doc_id % 2 = 0")
+    cur = d.where("doc_id % 2 = 1")
+    reports = drift_report(base, cur, "lang", "n_chars")
+    return spark.createDataFrame(
+        [(r.check, float(r.statistic), bool(r.drifted)) for r in reports],
+        "check string, statistic double, drifted boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -216,6 +310,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_event_types": _enum_event_types,
         "field_presence_events": _field_presence_events,
         "moments_documents": _moments_documents,
+        "json_discovery_events": _json_discovery_events,
+        "ann_topk_embeddings": _ann_topk_embeddings,
+        "lang_id_documents": _lang_id_documents,
+        "quality_documents": _quality_documents,
+        "bpe_token_counts_documents": _bpe_token_counts_documents,
+        "fingerprint_dedup_documents": _fingerprint_dedup_documents,
+        "dedup_groups_documents": _dedup_groups_documents,
+        "minhash_lsh_pairs_documents": _minhash_lsh_pairs_documents,
+        "simhash_documents": _simhash_documents,
+        "drift_lang_documents": _drift_lang_documents,
     }
 
 
@@ -335,4 +439,74 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars) AS min_x, max(n_chars) AS max_x
             FROM documents
         """,
+        "json_discovery_events": """
+            WITH kv AS (
+              SELECT unnest(json_keys(props::JSON)) AS key, props::JSON AS j FROM events
+              WHERE props IS NOT NULL
+            )
+            SELECT key,
+              CASE json_type(j, '$.' || key)
+                WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+                WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+                WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+                WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
+              count(*) AS n
+            FROM kv GROUP BY 1, 2
+        """,
+        "ann_topk_embeddings": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 9) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10
+        """,
+        "lang_id_documents": """
+            WITH scored AS (
+              SELECT list_max([
+                {'score': len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|with)\\b')), 'lang': 'en'},
+                {'score': len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|las|una|por)\\b')), 'lang': 'es'},
+                {'score': len(regexp_extract_all(lower(text), '\\b(le|la|les|des|une|est|dans|pour)\\b')), 'lang': 'fr'},
+                {'score': len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')), 'lang': 'de'},
+                {'score': len(regexp_extract_all(lower(text), '的|是|了|在|我|有|他|不')), 'lang': 'zh'}
+              ]) AS best FROM documents)
+            SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred,
+                   count(*) AS n
+            FROM scored GROUP BY 1
+        """,
+        "quality_documents": """
+            WITH f AS (
+              SELECT doc_id, length(text)::BIGINT AS n_chars,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS tokens,
+                len(regexp_extract_all(text, '[\\.,;:!\\?"''\\(\\)\\[\\]\\{\\}]'))::BIGINT AS punct,
+                len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS dtok
+              FROM documents)
+            SELECT doc_id,
+              (CASE WHEN n_chars BETWEEN 64 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+              + least((CASE WHEN tokens > 0 THEN dtok / tokens ELSE 0.0 END) * 2, 1.0) * 0.4
+              + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
+                      THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+            FROM f
+        """,
+        "bpe_token_counts_documents": """
+            SELECT source,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens
+            FROM documents GROUP BY source
+        """,
+        "fingerprint_dedup_documents": """
+            SELECT count(*) AS total_rows,
+                   count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS distinct_fps
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "dedup_groups_documents": """
+            SELECT sha256(text) AS content_sha256, count(*) AS n, min(doc_id) AS keep_id
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY sha256(text) HAVING count(*) > 1
+        """,
+        # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents:
+        # intentionally no oracle (xxhash64 / sketch state are not
+        # SQL-expressible in DuckDB) -> the driver records rows-only checks;
+        # pytest covers their exactness with python oracles.
     }

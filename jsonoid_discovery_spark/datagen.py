@@ -266,3 +266,43 @@ def documents_drifted(spark: SparkSession, n_rows: int = 1000, seed: int = 42, d
             )
 
     return spark.range(0, n_rows, numPartitions=8).mapInArrow(gen, "lang string, content_len long")
+
+
+def props_docs(spark: SparkSession, n_rows: int = 1000, seed: int = 42) -> DataFrame:
+    """Nested-JSON fixture mirroring the reference's bundled datasets
+    (FIXTURES.md §3): flat mixed-type objects, nested tuple arrays, object
+    lists, plus ~0.5% malformed lines that discovery must skip."""
+    import json as _json
+
+    from pyspark.sql import functions as _F  # noqa: F401
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            u = _hash_to_unit(ids, seed, 21)
+            shape = (_hash64(ids, seed, 22) % np.uint64(3)).astype(np.int64)
+            docs = []
+            for i, rid in enumerate(ids):
+                if u[i] < 0.005:
+                    docs.append('{"broken": ')  # malformed line
+                    continue
+                h = int(_hash64(np.array([rid]), seed, 23)[0])
+                if shape[i] == 0:
+                    d = {"a": h % 100, "b": (h % 1000) / 10.0, "c": f"s{h % 50}", "d": bool(h % 2), "e": None}
+                elif shape[i] == 1:
+                    n_w = h % 5
+                    d = {"name": f"n{h % 30}", "wins": [[f"g{(h + j) % 9}", f"h{(h + j) % 7}"] for j in range(n_w)]}
+                else:
+                    d = {
+                        "year": str(1900 + h % 120),
+                        "category": f"cat{h % 10}",
+                        "laureates": [
+                            {"id": str(h % 900), "firstname": f"fn{h % 40}", "share": str(1 + h % 4)}
+                        ],
+                    }
+                docs.append(_json.dumps(d))
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": pa.array(ids, pa.int64()), "doc": pa.array(docs, pa.string())}
+            )
+
+    return spark.range(0, n_rows, numPartitions=8).mapInArrow(gen, "doc_id long, doc string")

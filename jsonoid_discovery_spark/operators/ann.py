@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB training-data pipeline needs:
+  * brute-force cosine top-k — exact baseline, pure SQL higher-order
+    functions (zip_with + aggregate), whole-stage codegen, no Python;
+  * LSH-bucketed ANN — random-hyperplane signatures (SimHash for vectors)
+    bucket candidates so the expensive exact score runs on a tiny subset;
+    the only shuffle is on the bucket key.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity(a, b) -> F.Column:
+    """Cosine of two array<float/double> columns, computed in double."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of a literal query vector.
+
+    The query is a literal array (broadcast with the plan); scoring is one
+    codegen'd projection over the scan; top-k is a global sort-limit, which
+    Spark executes as per-partition top-k + driver merge of k*parts rows."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign pattern of the vector against fixed random hyperplanes, packed
+    into a bigint — vector SimHash, pure SQL."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        d = _dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), lit)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    acc = F.lit(0).cast("long")
+    for b in bits:
+        acc = acc.bitwiseOR(b.cast("long"))
+    return acc
+
+
+def make_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy at plan time
+    on executors — the planes are plan literals)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    planes = rng.normal(size=(n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return planes.tolist()
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    probe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only vectors whose hyperplane signature is within
+    ``probe_bits`` Hamming distance of the query's signature (multi-probe).
+    At scale the signature is a partition/bucket key: the scan prunes to a
+    tiny candidate set before any arithmetic."""
+    dim = len(query_vec)
+    planes = make_planes(dim, n_planes, seed)
+    sig_col = hyperplane_signature(vec_col, planes)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if probe_bits >= 1:
+        probes += [qsig ^ (1 << i) for i in range(n_planes)]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = df.withColumn("_sig", sig_col).where(F.col("_sig").isin(probes))
+    return (
+        cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-vector k nearest neighbors among bucket-mates (LSH blocking +
+    within-bucket exact scoring + per-id window top-k). The self-join is on
+    the signature key only — the all-pairs O(n^2) never materializes."""
+    from pyspark.sql import Window
+
+    dim = int(df.select(F.size(vec_col)).first()[0])
+    planes = make_planes(dim, n_planes, seed)
+    sigged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "_sig", hyperplane_signature("v", planes)
+    )
+    a, b = sigged.alias("a"), sigged.alias("b")
+    pairs = a.join(b, (F.col("a._sig") == F.col("b._sig")) & (F.col("a.id") != F.col("b.id"))).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("neighbor"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.col("neighbor"))
+    return pairs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")

@@ -1,0 +1,560 @@
+"""JSON schema discovery over a JSON-string column — the reference's core
+capability (discoverFromValue, discovery/DiscoverSchema.scala:113-137, and
+the JsonSchema tree of schemas/JsonSchema.scala) re-expressed as a mergeable
+per-batch state folded through Spark.
+
+Architecture identical to the column profiler: ``mapInArrow`` computes one
+partial SchemaNode per batch (documents parsed with the C json parser and
+folded into the recursive monoid), a salted two-level ``applyInPandas``
+merge combines partials, and the driver folds the survivors. Every node is a
+commutative monoid, so the result is partitioning-invariant.
+
+Per-path properties mirror SURVEY.md §2.3-2.8:
+  type counts (ProductSchema observation counts), required keys
+  (intersection), field presence, dependencies (pairwise co-occurrence,
+  capped at 50 keys), additionalProperties policy, string min/max length +
+  formats + enum candidates, numeric min/max + integrality, boolean pctTrue,
+  array item schemas (list AND positional tuple), uniqueItems,
+  min/max items/length, bounded examples.
+
+Malformed JSON lines are counted and skipped (jsonFromSource semantics,
+discovery/DiscoverSchema.scala:166-168).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pickle
+from dataclasses import dataclass, field
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, AnomalyLevel, EngineParams
+
+JSON_TYPES = ("object", "array", "string", "integer", "number", "boolean", "null")
+
+
+def _json_type(v: object) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+@dataclass
+class SchemaNode:
+    """One node of the discovered schema — the analog of a JsonSchema with
+    its SchemaProperties (a ProductSchema when several types are observed,
+    schemas/ProductSchema.scala:350-384)."""
+
+    params: EngineParams = field(default_factory=lambda: DEFAULT_PARAMS, repr=False)
+    count: int = 0
+    type_counts: dict[str, int] = field(default_factory=dict)
+    # object properties (schemas/ObjectSchema.scala)
+    fields: dict[str, "SchemaNode"] = field(default_factory=dict)
+    field_presence: dict[str, int] = field(default_factory=dict)
+    object_count: int = 0
+    dep_pairs: dict[tuple[str, str], int] = field(default_factory=dict)
+    dep_overloaded: bool = False  # gave up above 50 keys (ObjectSchema.scala:820)
+    # array properties (schemas/ArraySchema.scala)
+    items: "SchemaNode | None" = None
+    tuple_items: "list[SchemaNode] | None" = None
+    tuple_collapsed: bool = False
+    min_items: int | None = None
+    max_items: int | None = None
+    unique_items: bool = True
+    unary_arrays: bool = True  # all arrays <=1 element (UniqueProperty.unary)
+    # string properties
+    min_len: int | None = None
+    max_len: int | None = None
+    formats: dict[str, int] = field(default_factory=dict)
+    # numeric properties (integer + number merge by promotion,
+    # schemas/IntegerSchema.scala:177-229)
+    min_v: float | None = None
+    max_v: float | None = None
+    int_multiple: int | None = None
+    # boolean
+    true_count: int = 0
+    bool_count: int = 0
+    # enum candidates: exact distinct set, capped; overflow latches
+    distinct_values: set = field(default_factory=set)
+    distinct_overflow: bool = False
+
+    # ------------------------------------------------------------------ fold
+    def observe(self, v: object) -> None:
+        self.count += 1
+        t = _json_type(v)
+        self.type_counts[t] = self.type_counts.get(t, 0) + 1
+        if t == "object":
+            self._observe_object(v)
+        elif t == "array":
+            self._observe_array(v)
+        elif t == "string":
+            n = len(v)
+            self.min_len = n if self.min_len is None else min(self.min_len, n)
+            self.max_len = n if self.max_len is None else max(self.max_len, n)
+            self._observe_scalar(v)
+            fmt = _detect_format(v)
+            self.formats[fmt] = self.formats.get(fmt, 0) + 1
+        elif t in ("integer", "number"):
+            x = float(v)
+            self.min_v = x if self.min_v is None else min(self.min_v, x)
+            self.max_v = x if self.max_v is None else max(self.max_v, x)
+            if t == "integer":
+                a = abs(int(v))
+                self.int_multiple = a if self.int_multiple is None else math.gcd(self.int_multiple, a)
+            else:
+                self.int_multiple = None
+            self._observe_scalar(v)
+        elif t == "boolean":
+            self.bool_count += 1
+            self.true_count += int(v)
+            self._observe_scalar(v)
+
+    def _observe_scalar(self, v: object) -> None:
+        if not self.distinct_overflow:
+            self.distinct_values.add(v)
+            if len(self.distinct_values) > self.params.enum_max_values:
+                self.distinct_overflow = True
+                self.distinct_values = set()
+
+    def _observe_object(self, obj: dict) -> None:
+        self.object_count += 1
+        keys = list(obj.keys())
+        for k, v in obj.items():
+            self.field_presence[k] = self.field_presence.get(k, 0) + 1
+            child = self.fields.get(k)
+            if child is None:
+                child = self.fields[k] = SchemaNode(self.params)
+            child.observe(v)
+        # DependenciesProperty: pairwise co-occurrence, give up above the cap
+        if not self.dep_overloaded:
+            if len(keys) > self.params.dependencies_max_keys:
+                self.dep_overloaded = True
+                self.dep_pairs = {}
+            else:
+                ks = sorted(keys)
+                for i, a in enumerate(ks):
+                    for b in ks[i + 1 :]:
+                        self.dep_pairs[(a, b)] = self.dep_pairs.get((a, b), 0) + 1
+
+    def _observe_array(self, arr: list) -> None:
+        n = len(arr)
+        self.min_items = n if self.min_items is None else min(self.min_items, n)
+        self.max_items = n if self.max_items is None else max(self.max_items, n)
+        if n > 1:
+            self.unary_arrays = False
+        if self.unique_items and n > 1:
+            try:
+                self.unique_items = len(set(map(_freeze, arr))) == n
+            except TypeError:
+                pass
+        # ItemTypeProperty: track BOTH a merged single-item schema and a
+        # positional tuple; tuples of differing length collapse
+        # (schemas/ArraySchema.scala:376-443)
+        if self.items is None:
+            self.items = SchemaNode(self.params)
+        for v in arr:
+            self.items.observe(v)
+        if not self.tuple_collapsed:
+            if self.tuple_items is None:
+                self.tuple_items = [SchemaNode(self.params) for _ in range(n)]
+            if len(self.tuple_items) != n:
+                self.tuple_collapsed = True
+                self.tuple_items = None
+            else:
+                for slot, v in zip(self.tuple_items, arr):
+                    slot.observe(v)
+
+    # ----------------------------------------------------------------- merge
+    def merge(self, o: "SchemaNode") -> "SchemaNode":
+        out = SchemaNode(self.params)
+        out.count = self.count + o.count
+        for src in (self.type_counts, o.type_counts):
+            for t, c in src.items():
+                out.type_counts[t] = out.type_counts.get(t, 0) + c
+        # objects: key-wise merge with Zero identity (union semantics,
+        # schemas/ObjectSchema.scala:443-468)
+        out.object_count = self.object_count + o.object_count
+        for k in set(self.fields) | set(o.fields):
+            a, b = self.fields.get(k), o.fields.get(k)
+            out.fields[k] = a.merge(b) if a and b else (a or b)
+        for src in (self.field_presence, o.field_presence):
+            for k, c in src.items():
+                out.field_presence[k] = out.field_presence.get(k, 0) + c
+        out.dep_overloaded = self.dep_overloaded or o.dep_overloaded
+        if not out.dep_overloaded:
+            for src in (self.dep_pairs, o.dep_pairs):
+                for p, c in src.items():
+                    out.dep_pairs[p] = out.dep_pairs.get(p, 0) + c
+        # arrays
+        if self.items and o.items:
+            out.items = self.items.merge(o.items)
+        else:
+            out.items = self.items or o.items
+        out.tuple_collapsed = self.tuple_collapsed or o.tuple_collapsed
+        if not out.tuple_collapsed:
+            a, b = self.tuple_items, o.tuple_items
+            if a is not None and b is not None:
+                if len(a) == len(b):
+                    out.tuple_items = [x.merge(y) for x, y in zip(a, b)]
+                else:
+                    out.tuple_collapsed = True
+            else:
+                out.tuple_items = a if a is not None else b
+        out.min_items = _mn(self.min_items, o.min_items)
+        out.max_items = _mx(self.max_items, o.max_items)
+        out.unique_items = self.unique_items and o.unique_items
+        out.unary_arrays = self.unary_arrays and o.unary_arrays
+        # strings
+        out.min_len = _mn(self.min_len, o.min_len)
+        out.max_len = _mx(self.max_len, o.max_len)
+        for src in (self.formats, o.formats):
+            for k, c in src.items():
+                out.formats[k] = out.formats.get(k, 0) + c
+        # numerics: gcd union (schemas/NumberSchema.scala:662-764)
+        out.min_v = _mn(self.min_v, o.min_v)
+        out.max_v = _mx(self.max_v, o.max_v)
+        if self.int_multiple is not None and o.int_multiple is not None:
+            out.int_multiple = math.gcd(self.int_multiple, o.int_multiple)
+        elif "number" in out.type_counts:
+            out.int_multiple = None
+        else:
+            out.int_multiple = self.int_multiple if self.int_multiple is not None else o.int_multiple
+        out.true_count = self.true_count + o.true_count
+        out.bool_count = self.bool_count + o.bool_count
+        out.distinct_overflow = self.distinct_overflow or o.distinct_overflow
+        if not out.distinct_overflow:
+            out.distinct_values = self.distinct_values | o.distinct_values
+            if len(out.distinct_values) > self.params.enum_max_values:
+                out.distinct_overflow = True
+                out.distinct_values = set()
+        return out
+
+    # ------------------------------------------------------------- emission
+    def required_keys(self) -> list[str]:
+        return sorted(k for k, c in self.field_presence.items() if c == self.object_count)
+
+    def dependent_required(self) -> dict[str, list[str]]:
+        """dependentRequired: b always present when a is, and a not globally
+        required (schemas/ObjectSchema.scala:895-925)."""
+        req = set(self.required_keys())
+        out: dict[str, list[str]] = {}
+        for (a, b), c in self.dep_pairs.items():
+            for x, y in ((a, b), (b, a)):
+                if x in req or y in req:
+                    continue
+                if c == self.field_presence.get(x, -1):
+                    out.setdefault(x, []).append(y)
+        return {k: sorted(v) for k, v in sorted(out.items())}
+
+    def to_json_schema(self, transformers: bool = True) -> dict:
+        """JSON Schema 2020-12 with the reference's extra keys
+        (fieldPresence, pctTrue, examples-as-enum via EnumTransformer ratio
+        rules, transformers/EnumTransformer.scala:97-116)."""
+        types = sorted(t for t, c in self.type_counts.items() if c > 0)
+        if "integer" in types and "number" in types:
+            # integer + number merge by promotion, not a type union
+            # (schemas/IntegerSchema.scala:177-229)
+            types.remove("integer")
+        alts = [self._schema_for(t, transformers) for t in types]
+        if len(alts) == 0:
+            return {}
+        if len(alts) == 1:
+            return alts[0]
+        return {"anyOf": alts}
+
+    def _schema_for(self, t: str, transformers: bool) -> dict:
+        p = self.params
+        if t == "null":
+            return {"type": "null"}
+        if t == "boolean":
+            d: dict = {"type": "boolean"}
+            if self.bool_count:
+                if transformers and self.true_count in (0, self.bool_count):
+                    d["const"] = self.true_count > 0  # BooleanConstantProperty
+                else:
+                    d["pctTrue"] = self.true_count / self.bool_count
+            return d
+        if t in ("integer", "number"):
+            d = {"type": t if self.type_counts.get("number", 0) == 0 else "number"}
+            if self.min_v is not None:
+                d["minimum"] = _numfmt(self.min_v, t)
+                d["maximum"] = _numfmt(self.max_v, t)
+            if self.int_multiple and self.int_multiple > 1:
+                d["multipleOf"] = self.int_multiple
+            d.update(self._maybe_enum(transformers, kind=t))
+            return d
+        if t == "string":
+            d = {"type": "string", "minLength": self.min_len, "maxLength": self.max_len}
+            fmt = self._detected_format()
+            if fmt:
+                d["format"] = fmt
+            d.update(self._maybe_enum(transformers, kind="string"))
+            return d
+        if t == "array":
+            d = {"type": "array", "minItems": self.min_items, "maxItems": self.max_items}
+            if self.unique_items and not self.unary_arrays:
+                d["uniqueItems"] = True
+            if self.tuple_items is not None and not self.tuple_collapsed and len(self.tuple_items) > 1:
+                d["prefixItems"] = [s.to_json_schema() for s in self.tuple_items]
+            elif self.items is not None:
+                d["items"] = self.items.to_json_schema()
+            return d
+        # object
+        d = {
+            "type": "object",
+            "properties": {k: v.to_json_schema(transformers) for k, v in sorted(self.fields.items())},
+            "fieldPresence": {
+                k: self.field_presence[k] / self.object_count for k in sorted(self.field_presence)
+            },
+        }
+        req = self.required_keys()
+        if req:
+            d["required"] = req
+        dep = self.dependent_required()
+        if dep:
+            d["dependentRequired"] = dep
+        d["additionalProperties"] = False
+        return d
+
+    def _maybe_enum(self, transformers: bool, kind: str) -> dict:
+        """EnumTransformer: values -> enum when observations > ratio x
+        distinct and distinct below cap (EnumTransformer.scala:10-11)."""
+        if not transformers or self.distinct_overflow or not self.distinct_values:
+            return {}
+        n_obs = self.type_counts.get(kind, 0) + (self.type_counts.get("number", 0) if kind == "integer" else 0)
+        vals = sorted(self.distinct_values, key=lambda x: (str(type(x)), str(x)))
+        if len(vals) == 1:
+            return {"const": vals[0]}
+        if n_obs > self.params.enum_ratio * len(vals):
+            return {"enum": vals}
+        return {}
+
+    def _detected_format(self) -> str | None:
+        cand = {k: v for k, v in self.formats.items() if k != "none"}
+        total = self.type_counts.get("string", 0)
+        if not cand or total < self.params.format_min_examples:
+            return None
+        best, cnt = max(cand.items(), key=lambda kv: kv[1])
+        return best if cnt / total >= self.params.format_threshold else None
+
+    # ---------------------------------------------------------- validation
+    def collect_anomalies(self, v: object, path: str = "$") -> list[tuple[str, str, int]]:
+        """(path, rule, level) anomalies of one value against this schema —
+        the reference's collectAnomalies walk (schemas/JsonSchema.scala:506-563)."""
+        out: list[tuple[str, str, int]] = []
+        t = _json_type(v)
+        observed = {x for x, c in self.type_counts.items() if c > 0}
+        t_eff = t
+        if t == "integer" and "integer" not in observed and "number" in observed:
+            t_eff = "number"
+        if t_eff not in observed:
+            out.append((path, f"type[{t}]", int(AnomalyLevel.FATAL)))
+            return out
+        if t == "object":
+            req = set(self.required_keys())
+            for k in req - set(v.keys()):
+                out.append((f"{path}.{k}", "required", int(AnomalyLevel.FATAL)))
+            for k, val in v.items():
+                child = self.fields.get(k)
+                if child is None:
+                    out.append((f"{path}.{k}", "additionalProperty", int(AnomalyLevel.FATAL)))
+                else:
+                    out.extend(child.collect_anomalies(val, f"{path}.{k}"))
+        elif t == "array":
+            n = len(v)
+            if self.min_items is not None and n < self.min_items:
+                out.append((path, "minItems", int(AnomalyLevel.WARNING)))
+            if self.max_items is not None and n > self.max_items:
+                out.append((path, "maxItems", int(AnomalyLevel.WARNING)))
+            if self.unique_items and not self.unary_arrays and n > 1:
+                try:
+                    if len(set(map(_freeze, v))) != n:
+                        out.append((path, "uniqueItems", int(AnomalyLevel.FATAL)))
+                except TypeError:
+                    pass
+            if self.tuple_items is not None and not self.tuple_collapsed:
+                if n != len(self.tuple_items):
+                    out.append((path, "tupleLength", int(AnomalyLevel.FATAL)))
+                else:
+                    for i, (slot, val) in enumerate(zip(self.tuple_items, v)):
+                        out.extend(slot.collect_anomalies(val, f"{path}[{i}]"))
+            elif self.items is not None:
+                for i, val in enumerate(v):
+                    out.extend(self.items.collect_anomalies(val, f"{path}[{i}]"))
+        elif t == "string":
+            n = len(v)
+            if self.min_len is not None and n < self.min_len:
+                out.append((path, "minLength", int(AnomalyLevel.WARNING)))
+            if self.max_len is not None and n > self.max_len:
+                out.append((path, "maxLength", int(AnomalyLevel.WARNING)))
+            if not self.distinct_overflow and self.distinct_values and v not in self.distinct_values:
+                out.append((path, "enum", int(AnomalyLevel.FATAL)))
+        elif t in ("integer", "number"):
+            x = float(v)
+            if self.min_v is not None and x < self.min_v:
+                out.append((path, "minimum", int(AnomalyLevel.WARNING)))
+            if self.max_v is not None and x > self.max_v:
+                out.append((path, "maximum", int(AnomalyLevel.WARNING)))
+        return out
+
+
+def _mn(a, b):
+    return b if a is None else (a if b is None else min(a, b))
+
+
+def _mx(a, b):
+    return b if a is None else (a if b is None else max(a, b))
+
+
+def _freeze(v):
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return v
+
+
+def _numfmt(x: float, t: str):
+    return int(x) if t == "integer" and float(x).is_integer() else x
+
+
+def _detect_format(s: str) -> str:
+    if len(s) > 128:
+        return "none"
+    from jsonoid_discovery_spark.operators.profile import FORMAT_PATTERNS
+
+    for name, pat in FORMAT_PATTERNS:
+        if pat.match(s):
+            return name
+    return "none"
+
+
+# ---------------------------------------------------------------------------
+# distributed discovery
+
+
+@dataclass
+class DiscoveryResult:
+    schema: SchemaNode
+    docs: int
+    malformed: int
+
+    def to_json_schema(self, transformers: bool = True) -> dict:
+        s = self.schema.to_json_schema(transformers)
+        s["$schema"] = "https://json-schema.org/draft/2020-12/schema"
+        return s
+
+
+_PARTIAL_SCHEMA = "salt int, state binary"
+
+
+def discover(
+    df: DataFrame,
+    col: str,
+    params: EngineParams = DEFAULT_PARAMS,
+    merge_fanin: int = 64,
+) -> DiscoveryResult:
+    """Discover the schema of a JSON-string column: one scan, per-batch
+    partial SchemaNodes, salted applyInPandas tree merge, driver fold."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            node = SchemaNode(params)
+            malformed = 0
+            for s in b.column(0).to_pylist():
+                if s is None:
+                    malformed += 1
+                    continue
+                try:
+                    v = json.loads(s)
+                except (ValueError, TypeError):
+                    malformed += 1
+                    continue
+                node.observe(v)
+            payload = pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)
+            salt = hash((b.num_rows, str(b.column(0).slice(0, 1).to_pylist()))) % merge_fanin
+            yield pa.RecordBatch.from_pydict(
+                {"salt": pa.array([salt], pa.int32()), "state": pa.array([payload], pa.binary())}
+            )
+
+    def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        node, malformed = None, 0
+        for b in pdf["state"]:
+            n, m = pickle.loads(b)
+            malformed += m
+            node = n if node is None else node.merge(n)
+        return pd.DataFrame(
+            {"salt": [0], "state": [pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)]}
+        )
+
+    partials = df.select(F.col(col)).mapInArrow(gen, _PARTIAL_SCHEMA)
+    level1 = partials.groupBy("salt").applyInPandas(merge_pdf, _PARTIAL_SCHEMA)
+    rows = level1.collect()
+    node, malformed = SchemaNode(params), 0
+    for r in rows:
+        n, m = pickle.loads(r["state"])
+        if n is not None:
+            node = node.merge(n) if node.count else n
+        malformed += m
+    return DiscoveryResult(node, node.count, malformed)
+
+
+def validate_json(
+    df: DataFrame,
+    col: str,
+    schema: SchemaNode,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Anomalies of every document against a discovered schema:
+    DataFrame[id?, path, rule, level]. The schema state is closure-captured
+    (broadcast with the task), the walk is per-document like the reference's
+    validation entry point (SURVEY.md §3.3)."""
+    cols = ([id_col] if id_col else []) + [col]
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(id_col).to_pylist() if id_col else [None] * b.num_rows
+            out_id, out_path, out_rule, out_level = [], [], [], []
+            for rid, s in zip(ids, b.column(col).to_pylist()):
+                if s is None:
+                    continue
+                try:
+                    v = json.loads(s)
+                except (ValueError, TypeError):
+                    out_id.append(rid)
+                    out_path.append("$")
+                    out_rule.append("malformed")
+                    out_level.append(int(AnomalyLevel.FATAL))
+                    continue
+                for path, rule, level in schema.collect_anomalies(v):
+                    out_id.append(rid)
+                    out_path.append(path)
+                    out_rule.append(rule)
+                    out_level.append(level)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id": pa.array(out_id, pa.int64()),
+                    "path": pa.array(out_path, pa.string()),
+                    "rule": pa.array(out_rule, pa.string()),
+                    "level": pa.array(out_level, pa.int32()),
+                }
+            )
+
+    return df.select(*cols).mapInArrow(gen, "id long, path string, rule string, level int")

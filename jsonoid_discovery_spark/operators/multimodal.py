@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark side is real and tested — schemas, Arrow batch shapes, partition
+behavior, UDF signatures. The codec step itself is STUBBED (the sandbox has
+no image/audio libraries): ``decode_fn=None`` uses a deterministic fake that
+derives "features" from the bytes, and a real deployment passes e.g. a
+PIL/torchaudio-backed callable with the SAME batch-in/batch-out contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, mime string, width int, height int, "
+    "duration_ms long, payload binary"
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+
+
+def media_table_from_binary(
+    df: DataFrame, payload_col: str, id_col: str, kind: str, mime: str
+) -> DataFrame:
+    """Normalize an arbitrary binary column into the typed media table."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+
+
+def _fake_decode(payloads: pd.Series, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a decoder+featurizer: hashes byte content
+    into a unit vector. Same signature/shape as a real embedding model
+    batch: (n,) bytes -> (n, dim) float32."""
+    import hashlib
+
+    out = np.zeros((len(payloads), dim), dtype=np.float32)
+    for i, b in enumerate(payloads):
+        if b is None:
+            continue
+        raw = b""
+        ctr = 0
+        while len(raw) < dim * 4:
+            raw += hashlib.sha256(bytes(b) + ctr.to_bytes(4, "little")).digest()
+            ctr += 1
+        h = np.frombuffer(raw[: dim * 4], dtype=np.uint32)
+        v = (h.astype(np.float32) / np.float32(2**32)) - 0.5
+        n = float(np.linalg.norm(v))
+        out[i] = v / n if n else v
+    return out
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    decode_fn: Callable[[pd.Series, int], np.ndarray] | None = None,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """media table -> FEATURE_SCHEMA via mapInArrow (Arrow-batched binary in,
+    float vectors out). Heavy media rows: keep Arrow batches small via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` in the session when
+    payloads are large (the 100 TB deployment knob)."""
+    decode = decode_fn or _fake_decode
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("media_id")
+            kinds = b.column("kind")
+            payload = b.column("payload").to_pandas()
+            feats = decode(payload, dim)
+            if feats.shape != (b.num_rows, dim):
+                raise ValueError(
+                    f"decode_fn contract violation: expected {(b.num_rows, dim)}, got {feats.shape}"
+                )
+            n_bytes = pa.array(
+                [len(x) if x is not None else 0 for x in payload], pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, kinds, n_bytes, pa.array(list(feats), pa.list_(pa.float32()))],
+                names=["media_id", "kind", "n_bytes", "feature"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInArrow(gen, FEATURE_SCHEMA)
+
+
+def decode_stub(*_args, **_kwargs):
+    """The real decoder entry point — intentionally unimplemented here.
+
+    A production deployment provides: bytes -> decoded frames/samples using
+    its codec stack, then featurizes. The Spark plumbing above is the part
+    this engine owns."""
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this environment; "
+        "pass decode_fn to extract_features instead"
+    )

@@ -1,0 +1,116 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All pure Spark SQL expressions
+(regexes + array ops, codegen'd) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# (public common-word lists, trimmed to high-frequency markers)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他", "不"],
+}
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (size of split on runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token estimate: count of matches of a BPE-flavored regex
+    (word pieces, numbers, punctuation runs) — a deterministic stand-in for a
+    real tokenizer's token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("long")
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language marker hit counts (word-boundary regex per language)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        if lang == "zh":
+            pat = "|".join(words)
+        else:
+            pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.regexp_count(F.lower(c), F.lit(pat))
+    return out
+
+
+def lang_id(col: str | Column) -> Column:
+    """Argmax language over marker scores; 'und' when nothing matches."""
+    scores = lang_scores(col)
+    pairs = [F.struct(v.alias("score"), F.lit(k).alias("lang")) for k, v in scores.items()]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / repetition features for quality
+    filtering (the usual pretraining-corpus heuristics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("long")
+    tokens = token_count(c)
+    punct = F.regexp_count(c, F.lit(r"[\.,;:!\?\"'\(\)\[\]\{\}]")).cast("long")
+    stop_hits = F.regexp_count(F.lower(c), F.lit(r"\b(the|and|of|to|in|is|a|that)\b")).cast("long")
+    words = F.split(F.trim(c), r"\s+")
+    distinct_ratio = F.when(tokens > 0, F.size(F.array_distinct(words)) / tokens).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": tokens,
+        "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(tokens > 0, stop_hits / tokens).otherwise(F.lit(0.0)),
+        "distinct_token_ratio": distinct_ratio,
+        "mean_token_len": F.when(tokens > 0, (n_chars - tokens + 1) / tokens).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite 0..1 quality score: in-range length, some punctuation, low
+    repetition. Deterministic and monotone in the features."""
+    f = quality_features(col)
+    len_ok = F.when((f["n_chars"] >= 64) & (f["n_chars"] <= 100_000), 1.0).otherwise(0.3)
+    rep_ok = F.least(f["distinct_token_ratio"] * 2, F.lit(1.0))
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.5)
+    return (len_ok * 0.4 + rep_ok * 0.4 + punct_ok * 0.2).alias("quality")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text
+    (lowercase, collapsed whitespace) — the exact-near-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def winnowing_fingerprints(col: str | Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al.): k-gram rolling hashes, min per sliding
+    window, distinct — the standard local fingerprint set for code/document
+    overlap detection. Pure SQL: char k-grams via substring over an index
+    sequence, xxhash64, min over each window."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+    widx = F.sequence(F.lit(0), F.greatest(F.size(grams) - F.lit(window), F.lit(0)))
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(grams, i + 1, window)))
+    return F.array_distinct(mins)
+
+
+def fingerprint_md5(col: str | Column) -> Column:
+    """Fingerprint variant using md5 (hex string) — same normalization as
+    ``fingerprint``; used where cross-engine reproducibility matters more
+    than speed (the oracle gate; xxhash64 is Spark-only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)

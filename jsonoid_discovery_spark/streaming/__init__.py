@@ -1,0 +1,3 @@
+from jsonoid_discovery_spark.streaming.incremental import StreamingProfiler
+
+__all__ = ["StreamingProfiler"]

@@ -1,0 +1,91 @@
+"""Structured Streaming incremental profiling.
+
+The reference is batch-only, but its monoid design is streaming-ready by
+construction (SURVEY.md §2.11): every batch folds into the running state
+with ``unionMerge``. Here: ``readStream -> foreachBatch(profile + merge into
+the checkpointed state table)``. The stream restarts from Spark's own
+checkpoint AND our state table — both per-batch idempotent (batch_id
+recorded; replayed batches are skipped).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+from jsonoid_discovery_spark.operators.profile import (
+    PARTIAL_SCHEMA,
+    ProfileResult,
+    partial_states,
+)
+
+
+class StreamingProfiler:
+    """Maintains a mergeable profile over a stream via foreachBatch."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        columns: list[str] | None = None,
+        group_by: list[str] | None = None,
+        params: EngineParams = DEFAULT_PARAMS,
+        with_bloom: bool = True,
+    ) -> None:
+        self.state_dir = state_dir
+        self.columns = columns
+        self.group_by = list(group_by or [])
+        self.params = params
+        self.with_bloom = with_bloom
+
+    # -- plumbing ------------------------------------------------------------
+    def _batch_marker(self, batch_id: int) -> str:
+        return os.path.join(self.state_dir, "batches", f"{batch_id}.done")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: profile the micro-batch, append its partial
+        states; idempotent on batch replay after restart."""
+        marker = self._batch_marker(batch_id)
+        if os.path.exists(marker):
+            return
+        states = partial_states(
+            batch_df, self.columns, self.group_by, self.params, self.with_bloom
+        ).withColumn("batch_id", F.lit(batch_id))
+        states.write.mode("append").parquet(os.path.join(self.state_dir, "partials"))
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        trigger_once: bool = True,
+        spark_checkpoint: str | None = None,
+    ):
+        """Attach to a streaming DataFrame and run (availableNow by default —
+        drains everything currently available, then stops)."""
+        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation",
+            spark_checkpoint or os.path.join(self.state_dir, "_spark_checkpoint"),
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- results -------------------------------------------------------------
+    def result(self, spark: SparkSession) -> ProfileResult:
+        """Fold all micro-batch partials into the current profile (same
+        two-level merge semantics as the batch engine)."""
+        path = os.path.join(self.state_dir, "partials")
+        rows = spark.read.parquet(path).collect()
+        states: dict[tuple, dict] = {}
+        for row in rows:
+            g = tuple(json.loads(row["g"]))
+            st = pickle.loads(row["state"])
+            cur = states.setdefault(g, {})
+            cur[row["column"]] = st if row["column"] not in cur else cur[row["column"]].merge(st)
+        return ProfileResult(tuple(self.group_by), states)

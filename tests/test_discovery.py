@@ -1,0 +1,146 @@
+"""JSON schema discovery parity tests — modeled on the reference's
+per-schema specs and the golden invariant "a discovered schema never flags
+its own source documents" (test/DiscoverSchemaSpec.scala:14-19)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jsonoid_discovery_spark.datagen import props_docs
+from jsonoid_discovery_spark.operators.discovery import (
+    DiscoveryResult,
+    SchemaNode,
+    discover,
+    validate_json,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return props_docs(spark, n_rows=1500, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs_df):
+    return discover(docs_df, "doc")
+
+
+def test_malformed_lines_skipped(spark, docs_df, result):
+    total = docs_df.count()
+    assert result.malformed > 0
+    assert result.docs + result.malformed == total
+
+
+def test_schema_structure(result):
+    s = result.to_json_schema()
+    assert s["type"] == "object"
+    props = s["properties"]
+    # union of the three shapes' keys
+    assert {"a", "b", "c", "d", "e", "name", "wins", "year", "category", "laureates"} <= set(props)
+    assert props["a"]["type"] == "integer"
+    assert props["b"]["type"] == "number"
+    assert props["e"]["type"] == "null"
+    # 'd' is boolean with both values -> pctTrue, no const
+    assert props["d"]["type"] == "boolean" and "pctTrue" in props["d"]
+    # nested arrays of 2-tuples
+    wins = props["wins"]
+    assert wins["type"] == "array"
+    inner = wins["items"]
+    assert inner["type"] == "array" and "prefixItems" in inner and len(inner["prefixItems"]) == 2
+    # object list
+    lau = props["laureates"]["items"]
+    assert lau["type"] == "object"
+    assert set(lau["required"]) == {"id", "firstname", "share"}
+    # enum inference: share has 4 values, heavily repeated
+    assert set(lau["properties"]["share"].get("enum", [])) == {"1", "2", "3", "4"}
+    # no key is present in every doc (3 disjoint shapes)
+    assert "required" not in s
+
+
+def test_field_presence_sums(result):
+    s = result.to_json_schema()
+    fp = s["fieldPresence"]
+    # shape keys partition the docs: a/b/c/d/e presence equals shape-0 share
+    assert 0 < fp["a"] < 1 and abs(fp["a"] - fp["b"]) < 1e-9
+
+
+def test_discovered_schema_accepts_own_docs(spark, docs_df, result):
+    """Reference golden invariant: zero anomalies on the training docs."""
+    anomalies = validate_json(docs_df, "doc", result.schema, id_col="doc_id")
+    bad = anomalies.where("rule <> 'malformed'").collect()
+    assert bad == []
+    malformed = anomalies.where("rule = 'malformed'").count()
+    assert malformed == result.malformed
+
+
+def test_validation_catches_mutations(spark, result):
+    schema = result.schema
+    cases = [
+        ('{"a": "not-an-int", "b": 1.5, "c": "s1", "d": true, "e": null}', "type[string]"),
+        ('{"b": 1.5}', None),  # missing keys are fine (not globally required)
+        ('{"a": 1, "b": 1.5, "c": "s1", "d": true, "e": null, "zzz": 1}', "additionalProperty"),
+        ('{"name": "n1", "wins": [["a", "b", "c"]]}', "tupleLength"),
+        ('{"year": "3000", "category": "nope", "laureates": []}', "enum"),
+    ]
+    for doc, expected_rule in cases:
+        rules = {r for _, r, _ in schema.collect_anomalies(json.loads(doc))}
+        if expected_rule is None:
+            assert rules == set()
+        else:
+            assert expected_rule in rules, f"{doc} -> {rules}"
+
+
+def test_merge_invariance(spark, docs_df):
+    a = discover(docs_df.repartition(1), "doc")
+    b = discover(docs_df.repartition(13), "doc")
+    assert a.to_json_schema() == b.to_json_schema()
+    assert a.docs == b.docs and a.malformed == b.malformed
+
+
+def test_integer_number_promotion():
+    n = SchemaNode()
+    n.observe(1)
+    n.observe(2.5)
+    s = n.to_json_schema()
+    assert s["type"] == "number" and s["minimum"] == 1.0 and s["maximum"] == 2.5
+    # type anomaly: a float against an int-only schema
+    i = SchemaNode()
+    i.observe(1)
+    assert any(r == "type[number]" for _, r, _ in i.collect_anomalies(2.5))
+    # but an int against a number schema is fine
+    assert n.collect_anomalies(2) == []
+
+
+def test_boolean_const_detection():
+    n = SchemaNode()
+    for _ in range(5):
+        n.observe(True)
+    assert n.to_json_schema()["const"] is True
+
+
+def test_dependent_required():
+    n = SchemaNode()
+    for i in range(20):
+        doc = {"x": 1}
+        if i % 2 == 0:
+            doc["credit"] = "cc"
+            doc["billing"] = "addr"
+        n.observe(doc)
+    dep = n.dependent_required()
+    assert dep.get("credit") == ["billing"] and dep.get("billing") == ["credit"]
+
+
+def test_dependencies_cap_overload():
+    n = SchemaNode()
+    n.observe({f"k{i}": 1 for i in range(60)})
+    assert n.dep_overloaded and n.dep_pairs == {}
+
+
+def test_events_props_discovery(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    res = discover(ev, "props")
+    s = res.to_json_schema()
+    assert s["type"] == "object" and s["properties"]["k"]["type"] == "integer"
+    assert res.malformed == 0

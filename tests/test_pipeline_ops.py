@@ -1,0 +1,182 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing, streaming incremental profile."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators import ann, dedup, text
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello world"), (3, "unique doc"), (4, None)],
+            "id long, text string",
+        )
+        s = dedup.exact_dedup_summary(df, "text").collect()[0]
+        assert (s["total_rows"], s["distinct_hashes"], s["duplicate_rows"]) == (3, 2, 1)
+        groups = dedup.exact_dedup_groups(df, "text", "id").collect()
+        assert len(groups) == 1 and groups[0]["n"] == 2 and groups[0]["keep_id"] == 1
+        kept = dedup.exact_deduplicate(df, "text", "id").select("id").collect()
+        assert sorted(r["id"] for r in kept) == [1, 3]
+
+    def test_lsh_finds_near_duplicates(self, spark):
+        base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about spark query engines and column statistics here"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far), (4, base)], "id long, text string"
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(df, "text", "id").collect()}
+        assert (1, 4) in pairs  # identical docs always collide in every band
+        assert (1, 2) in pairs  # near-dup collides in some band
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_jaccard_verification(self, spark):
+        base = "a b c d e f g h i j k l m n o p"
+        near = "a b c d e f g h i j k l m n o q"
+        df = spark.createDataFrame([(1, base), (2, near)], "id long, text string")
+        out = dedup.jaccard_pairs(df, "text", "id", threshold=0.5).collect()
+        assert len(out) == 1 and out[0]["jaccard"] > 0.5
+
+    def test_simhash_similar_docs_close(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        near = base.replace("dog", "cat")
+        far = "x1 y2 z3 " * 12
+        df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+        rows = {r["id"]: r["sh"] for r in df.select("id", dedup.simhash("text").alias("sh")).collect()}
+
+        def hamming(a, b):
+            return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+        # deterministic across partitionings
+        rows2 = {r["id"]: r["sh"] for r in df.repartition(3).select("id", dedup.simhash("text").alias("sh")).collect()}
+        assert rows == rows2
+
+
+class TestAnn:
+    def test_brute_force_topk_exact(self, spark, embeddings):
+        q = embeddings.where("vec_id = 0").select("embedding").first()[0]
+        got = ann.brute_force_topk(embeddings, "embedding", "vec_id", q, k=5).collect()
+        assert got[0]["vec_id"] == 0 and got[0]["cosine"] == pytest.approx(1.0)
+        # numpy oracle
+        rows = embeddings.select("vec_id", "embedding").collect()
+        m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        ids = np.array([r["vec_id"] for r in rows])
+        qv = np.array(q, dtype=np.float64)
+        cos = m @ qv / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        assert [r["vec_id"] for r in got] == ids[order].tolist()
+
+    def test_lsh_topk_mostly_agrees(self, spark, embeddings):
+        q = embeddings.where("vec_id = 7").select("embedding").first()[0]
+        exact = [r["vec_id"] for r in ann.brute_force_topk(embeddings, "embedding", "vec_id", q, k=5).collect()]
+        approx = [r["vec_id"] for r in ann.lsh_topk(embeddings, "embedding", "vec_id", q, k=5, n_planes=4).collect()]
+        assert approx[0] == 7  # the query itself always survives probing
+        assert len(set(exact) & set(approx)) >= 2
+
+    def test_all_pairs_topk_shape(self, spark, embeddings):
+        out = ann.all_pairs_topk(embeddings.limit(80), "embedding", "vec_id", k=3, n_planes=4)
+        pdf = out.toPandas()
+        assert (pdf.groupby("id").size() <= 3).all()
+        assert (pdf["id"] != pdf["neighbor"]).all()
+
+
+class TestText:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("single",)], "t string")
+        got = [r[0] for r in df.select(text.token_count("t")).collect()]
+        assert got == [3, 0, 0, 1]
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat and the dog in the house",),
+                ("el perro y la casa de los gatos",),
+                ("der hund ist nicht in das haus und",),
+                ("qwerty asdf zxcv",),
+            ],
+            "t string",
+        )
+        got = [r[0] for r in df.select(text.lang_id("t")).collect()]
+        assert got == ["en", "es", "de", "und"]
+
+    def test_quality_score_orders_garbage_below_text(self, spark):
+        good = "This is a well formed document with reasonable sentences, " * 5
+        junk = "spam spam spam spam spam spam spam spam " * 6
+        df = spark.createDataFrame([(1, good), (2, junk)], "id long, t string")
+        rows = {r["id"]: r["q"] for r in df.select("id", text.quality_score("t").alias("q")).collect()}
+        assert rows[1] > rows[2]
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame([("Hello   World",), ("hello world",)], "t string")
+        fps = [r[0] for r in df.select(text.fingerprint("t")).collect()]
+        assert fps[0] == fps[1]
+
+    def test_winnowing_overlap(self, spark):
+        a = "def compute_stats(values): return sum(values) / len(values)"
+        b = "# util\ndef compute_stats(values): return sum(values) / len(values)"
+        c = "class Totally(Different): pass"
+        df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id long, t string")
+        rows = {r["id"]: set(r["fp"]) for r in df.select("id", text.winnowing_fingerprints("t").alias("fp")).collect()}
+        overlap_ab = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+        overlap_ac = len(rows[1] & rows[3]) / len(rows[1] | rows[3])
+        assert overlap_ab > 0.5 > overlap_ac
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from jsonoid_discovery_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(i, bytes([i] * 64)) for i in range(20)], "id long, payload binary"
+        )
+        media = mm.media_table_from_binary(df, "payload", "id", "image", "image/png")
+        assert media.schema.simpleString().startswith("struct<media_id:bigint,kind:string")
+        feats = mm.extract_features(media, dim=8)
+        rows = feats.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["kind"] == "image" and r["n_bytes"] == 64 and len(r["feature"]) == 8
+        # determinism across partitionings
+        rows2 = mm.extract_features(media.repartition(7), dim=8).collect()
+        assert {r["media_id"]: list(r["feature"]) for r in rows2} == {
+            r["media_id"]: list(r["feature"]) for r in rows
+        }
+
+    def test_decode_stub_raises(self):
+        from jsonoid_discovery_spark.operators import multimodal as mm
+
+        with pytest.raises(NotImplementedError):
+            mm.decode_stub(b"payload")
+
+
+class TestStreaming:
+    def test_incremental_profile_matches_batch(self, spark, docs, tmp_path):
+        import shutil
+
+        from jsonoid_discovery_spark.operators.profile import profile
+        from jsonoid_discovery_spark.streaming.incremental import StreamingProfiler
+
+        src = str(tmp_path / "stream_src")
+        docs.repartition(4).write.parquet(src)
+        state = str(tmp_path / "state")
+        prof = StreamingProfiler(state, columns=["text", "n_chars"])
+        stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "2").parquet(src)
+        q = prof.start(stream)
+        q.awaitTermination(120)
+        res = prof.result(spark)
+        batch = profile(docs, columns=["text", "n_chars"])
+        a, b = res.state("text"), batch.state("text")
+        assert a.count == b.count and a.min_len == b.min_len and a.max_len == b.max_len
+        assert np.array_equal(a.hll.registers, b.hll.registers)
+        assert a.examples.values() == b.examples.values()
