@@ -291,6 +291,60 @@ def _drift_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pk_uniqueness_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column exact uniqueness feed of the PrimaryKeyFinder (the HLL
+    prefilter's exact counterpart; PrimaryKeyFinder.scala:158-190)."""
+    docs = _t(spark, sf, "documents")
+    parts = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        parts.append(
+            docs.agg(
+                F.lit(c).alias("column"),
+                F.count(c).alias("n"),
+                F.count_distinct(c).alias("n_distinct"),
+                (F.count(c) == F.count_distinct(c)).alias("is_unique"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pk_candidates_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranked PK candidates (rows-only: scoring uses sketch state)."""
+    from jsonoid_discovery_spark.operators.analyses import find_primary_keys
+    from jsonoid_discovery_spark.operators.profile import profile
+
+    res = profile(_t(spark, sf, "documents"))
+    cands = find_primary_keys(res)
+    return spark.createDataFrame(
+        [(c.column, float(c.score), c.count) for c in cands],
+        "column string, score double, n long",
+    )
+
+
+def _split_discover_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """splitDiscover round trip (rows-only: seeded randomSplit is
+    Spark-specific): widened train profile must accept the test split."""
+    from jsonoid_discovery_spark.operators.analyses import split_discover
+
+    out = split_discover(_t(spark, sf, "documents"), columns=["text", "n_chars"], seed=7)
+    return spark.createDataFrame(
+        [(bool(out["is_subset"]), len(out["incompatibilities"]))],
+        "is_subset boolean, n_incompatibilities int",
+    )
+
+
+def _value_table_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """ValueTableGenerator analog (rows-only: deterministic hash-ranked
+    examples have no SQL equivalent)."""
+    from jsonoid_discovery_spark.operators.analyses import value_table
+    from jsonoid_discovery_spark.operators.profile import profile
+
+    return value_table(profile(_t(spark, sf, "documents"), columns=["lang", "source"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -320,6 +374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_documents": _minhash_lsh_pairs_documents,
         "simhash_documents": _simhash_documents,
         "drift_lang_documents": _drift_lang_documents,
+        "pk_uniqueness_stats_documents": _pk_uniqueness_stats_documents,
+        "pk_candidates_documents": _pk_candidates_documents,
+        "split_discover_documents": _split_discover_documents,
+        "value_table_documents": _value_table_documents,
     }
 
 
@@ -505,8 +563,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE text IS NOT NULL
             GROUP BY sha256(text) HAVING count(*) > 1
         """,
-        # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents:
-        # intentionally no oracle (xxhash64 / sketch state are not
-        # SQL-expressible in DuckDB) -> the driver records rows-only checks;
-        # pytest covers their exactness with python oracles.
+        "pk_uniqueness_stats_documents": """
+            SELECT 'doc_id' AS column, count(doc_id) AS n, count(DISTINCT doc_id) AS n_distinct,
+                   count(doc_id) = count(DISTINCT doc_id) AS is_unique FROM documents
+            UNION ALL
+            SELECT 'text', count(text), count(DISTINCT text),
+                   count(text) = count(DISTINCT text) FROM documents
+            UNION ALL
+            SELECT 'lang', count(lang), count(DISTINCT lang),
+                   count(lang) = count(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'source', count(source), count(DISTINCT source),
+                   count(source) = count(DISTINCT source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+                   count(n_chars) = count(DISTINCT n_chars) FROM documents
+        """,
+        # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents,
+        # pk_candidates_documents, split_discover_documents,
+        # value_table_documents: intentionally no oracle (xxhash64 / sketch
+        # state / seeded randomSplit are not SQL-expressible in DuckDB) ->
+        # the driver records rows-only checks; pytest covers their exactness
+        # with python oracles.
     }

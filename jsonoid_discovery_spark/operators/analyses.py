@@ -1,0 +1,363 @@
+"""Whole-schema analyses (SURVEY.md §2.8):
+
+* ``find_primary_keys`` — PrimaryKeyFinder analog
+  (discovery/PrimaryKeyFinder.scala:46-191): HLL-uniqueness prefilter +
+  id-affix/type/length scoring + cliff cut on score gaps.
+* ``collect_incompatibilities`` — IncompatibilityCollector analog
+  (discovery/IncompatiblityCollector.scala): which properties of profile A
+  are not subsets of profile B, per column; ``is_subset_of`` is the
+  conjunction being empty.
+* ``split_discover`` — splitDiscover analog (DiscoverSchema.scala:64-83):
+  seeded train/test split, discover both, expandTo-widen the train profile,
+  report whether the test profile is a subset.
+* ``schema_from_json`` — JsonSchema.fromJson analog: parse a JSON Schema
+  document back into a SchemaNode (with TypeDetector inference for untyped
+  schemas, discovery/TypeDetector.scala:13-49).
+* object transformers: DynamicObjectTransformer (same-typed values +
+  key entropy > 1 -> additionalProperties) and DisjointObjectTransformer
+  (disjoint key groups -> oneOf), both driver-side post-passes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+from jsonoid_discovery_spark.operators.discovery import SchemaNode
+from jsonoid_discovery_spark.operators.profile import ColumnState, ProfileResult, profile
+
+# ---------------------------------------------------------------------------
+# PrimaryKeyFinder
+
+ID_AFFIXES = ("id", "key", "nr", "no", "pk", "num", "code")  # PrimaryKeyFinder.scala:46-58
+
+
+@dataclass
+class PkCandidate:
+    column: str
+    score: float
+    unique_by_hll: bool
+    count: int
+    distinct_estimate: float
+
+
+def score_pk_candidate(st: ColumnState, depth: int = 0) -> float:
+    """Feature score from Souibgui et al. as in PrimaryKeyFinder.score:
+    id-like name affix, shallow depth, integer/string type, short values."""
+    name = st.column.lower()
+    s = 0.0
+    if any(name == a or name.endswith(a) or name.startswith(a) for a in ID_AFFIXES):
+        s += 4.0
+    s += max(0.0, 2.0 - depth)
+    if st.kind == "int":
+        s += 2.0
+    elif st.kind == "string":
+        s += 1.0
+        if st.max_len is not None and st.max_len <= 40:
+            s += 1.0
+    elif st.kind in ("float", "timestamp"):
+        s += 0.5
+    return s
+
+
+def find_primary_keys(result: ProfileResult, group: tuple = ()) -> list[PkCandidate]:
+    """Ranked PK candidates: HLL-uniqueness filter (estimate*(1+stderr) >=
+    count), scored, then cliff-cut at the largest score gap
+    (PrimaryKeyFinder.scala:172-186)."""
+    cands = [
+        PkCandidate(
+            c,
+            score_pk_candidate(st),
+            st.is_unique_candidate(),
+            st.count,
+            st.distinct_estimate(),
+        )
+        for c, st in result.states[group].items()
+        if st.count > 0 and st.nulls == 0
+    ]
+    cands = sorted((c for c in cands if c.unique_by_hll), key=lambda c: -c.score)
+    if len(cands) <= 1:
+        return cands
+    # cliff cut: keep everything before the largest consecutive score drop
+    gaps = [cands[i].score - cands[i + 1].score for i in range(len(cands) - 1)]
+    if max(gaps) <= 0:
+        return cands
+    cut = gaps.index(max(gaps)) + 1
+    return cands[:cut]
+
+
+# ---------------------------------------------------------------------------
+# subset / incompatibility
+
+
+@dataclass
+class Incompatibility:
+    column: str
+    prop: str
+    left: object
+    right: object
+
+
+def state_incompatibilities(a: ColumnState, b: ColumnState) -> list[Incompatibility]:
+    """Properties of state `a` that are NOT subsets of state `b` — a's values
+    would not all validate against b's constraints (the reference's
+    per-property isSubsetOf, schemas/SchemaProperty.scala:153-155)."""
+    out: list[Incompatibility] = []
+
+    def add(prop, left, right):
+        out.append(Incompatibility(a.column, prop, left, right))
+
+    if a.count > 0 and b.count == 0:
+        add("presence", a.count, 0)
+        return out
+    if a.kind != b.kind:
+        add("kind", a.kind, b.kind)
+        return out
+    if a.nulls > 0 and b.nulls == 0 and b.count > 0:
+        add("required", "nullable", "required")
+    if a.kind == "string":
+        if a.min_len is not None and b.min_len is not None:
+            if a.min_len < b.min_len:
+                add("minLength", a.min_len, b.min_len)
+            if a.max_len > b.max_len:
+                add("maxLength", a.max_len, b.max_len)
+    if a.kind in ("int", "float"):
+        if a.min_v is not None and b.min_v is not None:
+            if a.min_v < b.min_v:
+                add("minimum", a.min_v, b.min_v)
+            if a.max_v > b.max_v:
+                add("maximum", a.max_v, b.max_v)
+        ga, gb = a.gcd or 1, b.gcd or 1
+        if gb > 1 and ga % gb != 0:
+            add("multipleOf", ga, gb)
+    if a.kind == "bool":
+        pa_, pb = a.pct_true(), b.pct_true()
+        if pb in (0.0, 1.0) and pa_ is not None and pa_ != pb:
+            add("const", pa_, pb)
+    if a.with_bloom and b.with_bloom and a.count and b.count:
+        if not a.bloom.maybe_subset_of(b.bloom):
+            add("bloomSubset", "not-subset", "subset")
+    return out
+
+
+def collect_incompatibilities(
+    a: ProfileResult, b: ProfileResult, group: tuple = ()
+) -> list[Incompatibility]:
+    out: list[Incompatibility] = []
+    sa, sb = a.states[group], b.states[group]
+    for col, st in sa.items():
+        if col not in sb:
+            out.append(Incompatibility(col, "presence", st.count, None))
+        else:
+            out.extend(state_incompatibilities(st, sb[col]))
+    return out
+
+
+def profile_is_subset_of(a: ProfileResult, b: ProfileResult, group: tuple = ()) -> bool:
+    return not collect_incompatibilities(a, b, group)
+
+
+# ---------------------------------------------------------------------------
+# split discovery
+
+
+def split_discover(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    train_fraction: float = 0.9,
+    seed: int = 42,
+    params: EngineParams = DEFAULT_PARAMS,
+) -> dict:
+    """Seeded split -> profile both halves -> check the test profile against
+    the WIDENED train profile (expandTo semantics: bounds rounded out to
+    powers of 2, Helpers.scala:75-235). Returns both profiles, the
+    incompatibility list, and the subset verdict."""
+    from jsonoid_discovery_spark.operators.constraints import widen_max, widen_min
+
+    train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    p_train = profile(train, columns=columns, params=params)
+    p_test = profile(test, columns=columns, params=params)
+
+    # widen the train bounds in place (expandTo) before the subset check
+    for st in p_train.states[()].values():
+        if st.kind in ("int", "float") and st.min_v is not None:
+            st.min_v = widen_min(float(st.min_v))
+            st.max_v = widen_max(float(st.max_v))
+        if st.kind == "string" and st.min_len is not None:
+            st.min_len = int(widen_min(st.min_len))
+            st.max_len = int(widen_max(st.max_len))
+        st.nulls = max(st.nulls, 1)  # a sample can't prove required-ness
+        st.with_bloom = False  # a sample's bloom never covers the rest
+    incompats = collect_incompatibilities(p_test, p_train)
+    return {
+        "train": p_train,
+        "test": p_test,
+        "incompatibilities": incompats,
+        "is_subset": not incompats,
+    }
+
+
+# ---------------------------------------------------------------------------
+# JsonSchema.fromJson analog
+
+
+def schema_from_json(doc: dict, params: EngineParams = DEFAULT_PARAMS) -> SchemaNode:
+    """Parse a (subset of a) JSON Schema document into a SchemaNode usable
+    for validation — the serialized-schema source of SURVEY.md §2.1. Untyped
+    schemas get their type inferred from present keywords (TypeDetector)."""
+    node = SchemaNode(params)
+    t = doc.get("type")
+    if t is None:
+        t = _detect_type(doc)
+    types = t if isinstance(t, list) else [t] if t else []
+    for typ in types:
+        node.type_counts[typ] = node.type_counts.get(typ, 0) + 1
+    if "anyOf" in doc or "oneOf" in doc:
+        for alt in doc.get("anyOf", doc.get("oneOf", [])):
+            sub = schema_from_json(alt, params)
+            node = node.merge(sub)
+        return node
+    node.count = 1
+    if "object" in types:
+        node.object_count = 1
+        req = set(doc.get("required", []))
+        for k, sub in doc.get("properties", {}).items():
+            node.fields[k] = schema_from_json(sub, params)
+            node.field_presence[k] = 1 if k in req else 0
+    if "array" in types:
+        node.min_items = doc.get("minItems")
+        node.max_items = doc.get("maxItems")
+        if doc.get("uniqueItems"):
+            node.unique_items, node.unary_arrays = True, False
+        if "prefixItems" in doc:
+            node.tuple_items = [schema_from_json(s, params) for s in doc["prefixItems"]]
+        elif "items" in doc and isinstance(doc["items"], dict):
+            node.items = schema_from_json(doc["items"], params)
+    if "string" in types:
+        node.min_len = doc.get("minLength")
+        node.max_len = doc.get("maxLength")
+    if "integer" in types or "number" in types:
+        node.min_v = doc.get("minimum")
+        node.max_v = doc.get("maximum")
+        m = doc.get("multipleOf")
+        if isinstance(m, int):
+            node.int_multiple = m
+    if "enum" in doc:
+        node.distinct_values = set(doc["enum"])
+    if "const" in doc:
+        node.distinct_values = {doc["const"]}
+    return node
+
+
+def _detect_type(doc: dict) -> list[str]:
+    """TypeDetector: infer type(s) from which keywords are present
+    (discovery/TypeDetector.scala:13-49)."""
+    keys = set(doc)
+    out = []
+    if keys & {"properties", "required", "dependentRequired", "additionalProperties", "patternProperties"}:
+        out.append("object")
+    if keys & {"items", "prefixItems", "minItems", "maxItems", "uniqueItems", "contains"}:
+        out.append("array")
+    if keys & {"minLength", "maxLength", "pattern", "format"}:
+        out.append("string")
+    if keys & {"minimum", "maximum", "multipleOf", "exclusiveMinimum", "exclusiveMaximum"}:
+        out.append("number")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# object transformers (driver-side post-passes on a discovered SchemaNode)
+
+
+def dynamic_object_transform(node: SchemaNode, entropy_threshold: float = 1.0) -> dict | None:
+    """DynamicObjectTransformer (Spoth et al. SIGMOD'21;
+    transformers/DynamicObjectTransformer.scala:14-53): when every field has
+    the same single type and the key distribution entropy exceeds the
+    threshold, the object is a dynamic map -> additionalProperties schema."""
+    if not node.fields:
+        return None
+    type_sets = set()
+    merged = None
+    for child in node.fields.values():
+        ts = frozenset(t for t, c in child.type_counts.items() if c > 0)
+        type_sets.add(ts)
+        merged = child if merged is None else merged.merge(child)
+    if len(type_sets) != 1:
+        return None
+    total = sum(node.field_presence.values())
+    probs = [c / total for c in node.field_presence.values() if c]
+    entropy = -sum(p * math.log2(p) for p in probs)
+    if entropy <= entropy_threshold:
+        return None
+    return {"type": "object", "additionalProperties": merged.to_json_schema()}
+
+
+def disjoint_object_transform(node: SchemaNode) -> dict | None:
+    """DisjointObjectTransformer: union-find over key co-occurrence — if the
+    keys split into >1 disjoint groups, emit oneOf of the sub-objects
+    (ObjectSchema.disjointSets + transformers/DisjointObjectTransformer.scala)."""
+    keys = sorted(node.field_presence)
+    if len(keys) < 2 or node.dep_overloaded:
+        return None
+    parent = {k: k for k in keys}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), c in node.dep_pairs.items():
+        if c > 0:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for k in keys:
+        groups.setdefault(find(k), []).append(k)
+    if len(groups) < 2:
+        return None
+    alts = []
+    for members in sorted(groups.values()):
+        alts.append(
+            {
+                "type": "object",
+                "properties": {k: node.fields[k].to_json_schema() for k in members},
+            }
+        )
+    return {"oneOf": alts}
+
+
+# ---------------------------------------------------------------------------
+# value-table sink (ValueTableGenerator analog, discovery/ValueTableGenerator.scala:20-43)
+
+
+def value_table(result: ProfileResult, group: tuple = ()) -> "DataFrame":
+    """Example values per column as a rectangular table: columns sorted by
+    name, rows padded with NULL (the reference pads with empty strings). The
+    examples are the deterministic hash-ranked top-K, so the table is stable
+    across runs and partitionings."""
+    states = result.states[group]
+    cols = sorted(states)
+    examples = {c: [str(v) for v in states[c].examples.values()] for c in cols}
+    height = max((len(v) for v in examples.values()), default=0)
+    rows = [
+        tuple(examples[c][i] if i < len(examples[c]) else None for c in cols)
+        for i in range(height)
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    # any live session works; states carry no session reference
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.createDataFrame(rows, schema)
+
+
+def write_value_table(result: ProfileResult, path: str, group: tuple = ()) -> None:
+    value_table(result, group).coalesce(1).write.mode("overwrite").option("header", True).csv(path)

@@ -558,3 +558,137 @@ def validate_json(
             )
 
     return df.select(*cols).mapInArrow(gen, "id long, path string, rule string, level int")
+
+
+# ---------------------------------------------------------------------------
+# equivalence relations (merge policy, SURVEY.md §2.9)
+#
+# The reference's EquivalenceRelation decides whether two same-kind schemas
+# fuse or become ProductSchema alternatives (discovery/EquivalenceRelation.scala).
+# Spark-first formulation: the document's top-level SHAPE (its sorted key
+# set, computed JVM-side with json_object_keys) is a grouping column; one
+# discovery runs per shape in the same single scan, and the chosen relation
+# decides which shape-schemas fuse afterwards (driver-side algebra on the
+# tiny per-shape states).
+
+
+def discover_grouped(
+    df: DataFrame,
+    col: str,
+    params: EngineParams = DEFAULT_PARAMS,
+    merge_fanin: int = 64,
+) -> dict[tuple[str, ...], DiscoveryResult]:
+    """One discovery per top-level key-set shape, single scan."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            nodes: dict[str, SchemaNode] = {}
+            malformed: dict[str, int] = {}
+            for s in b.column(0).to_pylist():
+                if s is None:
+                    malformed["__malformed__"] = malformed.get("__malformed__", 0) + 1
+                    continue
+                try:
+                    v = json.loads(s)
+                except (ValueError, TypeError):
+                    malformed["__malformed__"] = malformed.get("__malformed__", 0) + 1
+                    continue
+                shape = json.dumps(sorted(v.keys())) if isinstance(v, dict) else f"<{_json_type(v)}>"
+                node = nodes.get(shape)
+                if node is None:
+                    node = nodes[shape] = SchemaNode(params)
+                node.observe(v)
+            out_shape, out_state = [], []
+            for shape, node in nodes.items():
+                out_shape.append(shape)
+                out_state.append(pickle.dumps((node, 0), protocol=pickle.HIGHEST_PROTOCOL))
+            for shape, m in malformed.items():
+                out_shape.append(shape)
+                out_state.append(pickle.dumps((None, m), protocol=pickle.HIGHEST_PROTOCOL))
+            yield pa.RecordBatch.from_pydict(
+                {"shape": pa.array(out_shape, pa.string()), "state": pa.array(out_state, pa.binary())}
+            )
+
+    def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        node, malformed = None, 0
+        for b in pdf["state"]:
+            n, m = pickle.loads(b)
+            malformed += m
+            if n is not None:
+                node = n if node is None else node.merge(n)
+        return pd.DataFrame(
+            {
+                "shape": [pdf["shape"].iloc[0]],
+                "state": [pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)],
+            }
+        )
+
+    partials = df.select(F.col(col)).mapInArrow(gen, "shape string, state binary")
+    merged = partials.groupBy("shape").applyInPandas(merge_pdf, "shape string, state binary")
+    out: dict[tuple[str, ...], DiscoveryResult] = {}
+    for r in merged.collect():
+        node, malformed = pickle.loads(r["state"])
+        if node is None:
+            out[("__malformed__",)] = DiscoveryResult(SchemaNode(params), 0, malformed)
+        else:
+            key = tuple(json.loads(r["shape"])) if r["shape"].startswith("[") else (r["shape"],)
+            out[key] = DiscoveryResult(node, node.count, malformed)
+    return out
+
+
+def _er_fuse(er: str, keys_a: frozenset, keys_b: frozenset, a: SchemaNode, b: SchemaNode) -> bool:
+    """fuse() predicates (EquivalenceRelation.scala:13-72)."""
+    if er == "kind":
+        return True  # same JSON kind (both objects here) always fuses
+    if er == "label":
+        return keys_a == keys_b
+    if er == "intersectingLabel":
+        return bool(keys_a & keys_b) or (not keys_a and not keys_b)
+    if er == "typematch":
+        shared = keys_a & keys_b
+        for k in shared:
+            ta = {t for t, c in a.fields[k].type_counts.items() if c > 0}
+            tb = {t for t, c in b.fields[k].type_counts.items() if c > 0}
+            if ta != tb:
+                return False
+        return True
+    raise ValueError(f"unknown equivalence relation: {er}")
+
+
+def discover_with_er(
+    df: DataFrame,
+    col: str,
+    er: str = "kind",
+    params: EngineParams = DEFAULT_PARAMS,
+) -> dict:
+    """Discovery under a merge policy: per-shape discovery (one scan), then
+    shape-schemas fuse iff the equivalence relation says so; non-fusing
+    shapes become ProductSchema-style oneOf alternatives with observation
+    counts (ProductSchema.mergeWithCount, schemas/ProductSchema.scala:350-384)."""
+    grouped = discover_grouped(df, col, params)
+    malformed = sum(r.malformed for r in grouped.values())
+    object_shapes = [
+        (frozenset(k), r.schema) for k, r in grouped.items()
+        if k != ("__malformed__",) and not (len(k) == 1 and k[0].startswith("<"))
+    ]
+    non_object = [r.schema for k, r in grouped.items()
+                  if k != ("__malformed__",) and len(k) == 1 and k[0].startswith("<")]
+    # greedy fusion under the relation (order-stable: sorted by shape)
+    alts: list[tuple[frozenset, SchemaNode]] = []
+    for keys, node in sorted(object_shapes, key=lambda kv: sorted(kv[0])):
+        for i, (ka, na) in enumerate(alts):
+            if _er_fuse(er, ka, keys, na, node):
+                alts[i] = (ka | keys, na.merge(node))
+                break
+        else:
+            alts.append((keys, node))
+    alternatives = [n for _, n in alts] + non_object
+    total = sum(n.count for n in alternatives)
+    if len(alternatives) == 1:
+        schema = alternatives[0].to_json_schema()
+    else:
+        schema = {
+            "oneOf": [n.to_json_schema() for n in alternatives],
+            "observationCounts": [n.count for n in alternatives],
+        }
+    return {"schema": schema, "alternatives": alternatives, "docs": total, "malformed": malformed}

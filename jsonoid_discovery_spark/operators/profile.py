@@ -124,6 +124,9 @@ class ColumnState:
     hist: LogHistogram = field(default_factory=LogHistogram)
     examples: TopKExamples = field(default_factory=TopKExamples)
     with_bloom: bool = True
+    # property-set selection (PropertySets.scala:102-134): 'all' | 'simple'
+    # (drops HLL/Bloom/histogram) | 'min' (counts and types only)
+    metric_set: str = "all"
 
     # -- update ------------------------------------------------------------
     def update_array(self, arr: pa.Array) -> None:
@@ -155,6 +158,8 @@ class ColumnState:
             self.hll.update(s.astype(str))
 
     def _update_string(self, s: pd.Series) -> None:
+        if self.metric_set == "min":
+            return
         if s.dtype != object:
             s = s.astype(str)
         lens = s.str.len().to_numpy()
@@ -167,11 +172,12 @@ class ColumnState:
         rmn, rmx = rev.min(), rev.max()
         self.min_rs = rmn if self.min_rs is None else min(self.min_rs, rmn)
         self.max_rs = rmx if self.max_rs is None else max(self.max_rs, rmx)
-        self.hist.update(lens)
-        h = hash64_array(s)
-        self.hll.update_hashes(h)
-        if self.with_bloom:
-            self.bloom.update_hashes(h)
+        if self.metric_set == "all":
+            self.hist.update(lens)
+            h = hash64_array(s)
+            self.hll.update_hashes(h)
+            if self.with_bloom:
+                self.bloom.update_hashes(h)
         self.examples.update(s)
         # FormatProperty: first-match-wins counts. Every known format is a
         # short token (uuid=36, ipv6<=45, date-time<=35, uri/email bounded in
@@ -200,16 +206,19 @@ class ColumnState:
                 self.all_numeric_strings = bool(pd.to_numeric(s, errors="coerce").notna().all())
 
     def _update_numeric(self, s: pd.Series) -> None:
+        if self.metric_set == "min":
+            return
         v = s.to_numpy(dtype=np.float64)
         mn, mx = s.min(), s.max()
         self.min_v = mn if self.min_v is None else min(self.min_v, mn)
         self.max_v = mx if self.max_v is None else max(self.max_v, mx)
-        self.moments.update(v)
-        self.hist.update(v)
-        h = hash64_array(s)
-        self.hll.update_hashes(h)
-        if self.with_bloom:
-            self.bloom.update_hashes(h)
+        if self.metric_set == "all":
+            self.moments.update(v)
+            self.hist.update(v)
+            h = hash64_array(s)
+            self.hll.update_hashes(h)
+            if self.with_bloom:
+                self.bloom.update_hashes(h)
         self.examples.update(s)
         if self.all_integral:
             self.all_integral = bool(np.all(np.floor(v) == v) and np.all(np.abs(v) < 2**62))
@@ -277,6 +286,31 @@ class ColumnState:
             out.bloom = self.bloom.merge(o.bloom)
         out.hist = self.hist.merge(o.hist)
         out.examples = self.examples.merge(o.examples)
+        return out
+
+    def intersect_merge(self, o: "ColumnState") -> "ColumnState":
+        """Restrictive merge — the schema accepting the INTERSECTION of both
+        value sets (reference intersectMerge, schemas/SchemaProperty.scala:42-43;
+        MergeType.Intersect): bounds tighten (min->max, max->min), gcd->lcm,
+        bloom bits AND. Properties with no meaningful intersection semantics
+        keep union behavior (the reference's default)."""
+        out = self.merge(o)
+        out.min_v = _imax(self.min_v, o.min_v)
+        out.max_v = _imin(self.max_v, o.max_v)
+        out.min_len = _imax(self.min_len, o.min_len)
+        out.max_len = _imin(self.max_len, o.max_len)
+        out.min_items = _imax(self.min_items, o.min_items)
+        out.max_items = _imin(self.max_items, o.max_items)
+        if self.gcd and o.gcd:
+            out.gcd = self.gcd * o.gcd // math.gcd(self.gcd, o.gcd)  # lcm
+        if self.with_bloom and o.with_bloom:
+            out.bloom = BloomSketch(
+                self.bloom.num_bits, self.bloom.num_hashes, self.bloom.bits & o.bloom.bits
+            )
+        out.formats = {
+            k: min(self.formats.get(k, 0), o.formats.get(k, 0))
+            for k in set(self.formats) & set(o.formats)
+        }
         return out
 
     # -- derived emissions ---------------------------------------------------
@@ -388,6 +422,14 @@ class ColumnState:
         return d
 
 
+def _imin(a, b):
+    return b if a is None else (a if b is None else min(a, b))
+
+
+def _imax(a, b):
+    return b if a is None else (a if b is None else max(a, b))
+
+
 def _lcp(a: str, b: str) -> str:
     i = 0
     for x, y in zip(a, b):
@@ -446,7 +488,7 @@ class ProfileResult:
 PARTIAL_SCHEMA = "g string, column string, state binary"
 
 
-def _partial_state_gen(columns, kinds, group_by, params, with_bloom):
+def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set="all"):
     """Build the mapInArrow function computing per-batch partial states."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -464,7 +506,7 @@ def _partial_state_gen(columns, kinds, group_by, params, with_bloom):
             for gval, idx in groups.items():
                 sub = tbl if idx is None else tbl.take(pa.array(idx))
                 for col, kind in zip(columns, kinds):
-                    st = ColumnState(col, kind, params, with_bloom=with_bloom)
+                    st = ColumnState(col, kind, params, with_bloom=with_bloom, metric_set=metric_set)
                     st.update_array(sub.column(col))
                     gkey = [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gval]
                     out_g.append(json.dumps(gkey))
@@ -494,6 +536,7 @@ def partial_states(
     params: EngineParams = DEFAULT_PARAMS,
     with_bloom: bool = True,
     merge_fanin: int = 64,
+    metric_set: str = "all",
 ) -> DataFrame:
     """DataFrame[g, column, state] with ONE merged state row per
     (group, column): scan -> per-batch partials -> salted two-level merge.
@@ -509,7 +552,9 @@ def partial_states(
     kinds = dict(df.dtypes)
     sel = df.select(*(group_by + columns))
     partials = sel.mapInArrow(
-        _partial_state_gen(columns, [_kind_of(kinds[c]) for c in columns], group_by, params, with_bloom),
+        _partial_state_gen(
+            columns, [_kind_of(kinds[c]) for c in columns], group_by, params, with_bloom, metric_set
+        ),
         PARTIAL_SCHEMA,
     )
     salted = partials.withColumn("salt", F.pmod(F.xxhash64(F.col("g"), F.col("column"), F.rand(seed=7)), F.lit(merge_fanin)))
@@ -525,10 +570,13 @@ def profile(
     group_by: list[str] | None = None,
     params: EngineParams = DEFAULT_PARAMS,
     with_bloom: bool = True,
+    metric_set: str = "all",
 ) -> ProfileResult:
-    """Full single-pass profile; collects only the tiny merged states."""
+    """Full single-pass profile; collects only the tiny merged states.
+    ``metric_set`` selects the property set ('all'/'simple'/'min' — the
+    --only/--without analog prunes work, not just output)."""
     group_by = list(group_by or [])
-    merged = partial_states(df, columns, group_by, params, with_bloom).collect()
+    merged = partial_states(df, columns, group_by, params, with_bloom, metric_set=metric_set).collect()
     states: dict[tuple, dict[str, ColumnState]] = {}
     for row in merged:
         g = tuple(json.loads(row["g"]))

@@ -1,0 +1,178 @@
+"""Whole-schema analyses: PK finder, incompatibilities/subset, split
+discovery, schema-from-JSON, ER merge policies, transformers, value table,
+intersect merge, property sets, NDJSON source."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.analyses import (
+    collect_incompatibilities,
+    disjoint_object_transform,
+    dynamic_object_transform,
+    find_primary_keys,
+    profile_is_subset_of,
+    schema_from_json,
+    split_discover,
+    value_table,
+)
+from jsonoid_discovery_spark.operators.discovery import SchemaNode, discover_with_er
+from jsonoid_discovery_spark.operators.profile import profile
+
+
+class TestPrimaryKeys:
+    def test_finds_doc_id(self, spark, docs):
+        res = profile(docs)
+        cands = find_primary_keys(res)
+        assert cands and cands[0].column == "doc_id"
+        assert all(c.unique_by_hll for c in cands)
+
+    def test_orders_prefers_orderkey(self, spark):
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        res = profile(orders)
+        cands = find_primary_keys(res)
+        assert cands and cands[0].column == "o_orderkey"
+
+
+class TestIncompatibilities:
+    def test_subset_of_itself_and_superset(self, spark, docs):
+        whole = profile(docs)
+        half = profile(docs.where("doc_id < 250"))
+        assert profile_is_subset_of(half, whole)
+        assert not profile_is_subset_of(whole, half)
+        inc = collect_incompatibilities(whole, half)
+        assert any(i.prop in ("bloomSubset", "maxLength", "maximum", "minimum", "minLength") for i in inc)
+
+    def test_split_discover_widened_subset(self, spark, docs):
+        out = split_discover(docs, columns=["text", "n_chars"], seed=7)
+        assert out["is_subset"], [f"{i.column}.{i.prop}: {i.left} vs {i.right}" for i in out["incompatibilities"]]
+
+
+class TestSchemaFromJson:
+    def test_roundtrip_validation(self):
+        doc = {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string", "minLength": 1, "maxLength": 10},
+                "age": {"type": "integer", "minimum": 0, "maximum": 150},
+                "tags": {"type": "array", "items": {"type": "string"}},
+            },
+            "required": ["name"],
+        }
+        node = schema_from_json(doc)
+        assert node.collect_anomalies({"name": "bob", "age": 44, "tags": ["x"]}) == []
+        rules = {r for _, r, _ in node.collect_anomalies({"age": 200})}
+        assert "required" in rules and "maximum" in rules
+        rules2 = {r for _, r, _ in node.collect_anomalies({"name": "this-name-is-way-too-long"})}
+        assert "maxLength" in rules2
+
+    def test_type_detector(self):
+        node = schema_from_json({"minLength": 3})  # untyped: inferred string
+        assert "string" in node.type_counts
+        assert any(r == "minLength" for _, r, _ in node.collect_anomalies("ab"))
+
+
+class TestEquivalenceRelations:
+    @pytest.fixture(scope="class")
+    def shapes_df(self, spark):
+        rows = []
+        for i in range(30):
+            rows.append((i, json.dumps({"a": i, "b": f"s{i}"})))
+        for i in range(30, 60):
+            rows.append((i, json.dumps({"x": float(i), "y": True})))
+        for i in range(60, 70):
+            rows.append((i, json.dumps({"a": i, "extra": "z"})))
+        return spark.createDataFrame(rows, "id long, doc string")
+
+    def test_kind_fuses_everything(self, spark, shapes_df):
+        out = discover_with_er(shapes_df, "doc", er="kind")
+        assert len(out["alternatives"]) == 1
+        assert out["docs"] == 70
+
+    def test_label_keeps_shapes_apart(self, spark, shapes_df):
+        out = discover_with_er(shapes_df, "doc", er="label")
+        assert len(out["alternatives"]) == 3
+        assert sorted(out["schema"]["observationCounts"]) == [10, 30, 30]
+
+    def test_intersecting_label(self, spark, shapes_df):
+        out = discover_with_er(shapes_df, "doc", er="intersectingLabel")
+        # {a,b} and {a,extra} share 'a' -> fuse; {x,y} stays apart
+        assert len(out["alternatives"]) == 2
+
+    def test_typematch(self, spark, shapes_df):
+        out = discover_with_er(shapes_df, "doc", er="typematch")
+        # shared key 'a' is integer in both object shapes -> fuse; {x,y} has
+        # no shared keys -> typematch fuses trivially too
+        assert len(out["alternatives"]) == 1
+
+
+class TestTransformers:
+    def test_dynamic_object(self):
+        n = SchemaNode()
+        for i in range(40):
+            n.observe({f"user_{i}": i})  # dynamic keys, same value type
+        out = dynamic_object_transform(n)
+        assert out is not None and out["additionalProperties"]["type"] == "integer"
+
+    def test_dynamic_object_rejects_fixed_schema(self):
+        n = SchemaNode()
+        for i in range(40):
+            n.observe({"a": i, "b": f"s{i}"})  # mixed types -> not dynamic
+        assert dynamic_object_transform(n) is None
+
+    def test_disjoint_object(self):
+        n = SchemaNode()
+        for i in range(20):
+            n.observe({"a": i, "b": i} if i % 2 else {"x": i, "y": i})
+        out = disjoint_object_transform(n)
+        assert out is not None and len(out["oneOf"]) == 2
+
+    def test_disjoint_object_connected(self):
+        n = SchemaNode()
+        for i in range(20):
+            n.observe({"a": i, "b": i} if i % 2 else {"b": i, "c": i})
+        assert disjoint_object_transform(n) is None
+
+
+class TestIntersectMerge:
+    def test_bounds_tighten(self, spark, docs):
+        a = profile(docs.where("n_chars < 300"), columns=["n_chars"]).state("n_chars")
+        b = profile(docs.where("n_chars > 200"), columns=["n_chars"]).state("n_chars")
+        i = a.intersect_merge(b)
+        assert i.min_v == b.min_v and i.max_v == a.max_v
+        u = a.merge(b)
+        assert u.min_v == a.min_v and u.max_v == b.max_v
+
+
+class TestPropertySets:
+    def test_metric_sets_prune_work(self, spark, docs):
+        full = profile(docs, columns=["text"], metric_set="all").state("text")
+        simple = profile(docs, columns=["text"], metric_set="simple").state("text")
+        minimal = profile(docs, columns=["text"], metric_set="min").state("text")
+        assert full.hll.estimate() > 0 and full.hist.total > 0
+        assert simple.min_len == full.min_len and simple.hist.total == 0
+        assert simple.hll.estimate() == 0.0 or simple.hll.registers.sum() == 0
+        assert minimal.count == full.count and minimal.min_len is None
+
+
+class TestValueTableAndNdjson:
+    def test_value_table_shape(self, spark, docs):
+        res = profile(docs, columns=["lang", "source"])
+        vt = value_table(res)
+        assert sorted(vt.columns) == ["lang", "source"]
+        assert vt.count() >= 5  # at least the distinct langs
+
+    def test_ndjson_source_skips_malformed(self, spark, tmp_path):
+        from jsonoid_discovery_spark.sources.ndjson import read_ndjson
+
+        p = tmp_path / "data.ndjson"
+        p.write_text('{"a": 1}\nnot json at all\n{"a": 2}\n\n{"broken": \n{"a": 3}\n')
+        df = read_ndjson(spark, str(p))
+        assert df.count() == 3
+        from jsonoid_discovery_spark.operators.discovery import discover
+
+        res = discover(df, "doc")
+        assert res.docs == 3 and res.schema.fields["a"].min_v == 1
