@@ -115,10 +115,12 @@ class SchemaNode:
             x = float(v)
             self.min_v = x if self.min_v is None else min(self.min_v, x)
             self.max_v = x if self.max_v is None else max(self.max_v, x)
-            if t == "integer":
+            if t == "integer" and "number" not in self.type_counts:
                 a = abs(int(v))
                 self.int_multiple = a if self.int_multiple is None else math.gcd(self.int_multiple, a)
             else:
+                # any float kills multipleOf for good (the reference's `tiny`
+                # latch analog; our gcd is integer-only)
                 self.int_multiple = None
             self._observe_scalar(v)
         elif t == "boolean":

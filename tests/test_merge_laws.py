@@ -1,0 +1,138 @@
+"""Property-based monoid-law tests (the ScalaCheck analog of the reference,
+test/JsonGen.scala + per-property specs): for ANY values and ANY split,
+merge(parts) == bulk, and merge is commutative — no Spark needed, pure state
+algebra. These laws are exactly what makes the engine partitioning-invariant
+at any cluster size."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonoid_discovery_spark.operators.discovery import SchemaNode
+from jsonoid_discovery_spark.operators.profile import ColumnState
+
+# -- generators --------------------------------------------------------------
+
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**31), 2**31),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=6), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+def _bulk_and_split(values, make, fold):
+    bulk = make()
+    for v in values:
+        fold(bulk, v)
+    return bulk
+
+
+@given(st.lists(json_values, min_size=1, max_size=30), st.integers(0, 29), st.integers(0, 29))
+@settings(max_examples=60, deadline=None)
+def test_schemanode_merge_equals_bulk(vals, i, j):
+    cut1, cut2 = sorted((min(i, len(vals)), min(j, len(vals))))
+    parts = [vals[:cut1], vals[cut1:cut2], vals[cut2:]]
+    nodes = []
+    for p in parts:
+        n = SchemaNode()
+        for v in p:
+            n.observe(v)
+        nodes.append(n)
+    merged_lr = nodes[0].merge(nodes[1]).merge(nodes[2])
+    merged_rl = nodes[2].merge(nodes[1]).merge(nodes[0])
+    bulk = SchemaNode()
+    for v in vals:
+        bulk.observe(v)
+    sl, sr, sb = (x.to_json_schema() for x in (merged_lr, merged_rl, bulk))
+    assert sl == sb
+    assert sr == sb
+    assert merged_lr.count == bulk.count
+
+
+@given(st.lists(json_values, min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_schemanode_accepts_own_values(vals):
+    """The reference's golden invariant at the unit level: a discovered
+    schema never flags its own source values."""
+    n = SchemaNode()
+    for v in vals:
+        n.observe(v)
+    for v in vals:
+        assert n.collect_anomalies(v) == [], (v, n.to_json_schema())
+
+
+@given(
+    st.lists(st.one_of(st.none(), st.text(max_size=30)), min_size=1, max_size=60),
+    st.integers(1, 59),
+)
+@settings(max_examples=40, deadline=None)
+def test_columnstate_string_merge_equals_bulk(vals, cut):
+    cut = min(cut, len(vals))
+
+    def mk(chunk):
+        st_ = ColumnState("c", "string")
+        st_.update_array(pa.array(chunk, pa.string()))
+        return st_
+
+    a, b, bulk = mk(vals[:cut]), mk(vals[cut:]), mk(vals)
+    m = a.merge(b)
+    m2 = b.merge(a)
+    for x in (m, m2):
+        assert x.count == bulk.count and x.nulls == bulk.nulls
+        assert x.min_len == bulk.min_len and x.max_len == bulk.max_len
+        assert x.min_s == bulk.min_s and x.max_s == bulk.max_s
+        assert np.array_equal(x.hll.registers, bulk.hll.registers)
+        assert np.array_equal(x.bloom.bits, bulk.bloom.bits)
+        assert x.hist.bins == bulk.hist.bins
+        assert x.examples.values() == bulk.examples.values()
+        assert x.formats == bulk.formats
+
+
+@given(
+    st.lists(st.one_of(st.none(), st.integers(-(2**40), 2**40)), min_size=1, max_size=60),
+    st.integers(1, 59),
+)
+@settings(max_examples=40, deadline=None)
+def test_columnstate_int_merge_equals_bulk(vals, cut):
+    cut = min(cut, len(vals))
+
+    def mk(chunk):
+        st_ = ColumnState("c", "int")
+        st_.update_array(pa.array(chunk, pa.int64()))
+        return st_
+
+    a, b, bulk = mk(vals[:cut]), mk(vals[cut:]), mk(vals)
+    m = a.merge(b)
+    assert m.count == bulk.count
+    assert m.min_v == bulk.min_v and m.max_v == bulk.max_v
+    assert m.gcd == bulk.gcd
+    assert m.hist.bins == bulk.hist.bins and m.hist.neg_bins == bulk.hist.neg_bins
+    if bulk.moments.n:
+        assert math.isclose(m.moments.mean, bulk.moments.mean, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(st.lists(json_values, min_size=1, max_size=25))
+@settings(max_examples=30, deadline=None)
+def test_schemanode_json_schema_is_serializable(vals):
+    n = SchemaNode()
+    for v in vals:
+        n.observe(v)
+    json.dumps(n.to_json_schema())  # must not raise
