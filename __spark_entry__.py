@@ -270,9 +270,9 @@ def _minhash_lsh_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
-    from jsonoid_discovery_spark.operators.dedup import simhash
+    from jsonoid_discovery_spark.operators.dedup import with_simhash
 
-    return _t(spark, sf, "documents").select("doc_id", simhash("text").alias("simhash"))
+    return with_simhash(_t(spark, sf, "documents"), "text", id_col="doc_id")
 
 
 def _drift_lang_documents(spark: SparkSession, sf: str) -> DataFrame:

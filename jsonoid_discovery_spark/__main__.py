@@ -1,0 +1,147 @@
+"""CLI — the analog of the reference's entry points
+(DiscoverSchema.main, discovery/DiscoverSchema.scala:266-375, and
+spark/JsonoidSpark.scala): discover a schema from NDJSON/parquet, profile a
+table, validate data against a discovered or declared schema, find keys.
+
+Examples:
+  python -m jsonoid_discovery_spark discover data.ndjson
+  python -m jsonoid_discovery_spark discover events.parquet --column props \\
+      --equivalence-relation label --max-examples 50
+  python -m jsonoid_discovery_spark profile table.parquet --group-by lang \\
+      --prop-set simple
+  python -m jsonoid_discovery_spark validate data.ndjson --schema schema.json
+  python -m jsonoid_discovery_spark keys table.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load(spark, path: str, column: str | None):
+    if path.endswith((".parquet", ".pq")) or "*" not in path and not path.endswith((".json", ".ndjson", ".jsonl", "-")):
+        try:
+            df = spark.read.parquet(path)
+            return df, column or df.columns[0]
+        except Exception:
+            pass
+    from jsonoid_discovery_spark.sources.ndjson import read_ndjson
+
+    return read_ndjson(spark, path), column or "doc"
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="jsonoid_discovery_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("input", help="parquet file/dir or NDJSON path")
+    common.add_argument("--column", help="JSON column (discover/validate) or omit for first column")
+    common.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    common.add_argument("--output", "-o", default="-", help="output path ('-' = stdout)")
+
+    d = sub.add_parser("discover", parents=[common], help="discover a JSON Schema")
+    d.add_argument("--equivalence-relation", default="kind",
+                   choices=["kind", "label", "intersectingLabel", "typematch"])
+    d.add_argument("--max-examples", type=int, default=100)
+    d.add_argument("--format-threshold", type=float, default=1.0)
+    d.add_argument("--no-transformers", action="store_true")
+    d.add_argument("--split-percentage", type=float, default=None,
+                   help="splitDiscover: train fraction; reports subset verdict")
+
+    p = sub.add_parser("profile", parents=[common], help="profile table columns")
+    p.add_argument("--group-by", default=None, help="comma-separated group columns")
+    p.add_argument("--columns", default=None, help="comma-separated columns (default all)")
+    p.add_argument("--prop-set", default="all", choices=["all", "simple", "min"])
+    p.add_argument("--without-bloom", action="store_true")
+
+    v = sub.add_parser("validate", parents=[common], help="validate docs against a schema")
+    v.add_argument("--schema", required=True, help="JSON Schema file (from discover or hand-written)")
+    v.add_argument("--id-column", default=None)
+
+    sub.add_parser("keys", parents=[common], help="primary/foreign key analysis")
+
+    args = ap.parse_args(argv)
+
+    from jsonoid_discovery_spark import get_spark
+    from jsonoid_discovery_spark.config import EngineParams
+
+    spark = get_spark(args.master, app_name=f"jds-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emit(payload: str) -> None:
+        if args.output == "-":
+            print(payload)
+        else:
+            with open(args.output, "w") as f:
+                f.write(payload)
+
+    try:
+        if args.cmd == "discover":
+            params = EngineParams(
+                max_examples=args.max_examples, format_threshold=args.format_threshold
+            )
+            df, col = _load(spark, args.input, args.column)
+            if args.split_percentage is not None:
+                from jsonoid_discovery_spark.operators.analyses import split_discover
+
+                out = split_discover(df, train_fraction=args.split_percentage, params=params)
+                emit(json.dumps({"is_subset": out["is_subset"],
+                                 "incompatibilities": [vars(i) for i in out["incompatibilities"]]},
+                                indent=2, default=str))
+            elif args.equivalence_relation != "kind":
+                from jsonoid_discovery_spark.operators.discovery import discover_with_er
+
+                out = discover_with_er(df, col, er=args.equivalence_relation, params=params)
+                emit(json.dumps(out["schema"], indent=2, default=str))
+            else:
+                from jsonoid_discovery_spark.operators.discovery import discover
+
+                res = discover(df, col, params=params)
+                emit(json.dumps(res.to_json_schema(transformers=not args.no_transformers),
+                                indent=2, default=str))
+        elif args.cmd == "profile":
+            from jsonoid_discovery_spark.operators.profile import profile
+
+            df = spark.read.parquet(args.input)
+            res = profile(
+                df,
+                columns=args.columns.split(",") if args.columns else None,
+                group_by=args.group_by.split(",") if args.group_by else None,
+                with_bloom=not args.without_bloom,
+                metric_set=args.prop_set,
+            )
+            emit(res.to_json())
+        elif args.cmd == "validate":
+            from jsonoid_discovery_spark.operators.analyses import schema_from_json
+            from jsonoid_discovery_spark.operators.discovery import validate_json
+
+            with open(args.schema) as f:
+                node = schema_from_json(json.load(f))
+            df, col = _load(spark, args.input, args.column)
+            anomalies = validate_json(df, col, node, id_col=args.id_column)
+            rows = anomalies.collect()
+            emit(json.dumps([r.asDict() for r in rows], indent=2, default=str))
+            return 1 if rows else 0
+        elif args.cmd == "keys":
+            from jsonoid_discovery_spark.operators.analyses import find_primary_keys
+            from jsonoid_discovery_spark.operators.constraints import bloom_fk_candidates
+            from jsonoid_discovery_spark.operators.profile import profile
+
+            df = spark.read.parquet(args.input)
+            res = profile(df)
+            pks = find_primary_keys(res)
+            fks = bloom_fk_candidates(res.states[()])
+            emit(json.dumps({
+                "primary_key_candidates": [vars(c) for c in pks],
+                "foreign_key_candidates": [{"child": a, "parent": b} for a, b in fks],
+            }, indent=2, default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

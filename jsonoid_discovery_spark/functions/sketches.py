@@ -399,6 +399,17 @@ class TopKExamples:
         new = [(int(hh), self._trunc(v)) for hh, v in zip(h, vals)]
         self._absorb(new)
 
+    def update_hashed(self, values: np.ndarray, h: np.ndarray) -> None:
+        """Fold a batch using precomputed hashes (avoids re-hashing when the
+        caller already hashed for HLL/Bloom). ``np.unique`` gives the sorted
+        unique hashes, whose first K are exactly the K smallest."""
+        if len(values) == 0:
+            return
+        uh, idx = np.unique(h, return_index=True)
+        k = min(self.k, len(uh))
+        new = [(int(uh[i]), self._trunc(values[idx[i]])) for i in range(k)]
+        self._absorb(new)
+
     def _trunc(self, v: object) -> object:
         if isinstance(v, str) and len(v) > self.max_len:
             return v[: self.max_len]

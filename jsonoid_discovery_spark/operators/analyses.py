@@ -205,10 +205,27 @@ def split_discover(
 # JsonSchema.fromJson analog
 
 
-def schema_from_json(doc: dict, params: EngineParams = DEFAULT_PARAMS) -> SchemaNode:
+def schema_from_json(
+    doc: dict,
+    params: EngineParams = DEFAULT_PARAMS,
+    root: dict | None = None,
+    _depth: int = 0,
+) -> SchemaNode:
     """Parse a (subset of a) JSON Schema document into a SchemaNode usable
     for validation — the serialized-schema source of SURVEY.md §2.1. Untyped
-    schemas get their type inferred from present keywords (TypeDetector)."""
+    schemas get their type inferred from present keywords (TypeDetector);
+    local ``$ref`` pointers (``#/$defs/...``, ``#/definitions/...``) are
+    resolved against the root document (ReferenceResolver analog,
+    discovery/ReferenceResolver.scala:24-101; recursion depth-capped)."""
+    if root is None:
+        root = doc
+    if "$ref" in doc:
+        if _depth > 16:
+            return SchemaNode(params)  # cycle guard: accept anything
+        target = _resolve_pointer(root, doc["$ref"])
+        if target is not None:
+            merged = {**target, **{k: v for k, v in doc.items() if k != "$ref"}}
+            return schema_from_json(merged, params, root, _depth + 1)
     node = SchemaNode(params)
     t = doc.get("type")
     if t is None:
@@ -218,7 +235,7 @@ def schema_from_json(doc: dict, params: EngineParams = DEFAULT_PARAMS) -> Schema
         node.type_counts[typ] = node.type_counts.get(typ, 0) + 1
     if "anyOf" in doc or "oneOf" in doc:
         for alt in doc.get("anyOf", doc.get("oneOf", [])):
-            sub = schema_from_json(alt, params)
+            sub = schema_from_json(alt, params, root, _depth + 1)
             node = node.merge(sub)
         return node
     node.count = 1
@@ -226,17 +243,22 @@ def schema_from_json(doc: dict, params: EngineParams = DEFAULT_PARAMS) -> Schema
         node.object_count = 1
         req = set(doc.get("required", []))
         for k, sub in doc.get("properties", {}).items():
-            node.fields[k] = schema_from_json(sub, params)
+            node.fields[k] = schema_from_json(sub, params, root, _depth + 1)
             node.field_presence[k] = 1 if k in req else 0
+        for pat, sub in doc.get("patternProperties", {}).items():
+            node.pattern_fields.append((pat, schema_from_json(sub, params, root, _depth + 1)))
+        # JSON Schema semantics: additionalProperties defaults to ALLOWED in
+        # a declared schema (discovery emits an explicit false instead)
+        node.allow_additional = doc.get("additionalProperties", True) is not False
     if "array" in types:
         node.min_items = doc.get("minItems")
         node.max_items = doc.get("maxItems")
         if doc.get("uniqueItems"):
             node.unique_items, node.unary_arrays = True, False
         if "prefixItems" in doc:
-            node.tuple_items = [schema_from_json(s, params) for s in doc["prefixItems"]]
+            node.tuple_items = [schema_from_json(s, params, root, _depth + 1) for s in doc["prefixItems"]]
         elif "items" in doc and isinstance(doc["items"], dict):
-            node.items = schema_from_json(doc["items"], params)
+            node.items = schema_from_json(doc["items"], params, root, _depth + 1)
     if "string" in types:
         node.min_len = doc.get("minLength")
         node.max_len = doc.get("maxLength")
@@ -251,6 +273,20 @@ def schema_from_json(doc: dict, params: EngineParams = DEFAULT_PARAMS) -> Schema
     if "const" in doc:
         node.distinct_values = {doc["const"]}
     return node
+
+
+def _resolve_pointer(root: dict, ref: str):
+    """Resolve a local JSON pointer ('#/$defs/x', '#/definitions/x')."""
+    if not isinstance(ref, str) or not ref.startswith("#/"):
+        return None
+    cur: object = root
+    for part in ref[2:].split("/"):
+        part = part.replace("~1", "/").replace("~0", "~")
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return None
+    return cur if isinstance(cur, dict) else None
 
 
 def _detect_type(doc: dict) -> list[str]:

@@ -94,6 +94,11 @@ class SchemaNode:
     # enum candidates: exact distinct set, capped; overflow latches
     distinct_values: set = field(default_factory=set)
     distinct_overflow: bool = False
+    # regex-keyed child schemas, from a parsed schema's patternProperties
+    # (PatternTypesProperty analog, schemas/ObjectSchema.scala:543-662);
+    # populated only by schema_from_json, never by discovery
+    pattern_fields: list = field(default_factory=list)  # [(pattern_str, SchemaNode)]
+    allow_additional: bool = False  # additionalProperties: true in a parsed schema
 
     # ------------------------------------------------------------------ fold
     def observe(self, v: object) -> None:
@@ -246,6 +251,13 @@ class SchemaNode:
             if len(out.distinct_values) > self.params.enum_max_values:
                 out.distinct_overflow = True
                 out.distinct_values = set()
+        # parsed-schema extras (union semantics: any pattern accepted by
+        # either side; additionalProperties true if either allows)
+        seen = {p for p, _ in self.pattern_fields}
+        out.pattern_fields = list(self.pattern_fields) + [
+            (p, n) for p, n in o.pattern_fields if p not in seen
+        ]
+        out.allow_additional = self.allow_additional or o.allow_additional
         return out
 
     # ------------------------------------------------------------- emission
@@ -376,7 +388,18 @@ class SchemaNode:
             for k, val in v.items():
                 child = self.fields.get(k)
                 if child is None:
-                    out.append((f"{path}.{k}", "additionalProperty", int(AnomalyLevel.FATAL)))
+                    # patternProperties: an unknown key matching a pattern
+                    # validates against that pattern's schema instead of
+                    # raising additionalProperty (ObjectSchema.scala:543-662)
+                    import re as _re
+
+                    pat_child = next(
+                        (n for p, n in self.pattern_fields if _re.search(p, k)), None
+                    )
+                    if pat_child is not None:
+                        out.extend(pat_child.collect_anomalies(val, f"{path}.{k}"))
+                    elif not self.allow_additional:
+                        out.append((f"{path}.{k}", "additionalProperty", int(AnomalyLevel.FATAL)))
                 else:
                     out.extend(child.collect_anomalies(val, f"{path}.{k}"))
         elif t == "array":

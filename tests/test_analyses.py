@@ -176,3 +176,47 @@ class TestValueTableAndNdjson:
 
         res = discover(df, "doc")
         assert res.docs == 3 and res.schema.fields["a"].min_v == 1
+
+
+class TestRefAndPatternProperties:
+    def test_ref_resolution(self):
+        doc = {
+            "type": "object",
+            "properties": {"user": {"$ref": "#/$defs/person"}},
+            "required": ["user"],
+            "$defs": {
+                "person": {
+                    "type": "object",
+                    "properties": {"name": {"type": "string", "minLength": 1}},
+                    "required": ["name"],
+                }
+            },
+        }
+        n = schema_from_json(doc)
+        assert n.collect_anomalies({"user": {"name": "ann"}}) == []
+        rules = {r for _, r, _ in n.collect_anomalies({"user": {}})}
+        assert "required" in rules
+
+    def test_pattern_properties(self):
+        doc = {
+            "type": "object",
+            "properties": {"fixed": {"type": "string"}},
+            "patternProperties": {"^x_": {"type": "integer", "minimum": 0}},
+            "additionalProperties": False,
+        }
+        n = schema_from_json(doc)
+        assert n.collect_anomalies({"fixed": "a", "x_n": 3}) == []
+        rules = {r for _, r, _ in n.collect_anomalies({"x_n": -1, "zzz": 1})}
+        assert rules == {"minimum", "additionalProperty"}
+
+    def test_additional_properties_default_allowed(self):
+        n = schema_from_json({"type": "object", "properties": {"a": {"type": "integer"}}})
+        assert n.collect_anomalies({"a": 1, "extra": "fine"}) == []
+
+    def test_ref_cycle_guard(self):
+        cyc = {
+            "$defs": {"a": {"type": "object", "properties": {"next": {"$ref": "#/$defs/a"}}}},
+            "$ref": "#/$defs/a",
+        }
+        n = schema_from_json(cyc)
+        assert n.collect_anomalies({"next": {"next": {}}}) == []

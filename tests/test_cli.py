@@ -1,0 +1,61 @@
+"""CLI round trip — the DiscoverSchema.main analog driven end-to-end."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _run(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "jsonoid_discovery_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+
+
+def test_discover_validate_roundtrip(tmp_path):
+    data = tmp_path / "d.ndjson"
+    data.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\nnot json\n{"a": 3}\n')
+    schema_path = tmp_path / "schema.json"
+    r = _run("discover", str(data), "-o", str(schema_path))
+    assert r.returncode == 0, r.stderr[-500:]
+    schema = json.loads(schema_path.read_text())
+    assert schema["type"] == "object" and schema["required"] == ["a"]
+    assert schema["properties"]["a"] == {"type": "integer", "minimum": 1, "maximum": 3}
+
+    # valid docs -> exit 0; violating docs -> exit 1 with anomaly JSON
+    good = tmp_path / "good.ndjson"
+    good.write_text('{"a": 2, "b": "x"}\n')
+    assert _run("validate", str(good), "--schema", str(schema_path)).returncode == 0
+    bad = tmp_path / "bad.ndjson"
+    bad.write_text('{"a": 99, "b": "zzzz"}\n')
+    r = _run("validate", str(bad), "--schema", str(schema_path))
+    assert r.returncode == 1
+    rules = {a["rule"] for a in json.loads(r.stdout)}
+    assert rules == {"maximum", "maxLength"}
+
+
+def test_profile_and_keys(tmp_path):
+    out = tmp_path / "prof.json"
+    r = _run(
+        "profile",
+        "/root/testdata/sf0.001/documents.parquet",
+        "--columns",
+        "doc_id,lang",
+        "--prop-set",
+        "simple",
+        "-o",
+        str(out),
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    prof = json.loads(out.read_text())
+    assert prof[0]["columns"]["doc_id"]["count"] == 500
+
+    r = _run("keys", "/root/testdata/sf0.001/orders.parquet")
+    assert r.returncode == 0
+    keys = json.loads(r.stdout)
+    assert keys["primary_key_candidates"][0]["column"] == "o_orderkey"
