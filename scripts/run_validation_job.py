@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the flagship validation pipeline.
+
+Cluster deployment (the north-rule shape — N or 4N executors):
+
+  zip -r engine.zip jsonoid_discovery_spark
+  spark-submit --master <cluster> --py-files engine.zip \\
+      scripts/run_validation_job.py --input <table-or-path> \\
+      --checkpoint /path/ckpt --run-id r1 [--parent <repo_commits path>]
+
+Local smoke: spark-submit --master 'local[8]' --py-files engine.zip ...
+
+Reads the source_files-shaped input, learns (or resumes) the profile through
+the checkpoint layer, validates, writes violations + per-partition verdicts
+as parquet next to the checkpoint, and prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or catalog table")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--parent", default=None, help="repo_commits parquet for the RI check")
+    ap.add_argument("--units", type=int, default=16, help="resumable hash-bucket units")
+    ap.add_argument("--partition-col", default="lang")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("jds-validation").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from jsonoid_discovery_spark.operators.constraints import (
+        constraints_from_profile,
+        partition_verdicts,
+        referential_summary,
+        uniqueness_summary,
+        validate,
+    )
+    from jsonoid_discovery_spark.plans.checkpoint import CheckpointedProfileRun, partition_units
+    from jsonoid_discovery_spark.sources.tables import load_table
+
+    t0 = time.perf_counter()
+    if args.input.endswith((".parquet", "/")) or os.sep in args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        df = spark.read.table(args.input)
+
+    run = CheckpointedProfileRun(
+        spark, args.checkpoint, args.run_id,
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    prof = run.run(partition_units(df, "repo", args.units))
+
+    cons = constraints_from_profile(prof)
+    viol = validate(df, cons, key_cols=["repo", "path", "commit"], content_col="content")
+    viol_path = os.path.join(args.checkpoint, "violations", args.run_id)
+    viol.write.mode("overwrite").parquet(viol_path)
+    n_viol = spark.read.parquet(viol_path).count()
+
+    verd = partition_verdicts(df, cons, [args.partition_col])
+    verd_path = os.path.join(args.checkpoint, "verdicts", args.run_id)
+    verd.write.mode("overwrite").parquet(verd_path)
+
+    uniq = uniqueness_summary(df, ["repo", "path", "commit"]).collect()[0]
+    summary = {
+        "run_id": args.run_id,
+        "rows": df.count(),
+        "violations": n_viol,
+        "unique_key": bool(uniq["is_unique"]),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "violations_path": viol_path,
+        "verdicts_path": verd_path,
+    }
+    if args.parent:
+        parent = spark.read.parquet(args.parent)
+        ri = referential_summary(df, ["commit"], parent, ["commit"]).collect()[0]
+        summary["referential_ok"] = bool(ri["is_valid"])
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

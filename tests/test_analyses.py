@@ -220,3 +220,29 @@ class TestRefAndPatternProperties:
         }
         n = schema_from_json(cyc)
         assert n.collect_anomalies({"next": {"next": {}}}) == []
+
+
+class TestAllOf:
+    def test_all_of_intersects_bounds(self):
+        doc = {
+            "allOf": [
+                {"type": "integer", "minimum": 0, "maximum": 100},
+                {"type": "integer", "minimum": 10, "maximum": 200},
+            ]
+        }
+        n = schema_from_json(doc)
+        assert n.collect_anomalies(50) == []
+        assert any(r == "minimum" for _, r, _ in n.collect_anomalies(5))
+        assert any(r == "maximum" for _, r, _ in n.collect_anomalies(150))
+
+    def test_all_of_unions_required(self):
+        doc = {
+            "allOf": [
+                {"type": "object", "properties": {"a": {"type": "integer"}}, "required": ["a"]},
+                {"type": "object", "properties": {"b": {"type": "string"}}, "required": ["b"]},
+            ]
+        }
+        n = schema_from_json(doc)
+        assert n.collect_anomalies({"a": 1, "b": "x"}) == []
+        rules = {r for _, r, _ in n.collect_anomalies({"a": 1})}
+        assert "required" in rules

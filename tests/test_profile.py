@@ -102,3 +102,23 @@ def test_string_derivations(spark, source_files_small):
     lang = res.state("lang")
     assert lang.nulls > 0 and not lang.required
     assert res.state("content").required
+
+
+def test_grouped_profile_under_zipf_skew(spark):
+    """Skew robustness: zipf repo sizes (one repo holds a large share);
+    grouped profile counts must be exact and identical across partitionings
+    — the salted tree merge absorbs hot keys."""
+    from jsonoid_discovery_spark.datagen import source_files
+
+    df = source_files(spark, n_rows=20000, seed=9, max_content=512, partitions=16).cache()
+    exact = {r["repo"]: r["c"] for r in df.groupBy("repo").count().withColumnRenamed("count", "c").collect()}
+    res = profile(df, columns=["content"], group_by=["repo"], with_bloom=False)
+    got = {g[0]: cols["content"].total for g, cols in res.states.items()}
+    assert got == exact
+    # the hottest repo dwarfs the median -> the skew is real in the fixture
+    counts = sorted(exact.values())
+    assert counts[-1] > 10 * counts[len(counts) // 2]
+    res2 = profile(df.repartition(3), columns=["content"], group_by=["repo"], with_bloom=False)
+    a = res.state("content", (max(exact, key=exact.get),))
+    b = res2.state("content", (max(exact, key=exact.get),))
+    assert a.count == b.count and a.hist.bins == b.hist.bins
