@@ -272,6 +272,12 @@ def schema_from_json(
     if "integer" in types or "number" in types:
         node.min_v = doc.get("minimum")
         node.max_v = doc.get("maximum")
+        if "exclusiveMinimum" in doc:  # draft 2020-12 numeric form
+            node.min_v = doc["exclusiveMinimum"]
+            node.exclusive_min = True
+        if "exclusiveMaximum" in doc:
+            node.max_v = doc["exclusiveMaximum"]
+            node.exclusive_max = True
         m = doc.get("multipleOf")
         if isinstance(m, int):
             node.int_multiple = m

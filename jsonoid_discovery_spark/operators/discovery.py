@@ -84,9 +84,14 @@ class SchemaNode:
     max_len: int | None = None
     formats: dict[str, int] = field(default_factory=dict)
     # numeric properties (integer + number merge by promotion,
-    # schemas/IntegerSchema.scala:177-229)
+    # schemas/IntegerSchema.scala:177-229); exclusive flags only arrive via
+    # parsed schemas (discovery observes inclusive extrema by construction,
+    # mirroring the reference's exclusive-bound bookkeeping,
+    # schemas/NumberSchema.scala:218-469)
     min_v: float | None = None
     max_v: float | None = None
+    exclusive_min: bool = False
+    exclusive_max: bool = False
     int_multiple: int | None = None
     # boolean
     true_count: int = 0
@@ -234,9 +239,18 @@ class SchemaNode:
         for src in (self.formats, o.formats):
             for k, c in src.items():
                 out.formats[k] = out.formats.get(k, 0) + c
-        # numerics: gcd union (schemas/NumberSchema.scala:662-764)
+        # numerics: gcd union (schemas/NumberSchema.scala:662-764); exclusive
+        # flags follow whichever side supplies the union boundary
         out.min_v = _mn(self.min_v, o.min_v)
         out.max_v = _mx(self.max_v, o.max_v)
+        if out.min_v is not None:
+            am = self.exclusive_min if self.min_v == out.min_v else True
+            bm = o.exclusive_min if o.min_v == out.min_v else True
+            out.exclusive_min = am and bm
+        if out.max_v is not None:
+            ax = self.exclusive_max if self.max_v == out.max_v else True
+            bx = o.exclusive_max if o.max_v == out.max_v else True
+            out.exclusive_max = ax and bx
         if self.int_multiple is not None and o.int_multiple is not None:
             out.int_multiple = math.gcd(self.int_multiple, o.int_multiple)
         elif "number" in out.type_counts:
@@ -433,11 +447,24 @@ class SchemaNode:
                 out.append((path, "enum", int(AnomalyLevel.FATAL)))
         elif t in ("integer", "number"):
             x = float(v)
-            if self.min_v is not None and x < self.min_v:
+            if self.min_v is not None and (x < self.min_v or (self.exclusive_min and x == self.min_v)):
                 out.append((path, "minimum", int(AnomalyLevel.WARNING)))
-            if self.max_v is not None and x > self.max_v:
+            if self.max_v is not None and (x > self.max_v or (self.exclusive_max and x == self.max_v)):
                 out.append((path, "maximum", int(AnomalyLevel.WARNING)))
         return out
+
+    def max_anomaly_level(self, v: object) -> int | None:
+        """Highest severity among anomalies of one value, or None when the
+        value validates (the reference's maxAnomalyLevel, used by the Bowtie
+        validator loop, SURVEY.md §3.3)."""
+        anomalies = self.collect_anomalies(v)
+        return max((lvl for _, _, lvl in anomalies), default=None) if anomalies else None
+
+    def is_anomalous(self, v: object, level: AnomalyLevel = AnomalyLevel.INFO) -> bool:
+        """True when any anomaly at/above ``level`` exists
+        (schemas/JsonSchema.scala:101 isAnomalous)."""
+        m = self.max_anomaly_level(v)
+        return m is not None and m >= int(level)
 
 
 def _mn(a, b):

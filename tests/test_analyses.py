@@ -246,3 +246,24 @@ class TestAllOf:
         assert n.collect_anomalies({"a": 1, "b": "x"}) == []
         rules = {r for _, r, _ in n.collect_anomalies({"a": 1})}
         assert "required" in rules
+
+
+class TestExclusiveBoundsAndLevels:
+    def test_exclusive_bounds(self):
+        n = schema_from_json({"type": "number", "exclusiveMinimum": 0, "maximum": 10})
+        assert n.collect_anomalies(5.0) == []
+        assert any(r == "minimum" for _, r, _ in n.collect_anomalies(0.0))
+        assert n.collect_anomalies(10.0) == []  # inclusive max
+
+    def test_anomaly_level_api(self):
+        from jsonoid_discovery_spark.config import AnomalyLevel
+
+        n = schema_from_json(
+            {"type": "object", "properties": {"a": {"type": "integer", "maximum": 5}}, "required": ["a"]}
+        )
+        assert not n.is_anomalous({"a": 3})
+        assert n.max_anomaly_level({"a": 99}) == int(AnomalyLevel.WARNING)
+        assert n.max_anomaly_level({}) == int(AnomalyLevel.FATAL)
+        # threshold filtering: a WARNING-only doc is not anomalous at FATAL
+        assert n.is_anomalous({"a": 99}, AnomalyLevel.WARNING)
+        assert not n.is_anomalous({"a": 99}, AnomalyLevel.FATAL)
