@@ -200,6 +200,36 @@ def partition_verdicts(
     return df.groupBy(*partition_cols).agg(*aggs).withColumn("pass_all", pass_all)
 
 
+def violation_samples(
+    violations: DataFrame,
+    group_cols: list[str],
+    k: int = 10,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Deterministic top-k violation rows per (group, rule) — window +
+    row_number (SURVEY.md §2.10): per-group samples for reports without
+    collecting the full violation set."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col) if order_col else F.xxhash64(*[F.col(c) for c in violations.columns if c != "level"])
+    w = Window.partitionBy(*group_cols, "rule").orderBy(order)
+    return (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def violation_metrics(violations: DataFrame, run_id: str) -> DataFrame:
+    """Per-rule violation counts as metrics rows (run_id, metric, value) —
+    feeds the run-metrics table next to the checkpoint lineage."""
+    return violations.groupBy("rule", "level").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(run_id).alias("run_id"),
+        F.concat(F.lit("violations."), F.col("rule")).alias("metric"),
+        F.col("n").cast("double").alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # whole-table analyses
 

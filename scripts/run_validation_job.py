@@ -71,6 +71,12 @@ def main() -> int:
     verd_path = os.path.join(args.checkpoint, "verdicts", args.run_id)
     verd.write.mode("overwrite").parquet(verd_path)
 
+    from jsonoid_discovery_spark.operators.constraints import violation_metrics
+
+    violation_metrics(spark.read.parquet(viol_path), args.run_id).write.mode("append").parquet(
+        os.path.join(args.checkpoint, "metrics")
+    )
+
     uniq = uniqueness_summary(df, ["repo", "path", "commit"]).collect()[0]
     summary = {
         "run_id": args.run_id,

@@ -111,3 +111,23 @@ def test_bloom_fk_prefilter(spark, fixture):
     assert bloom_fk_candidates({"child_commit": child, "parent_commit": parents}) == [
         ("child_commit", "parent_commit")
     ]
+
+
+def test_violation_samples_and_metrics(spark, fixture):
+    from jsonoid_discovery_spark.operators.constraints import violation_metrics, violation_samples
+
+    clean, mutated, exp = fixture
+    prof = profile(clean, columns=["content", "commit"])
+    viol = validate(mutated, constraints_from_profile(prof), key_cols=["repo", "path", "commit", "lang"])
+    samples = violation_samples(viol, ["lang"], k=3)
+    pdf = samples.toPandas()
+    assert not pdf.empty
+    assert (pdf.groupby(["lang", "rule"], dropna=False).size() <= 3).all()
+    # deterministic across partitionings
+    pdf2 = violation_samples(viol.repartition(7), ["lang"], k=3).toPandas()
+    key = lambda d: sorted(map(tuple, d[["repo", "path", "commit", "rule"]].values))
+    assert key(pdf) == key(pdf2)
+
+    m = violation_metrics(viol, "runX").collect()
+    got = {r["metric"]: r["value"] for r in m}
+    assert got.get("violations.content.required", 0) == len(_keys_for(exp, "null-required"))
