@@ -135,3 +135,31 @@ def all_pairs_topk(
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.col("neighbor"))
     return pairs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH blocking (near-identical
+    vectors share all sign bits) + exact cosine filter within buckets.
+    Returns (id_a, id_b, cosine) with id_a < id_b."""
+    dim = int(df.select(F.size(vec_col)).first()[0])
+    planes = make_planes(dim, n_planes, seed)
+    sigged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "_sig", hyperplane_signature("v", planes)
+    )
+    a, b = sigged.alias("a"), sigged.alias("b")
+    return (
+        a.join(b, (F.col("a._sig") == F.col("b._sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -107,3 +107,46 @@ def decode_stub(*_args, **_kwargs):
         "media decoding requires codec libraries not present in this environment; "
         "pass decode_fn to extract_features instead"
     )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, feature array<float>"
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    dim: int = 16,
+    decode_fn: Callable[[pd.Series, int], np.ndarray] | None = None,
+) -> DataFrame:
+    """Video-style 1->N row expansion: each media row yields ``n_frames``
+    feature rows (frame_idx, feature). The decode step is the same pluggable
+    stub contract as ``extract_features`` — a real deployment decodes and
+    samples actual frames; the Spark-side batch shape (one input batch ->
+    one n-times-larger output batch) is the part under test."""
+    decode = decode_fn or _fake_decode
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("media_id").to_numpy(zero_copy_only=False)
+            payload = b.column("payload").to_pandas()
+            out_ids, out_idx, out_feat = [], [], []
+            for fi in range(n_frames):
+                # deterministic per-frame variation: fold the frame index
+                # into the payload before the (stub) decode
+                salted = payload.map(
+                    lambda x, fi=fi: None if x is None else bytes(x) + fi.to_bytes(2, "little")
+                )
+                feats = decode(salted, dim)
+                out_ids.extend(ids.tolist())
+                out_idx.extend([fi] * len(ids))
+                out_feat.extend(list(feats))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.int64()),
+                    pa.array(out_idx, pa.int32()),
+                    pa.array(out_feat, pa.list_(pa.float32())),
+                ],
+                names=["media_id", "frame_idx", "feature"],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(gen, FRAME_SCHEMA)

@@ -180,3 +180,40 @@ class TestStreaming:
         assert a.count == b.count and a.min_len == b.min_len and a.max_len == b.max_len
         assert np.array_equal(a.hll.registers, b.hll.registers)
         assert a.examples.values() == b.examples.values()
+
+
+class TestEmbeddingNearDup:
+    def test_finds_duplicated_vectors(self, spark, embeddings):
+        from jsonoid_discovery_spark.operators.ann import embedding_near_dups
+
+        base = embeddings.limit(40)
+        clones = base.selectExpr("vec_id + 100000 AS vec_id", "embedding", "label")
+        df = base.unionByName(clones)
+        pairs = embedding_near_dups(df, "embedding", "vec_id", threshold=0.999)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        expected = {(r["vec_id"], r["vec_id"] + 100000) for r in base.select("vec_id").collect()}
+        assert expected <= got
+        # random non-identical vectors don't pass the 0.999 bar
+        assert all(b - a == 100000 for a, b in got - expected) or got == expected
+
+
+class TestFrameSampling:
+    def test_one_to_n_expansion(self, spark):
+        from jsonoid_discovery_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame([(i, bytes([i] * 32)) for i in range(10)], "id long, payload binary")
+        media = mm.media_table_from_binary(df, "payload", "id", "video", "video/mp4")
+        frames = mm.sample_frames(media, n_frames=3, dim=8)
+        rows = frames.collect()
+        assert len(rows) == 30
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], set()).add(r["frame_idx"])
+        assert all(v == {0, 1, 2} for v in by_media.values())
+        # frames differ from each other but are deterministic across runs
+        f0 = [r["feature"] for r in rows if r["media_id"] == 0]
+        assert f0[0] != f0[1]
+        rows2 = mm.sample_frames(media.repartition(4), n_frames=3, dim=8).collect()
+        assert {(r["media_id"], r["frame_idx"], tuple(r["feature"])) for r in rows2} == {
+            (r["media_id"], r["frame_idx"], tuple(r["feature"])) for r in rows
+        }
