@@ -254,6 +254,8 @@ def schema_from_json(
             node.field_presence[k] = 1 if k in req else 0
         for pat, sub in doc.get("patternProperties", {}).items():
             node.pattern_fields.append((pat, schema_from_json(sub, params, root, _depth + 1)))
+        for k, deps in doc.get("dependentRequired", {}).items():
+            node.declared_dependents[k] = list(deps)
         # JSON Schema semantics: additionalProperties defaults to ALLOWED in
         # a declared schema (discovery emits an explicit false instead)
         node.allow_additional = doc.get("additionalProperties", True) is not False

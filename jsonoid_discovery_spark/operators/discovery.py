@@ -104,6 +104,9 @@ class SchemaNode:
     # populated only by schema_from_json, never by discovery
     pattern_fields: list = field(default_factory=list)  # [(pattern_str, SchemaNode)]
     allow_additional: bool = False  # additionalProperties: true in a parsed schema
+    # declared dependentRequired (StaticDependenciesProperty analog,
+    # schemas/ObjectSchema.scala:1037-1114); only set by schema_from_json
+    declared_dependents: dict = field(default_factory=dict)  # {key: [required-with]}
 
     # ------------------------------------------------------------------ fold
     def observe(self, v: object) -> None:
@@ -272,6 +275,9 @@ class SchemaNode:
             (p, n) for p, n in o.pattern_fields if p not in seen
         ]
         out.allow_additional = self.allow_additional or o.allow_additional
+        for src in (self.declared_dependents, o.declared_dependents):
+            for k, deps in src.items():
+                out.declared_dependents[k] = sorted(set(out.declared_dependents.get(k, [])) | set(deps))
         return out
 
     # ------------------------------------------------------------- emission
@@ -399,6 +405,11 @@ class SchemaNode:
             req = set(self.required_keys())
             for k in req - set(v.keys()):
                 out.append((f"{path}.{k}", "required", int(AnomalyLevel.FATAL)))
+            for k, deps in self.declared_dependents.items():
+                if k in v:
+                    for d in deps:
+                        if d not in v:
+                            out.append((f"{path}.{d}", "dependentRequired", int(AnomalyLevel.FATAL)))
             for k, val in v.items():
                 child = self.fields.get(k)
                 if child is None:
@@ -452,6 +463,18 @@ class SchemaNode:
             if self.max_v is not None and (x > self.max_v or (self.exclusive_max and x == self.max_v)):
                 out.append((path, "maximum", int(AnomalyLevel.WARNING)))
         return out
+
+    def walk(self, path: str = "$"):
+        """Generic recursive traversal yielding (json-path, node) — the
+        SchemaWalker analog (discovery/SchemaWalker.scala:10-147)."""
+        yield path, self
+        for k, child in sorted(self.fields.items()):
+            yield from child.walk(f"{path}.{k}")
+        if self.tuple_items is not None and not self.tuple_collapsed:
+            for i, slot in enumerate(self.tuple_items):
+                yield from slot.walk(f"{path}[{i}]")
+        elif self.items is not None:
+            yield from self.items.walk(f"{path}[*]")
 
     def max_anomaly_level(self, v: object) -> int | None:
         """Highest severity among anomalies of one value, or None when the

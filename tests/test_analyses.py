@@ -267,3 +267,32 @@ class TestExclusiveBoundsAndLevels:
         # threshold filtering: a WARNING-only doc is not anomalous at FATAL
         assert n.is_anomalous({"a": 99}, AnomalyLevel.WARNING)
         assert not n.is_anomalous({"a": 99}, AnomalyLevel.FATAL)
+
+
+class TestDeclaredDependentsAndWalker:
+    def test_static_dependent_required(self):
+        doc = {
+            "type": "object",
+            "properties": {
+                "credit_card": {"type": "string"},
+                "billing_address": {"type": "string"},
+                "name": {"type": "string"},
+            },
+            "dependentRequired": {"credit_card": ["billing_address"]},
+        }
+        n = schema_from_json(doc)
+        assert n.collect_anomalies({"name": "x"}) == []
+        assert n.collect_anomalies({"credit_card": "cc", "billing_address": "a"}) == []
+        rules = {r for _, r, _ in n.collect_anomalies({"credit_card": "cc"})}
+        assert rules == {"dependentRequired"}
+
+    def test_schema_walker(self):
+        n = SchemaNode()
+        n.observe({"a": 1, "b": {"c": [1, 2], "d": "x"}})
+        paths = [p for p, _ in n.walk()]
+        assert "$" in paths and "$.a" in paths and "$.b.c" in paths and "$.b.d" in paths
+        # tuple arrays walk positionally
+        t = SchemaNode()
+        t.observe({"w": ["x", 1]})
+        tpaths = [p for p, _ in t.walk()]
+        assert "$.w[0]" in tpaths and "$.w[1]" in tpaths
