@@ -570,6 +570,13 @@ def partial_states(
         ),
         PARTIAL_SCHEMA,
     )
+    # one partial per (batch, group, column): with few input partitions a
+    # single merge level suffices (fan-in already bounded); the salted
+    # two-level tree only pays off when a (g, column) key would otherwise
+    # collect more than merge_fanin partials in one task
+    n_parts = sel.rdd.getNumPartitions()
+    if n_parts <= merge_fanin:
+        return partials.groupBy("g", "column").applyInPandas(_merge_partials, PARTIAL_SCHEMA)
     salted = partials.withColumn("salt", F.pmod(F.xxhash64(F.col("g"), F.col("column"), F.rand(seed=7)), F.lit(merge_fanin)))
     level1 = salted.groupBy("g", "column", "salt").applyInPandas(
         lambda pdf: _merge_partials(pdf.drop(columns=["salt"])), PARTIAL_SCHEMA
