@@ -372,6 +372,37 @@ def _array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _json_field_stats_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed extraction from a JSON column (from_json -> plain columns ->
+    exact aggregates): the Spark-native path once a JSON column's schema is
+    known (discovery feeds the schema; this consumes it)."""
+    ev = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return ev.select(k.alias("k")).agg(
+        F.count("k").alias("n"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum(F.col("k").cast("decimal(38,0)")).cast("double").alias("sum_k"),
+        F.count_distinct("k").alias("distinct_k"),
+    )
+
+
+def _json_discovery_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped JSON discovery: per event_type, per key, type counts — the
+    grouped form of the ObjectTypes analog (one scan per group set)."""
+    from jsonoid_discovery_spark.operators.discovery import discover
+
+    ev = _t(spark, sf, "events")
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    rows = []
+    for et in sorted(t for t in types if t is not None):
+        res = discover(ev.where(F.col("event_type") == et), "props")
+        for key, node in res.schema.fields.items():
+            for jtype, n in node.type_counts.items():
+                rows.append((et, key, jtype, n))
+    return spark.createDataFrame(rows, "event_type string, key string, jtype string, n long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -407,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_table_documents": _value_table_documents,
         "events_hourly_counts": _events_hourly_counts,
         "array_stats_embeddings": _array_stats_embeddings,
+        "json_field_stats_events": _json_field_stats_events,
+        "json_discovery_by_event_type": _json_discovery_by_event_type,
     }
 
 
@@ -623,6 +656,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(label) AS BIGINT) AS max_label,
                    count(DISTINCT label) AS distinct_labels
             FROM embeddings
+        """,
+        "json_field_stats_events": """
+            SELECT count(k) AS n,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k,
+                   CAST(SUM(CAST(k AS DECIMAL(38,0))) AS DOUBLE) AS sum_k,
+                   count(DISTINCT k) AS distinct_k
+            FROM (SELECT CAST(json_extract(props::JSON, '$.k') AS INTEGER) AS k FROM events)
+        """,
+        "json_discovery_by_event_type": """
+            WITH kv AS (
+              SELECT event_type, unnest(json_keys(props::JSON)) AS key, props::JSON AS j
+              FROM events WHERE props IS NOT NULL AND event_type IS NOT NULL
+            )
+            SELECT event_type, key,
+              CASE json_type(j, '$.' || key)
+                WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+                WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+                WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+                WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
+              count(*) AS n
+            FROM kv GROUP BY 1, 2, 3
         """,
         # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents,
         # pk_candidates_documents, split_discover_documents,
