@@ -24,6 +24,14 @@ def get_spark(
     On a real cluster pass ``master=None`` with the env already configured by
     spark-submit; the builder then inherits the cluster master.
     """
+    # make sure executor python workers can import this package regardless
+    # of the driver's cwd (local mode workers inherit PYTHONPATH from the
+    # JVM environment, which inherits ours if set before getOrCreate)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
