@@ -170,10 +170,12 @@ def validate(
             "content_sha256", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
         )
         extra = [F.col("content_sha256")]
-    return base.select(*[F.col(k) for k in keys], *extra, F.explode("_violations").alias("v")).select(
+    return base.select(
+        *[F.col(k) for k in keys], *extra, F.explode("_violations").alias("__violation")
+    ).select(
         *keys,
-        F.col("v.rule").alias("rule"),
-        F.col("v.level").alias("level"),
+        F.col("__violation.rule").alias("rule"),
+        F.col("__violation.level").alias("level"),
         *extra,
     )
 
@@ -198,6 +200,47 @@ def partition_verdicts(
         F.array(*[F.col(f"pass__{_safe(c.name)}") for c in constraints]), lambda x: x
     ) if constraints else F.lit(True)
     return df.groupBy(*partition_cols).agg(*aggs).withColumn("pass_all", pass_all)
+
+
+def grouped_constraints_from_profile(
+    result: ProfileResult,
+    params: EngineParams = DEFAULT_PARAMS,
+    widen: bool = True,
+    max_groups: int = 64,
+) -> list[Constraint]:
+    """Per-group learned constraints: each group's profile validates ONLY its
+    own rows (rows outside every profiled group pass vacuously). This is the
+    per-lang sub-profile story of SURVEY.md §2.9 — stricter than a global
+    profile: a value legal globally but alien to its group is flagged.
+
+    Compiles to a single fused predicate per (group, rule) via
+    ``when(group-match, rule).otherwise(True)`` — still one validation scan.
+    Group count is capped (expression size grows linearly with groups)."""
+    group_cols = list(result.group_by)
+    if not group_cols:
+        return constraints_from_profile(result, (), params, widen)
+    groups = sorted(result.states, key=str)
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"{len(groups)} groups exceeds max_groups={max_groups}; "
+            "use per-group validate() calls or raise the cap"
+        )
+    out: list[Constraint] = []
+    for g in groups:
+        match = None
+        for c, v in zip(group_cols, g):
+            cond = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            match = cond if match is None else (match & cond)
+        label = ",".join("null" if v is None else str(v) for v in g)
+        for c in constraints_from_profile(result, g, params, widen):
+            out.append(
+                Constraint(
+                    f"[{label}].{c.name}",
+                    F.when(match, c.ok).otherwise(F.lit(True)),
+                    c.level,
+                )
+            )
+    return out
 
 
 def violation_samples(

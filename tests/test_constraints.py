@@ -131,3 +131,25 @@ def test_violation_samples_and_metrics(spark, fixture):
     m = violation_metrics(viol, "runX").collect()
     got = {r["metric"]: r["value"] for r in m}
     assert got.get("violations.content.required", 0) == len(_keys_for(exp, "null-required"))
+
+
+def test_grouped_constraints_catch_cross_group_outliers(spark):
+    """Per-group learned bounds flag a value that is legal globally but
+    alien to its group (global bounds cannot)."""
+    from jsonoid_discovery_spark.operators.constraints import grouped_constraints_from_profile
+
+    rows = [("a", i) for i in range(10, 20)] + [("b", i) for i in range(1000, 1020)]
+    train = spark.createDataFrame(rows, "grp string, v long")
+    prof = profile(train, columns=["v"], group_by=["grp"], with_bloom=False)
+
+    # value 1010 is fine globally and for group b — but alien to group a
+    test = spark.createDataFrame([("a", 15), ("a", 1010), ("b", 1010)], "grp string, v long")
+    g_cons = grouped_constraints_from_profile(prof)
+    viol = validate(test, g_cons, key_cols=["grp", "v"]).collect()
+    flagged = {(r["grp"], r["v"]) for r in viol}
+    assert ("a", 1010) in flagged and ("a", 15) not in flagged and ("b", 1010) not in flagged
+
+    # the global profile misses it
+    gprof = profile(train, columns=["v"], with_bloom=False)
+    gviol = validate(test, constraints_from_profile(gprof), key_cols=["grp", "v"]).collect()
+    assert ("a", 1010) not in {(r["grp"], r["v"]) for r in gviol}
