@@ -163,3 +163,83 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_rows: int = 10000,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF coarse quantizer: deterministic k-means on a bounded sample
+    (hash-ordered, so the sample is stable across runs/partitionings).
+    The centroids become plan literals — no model object to ship."""
+    import numpy as np
+
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent.tolist()
+
+
+def ivf_cell_assignment(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Nearest-centroid cell id (argmax cosine against normalized centroid
+    literals) as an int column — the IVF partition key."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = _norm(vd)
+    pairs = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        pairs.append(F.struct((_dot(vd, lit) / nrm).alias("sim"), F.lit(i).alias("cell")))
+    return F.array_max(F.array(*pairs))["cell"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors assigned to the ``n_probe`` cells
+    nearest the query. At 100 TB the cell id is a table partition column
+    (written once at ingest), so probing = partition pruning — the scan
+    itself skips (n_cells - n_probe)/n_cells of the data."""
+    import numpy as np
+
+    cents = centroids or train_ivf_centroids(df, vec_col, n_cells, seed=seed)
+    c = np.array(cents)
+    q = np.array(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = np.argsort(-(c @ q))[:n_probe].tolist()
+    cell = ivf_cell_assignment(vec_col, cents)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = df.withColumn("_cell", cell).where(F.col("_cell").isin([int(x) for x in probe_cells]))
+    return (
+        cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), qlit).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

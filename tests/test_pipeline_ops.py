@@ -217,3 +217,22 @@ class TestFrameSampling:
         assert {(r["media_id"], r["frame_idx"], tuple(r["feature"])) for r in rows2} == {
             (r["media_id"], r["frame_idx"], tuple(r["feature"])) for r in rows
         }
+
+
+class TestIvf:
+    def test_ivf_recall_and_determinism(self, spark, embeddings):
+        from jsonoid_discovery_spark.operators.ann import brute_force_topk, ivf_topk, train_ivf_centroids
+
+        q = embeddings.where("vec_id = 3").select("embedding").first()[0]
+        qv = [float(x) for x in q]
+        exact = [r["vec_id"] for r in brute_force_topk(embeddings, "embedding", "vec_id", qv, k=5).collect()]
+        cents = train_ivf_centroids(embeddings, "embedding", n_cells=8)
+        approx = [
+            r["vec_id"]
+            for r in ivf_topk(embeddings, "embedding", "vec_id", qv, k=5, n_probe=4, centroids=cents).collect()
+        ]
+        assert approx[0] == 3  # query's own cell is always probed
+        assert len(set(exact) & set(approx)) >= 2
+        # centroids deterministic across invocations
+        cents2 = train_ivf_centroids(embeddings, "embedding", n_cells=8)
+        assert cents == cents2
