@@ -70,6 +70,7 @@ class EngineParams:
     example_max_len: int = 100
     format_threshold: float = 1.0
     format_min_examples: int = 10
+    extended_formats: bool = False  # bibcode/doi/isbn/plus-code/geo-uri checkers
     pattern_min_examples: int = 10
     dependencies_max_keys: int = 50
     # EnumTransformer rules (transformers/EnumTransformer.scala:10-11)

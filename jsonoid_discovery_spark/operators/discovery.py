@@ -122,7 +122,7 @@ class SchemaNode:
             self.min_len = n if self.min_len is None else min(self.min_len, n)
             self.max_len = n if self.max_len is None else max(self.max_len, n)
             self._observe_scalar(v)
-            fmt = _detect_format(v)
+            fmt = _detect_format(v, self.params)
             self.formats[fmt] = self.formats.get(fmt, 0) + 1
         elif t in ("integer", "number"):
             x = float(v)
@@ -510,12 +510,12 @@ def _numfmt(x: float, t: str):
     return int(x) if t == "integer" and float(x).is_integer() else x
 
 
-def _detect_format(s: str) -> str:
+def _detect_format(s: str, params: EngineParams = DEFAULT_PARAMS) -> str:
     if len(s) > 128:
         return "none"
-    from jsonoid_discovery_spark.operators.profile import FORMAT_PATTERNS
+    from jsonoid_discovery_spark.operators.profile import format_patterns
 
-    for name, pat in FORMAT_PATTERNS:
+    for name, pat in format_patterns(params):
         if pat.match(s):
             return name
     return "none"

@@ -58,6 +58,25 @@ FORMAT_PATTERNS: list[tuple[str, re.Pattern]] = [
     ("uri", re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://\S+$")),
 ]
 
+# opt-in extended checkers (reference StringSchema.scala:532-558:
+# bibcode, doi, isbn, plus-code, geo-uri), enabled via
+# EngineParams.extended_formats
+EXTENDED_FORMAT_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("geo-uri", re.compile(r"^geo:-?\d{1,2}(\.\d+)?,-?\d{1,3}(\.\d+)?(,-?\d+(\.\d+)?)?$")),
+    ("doi", re.compile(r"^10\.\d{4,9}/[-._;()/:a-zA-Z0-9]+$")),
+    ("isbn", re.compile(r"^(97[89][- ]?)?\d{1,5}[- ]?\d{1,7}[- ]?\d{1,6}[- ]?[\dXx]$")),
+    ("bibcode", re.compile(r"^\d{4}[A-Za-z.&]{5}[\w.]{4}[AELPQ-Z.][\d.]{4}[A-Z]$")),
+    ("plus-code", re.compile(r"^[23456789CFGHJMPQRVWX]{4,8}\+[23456789CFGHJMPQRVWX]{2,3}$")),
+]
+
+
+def format_patterns(params: EngineParams) -> list[tuple[str, re.Pattern]]:
+    """Checker list in priority order; extended set appended when opted in
+    (the reference's extended-formats switch)."""
+    if getattr(params, "extended_formats", False):
+        return FORMAT_PATTERNS + EXTENDED_FORMAT_PATTERNS
+    return FORMAT_PATTERNS
+
 _KIND_BY_SPARK_TYPE = {
     "string": "string",
     "tinyint": "int",
@@ -198,7 +217,7 @@ class ColumnState:
         # counted as 'none' without touching a regex (big win on `content`).
         short = s[lens <= 128]
         matched = np.zeros(len(short), dtype=bool)
-        for name, pat in FORMAT_PATTERNS:
+        for name, pat in format_patterns(self.params):
             if matched.all():
                 break
             m = short.str.match(pat).to_numpy(dtype=bool) & ~matched

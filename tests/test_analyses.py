@@ -296,3 +296,20 @@ class TestDeclaredDependentsAndWalker:
         t.observe({"w": ["x", 1]})
         tpaths = [p for p, _ in t.walk()]
         assert "$.w[0]" in tpaths and "$.w[1]" in tpaths
+
+
+class TestExtendedFormats:
+    def test_extended_formats_opt_in(self):
+        from jsonoid_discovery_spark.config import EngineParams
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        params = EngineParams(extended_formats=True)
+        n = SchemaNode(params)
+        for _ in range(12):
+            n.observe("10.1000/xyz123")
+        assert n.to_json_schema().get("format") == "doi"
+        # default params: doi not detected
+        m = SchemaNode()
+        for _ in range(12):
+            m.observe("10.1000/xyz123")
+        assert m.to_json_schema().get("format") is None
