@@ -278,13 +278,14 @@ def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
 def _drift_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Chi-square + KS drift between the even/odd doc_id halves (a no-drift
     control on real data; rows-only check — the statistic math is covered by
-    pytest against shifted/control generators)."""
-    from jsonoid_discovery_spark.operators.drift import drift_report
+    pytest against shifted/control generators). ONE grouped-profile scan:
+    the parity segment is a derived column, not two filtered rescans."""
+    from jsonoid_discovery_spark.operators.drift import drift_report_by
 
-    d = _t(spark, sf, "documents")
-    base = d.where("doc_id % 2 = 0")
-    cur = d.where("doc_id % 2 = 1")
-    reports = drift_report(base, cur, "lang", "n_chars")
+    d = _t(spark, sf, "documents").withColumn(
+        "__seg", (F.col("doc_id") % 2).cast("int")
+    )
+    reports = drift_report_by(d, "__seg", "lang", "n_chars")
     return spark.createDataFrame(
         [(r.check, float(r.statistic), bool(r.drifted)) for r in reports],
         "check string, statistic double, drifted boolean",
@@ -389,15 +390,16 @@ def _json_field_stats_events(spark: SparkSession, sf: str) -> DataFrame:
 
 def _json_discovery_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped JSON discovery: per event_type, per key, type counts — the
-    grouped form of the ObjectTypes analog (one scan per group set)."""
-    from jsonoid_discovery_spark.operators.discovery import discover
+    grouped ObjectTypes analog in ONE mapInArrow scan (discover_by folds one
+    SchemaNode per group per batch; no per-group rescans, no driver loop
+    over collect()ed group values)."""
+    from jsonoid_discovery_spark.operators.discovery import discover_by
 
-    ev = _t(spark, sf, "events")
-    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    ev = _t(spark, sf, "events").where(F.col("event_type").isNotNull())
+    groups = discover_by(ev, "props", "event_type")
     rows = []
-    for et in sorted(t for t in types if t is not None):
-        res = discover(ev.where(F.col("event_type") == et), "props")
-        for key, node in res.schema.fields.items():
+    for et in sorted(k for k in groups if k is not None):
+        for key, node in groups[et].schema.fields.items():
             for jtype, n in node.type_counts.items():
                 rows.append((et, key, jtype, n))
     return spark.createDataFrame(rows, "event_type string, key string, jtype string, n long")

@@ -76,6 +76,9 @@ class EngineParams:
     # EnumTransformer rules (transformers/EnumTransformer.scala:10-11)
     enum_ratio: int = 10  # examples > 10x distinct -> enum
     enum_max_values: int = 50
+    # exact per-category counts kept in string profiles (feeds chi-square
+    # drift in one scan); overflow latches above the cap
+    category_max_values: int = 256
     # drift thresholds (our chi-square / KS checks; driver-side scipy-free)
     drift_chi2_pvalue: float = 0.01
     drift_ks_stat: float = 0.1

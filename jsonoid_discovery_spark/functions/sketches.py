@@ -219,6 +219,17 @@ class LogHistogram:
             for u, c in zip(uniq.tolist(), cnt.tolist()):
                 store[u] = store.get(u, 0) + int(c)
 
+    def update_one(self, v: float) -> None:
+        """Scalar fold (the per-document path of the discovery engine, where
+        values arrive one at a time inside a recursive walk)."""
+        self.total += 1
+        if v == 0:
+            self.zero_count += 1
+            return
+        b = int(math.ceil(math.log(abs(v)) / math.log(self.gamma)))
+        store = self.bins if v > 0 else self.neg_bins
+        store[b] = store.get(b, 0) + 1
+
     def merge(self, other: "LogHistogram") -> "LogHistogram":
         out = LogHistogram(self.gamma, dict(self.bins), dict(self.neg_bins), self.zero_count, self.total)
         for k, c in other.bins.items():

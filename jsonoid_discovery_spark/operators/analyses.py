@@ -241,9 +241,17 @@ def schema_from_json(
         ])
         return schema_from_json(merged, params, root, _depth + 1)
     if "anyOf" in doc or "oneOf" in doc:
-        for alt in doc.get("anyOf", doc.get("oneOf", [])):
-            sub = schema_from_json(alt, params, root, _depth + 1)
-            node = node.merge(sub)
+        # ProductSchema: keep alternatives DISTINCT (not union-merged) so
+        # validation can enforce exactly-one (oneOf, multi-match Fatal) /
+        # at-least-one (anyOf) — schemas/ProductSchema.scala:407-488
+        key = "oneOf" if "oneOf" in doc else "anyOf"
+        node.alternatives = [schema_from_json(alt, params, root, _depth + 1) for alt in doc[key]]
+        node.one_of = key == "oneOf"
+        # union of alternative types kept for type-level introspection
+        for sub in node.alternatives:
+            for typ, c in sub.type_counts.items():
+                node.type_counts[typ] = node.type_counts.get(typ, 0) + c
+        node.count = 1
         return node
     node.count = 1
     if "object" in types:
@@ -271,6 +279,13 @@ def schema_from_json(
     if "string" in types:
         node.min_len = doc.get("minLength")
         node.max_len = doc.get("maxLength")
+        # StaticPatternProperty / declared format (StringSchema.scala:846-906):
+        # enforced by SchemaNode.collect_anomalies (pattern -> Fatal on regex
+        # search miss; known format -> Warning on mismatch)
+        if isinstance(doc.get("pattern"), str) and doc["pattern"]:
+            node.declared_pattern = doc["pattern"]
+        if isinstance(doc.get("format"), str) and doc["format"]:
+            node.declared_format = doc["format"]
     if "integer" in types or "number" in types:
         node.min_v = doc.get("minimum")
         node.max_v = doc.get("maximum")

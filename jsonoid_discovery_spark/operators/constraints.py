@@ -93,10 +93,15 @@ def constraints_from_profile(
                 )
             fmt = st.detected_format()
             if fmt is not None:
-                from jsonoid_discovery_spark.operators.profile import FORMAT_PATTERNS
+                # look up core + extended checkers with the PROFILE's own
+                # params (a profile built with extended_formats=True can
+                # detect doi/isbn/geo-uri/...); unknown names skip the
+                # constraint instead of crashing compilation
+                from jsonoid_discovery_spark.operators.profile import format_patterns
 
-                rx = dict((n, p.pattern) for n, p in FORMAT_PATTERNS)[fmt]
-                out.append(Constraint(f"{name}.format[{fmt}]", col.isNull() | col.rlike(rx), AnomalyLevel.WARNING))
+                rx = dict((n, p.pattern) for n, p in format_patterns(st.params)).get(fmt)
+                if rx is not None:
+                    out.append(Constraint(f"{name}.format[{fmt}]", col.isNull() | col.rlike(rx), AnomalyLevel.WARNING))
         elif st.kind in ("int", "float") and st.count:
             lo, hi = st.min_v, st.max_v
             if widen:
@@ -309,15 +314,27 @@ def referential_summary(
     broadcast_parent: bool = True,
 ) -> DataFrame:
     """Orphan accounting for child->parent RI (ForeignKeyFinder analog, made
-    exact). Distinct child keys first (shrinks the join input), then a
-    left_anti join — broadcast when the parent key set is dimension-sized."""
-    orphans = referential_orphans(child, child_keys, parent, parent_keys, broadcast_parent)
-    total = child.select(*[F.col(k) for k in child_keys]).na.drop().distinct().count()
-    n_orphans = orphans.count()
-    spark = child.sparkSession
-    return spark.createDataFrame(
-        [(total, n_orphans, n_orphans == 0)],
-        "distinct_child_keys long, orphan_keys long, is_valid boolean",
+    exact). ONE job: distinct child keys (shrinks the join input) left-join
+    the broadcast parent key set, then a single aggregate counts keys and
+    misses together — no separate actions, no driver assembly."""
+    from functools import reduce
+
+    p = parent.select(*[F.col(k).alias(f"__p_{i}") for i, k in enumerate(parent_keys)]).distinct()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    c = child.select(*[F.col(k) for k in child_keys]).na.drop().distinct()
+    cond = reduce(lambda a, b: a & b, [c[k] == p[f"__p_{i}"] for i, k in enumerate(child_keys)])
+    return (
+        c.join(p, cond, "left")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_child_keys"),
+            F.coalesce(F.sum(F.col("__p_0").isNull().cast("long")), F.lit(0)).alias("orphan_keys"),
+        )
+        .select(
+            "distinct_child_keys",
+            "orphan_keys",
+            (F.col("orphan_keys") == 0).alias("is_valid"),
+        )
     )
 
 

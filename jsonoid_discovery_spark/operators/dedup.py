@@ -139,7 +139,7 @@ def minhash_signatures(
     return agg.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
+def _lsh_banded(
     df: DataFrame,
     col: str,
     id_col: str,
@@ -147,17 +147,11 @@ def lsh_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs: signature -> band hashes
-    -> explode -> self-join per (band, bucket). Returns (id_a, id_b) with
-    id_a < id_b, distinct.
-
-    Scale notes: the only shuffle is on (band, bucket); identical documents
-    land in the same bucket in every band. Giant buckets (degenerate content)
-    are capped upstream by exact-dedup first.
-    """
+    """DataFrame[id, band, bucket] — MinHash signature sliced into band
+    hashes and exploded (the shared front half of LSH pair generation)."""
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(df, col, id_col, num_hashes, shingle_k)
-    banded = with_sig.select(
+    return with_sig.select(
         "id",
         F.explode(
             F.array(
@@ -173,12 +167,63 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs: signature -> band hashes
+    -> explode -> self-join per (band, bucket). Returns (id_a, id_b) with
+    id_a < id_b, distinct.
+
+    Scale notes: the only extra shuffle is on (band, bucket) — the same
+    partitioning the self-join needs, so the window count below is free at
+    the shuffle level. Degenerate buckets (boilerplate/identical content)
+    would self-join O(n^2); buckets larger than ``max_bucket_size`` are
+    DROPPED before the join (the DependenciesProperty.overloaded precedent,
+    ObjectSchema.scala:820). No silent cap: ``lsh_bucket_report`` returns the
+    dropped (band, bucket, size) rows for logging, and run exact-dedup first
+    so identical documents never reach LSH."""
+    banded = _lsh_banded(df, col, id_col, num_hashes, bands, shingle_k)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_report(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """DataFrame[band, bucket, size] of the buckets ``lsh_candidate_pairs``
+    would DROP at this cap — the explicit log of the cap event (run it when
+    pair counts look suspiciously low, or as a pipeline health metric)."""
+    return (
+        _lsh_banded(df, col, id_col, num_hashes, bands, shingle_k)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_bucket_size)
     )
 
 

@@ -23,9 +23,11 @@ discovery/DiscoverSchema.scala:166-168).
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import pickle
+import re
 from dataclasses import dataclass, field
 from collections.abc import Iterator
 
@@ -36,8 +38,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jsonoid_discovery_spark.config import DEFAULT_PARAMS, AnomalyLevel, EngineParams
+from jsonoid_discovery_spark.functions.sketches import LogHistogram
 
 JSON_TYPES = ("object", "array", "string", "integer", "number", "boolean", "null")
+
+
+@functools.lru_cache(maxsize=256)
+def _compile_cached(pattern: str) -> re.Pattern:
+    return re.compile(pattern)
 
 
 def _json_type(v: object) -> str:
@@ -107,6 +115,20 @@ class SchemaNode:
     # declared dependentRequired (StaticDependenciesProperty analog,
     # schemas/ObjectSchema.scala:1037-1114); only set by schema_from_json
     declared_dependents: dict = field(default_factory=dict)  # {key: [required-with]}
+    # ProductSchema alternatives from a parsed anyOf/oneOf — kept as distinct
+    # sub-schemas so validation can enforce at-least-one / exactly-one
+    # (schemas/ProductSchema.scala:407-488); only set by schema_from_json
+    alternatives: list = field(default_factory=list)  # [SchemaNode]
+    one_of: bool = False  # True -> oneOf (exactly-one), False -> anyOf
+    # declared string constraints from a parsed schema: pattern -> Fatal on
+    # regex search miss (StaticPatternProperty, schemas/StringSchema.scala:846-906),
+    # format -> Warning on known-format regex miss (engine extension; the
+    # reference's FormatProperty is discovery-only)
+    declared_pattern: str | None = None
+    declared_format: str | None = None
+    # array-length histogram (ArrayLengthHistogramProperty analog,
+    # schemas/ArraySchema.scala:849-899); lazily created on first array
+    items_hist: "LogHistogram | None" = None
 
     # ------------------------------------------------------------------ fold
     def observe(self, v: object) -> None:
@@ -172,6 +194,9 @@ class SchemaNode:
         n = len(arr)
         self.min_items = n if self.min_items is None else min(self.min_items, n)
         self.max_items = n if self.max_items is None else max(self.max_items, n)
+        if self.items_hist is None:
+            self.items_hist = LogHistogram()
+        self.items_hist.update_one(n)
         if n > 1:
             self.unary_arrays = False
         if self.unique_items and n > 1:
@@ -234,6 +259,10 @@ class SchemaNode:
                 out.tuple_items = a if a is not None else b
         out.min_items = _mn(self.min_items, o.min_items)
         out.max_items = _mx(self.max_items, o.max_items)
+        if self.items_hist is not None and o.items_hist is not None:
+            out.items_hist = self.items_hist.merge(o.items_hist)
+        else:
+            out.items_hist = self.items_hist or o.items_hist
         out.unique_items = self.unique_items and o.unique_items
         out.unary_arrays = self.unary_arrays and o.unary_arrays
         # strings
@@ -278,6 +307,17 @@ class SchemaNode:
         for src in (self.declared_dependents, o.declared_dependents):
             for k, deps in src.items():
                 out.declared_dependents[k] = sorted(set(out.declared_dependents.get(k, [])) | set(deps))
+        # parsed-product union: alternative lists concatenate (the reference
+        # merges ProductSchemas by unioning alternative lists under the ER,
+        # schemas/ProductSchema.scala:350-384); oneOf survives only if both
+        # sides are oneOf
+        out.alternatives = list(self.alternatives) + list(o.alternatives)
+        out.one_of = self.one_of and o.one_of
+        # declared pattern/format: union semantics — keep only if both sides
+        # agree (StaticPatternProperty is unmergeable in the reference;
+        # agreement is the safe widening)
+        out.declared_pattern = self.declared_pattern if self.declared_pattern == o.declared_pattern else None
+        out.declared_format = self.declared_format if self.declared_format == o.declared_format else None
         return out
 
     # ------------------------------------------------------------- emission
@@ -301,6 +341,9 @@ class SchemaNode:
         """JSON Schema 2020-12 with the reference's extra keys
         (fieldPresence, pctTrue, examples-as-enum via EnumTransformer ratio
         rules, transformers/EnumTransformer.scala:97-116)."""
+        if self.alternatives:
+            key = "oneOf" if self.one_of else "anyOf"
+            return {key: [a.to_json_schema(transformers) for a in self.alternatives]}
         types = sorted(t for t, c in self.type_counts.items() if c > 0)
         if "integer" in types and "number" in types:
             # integer + number merge by promotion, not a type union
@@ -336,15 +379,25 @@ class SchemaNode:
             return d
         if t == "string":
             d = {"type": "string", "minLength": self.min_len, "maxLength": self.max_len}
-            fmt = self._detected_format()
+            fmt = self.declared_format or self._detected_format()
             if fmt:
                 d["format"] = fmt
+            if self.declared_pattern is not None:
+                d["pattern"] = self.declared_pattern
             d.update(self._maybe_enum(transformers, kind="string"))
             return d
         if t == "array":
             d = {"type": "array", "minItems": self.min_items, "maxItems": self.max_items}
             if self.unique_items and not self.unary_arrays:
                 d["uniqueItems"] = True
+            if self.items_hist is not None and self.items_hist.total:
+                # ArrayLengthHistogramProperty emission (ArraySchema.scala:849-899):
+                # signed log-binned (bucket, count) pairs, stable ordering
+                d["lengthHistogram"] = {
+                    "bins": sorted(self.items_hist.bins.items()),
+                    "zeroCount": self.items_hist.zero_count,
+                    "total": self.items_hist.total,
+                }
             if self.tuple_items is not None and not self.tuple_collapsed and len(self.tuple_items) > 1:
                 d["prefixItems"] = [s.to_json_schema() for s in self.tuple_items]
             elif self.items is not None:
@@ -393,6 +446,8 @@ class SchemaNode:
         """(path, rule, level) anomalies of one value against this schema —
         the reference's collectAnomalies walk (schemas/JsonSchema.scala:506-563)."""
         out: list[tuple[str, str, int]] = []
+        if self.alternatives:
+            return self._collect_product_anomalies(v, path)
         t = _json_type(v)
         observed = {x for x, c in self.type_counts.items() if c > 0}
         t_eff = t
@@ -456,6 +511,17 @@ class SchemaNode:
                 out.append((path, "maxLength", int(AnomalyLevel.WARNING)))
             if not self.distinct_overflow and self.distinct_values and v not in self.distinct_values:
                 out.append((path, "enum", int(AnomalyLevel.FATAL)))
+            if self.declared_pattern is not None:
+                # regex SEARCH on the trimmed value, Fatal on miss — the
+                # StaticPatternProperty contract (StringSchema.scala:875-906)
+                if _compile_cached(self.declared_pattern).search(v.strip()) is None:
+                    out.append((path, "pattern", int(AnomalyLevel.FATAL)))
+            if self.declared_format is not None:
+                from jsonoid_discovery_spark.operators.profile import format_patterns
+
+                rx = dict((nm, p) for nm, p in format_patterns(self.params)).get(self.declared_format)
+                if rx is not None and rx.match(v) is None:
+                    out.append((path, f"format[{self.declared_format}]", int(AnomalyLevel.WARNING)))
         elif t in ("integer", "number"):
             x = float(v)
             if self.min_v is not None and (x < self.min_v or (self.exclusive_min and x == self.min_v)):
@@ -463,6 +529,27 @@ class SchemaNode:
             if self.max_v is not None and (x > self.max_v or (self.exclusive_max and x == self.max_v)):
                 out.append((path, "maximum", int(AnomalyLevel.WARNING)))
         return out
+
+    def _collect_product_anomalies(self, v: object, path: str) -> list[tuple[str, str, int]]:
+        """oneOf/anyOf validation (schemas/ProductSchema.scala:407-488):
+        an alternative MATCHES when its worst anomaly is at most Info.
+        anyOf: >=1 match required, else one anomaly at the max level seen.
+        oneOf: exactly one match; zero -> anomaly at the MIN of the per-alt
+        worst levels (closest-match semantics); multiple -> Fatal."""
+        levels: list[int] = []  # worst level per alternative; -1 = clean
+        for alt in self.alternatives:
+            anomalies = alt.collect_anomalies(v, path)
+            levels.append(max((lvl for _, _, lvl in anomalies), default=-1))
+        matches = sum(1 for m in levels if m <= int(AnomalyLevel.INFO))
+        if not self.one_of:
+            if matches >= 1:
+                return []
+            return [(path, "anyOf[noMatch]", max(levels))]
+        if matches == 1:
+            return []
+        if matches == 0:
+            return [(path, "oneOf[noMatch]", min(m for m in levels if m >= 0))]
+        return [(path, "oneOf[multipleMatches]", int(AnomalyLevel.FATAL))]
 
     def walk(self, path: str = "$"):
         """Generic recursive traversal yielding (json-path, node) — the
@@ -600,11 +687,14 @@ def validate_json(
     """Anomalies of every document against a discovered schema:
     DataFrame[id?, path, rule, level]. The schema state is closure-captured
     (broadcast with the task), the walk is per-document like the reference's
-    validation entry point (SURVEY.md §3.3)."""
+    validation entry point (SURVEY.md §3.3). The id column keeps its input
+    type (string keys work; the Arrow type is taken from the batch)."""
     cols = ([id_col] if id_col else []) + [col]
+    id_sql_type = dict(df.dtypes)[id_col] if id_col else "bigint"
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
+            id_type = b.schema.field(id_col).type if id_col else pa.int64()
             ids = b.column(id_col).to_pylist() if id_col else [None] * b.num_rows
             out_id, out_path, out_rule, out_level = [], [], [], []
             for rid, s in zip(ids, b.column(col).to_pylist()):
@@ -625,14 +715,16 @@ def validate_json(
                     out_level.append(level)
             yield pa.RecordBatch.from_pydict(
                 {
-                    "id": pa.array(out_id, pa.int64()),
+                    "id": pa.array(out_id, id_type),
                     "path": pa.array(out_path, pa.string()),
                     "rule": pa.array(out_rule, pa.string()),
                     "level": pa.array(out_level, pa.int32()),
                 }
             )
 
-    return df.select(*cols).mapInArrow(gen, "id long, path string, rule string, level int")
+    return df.select(*cols).mapInArrow(
+        gen, f"id {id_sql_type}, path string, rule string, level int"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -645,6 +737,43 @@ def validate_json(
 # discovery runs per shape in the same single scan, and the chosen relation
 # decides which shape-schemas fuse afterwards (driver-side algebra on the
 # tiny per-shape states).
+
+
+_KEYED_SCHEMA = "key string, state binary"
+
+
+def _merge_keyed_states(partials: DataFrame, merge_fanin: int = 64) -> list:
+    """Salted two-level merge of DataFrame[key, state] partials — one
+    collected row per key. Level 1 bounds the fan-in per merge task (the
+    treeAggregate analog shared with profile.partial_states); with few scan
+    partitions a single level suffices. A hot key (one group holding most of
+    the data) spreads over the whole salt space before converging."""
+
+    def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        node, malformed = None, 0
+        for b in pdf["state"]:
+            n, m = pickle.loads(b)
+            malformed += m
+            if n is not None:
+                node = n if node is None else node.merge(n)
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "state": [pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)],
+            }
+        )
+
+    if partials.rdd.getNumPartitions() <= merge_fanin:
+        merged = partials.groupBy("key").applyInPandas(merge_pdf, _KEYED_SCHEMA)
+    else:
+        salted = partials.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("key"), F.rand(seed=7)), F.lit(merge_fanin))
+        )
+        level1 = salted.groupBy("key", "salt").applyInPandas(
+            lambda p: merge_pdf(p.drop(columns=["salt"])), _KEYED_SCHEMA
+        )
+        merged = level1.groupBy("key").applyInPandas(merge_pdf, _KEYED_SCHEMA)
+    return merged.collect()
 
 
 def discover_grouped(
@@ -673,41 +802,86 @@ def discover_grouped(
                 if node is None:
                     node = nodes[shape] = SchemaNode(params)
                 node.observe(v)
-            out_shape, out_state = [], []
+            out_key, out_state = [], []
             for shape, node in nodes.items():
-                out_shape.append(shape)
+                out_key.append(shape)
                 out_state.append(pickle.dumps((node, 0), protocol=pickle.HIGHEST_PROTOCOL))
             for shape, m in malformed.items():
-                out_shape.append(shape)
+                out_key.append(shape)
                 out_state.append(pickle.dumps((None, m), protocol=pickle.HIGHEST_PROTOCOL))
             yield pa.RecordBatch.from_pydict(
-                {"shape": pa.array(out_shape, pa.string()), "state": pa.array(out_state, pa.binary())}
+                {"key": pa.array(out_key, pa.string()), "state": pa.array(out_state, pa.binary())}
             )
 
-    def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-        node, malformed = None, 0
-        for b in pdf["state"]:
-            n, m = pickle.loads(b)
-            malformed += m
-            if n is not None:
-                node = n if node is None else node.merge(n)
-        return pd.DataFrame(
-            {
-                "shape": [pdf["shape"].iloc[0]],
-                "state": [pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)],
-            }
-        )
-
-    partials = df.select(F.col(col)).mapInArrow(gen, "shape string, state binary")
-    merged = partials.groupBy("shape").applyInPandas(merge_pdf, "shape string, state binary")
+    partials = df.select(F.col(col)).mapInArrow(gen, _KEYED_SCHEMA)
     out: dict[tuple[str, ...], DiscoveryResult] = {}
-    for r in merged.collect():
+    for r in _merge_keyed_states(partials, merge_fanin):
         node, malformed = pickle.loads(r["state"])
         if node is None:
             out[("__malformed__",)] = DiscoveryResult(SchemaNode(params), 0, malformed)
         else:
-            key = tuple(json.loads(r["shape"])) if r["shape"].startswith("[") else (r["shape"],)
+            key = tuple(json.loads(r["key"])) if r["key"].startswith("[") else (r["key"],)
             out[key] = DiscoveryResult(node, node.count, malformed)
+    return out
+
+
+def discover_by(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    params: EngineParams = DEFAULT_PARAMS,
+    merge_fanin: int = 64,
+) -> dict[object, DiscoveryResult]:
+    """Grouped JSON discovery keyed by an ARBITRARY column, in ONE scan —
+    the generalization of ``discover_grouped`` that replaces the
+    collect-distinct-then-rescan-per-group anti-pattern (one full scan per
+    group value becomes one scan total; the reference's grouped
+    ObjectTypesProperty walk, schemas/ObjectSchema.scala:389-534).
+
+    Each Arrow batch folds one SchemaNode per group value; partial states
+    merge through the salted keyed tree; the driver only decodes tiny merged
+    states. Group values are JSON-encoded on the wire for null safety."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            nodes: dict[str, SchemaNode] = {}
+            malformed: dict[str, int] = {}
+            for g, s in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                key = json.dumps(g)
+                if s is None:
+                    malformed[key] = malformed.get(key, 0) + 1
+                    continue
+                try:
+                    v = json.loads(s)
+                except (ValueError, TypeError):
+                    malformed[key] = malformed.get(key, 0) + 1
+                    continue
+                node = nodes.get(key)
+                if node is None:
+                    node = nodes[key] = SchemaNode(params)
+                node.observe(v)
+            out_key, out_state = [], []
+            for key, node in nodes.items():
+                out_key.append(key)
+                out_state.append(
+                    pickle.dumps((node, malformed.pop(key, 0)), protocol=pickle.HIGHEST_PROTOCOL)
+                )
+            for key, m in malformed.items():
+                out_key.append(key)
+                out_state.append(pickle.dumps((None, m), protocol=pickle.HIGHEST_PROTOCOL))
+            yield pa.RecordBatch.from_pydict(
+                {"key": pa.array(out_key, pa.string()), "state": pa.array(out_state, pa.binary())}
+            )
+
+    partials = df.select(F.col(group_col), F.col(col)).mapInArrow(gen, _KEYED_SCHEMA)
+    out: dict[object, DiscoveryResult] = {}
+    for r in _merge_keyed_states(partials, merge_fanin):
+        node, malformed = pickle.loads(r["state"])
+        gval = json.loads(r["key"])
+        if node is None:
+            out[gval] = DiscoveryResult(SchemaNode(params), 0, malformed)
+        else:
+            out[gval] = DiscoveryResult(node, node.count, malformed)
     return out
 
 

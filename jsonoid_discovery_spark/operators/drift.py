@@ -117,6 +117,55 @@ def ks_drift(
     )
 
 
+def _counts_from_state(st) -> dict[str, int]:
+    out = {str(k): v for k, v in st.cat_counts.items()}
+    if st.nulls:
+        out["<null>"] = st.nulls
+    return out
+
+
+def drift_report_by(
+    df: DataFrame,
+    segment_col: str,
+    categorical_col: str,
+    numeric_len_col: str,
+    params: EngineParams = DEFAULT_PARAMS,
+) -> list[DriftReport]:
+    """Drift between the two segments of ONE table in ONE scan: a grouped
+    profile over ``segment_col`` (values 0 = baseline, 1 = current) yields
+    per-segment exact category counts AND the numeric log-binned histogram
+    in a single distributed pass; the statistics run driver-side on the tiny
+    aggregated states. Falls back to explicit per-side category aggregations
+    only if the categorical cardinality overflowed the profile's cap."""
+    from jsonoid_discovery_spark.operators.profile import profile
+
+    prof = profile(
+        df,
+        columns=[categorical_col, numeric_len_col],
+        group_by=[segment_col],
+        with_bloom=False,
+        params=params,
+    )
+    sb = prof.states.get((0,), {})
+    sc = prof.states.get((1,), {})
+    cat_b, cat_c = sb.get(categorical_col), sc.get(categorical_col)
+    if cat_b is None or cat_c is None:
+        counts_b = _counts_from_state(cat_b) if cat_b else {}
+        counts_c = _counts_from_state(cat_c) if cat_c else {}
+    elif cat_b.cat_overflow or cat_c.cat_overflow:
+        counts_b = category_counts(df.where(F.col(segment_col) == 0), categorical_col)
+        counts_c = category_counts(df.where(F.col(segment_col) == 1), categorical_col)
+    else:
+        counts_b, counts_c = _counts_from_state(cat_b), _counts_from_state(cat_c)
+    reports = [chi_square_drift(counts_b, counts_c, params)]
+    hb = sb[numeric_len_col].hist if numeric_len_col in sb else None
+    hc = sc[numeric_len_col].hist if numeric_len_col in sc else None
+    from jsonoid_discovery_spark.functions.sketches import LogHistogram as _LH
+
+    reports.append(ks_drift(hb or _LH(), hc or _LH(), params))
+    return reports
+
+
 def drift_report(
     baseline_df: DataFrame,
     current_df: DataFrame,
@@ -125,18 +174,14 @@ def drift_report(
     params: EngineParams = DEFAULT_PARAMS,
 ) -> list[DriftReport]:
     """End-to-end drift check of two snapshots: chi-square on the categorical
-    column, KS on the numeric column's log-binned histogram. Two aggregations
-    per side, all heavy work distributed."""
-    from jsonoid_discovery_spark.operators.profile import profile
-
-    reports = [
-        chi_square_drift(
-            category_counts(baseline_df, categorical_col),
-            category_counts(current_df, categorical_col),
-            params,
+    column, KS on the numeric column's log-binned histogram. ONE grouped
+    profile job over the union (each side scanned once) — when both sides
+    are filters of the same table, prefer ``drift_report_by`` with a segment
+    expression, which is strictly one scan."""
+    both = (
+        baseline_df.select(categorical_col, numeric_len_col).withColumn("__seg", F.lit(0))
+        .unionByName(
+            current_df.select(categorical_col, numeric_len_col).withColumn("__seg", F.lit(1))
         )
-    ]
-    hb = profile(baseline_df, columns=[numeric_len_col], with_bloom=False).state(numeric_len_col).hist
-    hc = profile(current_df, columns=[numeric_len_col], with_bloom=False).state(numeric_len_col).hist
-    reports.append(ks_drift(hb, hc, params))
-    return reports
+    )
+    return drift_report_by(both, "__seg", categorical_col, numeric_len_col, params)

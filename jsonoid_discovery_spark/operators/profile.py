@@ -131,6 +131,17 @@ class ColumnState:
     max_rs: str | None = None
     formats: dict[str, int] = field(default_factory=dict)
     all_numeric_strings: bool = True  # StringNumericProperty latch (:974-1047)
+    # StringNumericProperty full form: while the latch holds, a nested
+    # numeric profile over the PARSED values (min/max/multipleOf — the
+    # reference keeps a whole NumberSchema, StringSchema.scala:974-1047)
+    num_min: float | None = None
+    num_max: float | None = None
+    num_gcd: int | None = None
+    num_all_integral: bool = True
+    # exact per-category counts, capped (EnumValues-with-counts; feeds the
+    # one-scan chi-square drift check); overflow latches above the cap
+    cat_counts: dict = field(default_factory=dict)
+    cat_overflow: bool = False
     # bool (BooleanPercent/Constant, schemas/BooleanSchema.scala:96-204)
     true_count: int = 0
     # array (schemas/ArraySchema.scala)
@@ -235,7 +246,37 @@ class ColumnState:
             if head.isna().any():
                 self.all_numeric_strings = False
             else:
-                self.all_numeric_strings = bool(pd.to_numeric(s, errors="coerce").notna().all())
+                full = pd.to_numeric(s, errors="coerce")
+                if not full.notna().all():
+                    self.all_numeric_strings = False
+                else:
+                    # full form: nested numeric bounds + gcd over the parsed
+                    # values (batch-vectorized; StringSchema.scala:974-1047)
+                    v = full.to_numpy(dtype=np.float64)
+                    mn, mx = float(v.min()), float(v.max())
+                    self.num_min = mn if self.num_min is None else min(self.num_min, mn)
+                    self.num_max = mx if self.num_max is None else max(self.num_max, mx)
+                    if self.num_all_integral:
+                        self.num_all_integral = bool(
+                            np.all(np.floor(v) == v) and np.all(np.abs(v) < 2**62)
+                        )
+                    if self.num_all_integral:
+                        g = int(np.gcd.reduce(np.abs(v.astype(np.int64))))
+                        self.num_gcd = g if self.num_gcd is None else math.gcd(self.num_gcd, g)
+                    else:
+                        self.num_gcd = None
+        if not self.cat_overflow and self.metric_set == "all":
+            # categorical columns are short strings; one long value latches
+            # overflow immediately so document-text columns never bloat state
+            if int(lens.max()) > 128:
+                self.cat_overflow = True
+                self.cat_counts = {}
+            else:
+                for val, c in s.value_counts().items():
+                    self.cat_counts[val] = self.cat_counts.get(val, 0) + int(c)
+                if len(self.cat_counts) > self.params.category_max_values:
+                    self.cat_overflow = True
+                    self.cat_counts = {}
 
     def _update_numeric(self, s: pd.Series) -> None:
         if self.metric_set == "min":
@@ -309,6 +350,24 @@ class ColumnState:
         for k, c in o.formats.items():
             out.formats[k] = out.formats.get(k, 0) + c
         out.all_numeric_strings = self.all_numeric_strings and o.all_numeric_strings
+        if out.all_numeric_strings:
+            out.num_min, out.num_max = _imin(self.num_min, o.num_min), _imax(self.num_max, o.num_max)
+            out.num_all_integral = self.num_all_integral and o.num_all_integral
+            if out.num_all_integral:
+                if self.num_gcd is None:
+                    out.num_gcd = o.num_gcd
+                elif o.num_gcd is None:
+                    out.num_gcd = self.num_gcd
+                else:
+                    out.num_gcd = math.gcd(self.num_gcd, o.num_gcd)
+        out.cat_overflow = self.cat_overflow or o.cat_overflow
+        if not out.cat_overflow:
+            out.cat_counts = dict(self.cat_counts)
+            for k, c in o.cat_counts.items():
+                out.cat_counts[k] = out.cat_counts.get(k, 0) + c
+            if len(out.cat_counts) > self.params.category_max_values:
+                out.cat_overflow = True
+                out.cat_counts = {}
         out.true_count = self.true_count + o.true_count
         out.min_items, out.max_items = _mn(self.min_items, o.min_items), _mx(self.max_items, o.max_items)
         out.all_unique = self.all_unique and o.all_unique
@@ -447,6 +506,18 @@ class ColumnState:
                 lengthHistogramBounds=self.hist.bounds(),
                 allNumericStrings=self.all_numeric_strings if self.count else None,
             )
+            if self.count and self.all_numeric_strings and self.num_min is not None:
+                # StringNumericProperty full form: the nested numeric schema
+                # over parsed values (StringSchema.scala:974-1047)
+                d["numericSchema"] = {
+                    "minimum": _jsonable(self.num_min),
+                    "maximum": _jsonable(self.num_max),
+                    "multipleOf": self.num_gcd if (self.num_gcd or 0) > 1 else None,
+                }
+            if not self.cat_overflow and self.cat_counts:
+                d["categoryCounts"] = {
+                    str(k): v for k, v in sorted(self.cat_counts.items(), key=lambda kv: str(kv[0]))
+                }
         if self.kind == "bool":
             d.update(pctTrue=self.pct_true())
         if self.kind == "array":

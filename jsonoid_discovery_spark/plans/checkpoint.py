@@ -61,15 +61,22 @@ class CheckpointedProfileRun:
 
     # -- lineage -------------------------------------------------------------
     def finished_units(self) -> set[str]:
+        """Enumerate finished units THROUGH the Spark reader (works on
+        HDFS/S3 checkpoint dirs where driver-local os.path/glob see nothing;
+        the spark-submit deployment story of scripts/run_validation_job.py).
+        A missing lineage table (first run) is an empty set."""
         path = os.path.join(self.dir, "lineage")
-        if not os.path.exists(path):
-            return set()
-        rows = (
-            self.spark.read.parquet(path)
-            .where((F.col("run_id") == self.run_id) & (F.col("status") == "done"))
-            .select("unit")
-            .collect()
-        )
+        try:
+            rows = (
+                self.spark.read.parquet(path)
+                .where((F.col("run_id") == self.run_id) & (F.col("status") == "done"))
+                .select("unit")
+                .collect()
+            )
+        except Exception as e:  # AnalysisException: PATH_NOT_FOUND on first run
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return set()
+            raise
         return {r["unit"] for r in rows}
 
     def _append(self, sub: str, rows: list[tuple], schema: str) -> None:
@@ -116,12 +123,12 @@ class CheckpointedProfileRun:
         return self.result()
 
     def result(self) -> ProfileResult:
-        """Merge all persisted unit states (a Spark job over tiny state rows:
-        groupBy(g, column) + pandas merge — the unionMerge fold)."""
-        import glob as _glob
-
+        """Merge all persisted unit states. Units are enumerated from the
+        LINEAGE TABLE (via the Spark reader), not driver-local glob — the
+        checkpoint dir may live on HDFS/S3 where local glob returns nothing
+        and resume would silently reprocess everything."""
         base = os.path.join(self.dir, "state", f"run_id={self.run_id}")
-        unit_dirs = sorted(_glob.glob(os.path.join(base, "unit=*")))
+        unit_dirs = [os.path.join(base, f"unit={u}") for u in sorted(self.finished_units())]
         states: dict[tuple, dict] = {}
         for d in unit_dirs:
             for row in self.spark.read.parquet(d).collect():

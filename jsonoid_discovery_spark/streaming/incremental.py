@@ -47,15 +47,21 @@ class StreamingProfiler:
         return os.path.join(self.state_dir, "batches", f"{batch_id}.done")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch sink: profile the micro-batch, append its partial
-        states; idempotent on batch replay after restart."""
+        """foreachBatch sink: profile the micro-batch and OVERWRITE its
+        per-batch partial-state directory (``partials/batch_id=N``).
+        Idempotent by construction: a replayed batch after a crash rewrites
+        the same directory instead of appending a second copy, so result()
+        can never double-count a batch. The marker only skips redundant
+        work on replay; correctness doesn't depend on it."""
         marker = self._batch_marker(batch_id)
         if os.path.exists(marker):
             return
         states = partial_states(
             batch_df, self.columns, self.group_by, self.params, self.with_bloom
-        ).withColumn("batch_id", F.lit(batch_id))
-        states.write.mode("append").parquet(os.path.join(self.state_dir, "partials"))
+        )
+        states.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "partials", f"batch_id={batch_id}")
+        )
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write("done")
@@ -79,9 +85,11 @@ class StreamingProfiler:
     # -- results -------------------------------------------------------------
     def result(self, spark: SparkSession) -> ProfileResult:
         """Fold all micro-batch partials into the current profile (same
-        two-level merge semantics as the batch engine)."""
+        two-level merge semantics as the batch engine). The partials tree is
+        Hive-partitioned by batch_id, so each batch contributes exactly one
+        directory regardless of how many times it was replayed."""
         path = os.path.join(self.state_dir, "partials")
-        rows = spark.read.parquet(path).collect()
+        rows = spark.read.parquet(path).select("g", "column", "state").collect()
         states: dict[tuple, dict] = {}
         for row in rows:
             g = tuple(json.loads(row["g"]))

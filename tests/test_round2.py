@@ -1,0 +1,293 @@
+"""Round-2 parity additions: oneOf/anyOf validation semantics, declared
+pattern/format enforcement, single-scan grouped discovery (discover_by),
+array-length histograms in discovery, the full StringNumericProperty,
+one-scan drift, the LSH bucket cap, and streaming replay idempotency.
+
+Reference parity targets cited per test (ProductSchema.scala:407-488,
+StringSchema.scala:846-906 / 974-1047, ArraySchema.scala:849-899,
+ObjectSchema.scala:820)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import AnomalyLevel
+from jsonoid_discovery_spark.operators.analyses import schema_from_json
+from jsonoid_discovery_spark.operators.discovery import (
+    SchemaNode,
+    discover,
+    discover_by,
+    validate_json,
+)
+
+
+class TestProductValidation:
+    """oneOf = exactly-one-match (multi-match Fatal); anyOf = at-least-one
+    (ProductSchema.collectAnomalies, schemas/ProductSchema.scala:407-488)."""
+
+    ONE_OF = {
+        "oneOf": [
+            {"type": "integer", "minimum": 0, "maximum": 10},
+            {"type": "integer", "minimum": 5, "maximum": 20},
+            {"type": "string", "minLength": 3},
+        ]
+    }
+
+    def test_oneof_single_match_clean(self):
+        node = schema_from_json(self.ONE_OF)
+        assert node.collect_anomalies(2) == []  # matches alt 0 only
+        assert node.collect_anomalies(15) == []  # matches alt 1 only
+        assert node.collect_anomalies("abc") == []  # matches alt 2 only
+
+    def test_oneof_multiple_matches_fatal(self):
+        node = schema_from_json(self.ONE_OF)
+        anomalies = node.collect_anomalies(7)  # in both integer ranges
+        assert anomalies == [("$", "oneOf[multipleMatches]", int(AnomalyLevel.FATAL))]
+
+    def test_oneof_no_match_reports_closest(self):
+        node = schema_from_json(self.ONE_OF)
+        anomalies = node.collect_anomalies(True)  # boolean matches nothing
+        assert len(anomalies) == 1
+        assert anomalies[0][1] == "oneOf[noMatch]"
+
+    def test_anyof_one_match_clean_and_no_match_flagged(self):
+        doc = {
+            "anyOf": [
+                {"type": "integer", "minimum": 0, "maximum": 10},
+                {"type": "integer", "minimum": 5, "maximum": 20},
+            ]
+        }
+        node = schema_from_json(doc)
+        assert node.collect_anomalies(7) == []  # 2 matches fine under anyOf
+        assert node.collect_anomalies(3) == []  # 1 match fine
+        bad = node.collect_anomalies("x")
+        assert len(bad) == 1 and bad[0][1] == "anyOf[noMatch]"
+
+    def test_nested_oneof_under_object(self):
+        doc = {
+            "type": "object",
+            "properties": {
+                "v": {"oneOf": [{"type": "integer"}, {"type": "string", "maxLength": 2}]}
+            },
+        }
+        node = schema_from_json(doc)
+        assert node.collect_anomalies({"v": 5}) == []
+        assert node.collect_anomalies({"v": "ab"}) == []
+        bad = node.collect_anomalies({"v": "toolong"})
+        assert bad and bad[0][0] == "$.v"
+
+    def test_oneof_emission_roundtrip(self):
+        node = schema_from_json(self.ONE_OF)
+        emitted = node.to_json_schema()
+        assert "oneOf" in emitted and len(emitted["oneOf"]) == 3
+
+
+class TestDeclaredPatternFormat:
+    """StaticPatternProperty: regex search on the trimmed value, Fatal on
+    miss (StringSchema.scala:875-906); declared format: Warning on known-
+    format regex mismatch."""
+
+    def test_pattern_mismatch_fatal(self):
+        node = schema_from_json({"type": "string", "pattern": "^[A-Z]{3}-\\d+$"})
+        assert node.collect_anomalies("ABC-123") == []
+        assert node.collect_anomalies("  ABC-9  ") == []  # trimmed before search
+        bad = node.collect_anomalies("nope")
+        assert bad == [("$", "pattern", int(AnomalyLevel.FATAL))]
+
+    def test_pattern_is_search_not_fullmatch(self):
+        # findFirstIn semantics: an unanchored regex may match anywhere
+        node = schema_from_json({"type": "string", "pattern": "\\d{4}"})
+        assert node.collect_anomalies("year 2024 ok") == []
+        assert node.collect_anomalies("no digits") != []
+
+    def test_format_mismatch_warning(self):
+        node = schema_from_json({"type": "string", "format": "email"})
+        assert node.collect_anomalies("a@b.co") == []
+        bad = node.collect_anomalies("not-an-email")
+        assert bad == [("$", "format[email]", int(AnomalyLevel.WARNING))]
+
+    def test_unknown_format_skipped(self):
+        node = schema_from_json({"type": "string", "format": "regex"})
+        assert node.collect_anomalies("anything(") == []
+
+    def test_pattern_enforced_in_spark_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, json.dumps({"code": "AB-1"})), (2, json.dumps({"code": "bad"}))],
+            "id long, doc string",
+        )
+        schema = schema_from_json(
+            {
+                "type": "object",
+                "properties": {"code": {"type": "string", "pattern": "^[A-Z]{2}-\\d$"}},
+            }
+        )
+        rows = validate_json(df, "doc", schema, id_col="id").collect()
+        assert [(r["id"], r["rule"]) for r in rows] == [(2, "pattern")]
+
+    def test_pattern_format_survive_emission(self):
+        node = schema_from_json({"type": "string", "pattern": "^x", "format": "email"})
+        emitted = node.to_json_schema()
+        assert emitted["pattern"] == "^x" and emitted["format"] == "email"
+
+
+class TestValidateJsonIdTypes:
+    def test_string_id_column(self, spark):
+        df = spark.createDataFrame(
+            [("k1", "{\"a\": 1}"), ("k2", "not json")], "key string, doc string"
+        )
+        schema = schema_from_json({"type": "object", "properties": {"a": {"type": "integer"}}})
+        rows = validate_json(df, "doc", schema, id_col="key").collect()
+        assert [(r["id"], r["rule"]) for r in rows] == [("k2", "malformed")]
+
+
+class TestDiscoverBy:
+    def test_matches_per_group_discovery(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+            F.col("event_type").isNotNull()
+        )
+        grouped = discover_by(ev, "props", "event_type")
+        # oracle: independent discover() per filtered group
+        for et in [r[0] for r in ev.select("event_type").distinct().collect()]:
+            solo = discover(ev.where(F.col("event_type") == et), "props")
+            assert grouped[et].docs == solo.docs
+            assert grouped[et].malformed == solo.malformed
+            g_fields = {
+                k: dict(v.type_counts) for k, v in grouped[et].schema.fields.items()
+            }
+            s_fields = {k: dict(v.type_counts) for k, v in solo.schema.fields.items()}
+            assert g_fields == s_fields
+
+    def test_null_group_and_malformed_accounting(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", '{"x": 1}'),
+                ("a", "BAD JSON"),
+                (None, '{"y": true}'),
+                ("b", None),
+            ],
+            "g string, doc string",
+        )
+        out = discover_by(df, "doc", "g")
+        assert out["a"].docs == 1 and out["a"].malformed == 1
+        assert out[None].docs == 1
+        assert out["b"].docs == 0 and out["b"].malformed == 1
+
+
+class TestArrayLengthHistogram:
+    def test_histogram_survives_repartitioned_merge(self, spark):
+        rows = [(json.dumps({"a": list(range(n % 7))}),) for n in range(500)]
+        df = spark.createDataFrame(rows, "doc string")
+        one = discover(df.coalesce(1), "doc")
+        many = discover(df.repartition(8), "doc")
+        h1 = one.schema.fields["a"].items_hist
+        h8 = many.schema.fields["a"].items_hist
+        assert h1.total == h8.total == 500
+        assert h1.bins == h8.bins and h1.zero_count == h8.zero_count
+        emitted = one.schema.to_json_schema()
+        lh = emitted["properties"]["a"]["lengthHistogram"]
+        assert lh["total"] == 500 and lh["zeroCount"] > 0
+
+
+class TestStringNumericFull:
+    def test_nested_numeric_schema_emitted(self, spark):
+        from jsonoid_discovery_spark.operators.profile import profile
+
+        df = spark.createDataFrame(
+            [(str(6 * k),) for k in range(1, 200)], "s string"
+        ).repartition(4)
+        st = profile(df).state("s")
+        assert st.all_numeric_strings
+        d = st.to_dict()
+        assert d["numericSchema"]["minimum"] == 6.0
+        assert d["numericSchema"]["maximum"] == 6.0 * 199
+        assert d["numericSchema"]["multipleOf"] == 6
+
+    def test_latch_kills_numeric_schema(self, spark):
+        from jsonoid_discovery_spark.operators.profile import profile
+
+        df = spark.createDataFrame([("12",), ("x",)], "s string")
+        st = profile(df).state("s")
+        assert not st.all_numeric_strings
+        assert "numericSchema" not in st.to_dict()
+
+
+class TestOneScanDrift:
+    def test_drift_report_by_segment(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (int(i), ("en" if i % 3 else "fr"), float(rng.normal(100, 10)))
+            for i in range(2000)
+        ] + [
+            (int(i), "zh", float(rng.normal(500, 10)))  # shifted second half
+            for i in range(2000, 4000)
+        ]
+        df = spark.createDataFrame(rows, "id long, lang string, x double").withColumn(
+            "seg", (F.col("id") >= 2000).cast("int")
+        )
+        from jsonoid_discovery_spark.operators.drift import drift_report_by
+
+        reports = drift_report_by(df, "seg", "lang", "x")
+        by_check = {r.check: r for r in reports}
+        assert by_check["chi_square"].drifted
+        assert by_check["ks"].drifted
+
+    def test_no_drift_control(self, spark, docs):
+        from jsonoid_discovery_spark.operators.drift import drift_report_by
+
+        d = docs.withColumn("seg", (F.col("doc_id") % 2).cast("int"))
+        reports = drift_report_by(d, "seg", "lang", "n_chars")
+        assert not any(r.drifted for r in reports)
+
+
+class TestLshBucketCap:
+    def test_degenerate_corpus_is_capped_and_logged(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import (
+            lsh_bucket_report,
+            lsh_candidate_pairs,
+        )
+
+        # 300 identical documents: every band bucket holds all 300 ids ->
+        # uncapped output would be 300*299/2 = 44850 pairs
+        rows = [(i, "the same boilerplate text repeated for every row") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = lsh_candidate_pairs(
+            df, "text", "doc_id", num_hashes=16, bands=4, max_bucket_size=50
+        )
+        assert pairs.count() == 0  # buckets over the cap are dropped
+        report = lsh_bucket_report(
+            df, "text", "doc_id", num_hashes=16, bands=4, max_bucket_size=50
+        )
+        dropped = report.collect()
+        assert dropped and all(r["size"] == 300 for r in dropped)
+
+    def test_cap_keeps_real_near_dups(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(0, base), (1, base + " extra"), (2, "completely different words entirely here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = lsh_candidate_pairs(df, "text", "doc_id", num_hashes=16, bands=8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got and (0, 2) not in got
+
+
+class TestStreamingReplayIdempotent:
+    def test_replayed_batch_not_double_counted(self, spark, tmp_path):
+        from jsonoid_discovery_spark.streaming.incremental import StreamingProfiler
+
+        df = spark.range(100).select(F.col("id").cast("long").alias("x"))
+        prof = StreamingProfiler(str(tmp_path / "state"), columns=["x"])
+        prof.process_batch(df, 0)
+        # simulate a crash AFTER the state write but BEFORE the marker:
+        # remove the marker and replay the same batch
+        import os
+
+        os.remove(prof._batch_marker(0))
+        prof.process_batch(df, 0)
+        res = prof.result(spark)
+        assert res.state("x").count == 100  # not 200
