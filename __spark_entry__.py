@@ -405,6 +405,18 @@ def _json_discovery_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, key string, jtype string, n long")
 
 
+def _json_type_counts_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Flat ObjectTypes fast path: per (event_type, key) JSON type counts
+    computed entirely JVM-side (parse_json -> Variant -> lateral
+    variant_explode -> schema_of_variant), no Python workers — the adopted
+    variant prototype (~5x the mapInArrow path at 1M docs). The rich
+    discovery engine keeps its own oracle anchors in json_discovery_events /
+    json_discovery_by_event_type."""
+    from jsonoid_discovery_spark.operators.discovery import json_type_counts
+
+    return json_type_counts(_t(spark, sf, "events"), "props", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -442,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_stats_embeddings": _array_stats_embeddings,
         "json_field_stats_events": _json_field_stats_events,
         "json_discovery_by_event_type": _json_discovery_by_event_type,
+        "json_type_counts_events": _json_type_counts_events,
     }
 
 
@@ -671,6 +684,20 @@ def oracle_sql() -> dict[str, str]:
             WITH kv AS (
               SELECT event_type, unnest(json_keys(props::JSON)) AS key, props::JSON AS j
               FROM events WHERE props IS NOT NULL AND event_type IS NOT NULL
+            )
+            SELECT event_type, key,
+              CASE json_type(j, '$.' || key)
+                WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+                WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+                WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+                WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
+              count(*) AS n
+            FROM kv GROUP BY 1, 2, 3
+        """,
+        "json_type_counts_events": """
+            WITH kv AS (
+              SELECT event_type, unnest(json_keys(props::JSON)) AS key, props::JSON AS j
+              FROM events WHERE props IS NOT NULL
             )
             SELECT event_type, key,
               CASE json_type(j, '$.' || key)

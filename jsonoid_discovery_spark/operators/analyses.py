@@ -438,6 +438,148 @@ def disjoint_object_transform(node: SchemaNode) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# DefinitionTransformer (transformers/DefinitionTransformer.scala:44-196):
+# cluster object nodes whose key-presence fuzzy sets are similar (DBSCAN,
+# eps=0.1 on distance 1 - fuzzy-Jaccard, min cluster size 2), merge each
+# cluster into a $defs entry, replace the subtrees with $ref. Driver-side
+# post-pass on the tiny discovered state, like every other transformer.
+
+import re as _re
+
+_PATH_TOKEN = _re.compile(r"\.([^.\[]+)|\[([^\]]+)\]")
+
+
+def _path_tokens(path: str) -> list[str]:
+    """'$.a.b[*].c' -> ['a', 'b', '*', 'c'] (walk-path tokenizer)."""
+    return [a or b for a, b in _PATH_TOKEN.findall(path)]
+
+
+def _fuzzy_similarity(a: dict[str, float], b: dict[str, float]) -> float:
+    """Fuzzy-Jaccard: sum(min)/sum(max) over the key union (the FuzzySet
+    similarity the reference's SimilarityMetric inverts into a distance)."""
+    keys = set(a) | set(b)
+    num = sum(min(a.get(k, 0.0), b.get(k, 0.0)) for k in keys)
+    den = sum(max(a.get(k, 0.0), b.get(k, 0.0)) for k in keys)
+    return num / den if den else 0.0
+
+
+def _dbscan(points: list[str], dist, eps: float, min_pts: int) -> list[set[str]]:
+    """Classic DBSCAN over a small labeled point set with a callable metric
+    (the driver-side analog of the reference's DBSCANClusterer; the point
+    count is the number of OBJECT nodes in a schema — always tiny)."""
+    neighbors = {p: [q for q in points if q != p and dist(p, q) <= eps] for p in points}
+    visited: set[str] = set()
+    clusters: list[set[str]] = []
+    for p in points:
+        if p in visited or len(neighbors[p]) + 1 < min_pts:
+            continue
+        cluster = set()
+        queue = [p]
+        while queue:
+            q = queue.pop()
+            if q in cluster:
+                continue
+            cluster.add(q)
+            visited.add(q)
+            if len(neighbors[q]) + 1 >= min_pts:  # core point: expand
+                queue.extend(n for n in neighbors[q] if n not in cluster)
+        clusters.append(cluster)
+    return clusters
+
+
+def find_definition_clusters(node: SchemaNode, eps: float = 0.1) -> list[set[str]]:
+    """Clusters of walk-paths whose object nodes share similar key-presence
+    fuzzy sets (DefinitionTransformer.findClusters)."""
+    fuzzy: dict[str, dict[str, float]] = {}
+    for path, n in node.walk():
+        if n.object_count > 0 and n.field_presence:
+            fuzzy[path] = {k: c / n.object_count for k, c in n.field_presence.items()}
+    if len(fuzzy) <= 1:
+        return []
+    dist = lambda p, q: 1.0 - _fuzzy_similarity(fuzzy[p], fuzzy[q])  # noqa: E731
+    return _dbscan(sorted(fuzzy), dist, eps, min_pts=2)
+
+
+def definition_transform(node: SchemaNode, eps: float = 0.1) -> dict:
+    """Emit the discovered schema with repeated object structures factored
+    into ``$defs`` + ``$ref`` (DefinitionTransformer.transformSchema).
+    Clusters process deepest-average-path first; a cluster touching an
+    already-replaced subtree is skipped. Definition names follow the
+    reference: the common meaningful last path segment (array markers and
+    indices stripped), the common after-underscore suffix, else ``defnN``,
+    with ``_`` suffixing on collisions."""
+    schema = node.to_json_schema()
+    clusters = find_definition_clusters(node, eps)
+    if not clusters:
+        return schema
+    nodes_by_path = dict(node.walk())
+    defs: dict[str, dict] = {}
+    replaced: set[str] = set()
+
+    def navigate_parent(tokens: list[str]) -> tuple[dict, str] | None:
+        d = schema
+        for t in tokens[:-1]:
+            try:
+                d = d["items"] if t == "*" else (
+                    d["prefixItems"][int(t)] if t.isdigit() else d["properties"][t]
+                )
+            except (KeyError, IndexError, TypeError):
+                return None
+        return d, tokens[-1]
+
+    ordered = sorted(
+        clusters,
+        key=lambda c: -sum(len(_path_tokens(p)) for p in c) / len(c),
+    )
+    for index, cluster in enumerate(ordered):
+        if any(c == r or c.startswith(r + ".") or c.startswith(r + "[") for c in cluster for r in replaced):
+            replaced |= cluster
+            continue
+        merged = None
+        for p in sorted(cluster):
+            merged = nodes_by_path[p] if merged is None else merged.merge(nodes_by_path[p])
+        # name: meaningful last segment per path (drop '*' / digits)
+        last_parts = set()
+        for p in cluster:
+            for t in reversed(_path_tokens(p)):
+                if t != "*" and not t.isdigit():
+                    last_parts.add(t)
+                    break
+        if len(last_parts) == 1:
+            name = next(iter(last_parts))
+        else:
+            # several distinct segments: use the common after-underscore
+            # suffix if there is one (user_address/work_address -> address)
+            after = {t.split("_")[-1] for t in last_parts}
+            if len(after) == 1 and next(iter(after)):
+                name = next(iter(after))
+            else:
+                name = f"defn{index}"
+        while name in defs:
+            name += "_"
+        defs[name] = merged.to_json_schema()
+        for p in sorted(cluster):
+            tokens = _path_tokens(p)
+            if not tokens:
+                continue  # never replace the root
+            loc = navigate_parent(tokens)
+            if loc is None:
+                continue
+            parent, leaf = loc
+            ref = {"$ref": f"#/$defs/{name}"}
+            if leaf == "*":
+                parent["items"] = ref
+            elif leaf.isdigit():
+                parent["prefixItems"][int(leaf)] = ref
+            else:
+                parent["properties"][leaf] = ref
+        replaced |= cluster
+    if defs:
+        schema["$defs"] = dict(sorted(defs.items()))
+    return schema
+
+
+# ---------------------------------------------------------------------------
 # value-table sink (ValueTableGenerator analog, discovery/ValueTableGenerator.scala:20-43)
 
 

@@ -282,12 +282,29 @@ def violation_metrics(violations: DataFrame, run_id: str) -> DataFrame:
 # whole-table analyses
 
 
-def uniqueness_summary(df: DataFrame, keys: list[str]) -> DataFrame:
+def uniqueness_summary(df: DataFrame, keys: list[str], compact_keys: bool = False) -> DataFrame:
     """Exact uniqueness verdict on a key tuple (PrimaryKeyFinder analog but
-    exact; the HLL prefilter is ColumnState.is_unique_candidate)."""
+    exact; the HLL prefilter is ColumnState.is_unique_candidate).
+
+    ``compact_keys=True`` shuffles a 32-byte sha2 digest of the key tuple
+    instead of the raw key strings — a ~4x smaller distinct-aggregation
+    shuffle on string-heavy keys like (repo, path, commit), collision-free
+    in practice (2^-128 birthday bound even at 10^12 rows). The tuple is
+    JSON-encoded before hashing so null patterns and field boundaries are
+    unambiguous; rows with any NULL key are excluded from the distinct count,
+    matching ``count_distinct``'s multi-column semantics."""
+    if compact_keys:
+        all_present = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            all_present = c if all_present is None else (all_present & c)
+        digest = F.when(all_present, F.unhex(F.sha2(F.to_json(F.struct(*[F.col(k) for k in keys])), 256)))
+        distinct = F.count_distinct(digest)
+    else:
+        distinct = F.count_distinct(*[F.col(k) for k in keys])
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("distinct_keys"),
+        distinct.alias("distinct_keys"),
     ).select(
         "total_rows",
         "distinct_keys",

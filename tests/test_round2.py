@@ -176,6 +176,53 @@ class TestDiscoverBy:
         assert out["b"].docs == 0 and out["b"].malformed == 1
 
 
+class TestJsonTypeCountsVariant:
+    """The JVM-side (Variant) flat fast path must agree with the rich
+    python discovery engine on per-key type counts."""
+
+    def test_matches_discover(self, spark):
+        from jsonoid_discovery_spark.operators.discovery import json_type_counts
+
+        df = spark.createDataFrame(
+            [
+                ('{"a": 1, "b": "s", "c": 2.5}',),
+                ('{"a": null, "b": "t", "d": [1, 2], "e": {"k": 1}}',),
+                ('{"a": true}',),
+                ("not json",),
+                (None,),
+            ],
+            "doc string",
+        )
+        jvm = {
+            (r["key"], r["jtype"]): r["n"]
+            for r in json_type_counts(df, "doc").collect()
+        }
+        res = discover(df, "doc")
+        py = {
+            (k, t): c
+            for k, node in res.schema.fields.items()
+            for t, c in node.type_counts.items()
+        }
+        assert jvm == py
+
+    def test_grouped_matches_discover_by(self, spark):
+        from jsonoid_discovery_spark.operators.discovery import json_type_counts
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        jvm = {
+            (r["event_type"], r["key"], r["jtype"]): r["n"]
+            for r in json_type_counts(ev, "props", "event_type").collect()
+        }
+        grouped = discover_by(ev, "props", "event_type")
+        py = {
+            (et, k, t): c
+            for et, res in grouped.items()
+            for k, node in res.schema.fields.items()
+            for t, c in node.type_counts.items()
+        }
+        assert jvm == py
+
+
 class TestArrayLengthHistogram:
     def test_histogram_survives_repartitioned_merge(self, spark):
         rows = [(json.dumps({"a": list(range(n % 7))}),) for n in range(500)]
@@ -274,6 +321,81 @@ class TestLshBucketCap:
         pairs = lsh_candidate_pairs(df, "text", "doc_id", num_hashes=16, bands=8)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (0, 1) in got and (0, 2) not in got
+
+
+class TestDefinitionTransformer:
+    """DefinitionTransformer parity (transformers/DefinitionTransformer.scala:
+    44-196, spec T/transformers/DefinitionTransformerSpec.scala)."""
+
+    def test_replaces_common_schema_with_definition(self, spark):
+        doc = json.dumps({"foo": {"bar": 1, "baz": 2}, "quux": {"bar": 3, "baz": 4}})
+        df = spark.createDataFrame([(doc,)] * 5, "doc string")
+        res = discover(df, "doc")
+        from jsonoid_discovery_spark.operators.analyses import definition_transform
+
+        out = definition_transform(res.schema)
+        assert "$defs" in out and "defn0" in out["$defs"]
+        assert set(out["$defs"]["defn0"]["properties"]) == {"bar", "baz"}
+        ref = {"$ref": "#/$defs/defn0"}
+        assert out["properties"]["foo"] == ref
+        assert out["properties"]["quux"] == ref
+
+    def test_single_key_object_unchanged(self, spark):
+        df = spark.createDataFrame([(json.dumps({"corge": 1}),)], "doc string")
+        res = discover(df, "doc")
+        from jsonoid_discovery_spark.operators.analyses import definition_transform
+
+        out = definition_transform(res.schema)
+        assert "$defs" not in out
+        assert set(out["properties"]) == {"corge"}
+
+    def test_common_suffix_naming(self, spark):
+        doc = json.dumps(
+            {
+                "home_address": {"street": "a", "city": "x"},
+                "work_address": {"street": "b", "city": "y"},
+            }
+        )
+        df = spark.createDataFrame([(doc,)] * 3, "doc string")
+        res = discover(df, "doc")
+        from jsonoid_discovery_spark.operators.analyses import definition_transform
+
+        out = definition_transform(res.schema)
+        assert "address" in out.get("$defs", {})
+
+    def test_ref_roundtrips_through_schema_from_json(self, spark):
+        doc = json.dumps({"foo": {"bar": 1, "baz": 2}, "quux": {"bar": 3, "baz": 4}})
+        df = spark.createDataFrame([(doc,)] * 5, "doc string")
+        res = discover(df, "doc")
+        from jsonoid_discovery_spark.operators.analyses import (
+            definition_transform,
+            schema_from_json,
+        )
+
+        out = definition_transform(res.schema)
+        node = schema_from_json(out)
+        assert node.collect_anomalies(json.loads(doc)) == []
+        bad = node.collect_anomalies({"foo": {"bar": 1, "baz": 2, "extra": 9}, "quux": {"bar": 1, "baz": 1}})
+        assert any(r == "additionalProperty" for _, r, _ in bad)
+
+
+class TestCompactUniqueness:
+    def test_compact_matches_exact(self, spark):
+        from jsonoid_discovery_spark.operators.constraints import uniqueness_summary
+
+        rows = [
+            ("r1", "a", "c1"),
+            ("r1", "a", "c1"),  # duplicate tuple
+            ("r1", "a", None),  # null key: excluded from distinct, counted in total
+            ("r2", "b", "c2"),
+            ("r2", "ab", "c2"),  # boundary trap: ("r2","ab") vs ("r2a","b")
+            ("r2a", "b", "c2"),
+        ]
+        df = spark.createDataFrame(rows, "repo string, path string, commit string")
+        exact = uniqueness_summary(df, ["repo", "path", "commit"]).collect()[0]
+        compact = uniqueness_summary(df, ["repo", "path", "commit"], compact_keys=True).collect()[0]
+        assert exact.asDict() == compact.asDict()
+        assert exact["distinct_keys"] == 4 and exact["total_rows"] == 6
 
 
 class TestStreamingReplayIdempotent:
