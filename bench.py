@@ -89,17 +89,38 @@ def validation_job(master: str, data_path: str, passes: int = 3) -> dict:
     def phase_profile():
         return profile(df, columns=cols)
 
+    # independent actions in each phase run as CONCURRENT Spark jobs
+    # (driver threads): their stages interleave and the fixed per-job
+    # latencies (scheduling, shuffle setup) overlap instead of adding —
+    # the standard driver-side orchestration pattern for a multi-job
+    # pipeline on a shared cluster
+    from concurrent.futures import ThreadPoolExecutor
+
     def phase_validate(prof):
         cons = constraints_from_profile(prof)
-        n_viol = validate(df, cons, key_cols=["repo", "path", "commit"], content_col="content").count()
-        n_verd = partition_verdicts(df, cons, ["lang"]).count()
-        return n_viol, n_verd
+        with ThreadPoolExecutor(2) as pool:
+            f_viol = pool.submit(
+                lambda: validate(
+                    df, cons, key_cols=["repo", "path", "commit"], content_col="content"
+                ).count()
+            )
+            f_verd = pool.submit(lambda: partition_verdicts(df, cons, ["lang"]).count())
+            return f_viol.result(), f_verd.result()
 
     def phase_checks():
         # sha2-compacted distinct shuffle (~4x smaller than raw key strings)
-        uniq = uniqueness_summary(df, ["repo", "path", "commit"], compact_keys=True).collect()[0]
-        ri = referential_summary(df, ["commit"], repo_commits(spark), ["commit"]).collect()[0]
-        return uniq, ri
+        with ThreadPoolExecutor(2) as pool:
+            f_uniq = pool.submit(
+                lambda: uniqueness_summary(
+                    df, ["repo", "path", "commit"], compact_keys=True
+                ).collect()[0]
+            )
+            f_ri = pool.submit(
+                lambda: referential_summary(
+                    df, ["commit"], repo_commits(spark), ["commit"]
+                ).collect()[0]
+            )
+            return f_uniq.result(), f_ri.result()
 
     # steady-state measurement: one warm-up pass (python workers, codegen,
     # page cache), then `passes` timed passes per phase. The report carries
@@ -184,24 +205,28 @@ def run_queries() -> None:
         "sf": SF_DIR,
         "validation_files_per_sec": round(n / t_flag, 1),
     }
-    # surface the best north-rule scaling evidence on record (see --scaling),
-    # restricted to the LARGEST input size logged (the current protocol)
+    # surface the north-rule scaling evidence: cross-run medians over all
+    # logged runs at the LARGEST input size (matches BENCH/BASELINE.md)
     log_path = "/root/repo/BENCH/scaling_runs.jsonl"
     if os.path.exists(log_path):
         with open(log_path) as f:
             recs = [json.loads(line) for line in f]
         n_max = max(rr["local[8]"]["n_files"] for rr in recs)
-        best = None
-        for rr in recs:
-            if rr["local[8]"]["n_files"] != n_max:
-                continue
-            e28 = (rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"]) / 4.0
-            if best is None or e28 > best[0]:
-                best = (e28, (rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"]) / 4.0)
-        if best:
-            out["scaling_efficiency_2_to_8"] = round(best[0], 3)
-            out["scaling_efficiency_8_to_32"] = round(best[1], 3)
+        e28 = [
+            rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"] / 4.0
+            for rr in recs
+            if rr["local[8]"]["n_files"] == n_max
+        ]
+        e832 = [
+            rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0
+            for rr in recs
+            if rr["local[8]"]["n_files"] == n_max
+        ]
+        if e28:
+            out["scaling_efficiency_2_to_8"] = round(_median(e28), 3)
+            out["scaling_efficiency_8_to_32"] = round(_median(e832), 3)
             out["scaling_rows"] = n_max
+            out["scaling_runs"] = len(e28)
     print(json.dumps(out))
 
 
@@ -229,43 +254,51 @@ def _dvfs_calibration() -> dict[int, float]:
     return out
 
 
-def run_scaling() -> None:
-    data = _ensure_bench_data(SCALING_ROWS)
-    results = {}
-    for master in ("local[2]", "local[8]", "local[32]"):
-        r = subprocess.run(
-            [sys.executable, __file__, "--job", master, "--data", data],
-            capture_output=True,
-            text=True,
-            cwd="/root/repo",
-        )
-        line = r.stdout.strip().splitlines()[-1]
-        results[master] = json.loads(line)
-    # append this run to the log, then regenerate BASELINE.md from the best
-    # run on record AT THE CURRENT INPUT SIZE (the sandbox has noisy
-    # neighbors; every run is logged, the report uses the least-interfered
-    # one; older runs at other row counts stay in the log for history)
-    os.makedirs("/root/repo/BENCH", exist_ok=True)
+def run_scaling(report_only: bool = False) -> None:
     log_path = "/root/repo/BENCH/scaling_runs.jsonl"
-    with open(log_path, "a") as f:
-        f.write(json.dumps(results) + "\n")
+    if report_only:
+        # regenerate BASELINE.md from the log (latest run's table +
+        # cross-run medians) without re-running the jobs
+        with open(log_path) as f:
+            recs = [json.loads(line) for line in f]
+        n_latest = recs[-1]["local[8]"]["n_files"]
+        results = next(r for r in reversed(recs) if r["local[8]"]["n_files"] == n_latest)
+    else:
+        data = _ensure_bench_data(SCALING_ROWS)
+        results = {}
+        for master in ("local[2]", "local[8]", "local[32]"):
+            r = subprocess.run(
+                [sys.executable, __file__, "--job", master, "--data", data],
+                capture_output=True,
+                text=True,
+                cwd="/root/repo",
+            )
+            line = r.stdout.strip().splitlines()[-1]
+            results[master] = json.loads(line)
+        # append this run to the log; the report shows THIS run's table and
+        # CROSS-RUN MEDIAN efficiencies over every logged run at this input
+        # size — robust to noisy neighbors without best-run cherry-picking
+        os.makedirs("/root/repo/BENCH", exist_ok=True)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(results) + "\n")
     n_now = results["local[8]"]["n_files"]
-    best, best_eff = None, -1.0
+    med = lambda r: r.get("files_per_sec_median", r["files_per_sec"])  # noqa: E731
+    e28_best, e28_med, e832_best, e832_med = [], [], [], []
     with open(log_path) as f:
         for line in f:
             rr = json.loads(line)
             if rr["local[8]"]["n_files"] != n_now:
                 continue
-            e = (rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"]) / 4.0
-            if e > best_eff:
-                best, best_eff = rr, e
-    results = best
+            e28_best.append(rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"] / 4.0)
+            e28_med.append(med(rr["local[8]"]) / med(rr["local[2]"]) / 4.0)
+            e832_best.append(rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0)
+            e832_med.append(med(rr["local[32]"]) / med(rr["local[8]"]) / 4.0)
+    n_runs = len(e28_best)
     r2, r8, r32 = results["local[2]"], results["local[8]"], results["local[32]"]
-    eff_2_8 = (r8["files_per_sec"] / r2["files_per_sec"]) / 4.0
-    eff_8_32 = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
-    med = lambda r: r.get("files_per_sec_median", r["files_per_sec"])  # noqa: E731
-    eff_2_8_med = (med(r8) / med(r2)) / 4.0
-    eff_8_32_med = (med(r32) / med(r8)) / 4.0
+    eff_2_8 = _median(e28_best)
+    eff_8_32 = _median(e832_best)
+    eff_2_8_med = _median(e28_med)
+    eff_8_32_med = _median(e832_med)
     cal = _dvfs_calibration()
     clock_ratio_8_32 = cal[32] / cal[8]
     eff_8_32_clock = eff_8_32 * clock_ratio_8_32
@@ -280,10 +313,11 @@ same job, three parallelism levels; N -> 4N is evidenced by BOTH the 2->8 and
 north_rule).
 
 Measurement protocol: warm-up pass, then 3 timed passes per phase; the table
-shows best-of-3 (noisy neighbors only ever slow a run; min = machine
-capability) and the efficiency lines give best AND median. Every --scaling
-invocation is appended to BENCH/scaling_runs.jsonl (per-pass totals included)
-and this report shows the best run on record at this input size.
+shows the LATEST run (best-of-3 timings per phase — noisy neighbors only
+ever slow a run; min = machine capability — plus per-pass medians). The
+efficiency lines are CROSS-RUN MEDIANS over all {n_runs} logged runs at this
+input size (BENCH/scaling_runs.jsonl keeps every run, per-pass totals
+included) — no best-run cherry-picking.
 
 | config | files/sec (best) | files/sec (median) | profile s | validate s | checks s | total s |
 |---|---|---|---|---|---|---|
@@ -291,10 +325,12 @@ and this report shows the best run on record at this input size.
 | local[8]  | {r8['files_per_sec']} | {med(r8)} | {r8['profile_sec']} | {r8['validate_sec']} | {r8['checks_sec']} | {r8['total_sec']} |
 | local[32] | {r32['files_per_sec']} | {med(r32)} | {r32['profile_sec']} | {r32['validate_sec']} | {r32['checks_sec']} | {r32['total_sec']} |
 
-**Scaling efficiency (N=2 -> 4N=8): (thr8/thr2)/4 = {eff_2_8:.3f}** best /
-{eff_2_8_med:.3f} median (target >= 0.8)
-**Scaling efficiency (N=8 -> 4N=32): (thr32/thr8)/4 = {eff_8_32:.3f}** best /
-{eff_8_32_med:.3f} median; **{eff_8_32_clock:.3f} clock-normalized** (see below).
+**Scaling efficiency (N=2 -> 4N=8): (thr8/thr2)/4 = {eff_2_8:.3f}**
+(cross-run median of best-of-3) / {eff_2_8_med:.3f} (of median-of-3);
+target >= 0.8.
+**Scaling efficiency (N=8 -> 4N=32): (thr32/thr8)/4 = {eff_8_32:.3f}**
+(best-of-3) / {eff_8_32_med:.3f} (median-of-3);
+**{eff_8_32_clock:.3f} clock-normalized** (see below).
 
 ### Hardware confound at 32 cores (measured, engine-independent)
 
@@ -332,7 +368,7 @@ verdict groups={r8['n_verdict_groups']}.
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        run_scaling(report_only="--report" in sys.argv)
     elif "--job" in sys.argv:
         master = sys.argv[sys.argv.index("--job") + 1]
         data = (

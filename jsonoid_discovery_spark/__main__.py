@@ -21,15 +21,20 @@ import sys
 
 
 def _load(spark, path: str, column: str | None):
-    if path.endswith((".parquet", ".pq")) or "*" not in path and not path.endswith((".json", ".ndjson", ".jsonl", "-")):
+    is_stream = path == "-" or path.startswith(("http://", "https://"))
+    if not is_stream and (
+        path.endswith((".parquet", ".pq"))
+        or "*" not in path
+        and not path.endswith((".json", ".ndjson", ".jsonl"))
+    ):
         try:
             df = spark.read.parquet(path)
             return df, column or df.columns[0]
         except Exception:
             pass
-    from jsonoid_discovery_spark.sources.ndjson import read_ndjson
+    from jsonoid_discovery_spark.sources.ndjson import read_ndjson_any
 
-    return read_ndjson(spark, path), column or "doc"
+    return read_ndjson_any(spark, path), column or "doc"
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -37,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("input", help="parquet file/dir or NDJSON path")
+    common.add_argument("input", help="parquet file/dir, NDJSON path/glob, http(s) URL, or '-' for stdin")
     common.add_argument("--column", help="JSON column (discover/validate) or omit for first column")
     common.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     common.add_argument("--output", "-o", default="-", help="output path ('-' = stdout)")

@@ -171,25 +171,50 @@ def split_discover(
     train_fraction: float = 0.9,
     seed: int = 42,
     params: EngineParams = DEFAULT_PARAMS,
+    oblivious: bool = False,
 ) -> dict:
     """Seeded split -> profile both halves -> check the test profile against
-    the WIDENED train profile (expandTo semantics: bounds rounded out to
-    powers of 2, Helpers.scala:75-235). Returns both profiles, the
-    incompatibility list, and the subset verdict."""
-    from jsonoid_discovery_spark.operators.constraints import widen_max, widen_min
+    the expandTo-WIDENED train profile (DiscoverSchema.scala:428-472).
+
+    ``oblivious=False`` (the reference's default): expand each train bound
+    TOWARD the test bound with the reference's iterative step rules
+    (Helpers.expandInt/contractInt — power-of-2 boundaries and power-of-10
+    round-ups, Helpers.scala:75-235), dropping the bound after 10 rounds.
+    ``oblivious=True`` (--oblivious-expansion): blind one-shot widening to
+    powers of 2, never looking at the test profile."""
+    from jsonoid_discovery_spark.operators.constraints import (
+        contract_min_to,
+        expand_max_to,
+        widen_max,
+        widen_min,
+    )
 
     train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
     p_train = profile(train, columns=columns, params=params)
     p_test = profile(test, columns=columns, params=params)
 
     # widen the train bounds in place (expandTo) before the subset check
-    for st in p_train.states[()].values():
+    for col, st in p_train.states[()].items():
+        st_test = None if oblivious else p_test.states[()].get(col)
         if st.kind in ("int", "float") and st.min_v is not None:
-            st.min_v = widen_min(float(st.min_v))
-            st.max_v = widen_max(float(st.max_v))
+            if st_test is not None and st_test.min_v is not None:
+                st.min_v = contract_min_to(float(st.min_v), float(st_test.min_v))
+                st.max_v = expand_max_to(float(st.max_v), float(st_test.max_v))
+            else:
+                st.min_v = widen_min(float(st.min_v))
+                st.max_v = widen_max(float(st.max_v))
         if st.kind == "string" and st.min_len is not None:
-            st.min_len = int(widen_min(st.min_len))
-            st.max_len = int(widen_max(st.max_len))
+            if st_test is not None and st_test.min_len is not None:
+                lo = contract_min_to(st.min_len, st_test.min_len)
+                hi = expand_max_to(st.max_len, st_test.max_len)
+                if math.isinf(lo) or math.isinf(hi):
+                    # expansion gave up after MaxExpandRounds: drop the bound
+                    st.min_len = st.max_len = None
+                else:
+                    st.min_len, st.max_len = int(lo), int(hi)
+            else:
+                st.min_len = int(widen_min(st.min_len))
+                st.max_len = int(widen_max(st.max_len))
         st.nulls = max(st.nulls, 1)  # a sample can't prove required-ness
         st.with_bloom = False  # a sample's bloom never covers the rest
     incompats = collect_incompatibilities(p_test, p_train)
@@ -299,9 +324,12 @@ def schema_from_json(
         if isinstance(m, int):
             node.int_multiple = m
     if "enum" in doc:
-        node.distinct_values = set(doc["enum"])
-    if "const" in doc:
+        # hashable scalars only (array/object enum members are out of scope)
+        node.distinct_values = {v for v in doc["enum"] if not isinstance(v, (list, dict))}
+        node.declared_enum = True
+    if "const" in doc and not isinstance(doc["const"], (list, dict)):
         node.distinct_values = {doc["const"]}
+        node.declared_enum = True
     return node
 
 

@@ -41,6 +41,61 @@ class Constraint:
 # doesn't overfit.
 
 
+MAX_EXPAND_ROUNDS = 10  # Helpers.scala:29
+
+
+def expand_max_to(current: float, limit: float) -> float:
+    """Iteratively expand a learned MAX bound until it covers ``limit`` —
+    the reference's expandInt step function (Helpers.scala:75-129): negatives
+    restart at 0; below 10 step by +1; otherwise take the SMALLER of the
+    next power-of-2 boundary (favoring 2^k - 1, the 255/65535 case) and the
+    next power-of-10-granularity round-up (12->13, 99->100, 110->120).
+    After MaxExpandRounds the bound is dropped (returns +inf), mirroring the
+    reference's (None, false) give-up."""
+    cur = float(current)
+    for _ in range(MAX_EXPAND_ROUNDS):
+        if cur >= limit:
+            return cur
+        if cur < 0:
+            cur = 0.0
+            continue
+        if cur < 10:
+            cur = cur + 1
+            continue
+        c = int(cur)
+        closest_p2 = 1 << c.bit_length()
+        next2 = closest_p2 - 1 if closest_p2 - 1 > c else closest_p2
+        pow10 = 10 ** (len(str(c)) - 2)
+        next10 = c + pow10 - (c % pow10)
+        cur = float(next2 if (next2 < next10 and c < next2) else next10)
+    return float("inf")
+
+
+def contract_min_to(current: float, limit: float) -> float:
+    """Iteratively contract a learned MIN bound until it covers ``limit`` —
+    the reference's contractInt (Helpers.scala:177-235): below 10 step by
+    -1; otherwise the LARGER of the previous power-of-2 boundary and the
+    power-of-10-granularity round-down (13->12, 200->190, 307->300).
+    Gives up to -inf after MaxExpandRounds."""
+    cur = float(current)
+    for _ in range(MAX_EXPAND_ROUNDS):
+        if cur <= limit:
+            return cur
+        if cur < 0:
+            cur = 0.0
+            continue
+        if cur < 10:
+            cur = cur - 1
+            continue
+        c = int(cur)
+        log2 = math.log2(c)
+        next2 = c - 1 if log2.is_integer() else 2 ** (math.ceil(log2) - 1)
+        pow10 = 10 ** (int(math.floor(math.log10(c))) - 1)
+        next10 = c - pow10 if c % pow10 == 0 else c - (c % pow10)
+        cur = float(next2 if next2 > next10 else next10)
+    return float("-inf")
+
+
 def widen_max(v: float) -> float:
     if v <= 0:
         return 0.0 if v == 0 else -widen_min(-v)

@@ -48,20 +48,22 @@ def _compile_cached(pattern: str) -> re.Pattern:
     return re.compile(pattern)
 
 
+# exact-type dispatch: values come from json.loads, which only ever yields
+# these seven concrete types — a dict hit beats the isinstance chain ~3x on
+# the per-value discovery hot path
+_JSON_TYPE_BY_PYTYPE = {
+    type(None): "null",
+    bool: "boolean",
+    int: "integer",
+    float: "number",
+    str: "string",
+    list: "array",
+    dict: "object",
+}
+
+
 def _json_type(v: object) -> str:
-    if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "boolean"
-    if isinstance(v, int):
-        return "integer"
-    if isinstance(v, float):
-        return "number"
-    if isinstance(v, str):
-        return "string"
-    if isinstance(v, list):
-        return "array"
-    return "object"
+    return _JSON_TYPE_BY_PYTYPE.get(type(v), "object")
 
 
 @dataclass
@@ -107,6 +109,10 @@ class SchemaNode:
     # enum candidates: exact distinct set, capped; overflow latches
     distinct_values: set = field(default_factory=set)
     distinct_overflow: bool = False
+    # True when distinct_values came from a DECLARED enum/const keyword
+    # (EnumSchema analog): validation then enforces membership for EVERY
+    # value type, not only strings
+    declared_enum: bool = False
     # regex-keyed child schemas, from a parsed schema's patternProperties
     # (PatternTypesProperty analog, schemas/ObjectSchema.scala:543-662);
     # populated only by schema_from_json, never by discovery
@@ -292,6 +298,7 @@ class SchemaNode:
         out.true_count = self.true_count + o.true_count
         out.bool_count = self.bool_count + o.bool_count
         out.distinct_overflow = self.distinct_overflow or o.distinct_overflow
+        out.declared_enum = self.declared_enum and o.declared_enum
         if not out.distinct_overflow:
             out.distinct_values = self.distinct_values | o.distinct_values
             if len(out.distinct_values) > self.params.enum_max_values:
@@ -453,7 +460,9 @@ class SchemaNode:
         t_eff = t
         if t == "integer" and "integer" not in observed and "number" in observed:
             t_eff = "number"
-        if t_eff not in observed:
+        # an empty observed set is the AnySchema (a parsed `{}` or typeless
+        # schema): no type constraint, only keyword checks below apply
+        if observed and t_eff not in observed:
             out.append((path, f"type[{t}]", int(AnomalyLevel.FATAL)))
             return out
         if t == "object":
@@ -478,7 +487,12 @@ class SchemaNode:
                     )
                     if pat_child is not None:
                         out.extend(pat_child.collect_anomalies(val, f"{path}.{k}"))
-                    elif not self.allow_additional:
+                    elif not self.allow_additional and (
+                        self.fields or self.pattern_fields or self.object_count > 0
+                    ):
+                        # a node with NO object evidence at all (AnySchema)
+                        # accepts any key; one with declared/observed
+                        # structure rejects unknowns
                         out.append((f"{path}.{k}", "additionalProperty", int(AnomalyLevel.FATAL)))
                 else:
                     out.extend(child.collect_anomalies(val, f"{path}.{k}"))
@@ -528,6 +542,18 @@ class SchemaNode:
                 out.append((path, "minimum", int(AnomalyLevel.WARNING)))
             if self.max_v is not None and (x > self.max_v or (self.exclusive_max and x == self.max_v)):
                 out.append((path, "maximum", int(AnomalyLevel.WARNING)))
+            if self.int_multiple and self.int_multiple > 1:
+                if not (float(v) / self.int_multiple).is_integer():
+                    out.append((path, "multipleOf", int(AnomalyLevel.WARNING)))
+        if (
+            self.declared_enum
+            and t not in ("string", "object", "array")
+            and self.distinct_values
+            and not _enum_member(v, self.distinct_values)
+        ):
+            # declared enum/const enforces membership for every scalar type
+            # (the string branch above already covers strings)
+            out.append((path, "enum", int(AnomalyLevel.FATAL)))
         return out
 
     def _collect_product_anomalies(self, v: object, path: str) -> list[tuple[str, str, int]]:
@@ -585,6 +611,17 @@ def _mx(a, b):
     return b if a is None else (a if b is None else max(a, b))
 
 
+def _enum_member(v, values) -> bool:
+    """JSON-faithful enum membership: numbers compare numerically across
+    int/float, but booleans never match numbers (python's True == 1 quirk)."""
+    for x in values:
+        if isinstance(v, bool) != isinstance(x, bool):
+            continue
+        if v == x:
+            return True
+    return False
+
+
 def _freeze(v):
     if isinstance(v, list):
         return tuple(_freeze(x) for x in v)
@@ -599,6 +636,11 @@ def _numfmt(x: float, t: str):
 
 def _detect_format(s: str, params: EngineParams = DEFAULT_PARAMS) -> str:
     if len(s) > 128:
+        return "none"
+    # cheap dispatch: every known format contains one of these marker
+    # characters or starts with a digit (dates/times/uuids/ipv4/dois/
+    # bibcodes) — plain words skip all the regexes
+    if not ("@" in s or ":" in s or "-" in s or "." in s or "+" in s or (s[:1].isdigit() if s else False)):
         return "none"
     from jsonoid_discovery_spark.operators.profile import format_patterns
 

@@ -70,12 +70,21 @@ EXTENDED_FORMAT_PATTERNS: list[tuple[str, re.Pattern]] = [
 ]
 
 
-def format_patterns(params: EngineParams) -> list[tuple[str, re.Pattern]]:
-    """Checker list in priority order; extended set appended when opted in
-    (the reference's extended-formats switch)."""
-    if getattr(params, "extended_formats", False):
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _format_patterns_cached(extended: bool) -> list[tuple[str, re.Pattern]]:
+    if extended:
         return FORMAT_PATTERNS + EXTENDED_FORMAT_PATTERNS
     return FORMAT_PATTERNS
+
+
+def format_patterns(params: EngineParams) -> list[tuple[str, re.Pattern]]:
+    """Checker list in priority order; extended set appended when opted in
+    (the reference's extended-formats switch). Cached — this is called once
+    per string VALUE on the discovery hot path."""
+    return _format_patterns_cached(bool(getattr(params, "extended_formats", False)))
 
 _KIND_BY_SPARK_TYPE = {
     "string": "string",

@@ -14,14 +14,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_ndjson(spark: SparkSession, path: str, line_col: str = "doc") -> DataFrame:
-    """Lines of a text file (or directory / glob) -> DataFrame[doc: string]
-    containing only syntactically-valid JSON lines.
+def _valid_json_lines(lines: DataFrame, line_col: str) -> DataFrame:
+    """Keep only syntactically-valid JSON lines.
 
     Validity check uses Spark 4's VariantType parser (``try_parse_json``)
     which returns NULL for malformed input — a whole-stage-codegen
     expression, so invalid-line filtering costs no Python.
     """
-    lines = spark.read.text(path).select(F.col("value").alias(line_col))
     valid = F.try_parse_json(F.col(line_col)).isNotNull()
     return lines.where(F.trim(F.col(line_col)) != "").where(valid)
+
+
+def read_ndjson(spark: SparkSession, path: str, line_col: str = "doc") -> DataFrame:
+    """Lines of a text file (or directory / glob) -> DataFrame[doc: string]
+    containing only syntactically-valid JSON lines."""
+    lines = spark.read.text(path).select(F.col("value").alias(line_col))
+    return _valid_json_lines(lines, line_col)
+
+
+def read_ndjson_any(spark: SparkSession, source: str, line_col: str = "doc") -> DataFrame:
+    """NDJSON from a file/dir/glob path, an http(s):// URL, or '-' (stdin) —
+    the reference CLI's io.Source trio (file / URL / stdin,
+    discovery/DiscoverSchema.scala:146-168).
+
+    URL and stdin are inherently single-stream: they are drained on the
+    driver and parallelized across the default parallelism (they cannot be
+    split-read like a file source, so this is not a scale path — at scale,
+    land the data on distributed storage and use the file branch)."""
+    if source == "-":
+        import sys
+
+        raw = [(ln.rstrip("\r\n"),) for ln in sys.stdin]
+        lines = spark.createDataFrame(raw, f"{line_col} string")
+        return _valid_json_lines(lines, line_col)
+    if source.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        with urlopen(source) as resp:
+            body = resp.read().decode("utf-8", errors="replace")
+        raw = [(ln,) for ln in body.splitlines()]
+        lines = spark.createDataFrame(raw, f"{line_col} string")
+        return _valid_json_lines(lines, line_col)
+    return read_ndjson(spark, source, line_col)

@@ -1,0 +1,295 @@
+"""JSON Schema validation conformance harness — the analog of the
+reference's Bowtie/JSON-Schema-Test-Suite path (SURVEY.md §5; the suite
+submodule is empty in the reference snapshot, so the cases below are written
+in the suite's own (schema, tests[]) format from the published JSON Schema
+2020-12 semantics, restricted to the keyword subset this engine enforces).
+
+Validity convention: a case is *valid* when the instance has no anomaly at
+or above the case's level (default WARNING — bound violations are warnings,
+structural/type/enum/pattern violations are fatal, mirroring the
+reference's AnomalyLevel assignments).
+
+Pure driver-side (SchemaNode), no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonoid_discovery_spark.config import AnomalyLevel
+from jsonoid_discovery_spark.operators.analyses import schema_from_json
+
+# (group, schema, [(description, instance, valid), ...])
+CASES = [
+    (
+        "type",
+        {"type": "integer"},
+        [
+            ("an integer is valid", 1, True),
+            ("a float is invalid", 1.1, False),
+            ("a string is invalid", "1", False),
+            ("a boolean is invalid", True, False),
+            ("null is invalid", None, False),
+        ],
+    ),
+    (
+        "type union",
+        {"type": ["integer", "string"]},
+        [
+            ("an integer is valid", 1, True),
+            ("a string is valid", "x", True),
+            ("an array is invalid", [1], False),
+        ],
+    ),
+    (
+        "number accepts integer",
+        {"type": "number"},
+        [
+            ("a float is valid", 2.5, True),
+            ("an integer is valid (promotion)", 2, True),
+        ],
+    ),
+    (
+        "minimum/maximum",
+        {"type": "integer", "minimum": 2, "maximum": 10},
+        [
+            ("inside the range", 5, True),
+            ("at the inclusive bounds", 2, True),
+            ("below minimum", 1, False),
+            ("above maximum", 11, False),
+        ],
+    ),
+    (
+        "exclusiveMinimum",
+        {"type": "number", "exclusiveMinimum": 0},
+        [
+            ("above the bound", 0.5, True),
+            ("at the exclusive bound", 0, False),
+        ],
+    ),
+    (
+        "multipleOf",
+        {"type": "integer", "multipleOf": 3},
+        [
+            ("a multiple", 9, True),
+            ("zero is a multiple", 0, True),
+            ("not a multiple", 10, False),
+        ],
+    ),
+    (
+        "minLength/maxLength",
+        {"type": "string", "minLength": 2, "maxLength": 4},
+        [
+            ("within bounds", "abc", True),
+            ("too short", "a", False),
+            ("too long", "abcde", False),
+        ],
+    ),
+    (
+        "pattern",
+        {"type": "string", "pattern": "^a.*z$"},
+        [
+            ("matching", "abcz", True),
+            ("non-matching", "zcba", False),
+            ("search semantics: unanchored matches anywhere", "xx", False),
+        ],
+    ),
+    (
+        "enum",
+        {"enum": ["red", "green", 3]},
+        [
+            ("a member string", "red", True),
+            ("a member number", 3, True),
+            ("a non-member", "blue", False),
+            ("a boolean is not the number 1", True, False),
+        ],
+    ),
+    (
+        "const",
+        {"const": 7},
+        [
+            ("the constant", 7, True),
+            ("another value", 8, False),
+        ],
+    ),
+    (
+        "required",
+        {"type": "object", "properties": {"a": {"type": "integer"}}, "required": ["a"]},
+        [
+            ("present", {"a": 1}, True),
+            ("missing", {}, False),
+        ],
+    ),
+    (
+        "additionalProperties false",
+        {
+            "type": "object",
+            "properties": {"a": {"type": "integer"}},
+            "additionalProperties": False,
+        },
+        [
+            ("only declared keys", {"a": 1}, True),
+            ("an extra key", {"a": 1, "b": 2}, False),
+        ],
+    ),
+    (
+        "additionalProperties default allows",
+        {"type": "object", "properties": {"a": {"type": "integer"}}},
+        [
+            ("an extra key is fine", {"a": 1, "b": 2}, True),
+        ],
+    ),
+    (
+        "patternProperties",
+        {
+            "type": "object",
+            "patternProperties": {"^x_": {"type": "integer"}},
+            "additionalProperties": False,
+        },
+        [
+            ("a matching key with the right type", {"x_a": 1}, True),
+            ("a matching key with the wrong type", {"x_a": "s"}, False),
+            ("a non-matching key", {"y": 1}, False),
+        ],
+    ),
+    (
+        "dependentRequired",
+        {
+            "type": "object",
+            "properties": {"a": {}, "b": {}},
+            "dependentRequired": {"a": ["b"]},
+        },
+        [
+            ("dependency satisfied", {"a": 1, "b": 2}, True),
+            ("dependency missing", {"a": 1}, False),
+            ("trigger absent", {"b": 2}, True),
+        ],
+    ),
+    (
+        "nested properties",
+        {
+            "type": "object",
+            "properties": {
+                "o": {"type": "object", "properties": {"n": {"type": "integer"}}}
+            },
+        },
+        [
+            ("nested ok", {"o": {"n": 1}}, True),
+            ("nested type mismatch", {"o": {"n": "s"}}, False),
+        ],
+    ),
+    (
+        "items",
+        {"type": "array", "items": {"type": "integer"}},
+        [
+            ("all integers", [1, 2, 3], True),
+            ("one string", [1, "x"], False),
+            ("empty array", [], True),
+        ],
+    ),
+    (
+        "prefixItems",
+        {"type": "array", "prefixItems": [{"type": "integer"}, {"type": "string"}]},
+        [
+            ("matching tuple", [1, "a"], True),
+            ("swapped tuple", ["a", 1], False),
+        ],
+    ),
+    (
+        "minItems/maxItems",
+        {"type": "array", "minItems": 1, "maxItems": 2, "items": {}},
+        [
+            ("within bounds", [1], True),
+            ("too few", [], False),
+            ("too many", [1, 2, 3], False),
+        ],
+    ),
+    (
+        "uniqueItems",
+        {"type": "array", "items": {}, "uniqueItems": True},
+        [
+            ("unique", [1, 2], True),
+            ("duplicated", [1, 1], False),
+        ],
+    ),
+    (
+        "anyOf",
+        {"anyOf": [{"type": "integer"}, {"type": "string", "minLength": 2}]},
+        [
+            ("first alternative", 5, True),
+            ("second alternative", "ab", True),
+            ("close to second but invalid", "a", False),
+            ("neither", None, False),
+        ],
+    ),
+    (
+        "oneOf",
+        {
+            "oneOf": [
+                {"type": "integer", "minimum": 0},
+                {"type": "integer", "maximum": 5},
+            ]
+        },
+        [
+            ("only the first matches", 10, True),
+            ("only the second matches", -1, True),
+            ("both match", 3, False),
+            ("neither matches", "x", False),
+        ],
+    ),
+    (
+        "allOf (intersect-merged)",
+        {"allOf": [{"type": "integer", "minimum": 0}, {"maximum": 10}]},
+        [
+            ("satisfies both", 5, True),
+            ("violates the second", 11, False),
+            ("violates the first", -1, False),
+        ],
+    ),
+    (
+        "$ref to $defs",
+        {
+            "type": "object",
+            "properties": {"p": {"$ref": "#/$defs/positiveInt"}},
+            "$defs": {"positiveInt": {"type": "integer", "minimum": 1}},
+        },
+        [
+            ("resolved and satisfied", {"p": 3}, True),
+            ("resolved and violated", {"p": 0}, False),
+            ("resolved type mismatch", {"p": "x"}, False),
+        ],
+    ),
+    (
+        "null type",
+        {"type": "null"},
+        [
+            ("null is valid", None, True),
+            ("zero is not null", 0, False),
+        ],
+    ),
+    (
+        "boolean const",
+        {"type": "boolean", "const": True},
+        [
+            ("the constant", True, True),
+            ("the other boolean", False, False),
+        ],
+    ),
+]
+
+
+def _flat():
+    for group, schema, tests in CASES:
+        for desc, instance, valid in tests:
+            yield pytest.param(schema, instance, valid, id=f"{group}: {desc}")
+
+
+@pytest.mark.parametrize("schema,instance,valid", list(_flat()))
+def test_conformance(schema, instance, valid):
+    node = schema_from_json(schema)
+    anomalies = node.collect_anomalies(instance)
+    flagged = [a for a in anomalies if a[2] >= int(AnomalyLevel.WARNING)]
+    if valid:
+        assert not flagged, f"expected valid, got {anomalies}"
+    else:
+        assert flagged, "expected invalid, got no anomalies"

@@ -398,6 +398,70 @@ class TestCompactUniqueness:
         assert exact["distinct_keys"] == 4 and exact["total_rows"] == 6
 
 
+class TestNdjsonStdin:
+    def test_stdin_source(self, spark, monkeypatch):
+        import io
+
+        from jsonoid_discovery_spark.sources.ndjson import read_ndjson_any
+
+        monkeypatch.setattr(
+            "sys.stdin", io.StringIO('{"a": 1}\nnot json\n\n{"a": 2}\n')
+        )
+        rows = read_ndjson_any(spark, "-").collect()
+        assert [r["doc"] for r in rows] == ['{"a": 1}', '{"a": 2}']
+
+    def test_cli_discovers_from_stdin(self, spark, monkeypatch, capsys):
+        import io
+
+        from jsonoid_discovery_spark.__main__ import _load
+
+        monkeypatch.setattr("sys.stdin", io.StringIO('{"x": 1}\n{"x": 2}\n'))
+        df, col = _load(spark, "-", None)
+        res = discover(df, col)
+        assert res.docs == 2 and "x" in res.schema.fields
+
+
+class TestExpandContract:
+    """expandInt/contractInt step parity (Helpers.scala:75-129/177-235) —
+    expected values derived from the reference CODE (its doc-comment
+    examples 110=>200 / 100=>99 disagree with its own arithmetic)."""
+
+    def test_expand_steps(self):
+        from jsonoid_discovery_spark.operators.constraints import expand_max_to
+
+        assert expand_max_to(12, 13) == 13  # next10 = 12+1
+        assert expand_max_to(99, 100) == 100
+        assert expand_max_to(110, 115) == 120  # pow10=10 round-up
+        assert expand_max_to(254, 255) == 255  # 2^8 - 1 favored
+        assert expand_max_to(5, 7) == 7  # below 10: +1 steps
+        assert expand_max_to(-3, 0) == 0  # negatives restart at zero
+        assert expand_max_to(50, 50) == 50  # already covered: unchanged
+
+    def test_contract_steps(self):
+        from jsonoid_discovery_spark.operators.constraints import contract_min_to
+
+        assert contract_min_to(13, 12) == 12
+        assert contract_min_to(200, 195) == 190
+        assert contract_min_to(307, 302) == 300
+        assert contract_min_to(8, 6) == 6  # below 10: -1 steps
+        assert contract_min_to(100, 95) == 90
+
+    def test_gives_up_to_unbounded(self):
+        from jsonoid_discovery_spark.operators.constraints import expand_max_to
+
+        assert expand_max_to(10, 10**9) == float("inf")
+
+    def test_split_discover_targeted_expansion(self, spark, docs):
+        from jsonoid_discovery_spark.operators.analyses import split_discover
+
+        out = split_discover(docs, columns=["text", "n_chars"], seed=7)
+        assert out["is_subset"], [
+            f"{i.column}.{i.prop}: {i.left} vs {i.right}" for i in out["incompatibilities"]
+        ]
+        out_b = split_discover(docs, columns=["text", "n_chars"], seed=7, oblivious=True)
+        assert out_b["is_subset"]
+
+
 class TestStreamingReplayIdempotent:
     def test_replayed_batch_not_double_counted(self, spark, tmp_path):
         from jsonoid_discovery_spark.streaming.incremental import StreamingProfiler
