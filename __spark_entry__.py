@@ -417,6 +417,19 @@ def _json_type_counts_events(spark: SparkSession, sf: str) -> DataFrame:
     return json_type_counts(_t(spark, sf, "events"), "props", "event_type")
 
 
+def _jaccard_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (the verification stage of
+    the LSH pipeline, run standalone so DuckDB can oracle it — candidate
+    generation joins on the shingle hash, which only ADDS candidates that
+    the exact filter rejects, so the output is hash-free and exact)."""
+    from jsonoid_discovery_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    return jaccard_pairs(d, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -455,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_stats_events": _json_field_stats_events,
         "json_discovery_by_event_type": _json_discovery_by_event_type,
         "json_type_counts_events": _json_type_counts_events,
+        "jaccard_pairs_documents": _jaccard_pairs_documents,
     }
 
 
@@ -707,6 +721,33 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
               count(*) AS n
             FROM kv GROUP BY 1, 2, 3
+        """,
+        "jaccard_pairs_documents": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+              FROM words
+            ),
+            ex AS (SELECT doc_id, unnest(g) AS s FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_intersect(ga.g, gb.g))::DOUBLE
+                         / len(list_distinct(ga.g || gb.g)), 9) AS jaccard
+            FROM cand
+            JOIN grams ga ON ga.doc_id = cand.id_a
+            JOIN grams gb ON gb.doc_id = cand.id_b
+            WHERE len(list_intersect(ga.g, gb.g))::DOUBLE
+                  / len(list_distinct(ga.g || gb.g)) >= 0.5
         """,
         # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents,
         # pk_candidates_documents, split_discover_documents,

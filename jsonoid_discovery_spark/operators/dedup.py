@@ -238,13 +238,19 @@ def jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs (verification stage after
     LSH): |A ∩ B| / |A ∪ B| on distinct shingle sets, all with array
     built-ins. With no candidates given, verifies ALL pairs sharing any
-    shingle — small-scale only."""
+    shingle — small-scale only (the shingle-set table is persisted for the
+    duration of the plan because three joins consume it; at scale, pass LSH
+    candidates instead and land shingle sets on storage). Candidate
+    generation joins on the shingle's 64-bit hash (small shuffle key; hash
+    collisions only ADD candidates, which the exact Jaccard filter then
+    rejects — output is unaffected)."""
     sh = shingle_rows(df, col, id_col, shingle_k).groupBy("id").agg(F.collect_list("s").alias("sh"))
     if candidates is None:
-        ex = sh.select("id", F.explode("sh").alias("s"))
+        sh = sh.persist()
+        ex = sh.select("id", F.explode("sh").alias("s")).select("id", F.xxhash64("s").alias("h"))
         candidates = (
             ex.alias("x")
-            .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+            .join(ex.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x.id") < F.col("y.id")))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )

@@ -104,6 +104,34 @@ def test_columnstate_string_merge_equals_bulk(vals, cut):
         assert x.hist.bins == bulk.hist.bins
         assert x.examples.values() == bulk.examples.values()
         assert x.formats == bulk.formats
+        assert x.cat_overflow == bulk.cat_overflow
+        if not bulk.cat_overflow:
+            assert x.cat_counts == bulk.cat_counts
+        assert x.all_numeric_strings == bulk.all_numeric_strings
+
+
+@given(
+    st.lists(st.integers(-(2**40), 2**40).map(str), min_size=1, max_size=60),
+    st.integers(1, 59),
+)
+@settings(max_examples=40, deadline=None)
+def test_columnstate_numeric_strings_merge_equals_bulk(vals, cut):
+    """StringNumericProperty full form: nested numeric bounds + gcd are
+    split-invariant while the latch holds."""
+    cut = min(cut, len(vals))
+
+    def mk(chunk):
+        st_ = ColumnState("c", "string")
+        if chunk:
+            st_.update_array(pa.array(chunk, pa.string()))
+        return st_
+
+    a, b, bulk = mk(vals[:cut]), mk(vals[cut:]), mk(vals)
+    m = a.merge(b)
+    assert m.all_numeric_strings == bulk.all_numeric_strings
+    if bulk.all_numeric_strings:
+        assert m.num_min == bulk.num_min and m.num_max == bulk.num_max
+        assert m.num_gcd == bulk.num_gcd
 
 
 @given(
