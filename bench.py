@@ -348,6 +348,34 @@ Checks passed in all runs: uniqueness={r8['uniq_ok']}, RI={r8['ri_ok']},
 violations found={r8['n_violations']} (expected 0 on the clean table),
 verdict groups={r8['n_verdict_groups']}.
 """
+    probes_path = "/root/repo/BENCH/probes.jsonl"
+    if os.path.exists(probes_path):
+        with open(probes_path) as f:
+            probes = [json.loads(line) for line in f]
+        by_n: dict = {}
+        for pr in probes:
+            by_n.setdefault(pr["n_files"], {})[pr["master"]] = pr
+        lines = [
+            "",
+            "### Input-size sensitivity of the 8->32 pair (probes)",
+            "",
+            "The 8->32 pair is dominated by fixed per-job costs at small",
+            "inputs; one-off probes at larger inputs (BENCH/probes.jsonl,",
+            "same 3-pass protocol, local[8]/local[32] only) show the pair",
+            "improving as they amortize:",
+            "",
+            "| rows | local[8] f/s | local[32] f/s | eff 8->32 (best) | (median) |",
+            "|---|---|---|---|---|",
+        ]
+        for n, pair in sorted(by_n.items()):
+            if "local[8]" in pair and "local[32]" in pair:
+                p8, p32 = pair["local[8]"], pair["local[32]"]
+                eb = p32["files_per_sec"] / p8["files_per_sec"] / 4.0
+                em = med(p32) / med(p8) / 4.0
+                lines.append(
+                    f"| {n} | {p8['files_per_sec']} | {p32['files_per_sec']} | {eb:.3f} | {em:.3f} |"
+                )
+        md += "\n".join(lines) + "\n"
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(md)
