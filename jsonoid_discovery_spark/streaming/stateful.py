@@ -1,0 +1,100 @@
+"""Structured Streaming operators beyond foreachBatch profiling:
+
+* ``windowed_event_counts`` — watermarked tumbling-window rollup (the
+  streaming form of the batch ``events_hourly_counts`` query): late rows
+  beyond the watermark are dropped, window state is bounded, and the same
+  expression runs identically in batch mode (Spark's unified semantics).
+
+* ``stateful_running_stats`` — a CUSTOM stateful operator via
+  ``applyInPandasWithState``: per-key running count/min/max/sum folded
+  across micro-batches with explicit GroupState. This is the streaming
+  analog of the engine's monoid fold when the built-in aggregations can't
+  express the state (the reference is batch-only; its commutative-monoid
+  property design is what makes this layering possible, SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATS_STATE_SCHEMA = "count long, min double, max double, sum double"
+STATS_OUTPUT_SCHEMA = "key string, count long, min double, max double, sum double"
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts + value sum with a late-data
+    watermark. Works on both streaming and batch DataFrames (on a stream,
+    append-mode output finalizes a window once the watermark passes it; the
+    watermark bounds the state store). One shuffle on (window, groups),
+    map-side partial aggregation."""
+    # event-time watermarks require TIMESTAMP (not NTZ); the session runs in
+    # UTC so the cast is lossless and identical in batch and streaming
+    src = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _stats_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold micro-batch rows for one key into the running (count, min, max,
+    sum) state — a pure monoid update, so replayed batches re-derive the
+    same state (Spark's state store versioning handles exactly-once)."""
+    if state.exists:
+        count, mn, mx, total = state.get
+    else:
+        count, mn, mx, total = 0, None, None, 0.0
+    for pdf in pdfs:
+        v = pd.to_numeric(pdf["value"], errors="coerce").dropna()
+        if len(v):
+            count += int(len(v))
+            bmn, bmx = float(v.min()), float(v.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+            total += float(v.sum())
+    state.update((count, mn, mx, total))
+    yield pd.DataFrame(
+        {"key": [key[0]], "count": [count], "min": [mn], "max": [mx], "sum": [total]}
+    )
+
+
+def stateful_running_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running stats as an ``applyInPandasWithState`` operator
+    (update output mode): each micro-batch updates the key's GroupState and
+    emits the key's current totals. Use when the running state can't be
+    expressed as a built-in aggregate; here the state IS a tiny monoid, so
+    batch parity is exact (tested against a plain groupBy aggregate)."""
+    sel = df.select(F.col(key_col).cast("string").alias("key"), F.col(value_col).alias("value"))
+    return sel.groupBy("key").applyInPandasWithState(
+        _stats_fold,
+        outputStructType=STATS_OUTPUT_SCHEMA,
+        stateStructType=STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

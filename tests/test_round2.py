@@ -462,6 +462,98 @@ class TestExpandContract:
         assert out_b["is_subset"]
 
 
+class TestStreamingOperators:
+    def test_windowed_counts_stream_equals_batch(self, spark, tmp_path):
+        from jsonoid_discovery_spark.streaming.stateful import windowed_event_counts
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src = str(tmp_path / "ev_src")
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = windowed_event_counts(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        batch = {
+            (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+            for r in windowed_event_counts(ev).collect()
+        }
+        # append mode only emits windows the watermark has passed; every
+        # emitted window must match the batch rollup exactly, and most must
+        # have been finalized
+        assert got and all(batch[k] == v for k, v in got.items())
+        assert len(got) >= len(batch) * 0.5
+
+    def test_stateful_running_stats_matches_batch(self, spark, tmp_path):
+        from jsonoid_discovery_spark.streaming.stateful import stateful_running_stats
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+        src = str(tmp_path / "ev_src2")
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = stateful_running_stats(stream, "event_type", "value")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("run_stats")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # update mode re-emits a key each batch; the LAST emission per key
+        # is the final running state — compare against the batch aggregate
+        import pandas as pd
+
+        pdf = spark.sql("SELECT * FROM run_stats").toPandas()
+        # the running count is monotonic, so the max-count row per key is
+        # the final state (memory-sink row order is not batch order)
+        final = {}
+        for _, r in pdf.sort_values("count").iterrows():
+            final[r["key"]] = (int(r["count"]), r["min"], r["max"], r["sum"])
+        batch = {
+            r["event_type"]: (
+                r["n"],
+                r["mn"],
+                r["mx"],
+                r["sm"],
+            )
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("value").alias("n"),
+                F.min(F.col("value").cast("double")).alias("mn"),
+                F.max(F.col("value").cast("double")).alias("mx"),
+                F.sum(F.col("value").cast("double")).alias("sm"),
+            )
+            .collect()
+        }
+        assert set(final) == set(batch)
+        for k, (c, mn, mx, sm) in final.items():
+            bc, bmn, bmx, bsm = batch[k]
+            assert c == bc and mn == bmn and mx == bmx
+            assert abs(sm - bsm) < 1e-6 * max(1.0, abs(bsm))
+
+
 class TestStreamingReplayIdempotent:
     def test_replayed_batch_not_double_counted(self, spark, tmp_path):
         from jsonoid_discovery_spark.streaming.incremental import StreamingProfiler
