@@ -1,0 +1,145 @@
+"""Physical-plan audits: assert the PLAN SHAPE each operator must keep at
+100 TB, not just its output. These catch regressions the value-oracle can't
+see — a filter that stops reaching the parquet scan, a broadcast join that
+degrades to sort-merge, Python sneaking into a codegen-only path, or a
+top-k that becomes a global sort.
+
+All checks are `explain`-level only (no jobs run), so the file is cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+import re
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _op_count(plan: str, op: str) -> int:
+    """Count DISTINCT physical operators (the formatted explain prints each
+    node twice: once in the tree, once in the detail section)."""
+    return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.MULTILINE))
+
+
+class TestScanPruning:
+    def test_filter_and_projection_reach_parquet_scan(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        q = docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+        plan = _plan(q)
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+        # column pruning: the fat text column must not be read
+        readschema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "text" not in readschema and "doc_id" in readschema
+
+    def test_validate_path_is_whole_stage_codegen(self, spark):
+        """The validation pass must stay JVM-side: no Python evaluation
+        operator anywhere in the plan (north rule: 'no per-row Python')."""
+        from jsonoid_discovery_spark.operators.constraints import Constraint, validate
+        from jsonoid_discovery_spark.config import AnomalyLevel
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cons = [
+            Constraint("text.required", F.col("text").isNotNull(), AnomalyLevel.FATAL),
+            Constraint(
+                "n_chars.bounds",
+                F.col("n_chars").isNull() | F.col("n_chars").between(0, 1 << 20),
+            ),
+        ]
+        plan = _plan(validate(docs, cons, key_cols=["doc_id"], content_col="text"))
+        assert "codegen id" in plan  # whole-stage codegen spans
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert _op_count(plan, "Exchange") == 0  # validation never shuffles
+
+
+class TestJoinStrategies:
+    def test_referential_summary_broadcasts_parent(self, spark):
+        from jsonoid_discovery_spark.operators.constraints import referential_summary
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        plan = _plan(referential_summary(orders, ["o_custkey"], cust, ["c_custkey"]))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_referential_orphans_is_broadcast_anti_join(self, spark):
+        from jsonoid_discovery_spark.operators.constraints import referential_orphans
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        plan = _plan(referential_orphans(orders, ["o_custkey"], cust, ["c_custkey"]))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestTopKShapes:
+    def test_brute_force_topk_is_take_ordered_not_global_sort(self, spark):
+        """orderBy().limit(k) must plan as TakeOrderedAndProject (per-
+        partition top-k + driver merge), never a full Sort + Exchange."""
+        from jsonoid_discovery_spark.operators.ann import brute_force_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [0.0] * 64
+        plan = _plan(brute_force_topk(emb, "embedding", "vec_id", q, k=10))
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+    def test_ivf_centroid_sample_is_take_ordered(self, spark):
+        """The IVF training sample (orderBy(hash).limit(n)) must also be a
+        TakeOrderedAndProject — the round-1 review worried this was a full
+        sort; the physical plan proves it is not."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        sample = (
+            emb.select(F.col("embedding").alias("v"))
+            .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(42)))
+            .limit(100)
+        )
+        plan = _plan(sample)
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestAggregationShapes:
+    def test_uniqueness_has_partial_aggregation(self, spark):
+        from jsonoid_discovery_spark.operators.constraints import uniqueness_summary
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        plan = _plan(uniqueness_summary(orders, ["o_orderkey"], compact_keys=True))
+        # distinct via partial_agg -> exchange -> final: exactly the
+        # map-side-combine shape, and the shuffled key is the sha2 digest
+        assert _op_count(plan, "HashAggregate") >= 2
+        assert "sha2" in plan
+
+    def test_simhash_aggregation_is_single_shuffle(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import with_simhash
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = _plan(with_simhash(docs, "text", id_col="doc_id"))
+        # shingle window (exchange on id) + shingle distinct — the 64 bit
+        # votes all ride the same aggregation, never one shuffle per bit
+        assert _op_count(plan, "Exchange") <= 2
+
+    def test_partition_verdicts_single_shuffle(self, spark):
+        from jsonoid_discovery_spark.operators.constraints import (
+            Constraint,
+            partition_verdicts,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cons = [Constraint("text.required", F.col("text").isNotNull())]
+        plan = _plan(partition_verdicts(docs, cons, ["lang"]))
+        assert _op_count(plan, "Exchange") == 1
+        assert _op_count(plan, "HashAggregate") >= 2  # partial + final
+
+
+class TestJsonTypeCountsPlan:
+    def test_variant_path_has_no_python(self, spark):
+        from jsonoid_discovery_spark.operators.discovery import json_type_counts
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = _plan(json_type_counts(ev, "props", "event_type"))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "MapInArrow" not in plan
+        assert _op_count(plan, "Exchange") == 1  # only the final groupBy
