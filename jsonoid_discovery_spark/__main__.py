@@ -53,8 +53,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-examples", type=int, default=100)
     d.add_argument("--format-threshold", type=float, default=1.0)
     d.add_argument("--no-transformers", action="store_true")
+    d.add_argument("--extended-formats", action="store_true",
+                   help="enable the bibcode/doi/isbn/plus-code/geo-uri checkers")
+    d.add_argument("--add-definitions", "-d", action="store_true",
+                   help="DefinitionTransformer: factor repeated objects into $defs")
+    d.add_argument("--detect-dynamic", "-y", action="store_true",
+                   help="DynamicObjectTransformer: dynamic maps -> additionalProperties")
+    d.add_argument("--detect-disjoint", "-j", action="store_true",
+                   help="DisjointObjectTransformer: disjoint key groups -> oneOf")
     d.add_argument("--split-percentage", type=float, default=None,
                    help="splitDiscover: train fraction; reports subset verdict")
+    d.add_argument("--oblivious-expansion", action="store_true",
+                   help="with --split-percentage: blind power-of-2 widening instead of "
+                        "targeted expandTo toward the test profile")
 
     p = sub.add_parser("profile", parents=[common], help="profile table columns")
     p.add_argument("--group-by", default=None, help="comma-separated group columns")
@@ -86,13 +97,16 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "discover":
             params = EngineParams(
-                max_examples=args.max_examples, format_threshold=args.format_threshold
+                max_examples=args.max_examples,
+                format_threshold=args.format_threshold,
+                extended_formats=args.extended_formats,
             )
             df, col = _load(spark, args.input, args.column)
             if args.split_percentage is not None:
                 from jsonoid_discovery_spark.operators.analyses import split_discover
 
-                out = split_discover(df, train_fraction=args.split_percentage, params=params)
+                out = split_discover(df, train_fraction=args.split_percentage, params=params,
+                                     oblivious=args.oblivious_expansion)
                 emit(json.dumps({"is_subset": out["is_subset"],
                                  "incompatibilities": [vars(i) for i in out["incompatibilities"]]},
                                 indent=2, default=str))
@@ -105,8 +119,25 @@ def main(argv: list[str] | None = None) -> int:
                 from jsonoid_discovery_spark.operators.discovery import discover
 
                 res = discover(df, col, params=params)
-                emit(json.dumps(res.to_json_schema(transformers=not args.no_transformers),
-                                indent=2, default=str))
+                schema = res.to_json_schema(transformers=not args.no_transformers)
+                if args.add_definitions:
+                    from jsonoid_discovery_spark.operators.analyses import definition_transform
+
+                    schema = definition_transform(res.schema)
+                if args.detect_dynamic or args.detect_disjoint:
+                    from jsonoid_discovery_spark.operators.analyses import (
+                        disjoint_object_transform,
+                        dynamic_object_transform,
+                    )
+
+                    replacement = None
+                    if args.detect_dynamic:
+                        replacement = dynamic_object_transform(res.schema)
+                    if replacement is None and args.detect_disjoint:
+                        replacement = disjoint_object_transform(res.schema)
+                    if replacement is not None:
+                        schema = replacement
+                emit(json.dumps(schema, indent=2, default=str))
         elif args.cmd == "profile":
             from jsonoid_discovery_spark.operators.profile import profile
 

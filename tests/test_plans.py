@@ -28,13 +28,15 @@ def _op_count(plan: str, op: str) -> int:
 
 class TestScanPruning:
     def test_filter_and_projection_reach_parquet_scan(self, spark):
-        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        q = docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+        # lineitem: no session fixture caches it, so the plan keeps a real
+        # parquet scan (the cached `documents` would plan InMemoryTableScan)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        q = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
         plan = _plan(q)
-        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
-        # column pruning: the fat text column must not be read
+        assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+        # column pruning: only the projected + filtered columns are read
         readschema = next(l for l in plan.splitlines() if "ReadSchema" in l)
-        assert "text" not in readschema and "doc_id" in readschema
+        assert "l_comment" not in readschema and "l_orderkey" in readschema
 
     def test_validate_path_is_whole_stage_codegen(self, spark):
         """The validation pass must stay JVM-side: no Python evaluation

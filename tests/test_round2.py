@@ -421,6 +421,44 @@ class TestNdjsonStdin:
         assert res.docs == 2 and "x" in res.schema.fields
 
 
+class TestCliTransformerFlags:
+    """Subprocess-driven (main() stops its session on exit; calling it
+    in-process would kill the shared test SparkContext)."""
+
+    @staticmethod
+    def _run(*args: str):
+        import subprocess
+        import sys as _sys
+
+        return subprocess.run(
+            [_sys.executable, "-m", "jsonoid_discovery_spark", *args],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+            env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+
+    def test_add_definitions_flag(self, tmp_path):
+        src = tmp_path / "in.ndjson"
+        doc = '{"foo": {"bar": 1, "baz": 2}, "quux": {"bar": 3, "baz": 4}}\n'
+        src.write_text(doc * 5)
+        out = tmp_path / "schema.json"
+        r = self._run("discover", str(src), "--add-definitions", "-o", str(out))
+        assert r.returncode == 0, r.stderr[-500:]
+        schema = json.loads(out.read_text())
+        assert "$defs" in schema and "defn0" in schema["$defs"]
+
+    def test_detect_disjoint_flag(self, tmp_path):
+        src = tmp_path / "in2.ndjson"
+        src.write_text('{"a": 1, "b": 2}\n' * 3 + '{"x": "s", "y": "t"}\n' * 3)
+        out = tmp_path / "schema2.json"
+        r = self._run("discover", str(src), "--detect-disjoint", "-o", str(out))
+        assert r.returncode == 0, r.stderr[-500:]
+        schema = json.loads(out.read_text())
+        assert "oneOf" in schema and len(schema["oneOf"]) == 2
+
+
 class TestExpandContract:
     """expandInt/contractInt step parity (Helpers.scala:75-129/177-235) —
     expected values derived from the reference CODE (its doc-comment
