@@ -136,8 +136,10 @@ class ColumnState:
     max_len: int | None = None
     min_s: str | None = None
     max_s: str | None = None
-    min_rs: str | None = None  # min/max of reversed string -> common suffix
-    max_rs: str | None = None
+    # common suffix maintained DIRECTLY (a string-set's common suffix is a
+    # commutative monoid under longest-common-suffix); '' once divergent,
+    # so steady-state batches cost one short-circuit check
+    suffix: str | None = None
     formats: dict[str, int] = field(default_factory=dict)
     all_numeric_strings: bool = True  # StringNumericProperty latch (:974-1047)
     # StringNumericProperty full form: while the latch holds, a nested
@@ -217,11 +219,15 @@ class ColumnState:
         s = arr.to_pandas()
         if s.dtype != object:
             s = s.astype(str)
-        # pandas elementwise reverse beats pc.utf8_reverse ~5x (measured)
-        rev = s.str[::-1]
-        rmn, rmx = rev.min(), rev.max()
-        self.min_rs = rmn if self.min_rs is None else min(self.min_rs, rmn)
-        self.max_rs = rmx if self.max_rs is None else max(self.max_rs, rmx)
+        # common suffix: binary search on the candidate's length with
+        # Arrow's C++ ends_with — O(log L) vectorized passes, and once the
+        # suffix collapses to '' every later batch is a no-op (this replaced
+        # reversing every string just to take min/max, ~30% of string-batch
+        # CPU on content-sized values; PatternProperty suffix semantics,
+        # StringSchema.scala:702-763, are unchanged)
+        if self.suffix != "":
+            cand = self.suffix if self.suffix is not None else str(s.iloc[0])
+            self.suffix = _common_suffix_arrow(arr, cand)
         if self.metric_set == "all":
             self.hist.update(lens)
             h = hash64_array(s)
@@ -354,7 +360,12 @@ class ColumnState:
                 out.gcd = math.gcd(self.gcd, o.gcd)
         out.min_len, out.max_len = _mn(self.min_len, o.min_len), _mx(self.max_len, o.max_len)
         out.min_s, out.max_s = _mn(self.min_s, o.min_s), _mx(self.max_s, o.max_s)
-        out.min_rs, out.max_rs = _mn(self.min_rs, o.min_rs), _mx(self.max_rs, o.max_rs)
+        if self.suffix is None:
+            out.suffix = o.suffix
+        elif o.suffix is None:
+            out.suffix = self.suffix
+        else:
+            out.suffix = _lcs(self.suffix, o.suffix)
         out.formats = dict(self.formats)
         for k, c in o.formats.items():
             out.formats[k] = out.formats.get(k, 0) + c
@@ -436,9 +447,7 @@ class ColumnState:
         return _lcp(self.min_s, self.max_s)
 
     def common_suffix(self) -> str | None:
-        if self.min_rs is None or self.max_rs is None:
-            return None
-        return _lcp(self.min_rs, self.max_rs)[::-1]
+        return self.suffix
 
     def pattern(self) -> str | None:
         """Anchored regex from common prefix/suffix, valid only with >=10
@@ -549,6 +558,35 @@ def _lcp(a: str, b: str) -> str:
             break
         i += 1
     return a[:i]
+
+
+def _lcs(a: str, b: str) -> str:
+    """Longest common SUFFIX of two strings."""
+    i = 0
+    for x, y in zip(reversed(a), reversed(b)):
+        if x != y:
+            break
+        i += 1
+    return a[len(a) - i :] if i else ""
+
+
+def _common_suffix_arrow(arr: pa.Array, cand: str) -> str:
+    """Longest suffix of ``cand`` shared by EVERY string in ``arr`` —
+    binary search on the suffix length; each probe is one vectorized
+    Arrow C++ ends_with over the whole batch."""
+    import pyarrow.compute as pc
+
+    if not cand:
+        return ""
+    lo, hi = 0, len(cand)  # invariant: suffix of length lo is shared
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        ok = pc.all(pc.ends_with(arr, pattern=cand[len(cand) - mid :])).as_py()
+        if ok:
+            lo = mid
+        else:
+            hi = mid - 1
+    return cand[len(cand) - lo :] if lo else ""
 
 
 def _jsonable(v):
