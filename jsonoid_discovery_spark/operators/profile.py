@@ -168,10 +168,21 @@ class ColumnState:
     # property-set selection (PropertySets.scala:102-134): 'all' | 'simple'
     # (drops HLL/Bloom/histogram) | 'min' (counts and types only)
     metric_set: str = "all"
+    # which 64-bit hash fed the HLL/Bloom/examples sketches: 'pandas'
+    # (hash_pandas_object, the standalone default) or 'xxhash64' (JVM-
+    # computed, the profile scan's fast path). Sketches from different
+    # spaces must never merge — membership probes against an 'xxhash64'
+    # state need Spark-computed hashes (F.xxhash64 -> contains_hashes)
+    hash_space: str = "pandas"
 
     # -- update ------------------------------------------------------------
-    def update_array(self, arr: pa.Array) -> None:
-        """Fold one Arrow column chunk into the state (mergeValue analog)."""
+    def update_array(self, arr: pa.Array, hashes: "np.ndarray | None" = None) -> None:
+        """Fold one Arrow column chunk into the state (mergeValue analog).
+
+        ``hashes`` (optional, uint64, aligned with the NON-NULL values) lets
+        the caller supply JVM-computed xxhash64 values so the python side
+        skips per-string hashing — the profile scan computes them in
+        whole-stage codegen and ships 8 bytes/row (see partial_states)."""
         n_total = len(arr)
         nulls = arr.null_count
         self.nulls += nulls
@@ -183,7 +194,7 @@ class ColumnState:
             self._update_arraycol(arr)
             return
         if self.kind == "string":
-            self._update_string_arrow(arr.drop_null())
+            self._update_string_arrow(arr.drop_null(), hashes)
             return
         s = arr.drop_null().to_pandas()
         if self.kind in ("int", "float"):
@@ -199,9 +210,9 @@ class ColumnState:
         else:
             self.hll.update(s.astype(str))
 
-    def _update_string_arrow(self, arr: pa.Array) -> None:
+    def _update_string_arrow(self, arr: pa.Array, hashes: "np.ndarray | None" = None) -> None:
         """String fold with the heavy parts on Arrow C++ kernels
-        (utf8_length / min_max / utf8_reverse are vectorized JVM-free C++;
+        (utf8_length / min_max / ends_with are vectorized JVM-free C++;
         the python side only sees scalars + the hash array)."""
         if self.metric_set == "min":
             return
@@ -230,7 +241,11 @@ class ColumnState:
             self.suffix = _common_suffix_arrow(arr, cand)
         if self.metric_set == "all":
             self.hist.update(lens)
-            h = hash64_array(s)
+            if hashes is not None:
+                h = hashes
+                self.hash_space = "xxhash64"
+            else:
+                h = hash64_array(s)
             self.hll.update_hashes(h)
             if self.with_bloom:
                 self.bloom.update_hashes(h)
@@ -346,6 +361,12 @@ class ColumnState:
             return b if a is None else (a if b is None else max(a, b))
 
         out = ColumnState(self.column, self.kind, self.params)
+        # sketches from different hash spaces are incompatible
+        if self.kind == "string" and self.count and o.count and self.hash_space != o.hash_space:
+            raise ValueError(
+                f"cannot merge sketches from hash spaces {self.hash_space!r} and {o.hash_space!r}"
+            )
+        out.hash_space = self.hash_space if self.count else o.hash_space
         out.count = self.count + o.count
         out.nulls = self.nulls + o.nulls
         out.min_v, out.max_v = _mn(self.min_v, o.min_v), _mx(self.max_v, o.max_v)
@@ -638,8 +659,16 @@ class ProfileResult:
 PARTIAL_SCHEMA = "g string, column string, state binary"
 
 
-def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set="all"):
-    """Build the mapInArrow function computing per-batch partial states."""
+def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set="all", hashed_cols=()):
+    """Build the mapInArrow function computing per-batch partial states.
+
+    ``hashed_cols`` are columns whose xxhash64 was precomputed JVM-side and
+    shipped as ``__h__{col}``; the python fold consumes those instead of
+    hashing strings itself (hash CONSISTENCY matters: every partial of one
+    profile uses the same hash source, so sketch merges stay coherent)."""
+    import pyarrow.compute as pc
+
+    hashed_cols = set(hashed_cols)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -657,7 +686,16 @@ def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set=
                 sub = tbl if idx is None else tbl.take(pa.array(idx))
                 for col, kind in zip(columns, kinds):
                     st = ColumnState(col, kind, params, with_bloom=with_bloom, metric_set=metric_set)
-                    st.update_array(sub.column(col))
+                    values = sub.column(col)
+                    hashes = None
+                    if col in hashed_cols and values.null_count < len(values):
+                        hcol = sub.column(f"__h__{col}")
+                        if values.null_count:
+                            hcol = pc.filter(hcol, pc.is_valid(values))
+                        if isinstance(hcol, pa.ChunkedArray):
+                            hcol = hcol.combine_chunks()
+                        hashes = hcol.to_numpy(zero_copy_only=False).astype(np.uint64)
+                    st.update_array(values, hashes)
                     gkey = [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gval]
                     out_g.append(json.dumps(gkey))
                     out_c.append(col)
@@ -700,10 +738,23 @@ def partial_states(
     if columns is None:
         columns = [c for c, t in df.dtypes if c not in group_by and _kind_of(t) != "other"]
     kinds = dict(df.dtypes)
-    sel = df.select(*(group_by + columns))
+    # string columns get their xxhash64 computed JVM-side (whole-stage
+    # codegen) and shipped as an extra int64 column — the python fold then
+    # skips per-string hashing, its single largest cost on fat columns
+    hashed_cols = [
+        c for c in columns if _kind_of(kinds[c]) == "string" and metric_set == "all"
+    ]
+    hash_exprs = [F.xxhash64(F.col(c)).alias(f"__h__{c}") for c in hashed_cols]
+    sel = df.select(*(group_by + columns), *hash_exprs)
     partials = sel.mapInArrow(
         _partial_state_gen(
-            columns, [_kind_of(kinds[c]) for c in columns], group_by, params, with_bloom, metric_set
+            columns,
+            [_kind_of(kinds[c]) for c in columns],
+            group_by,
+            params,
+            with_bloom,
+            metric_set,
+            hashed_cols,
         ),
         PARTIAL_SCHEMA,
     )

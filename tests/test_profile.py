@@ -76,12 +76,16 @@ def test_discovered_profile_never_flags_own_rows(spark, docs, prof):
     """Reference invariant: a discovered schema accepts every source value
     (test/DiscoverSchemaSpec.scala:14-19)."""
     st = prof.state("text")
-    rows = docs.selectExpr("text", "length(text) l").collect()
+    rows = docs.selectExpr("text", "length(text) l", "xxhash64(text) h").collect()
     lo, hi = st.hist.bounds()
     for r in rows:
         assert st.min_len <= r["l"] <= st.max_len
         assert lo <= r["l"] <= hi
-    assert st.bloom.contains(np.array([r["text"] for r in rows], dtype=object)).all()
+    # the profile's bloom is built from JVM xxhash64 values, so membership
+    # probes use Spark-computed hashes (hash_space contract)
+    assert st.hash_space == "xxhash64"
+    h = np.array([r["h"] for r in rows], dtype=np.int64).astype(np.uint64)
+    assert st.bloom.contains_hashes(h).all()
 
 
 def test_profile_sql_agrees_with_arrow_path(spark, docs, prof):
