@@ -421,6 +421,17 @@ class TopKExamples:
         new = [(int(uh[i]), self._trunc(values[idx[i]])) for i in range(k)]
         self._absorb(new)
 
+    def update_hashed_arrow(self, arr, h: np.ndarray) -> None:
+        """Like update_hashed but over a pyarrow Array: only the <=K
+        winning values are materialized into python (``.as_py()`` per
+        winner), so the batch never converts to an object array."""
+        if len(h) == 0:
+            return
+        uh, idx = np.unique(h, return_index=True)
+        k = min(self.k, len(uh))
+        new = [(int(uh[i]), self._trunc(arr[int(idx[i])].as_py())) for i in range(k)]
+        self._absorb(new)
+
     def _trunc(self, v: object) -> object:
         if isinstance(v, str) and len(v) > self.max_len:
             return v[: self.max_len]

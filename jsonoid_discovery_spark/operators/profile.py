@@ -227,9 +227,20 @@ class ColumnState:
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         self.min_s = mn if self.min_s is None else min(self.min_s, mn)
         self.max_s = mx if self.max_s is None else max(self.max_s, mx)
-        s = arr.to_pandas()
-        if s.dtype != object:
-            s = s.astype(str)
+
+        # lazy object conversion: most paths below work on the Arrow array
+        # (or small slices of it); the full pandas Series is only built when
+        # a consumer genuinely needs every python string
+        _s_cache: list = []
+
+        def get_s() -> pd.Series:
+            if not _s_cache:
+                s = arr.to_pandas()
+                if s.dtype != object:
+                    s = s.astype(str)
+                _s_cache.append(s)
+            return _s_cache[0]
+
         # common suffix: binary search on the candidate's length with
         # Arrow's C++ ends_with — O(log L) vectorized passes, and once the
         # suffix collapses to '' every later batch is a no-op (this replaced
@@ -237,46 +248,57 @@ class ColumnState:
         # CPU on content-sized values; PatternProperty suffix semantics,
         # StringSchema.scala:702-763, are unchanged)
         if self.suffix != "":
-            cand = self.suffix if self.suffix is not None else str(s.iloc[0])
+            cand = self.suffix if self.suffix is not None else arr[0].as_py()
             self.suffix = _common_suffix_arrow(arr, cand)
         if self.metric_set == "all":
             self.hist.update(lens)
             if hashes is not None:
                 h = hashes
                 self.hash_space = "xxhash64"
+                self.examples.update_hashed_arrow(arr, h)
             else:
-                h = hash64_array(s)
+                h = hash64_array(get_s())
+                self.examples.update_hashed(get_s().to_numpy(dtype=object), h)
             self.hll.update_hashes(h)
             if self.with_bloom:
                 self.bloom.update_hashes(h)
-            self.examples.update_hashed(s.to_numpy(dtype=object), h)
         else:
-            self.examples.update(s)
+            self.examples.update(get_s())
         # FormatProperty: first-match-wins counts. Every known format is a
         # short token (uuid=36, ipv6<=45, date-time<=35, uri/email bounded in
         # practice) — values longer than 128 chars can't match, so they're
-        # counted as 'none' without touching a regex (big win on `content`).
-        short = s[lens <= 128]
-        matched = np.zeros(len(short), dtype=bool)
-        for name, pat in format_patterns(self.params):
-            if matched.all():
-                break
-            m = short.str.match(pat).to_numpy(dtype=bool) & ~matched
-            c = int(m.sum())
-            if c:
-                self.formats[name] = self.formats.get(name, 0) + c
-                matched |= m
-        nm = int((~matched).sum()) + int(len(s) - len(short))
+        # counted as 'none' without touching a regex or a python object
+        # (big win on `content`: the filter runs in Arrow C++)
+        short_mask = lens <= 128
+        n_short = int(short_mask.sum())
+        if n_short:
+            short_arr = arr.filter(pa.array(short_mask)) if n_short < len(lens) else arr
+            short = short_arr.to_pandas()
+            if short.dtype != object:
+                short = short.astype(str)
+            matched = np.zeros(n_short, dtype=bool)
+            for name, pat in format_patterns(self.params):
+                if matched.all():
+                    break
+                m = short.str.match(pat).to_numpy(dtype=bool) & ~matched
+                c = int(m.sum())
+                if c:
+                    self.formats[name] = self.formats.get(name, 0) + c
+                    matched |= m
+            nm = int((~matched).sum()) + int(len(lens) - n_short)
+        else:
+            short = None
+            nm = len(lens)
         if nm:
             self.formats["none"] = self.formats.get("none", 0) + nm
         if self.all_numeric_strings:
             # StringNumericProperty latch: cheap head-probe first — one
             # non-numeric value anywhere kills the latch for good
-            head = pd.to_numeric(s.head(32), errors="coerce")
+            head = pd.to_numeric(pd.Series(arr.slice(0, 32).to_pylist()), errors="coerce")
             if head.isna().any():
                 self.all_numeric_strings = False
             else:
-                full = pd.to_numeric(s, errors="coerce")
+                full = pd.to_numeric(get_s(), errors="coerce")
                 if not full.notna().all():
                     self.all_numeric_strings = False
                 else:
@@ -302,7 +324,8 @@ class ColumnState:
                 self.cat_overflow = True
                 self.cat_counts = {}
             else:
-                for val, c in s.value_counts().items():
+                # all values are short here, so `short` covers the batch
+                for val, c in short.value_counts().items():
                     self.cat_counts[val] = self.cat_counts.get(val, 0) + int(c)
                 if len(self.cat_counts) > self.params.category_max_values:
                     self.cat_overflow = True
