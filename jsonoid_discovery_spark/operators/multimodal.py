@@ -109,6 +109,69 @@ def decode_stub(*_args, **_kwargs):
     )
 
 
+def _fake_resize(payloads: pd.Series, width: int, height: int) -> list:
+    """Deterministic stand-in for an image resize: emits a payload whose
+    length is proportional to the target pixel count, derived from the
+    source bytes (same batch contract as a real PIL/opencv-backed resize:
+    (n,) bytes -> (n,) bytes)."""
+    import hashlib
+
+    target = max(16, (width * height) // 64)
+    out = []
+    for b in payloads:
+        if b is None:
+            out.append(None)
+            continue
+        raw = b""
+        ctr = 0
+        while len(raw) < target:
+            raw += hashlib.sha256(bytes(b) + ctr.to_bytes(4, "little")).digest()
+            ctr += 1
+        out.append(raw[:target])
+    return out
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[pd.Series, int, int], list] | None = None,
+) -> DataFrame:
+    """media table -> media table with payloads re-encoded at (width,
+    height) and the size metadata filled in — the resize stage of an image
+    pipeline as an Arrow-batched transform. The codec itself is the same
+    pluggable-stub contract as ``extract_features``; the Spark-side part
+    this engine owns is the schema-preserving batch shape (MEDIA_SCHEMA in,
+    MEDIA_SCHEMA out) so resize composes with featurize/frame-sample."""
+    resize = resize_fn or _fake_resize
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payload = b.column("payload").to_pandas()
+            resized = resize(payload, width, height)
+            if len(resized) != b.num_rows:
+                raise ValueError(
+                    f"resize_fn contract violation: expected {b.num_rows} payloads, got {len(resized)}"
+                )
+            n = b.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("media_id"),
+                    b.column("kind"),
+                    b.column("mime"),
+                    pa.array([width] * n, pa.int32()),
+                    pa.array([height] * n, pa.int32()),
+                    b.column("duration_ms"),
+                    pa.array(resized, pa.binary()),
+                ],
+                names=["media_id", "kind", "mime", "width", "height", "duration_ms", "payload"],
+            )
+
+    return media.select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms", "payload"
+    ).mapInArrow(gen, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id long, frame_idx int, feature array<float>"
 
 

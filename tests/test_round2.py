@@ -500,6 +500,28 @@ class TestExpandContract:
         assert out_b["is_subset"]
 
 
+class TestResizeMedia:
+    def test_resize_preserves_schema_and_composes(self, spark):
+        from jsonoid_discovery_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(i, bytes([i % 256]) * (100 + i)) for i in range(20)], "id long, blob binary"
+        )
+        media = mm.media_table_from_binary(df, "blob", "id", kind="image", mime="image/png")
+        resized = mm.resize_media(media, width=64, height=64)
+        rows = resized.collect()
+        assert len(rows) == 20
+        assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+        target = max(16, (64 * 64) // 64)
+        assert all(len(r["payload"]) == target for r in rows)
+        # deterministic: same input -> same payload bytes
+        again = {r["media_id"]: bytes(r["payload"]) for r in mm.resize_media(media, 64, 64).collect()}
+        assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
+        # composes: resized media feeds featurization with the same schema
+        feats = mm.extract_features(resized, dim=8).collect()
+        assert len(feats) == 20 and all(len(r["feature"]) == 8 for r in feats)
+
+
 class TestStreamingOperators:
     def test_windowed_counts_stream_equals_batch(self, spark, tmp_path):
         from jsonoid_discovery_spark.streaming.stateful import windowed_event_counts
