@@ -430,6 +430,27 @@ def _jaccard_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _json_field_profile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Flat per-key JSON field profile, entirely JVM-side (Variant): type
+    counts plus per-type numeric/string/boolean statistics in one exchange.
+    Not-applicable statistics are coalesced to typed sentinels (NaN / -1)
+    so the NULL representation matches the DuckDB oracle bit-for-bit."""
+    from jsonoid_discovery_spark.operators.discovery import json_field_profile
+
+    out = json_field_profile(_t(spark, sf, "events"), "props")
+    nan = F.lit(float("nan"))
+    return out.select(
+        "key",
+        "jtype",
+        "n",
+        F.coalesce("min_num", nan).alias("min_num"),
+        F.coalesce("max_num", nan).alias("max_num"),
+        F.coalesce("min_len", F.lit(-1)).alias("min_len"),
+        F.coalesce("max_len", F.lit(-1)).alias("max_len"),
+        F.coalesce("n_true", F.lit(-1)).alias("n_true"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -469,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_discovery_by_event_type": _json_discovery_by_event_type,
         "json_type_counts_events": _json_type_counts_events,
         "jaccard_pairs_documents": _jaccard_pairs_documents,
+        "json_field_profile_events": _json_field_profile_events,
     }
 
 
@@ -721,6 +743,28 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
               count(*) AS n
             FROM kv GROUP BY 1, 2, 3
+        """,
+        "json_field_profile_events": """
+            WITH kv AS (
+              SELECT unnest(json_keys(props::JSON)) AS key, props::JSON AS j
+              FROM events WHERE props IS NOT NULL
+            ), t AS (
+              SELECT key,
+                CASE json_type(j, '$.' || key)
+                  WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+                  WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+                  WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+                  WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
+                json_extract_string(j, '$.' || key) AS sval
+              FROM kv
+            )
+            SELECT key, jtype, count(*) AS n,
+              coalesce(min(CASE WHEN jtype IN ('integer','number') THEN TRY_CAST(sval AS DOUBLE) END), 'NaN'::DOUBLE) AS min_num,
+              coalesce(max(CASE WHEN jtype IN ('integer','number') THEN TRY_CAST(sval AS DOUBLE) END), 'NaN'::DOUBLE) AS max_num,
+              CAST(coalesce(min(CASE WHEN jtype = 'string' THEN length(sval) END), -1) AS BIGINT) AS min_len,
+              CAST(coalesce(max(CASE WHEN jtype = 'string' THEN length(sval) END), -1) AS BIGINT) AS max_len,
+              CAST(coalesce(sum(CASE WHEN jtype = 'boolean' THEN CASE WHEN sval = 'true' THEN 1 ELSE 0 END END), -1) AS BIGINT) AS n_true
+            FROM t GROUP BY 1, 2
         """,
         "jaccard_pairs_documents": """
             WITH words AS (

@@ -816,6 +816,48 @@ def json_type_counts(
     )
 
 
+def json_field_profile(
+    df: DataFrame, col: str, group_col: str | None = None
+) -> DataFrame:
+    """Per-top-level-key FLAT profile of a JSON-object column, entirely
+    JVM-side: type counts PLUS per-type statistics (numeric min/max, string
+    length bounds, boolean true-count) — the scale path when the recursive
+    SchemaNode property set isn't needed. Same Variant pipeline as
+    ``json_type_counts`` (parse_json -> lateral variant_explode), with typed
+    ``try_variant_get`` extractions gated by the value's own type (casts
+    succeed across types — 1 -> true -> "1" — so every statistic filters on
+    the jtype column first). One exchange, map-side partial aggregation,
+    zero Python. Requires Spark 4+ (Variant).
+
+    Returns DataFrame[(group,)? key, jtype, n, min_num, max_num, min_len,
+    max_len, n_true]."""
+    spark = df.sparkSession
+    groups = [group_col] if group_col else []
+    base = df.where(F.col(col).isNotNull()).select(
+        *groups, F.try_parse_json(F.col(col)).alias("__pv")
+    )
+    ex = base.lateralJoin(spark.tvf.variant_explode(F.col("__pv").outer()))
+    typed = ex.select(
+        *groups,
+        F.col("key"),
+        F.expr(_VARIANT_TO_JSON_TYPE.format(t="schema_of_variant(value)")).alias("jtype"),
+        F.expr("try_variant_get(value, '$', 'double')").alias("__num"),
+        F.expr("try_variant_get(value, '$', 'string')").alias("__sval"),
+        F.expr("try_variant_get(value, '$', 'boolean')").alias("__bval"),
+    )
+    is_num = F.col("jtype").isin("integer", "number")
+    is_str = F.col("jtype") == "string"
+    is_bool = F.col("jtype") == "boolean"
+    return typed.groupBy(*groups, "key", "jtype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(is_num, F.col("__num"))).alias("min_num"),
+        F.max(F.when(is_num, F.col("__num"))).alias("max_num"),
+        F.min(F.when(is_str, F.length("__sval"))).cast("long").alias("min_len"),
+        F.max(F.when(is_str, F.length("__sval"))).cast("long").alias("max_len"),
+        F.sum(F.when(is_bool, F.col("__bval").cast("long"))).alias("n_true"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # equivalence relations (merge policy, SURVEY.md §2.9)
 #

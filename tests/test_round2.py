@@ -223,6 +223,37 @@ class TestJsonTypeCountsVariant:
         assert jvm == py
 
 
+class TestJsonFieldProfile:
+    def test_typed_stats_gated_by_jtype(self, spark):
+        from jsonoid_discovery_spark.operators.discovery import json_field_profile
+
+        df = spark.createDataFrame(
+            [
+                ('{"a": 1, "b": "xy", "c": true}',),
+                ('{"a": 9.5, "b": "zzz", "c": false}',),
+                ('{"a": "oops"}',),  # same key, different type
+                (None,),
+            ],
+            "doc string",
+        )
+        rows = {
+            (r["key"], r["jtype"]): r for r in json_field_profile(df, "doc").collect()
+        }
+        a_int = rows[("a", "integer")]
+        assert a_int["n"] == 1 and a_int["min_num"] == 1.0 and a_int["max_num"] == 1.0
+        a_num = rows[("a", "number")]
+        assert a_num["min_num"] == 9.5
+        a_str = rows[("a", "string")]
+        # the string 'oops' must NOT leak into numeric stats
+        assert a_str["min_num"] is None and a_str["min_len"] == 4
+        b = rows[("b", "string")]
+        assert b["n"] == 2 and b["min_len"] == 2 and b["max_len"] == 3
+        c = rows[("c", "boolean")]
+        assert c["n"] == 2 and c["n_true"] == 1
+        # booleans must not count as numbers
+        assert c["min_num"] is None
+
+
 class TestArrayLengthHistogram:
     def test_histogram_survives_repartitioned_merge(self, spark):
         rows = [(json.dumps({"a": list(range(n % 7))}),) for n in range(500)]
