@@ -120,23 +120,35 @@ def main(argv: list[str] | None = None) -> int:
 
                 res = discover(df, col, params=params)
                 schema = res.to_json_schema(transformers=not args.no_transformers)
-                if args.add_definitions:
-                    from jsonoid_discovery_spark.operators.analyses import definition_transform
-
-                    schema = definition_transform(res.schema)
+                # whole-schema object transforms first (they replace the
+                # root); $defs factoring applies only when no replacement
+                # fired, so -d never silently discards a -y/-j rewrite (or
+                # vice versa)
+                replacement = None
                 if args.detect_dynamic or args.detect_disjoint:
                     from jsonoid_discovery_spark.operators.analyses import (
                         disjoint_object_transform,
                         dynamic_object_transform,
                     )
 
-                    replacement = None
                     if args.detect_dynamic:
                         replacement = dynamic_object_transform(res.schema)
                     if replacement is None and args.detect_disjoint:
                         replacement = disjoint_object_transform(res.schema)
-                    if replacement is not None:
-                        schema = replacement
+                if replacement is not None:
+                    if args.add_definitions:
+                        print(
+                            "warning: --add-definitions skipped (a dynamic/disjoint "
+                            "object transform replaced the schema)",
+                            file=sys.stderr,
+                        )
+                    schema = replacement
+                elif args.add_definitions:
+                    from jsonoid_discovery_spark.operators.analyses import definition_transform
+
+                    schema = definition_transform(
+                        res.schema, transformers=not args.no_transformers
+                    )
                 emit(json.dumps(schema, indent=2, default=str))
         elif args.cmd == "profile":
             from jsonoid_discovery_spark.operators.profile import profile

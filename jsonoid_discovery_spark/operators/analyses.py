@@ -198,8 +198,14 @@ def split_discover(
         st_test = None if oblivious else p_test.states[()].get(col)
         if st.kind in ("int", "float") and st.min_v is not None:
             if st_test is not None and st_test.min_v is not None:
-                st.min_v = contract_min_to(float(st.min_v), float(st_test.min_v))
-                st.max_v = expand_max_to(float(st.max_v), float(st_test.max_v))
+                lo_v = contract_min_to(float(st.min_v), float(st_test.min_v))
+                hi_v = expand_max_to(float(st.max_v), float(st_test.max_v))
+                if math.isinf(lo_v) or math.isinf(hi_v):
+                    # expansion gave up (10 rounds / negative limit): drop
+                    # the bound pair instead of leaking a non-JSON Infinity
+                    st.min_v = st.max_v = None
+                else:
+                    st.min_v, st.max_v = lo_v, hi_v
             else:
                 st.min_v = widen_min(float(st.min_v))
                 st.max_v = widen_max(float(st.max_v))
@@ -528,7 +534,7 @@ def find_definition_clusters(node: SchemaNode, eps: float = 0.1) -> list[set[str
     return _dbscan(sorted(fuzzy), dist, eps, min_pts=2)
 
 
-def definition_transform(node: SchemaNode, eps: float = 0.1) -> dict:
+def definition_transform(node: SchemaNode, eps: float = 0.1, transformers: bool = True) -> dict:
     """Emit the discovered schema with repeated object structures factored
     into ``$defs`` + ``$ref`` (DefinitionTransformer.transformSchema).
     Clusters process deepest-average-path first; a cluster touching an
@@ -536,7 +542,7 @@ def definition_transform(node: SchemaNode, eps: float = 0.1) -> dict:
     reference: the common meaningful last path segment (array markers and
     indices stripped), the common after-underscore suffix, else ``defnN``,
     with ``_`` suffixing on collisions."""
-    schema = node.to_json_schema()
+    schema = node.to_json_schema(transformers)
     clusters = find_definition_clusters(node, eps)
     if not clusters:
         return schema

@@ -76,7 +76,10 @@ def contract_min_to(current: float, limit: float) -> float:
     the reference's contractInt (Helpers.scala:177-235): below 10 step by
     -1; otherwise the LARGER of the previous power-of-2 boundary and the
     power-of-10-granularity round-down (13->12, 200->190, 307->300).
-    Gives up to -inf after MaxExpandRounds."""
+    Gives up to -inf after MaxExpandRounds. NEGATIVE limits always give up:
+    the reference resets any negative current to 0 (its own 'TODO better
+    choices for negative values', Helpers.scala:185-187), so contraction
+    can never cross zero — callers must treat -inf as 'drop the bound'."""
     cur = float(current)
     for _ in range(MAX_EXPAND_ROUNDS):
         if cur <= limit:

@@ -187,9 +187,12 @@ def lsh_candidate_pairs(
     the shuffle level. Degenerate buckets (boilerplate/identical content)
     would self-join O(n^2); buckets larger than ``max_bucket_size`` are
     DROPPED before the join (the DependenciesProperty.overloaded precedent,
-    ObjectSchema.scala:820). No silent cap: ``lsh_bucket_report`` returns the
-    dropped (band, bucket, size) rows for logging, and run exact-dedup first
-    so identical documents never reach LSH."""
+    ObjectSchema.scala:820). No silent cap: ``lsh_bucket_report`` returns
+    the dropped (band, bucket, size) rows — run it as the pipeline's cap
+    audit (an in-join Observation is NOT used: AQE exchange reuse may elide
+    the observed branch of a self-join, so its metrics can silently never
+    fire). Run exact-dedup first so identical documents never reach LSH;
+    ``max_bucket_size=None`` disables the cap."""
     banded = _lsh_banded(df, col, id_col, num_hashes, bands, shingle_k)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
@@ -246,7 +249,12 @@ def jaccard_pairs(
     rejects — output is unaffected)."""
     sh = shingle_rows(df, col, id_col, shingle_k).groupBy("id").agg(F.collect_list("s").alias("sh"))
     if candidates is None:
-        sh = sh.persist()
+        # localCheckpoint (lazy): materialized once on first compute and
+        # shared by the three consuming joins; unlike DataFrame.persist,
+        # the backing RDD blocks are released by the ContextCleaner when
+        # the plan is garbage-collected, so repeated calls don't leak
+        # executor storage
+        sh = sh.localCheckpoint(eager=False)
         ex = sh.select("id", F.explode("sh").alias("s")).select("id", F.xxhash64("s").alias("h"))
         candidates = (
             ex.alias("x")

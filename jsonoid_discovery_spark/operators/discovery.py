@@ -570,6 +570,9 @@ class SchemaNode:
         if not self.one_of:
             if matches >= 1:
                 return []
+            # reference asymmetry: AnyOf reports the MAX level across
+            # alternatives (ProductSchema.scala:441-459); only OneOf's
+            # no-match uses the closest-match MIN (:466-476)
             return [(path, "anyOf[noMatch]", max(levels))]
         if matches == 1:
             return []
@@ -808,7 +811,12 @@ def json_type_counts(
     base = df.where(F.col(col).isNotNull()).select(
         *groups, F.try_parse_json(F.col(col)).alias("__pv")
     )
-    ex = base.lateralJoin(spark.tvf.variant_explode(F.col("__pv").outer()))
+    # variant_explode also explodes top-level ARRAYS (rows with key NULL);
+    # this operator counts object fields only, like the discover path and
+    # the DuckDB json_keys oracle
+    ex = base.lateralJoin(spark.tvf.variant_explode(F.col("__pv").outer())).where(
+        F.col("key").isNotNull()
+    )
     jtype = F.expr(_VARIANT_TO_JSON_TYPE.format(t="schema_of_variant(value)"))
     return (
         ex.groupBy(*groups, F.col("key"), jtype.alias("jtype"))
@@ -836,7 +844,11 @@ def json_field_profile(
     base = df.where(F.col(col).isNotNull()).select(
         *groups, F.try_parse_json(F.col(col)).alias("__pv")
     )
-    ex = base.lateralJoin(spark.tvf.variant_explode(F.col("__pv").outer()))
+    # object fields only (top-level arrays explode with key NULL; see
+    # json_type_counts)
+    ex = base.lateralJoin(spark.tvf.variant_explode(F.col("__pv").outer())).where(
+        F.col("key").isNotNull()
+    )
     typed = ex.select(
         *groups,
         F.col("key"),

@@ -149,14 +149,20 @@ def drift_report_by(
     sb = prof.states.get((0,), {})
     sc = prof.states.get((1,), {})
     cat_b, cat_c = sb.get(categorical_col), sc.get(categorical_col)
-    if cat_b is None or cat_c is None:
-        counts_b = _counts_from_state(cat_b) if cat_b else {}
-        counts_c = _counts_from_state(cat_c) if cat_c else {}
-    elif cat_b.cat_overflow or cat_c.cat_overflow:
+
+    def _usable(st) -> bool:
+        # exact capped counts exist only in STRING profiles; non-string
+        # categoricals (int status codes, booleans) must use the explicit
+        # aggregation fallback or chi-square would silently see zero counts
+        return st is not None and st.kind == "string" and not st.cat_overflow
+
+    if cat_b is None and cat_c is None:
+        counts_b, counts_c = {}, {}
+    elif _usable(cat_b) and _usable(cat_c):
+        counts_b, counts_c = _counts_from_state(cat_b), _counts_from_state(cat_c)
+    else:
         counts_b = category_counts(df.where(F.col(segment_col) == 0), categorical_col)
         counts_c = category_counts(df.where(F.col(segment_col) == 1), categorical_col)
-    else:
-        counts_b, counts_c = _counts_from_state(cat_b), _counts_from_state(cat_c)
     reports = [chi_square_drift(counts_b, counts_c, params)]
     hb = sb[numeric_len_col].hist if numeric_len_col in sb else None
     hc = sc[numeric_len_col].hist if numeric_len_col in sc else None

@@ -175,6 +175,25 @@ class ColumnState:
     # state need Spark-computed hashes (F.xxhash64 -> contains_hashes)
     hash_space: str = "pandas"
 
+    # -- pickling ------------------------------------------------------------
+    def __setstate__(self, state: dict) -> None:
+        """Restore states pickled by OLDER engine versions: fields added
+        since then get their defaults, and the legacy reversed-min/max
+        suffix bookkeeping converts to the direct suffix form — so
+        checkpoint/streaming resume keeps working across upgrades."""
+        self.__dict__.update(state)
+        d = self.__dict__
+        d.setdefault("hash_space", "pandas")
+        d.setdefault("suffix", None)
+        d.setdefault("num_min", None)
+        d.setdefault("num_max", None)
+        d.setdefault("num_gcd", None)
+        d.setdefault("num_all_integral", True)
+        d.setdefault("cat_counts", {})
+        d.setdefault("cat_overflow", True)  # old states never counted categories
+        if d["suffix"] is None and d.get("min_rs") is not None and d.get("max_rs") is not None:
+            d["suffix"] = _lcp(d["min_rs"], d["max_rs"])[::-1]
+
     # -- update ------------------------------------------------------------
     def update_array(self, arr: pa.Array, hashes: "np.ndarray | None" = None) -> None:
         """Fold one Arrow column chunk into the state (mergeValue analog).

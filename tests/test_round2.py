@@ -322,6 +322,74 @@ class TestOneScanDrift:
         assert not any(r.drifted for r in reports)
 
 
+class TestReviewRegressions:
+    """Fixes from the round-2 self-review."""
+
+    def test_drift_on_int_categorical_uses_exact_fallback(self, spark):
+        import numpy as np
+
+        from jsonoid_discovery_spark.operators.drift import drift_report_by
+
+        rng = np.random.default_rng(3)
+        rows = [(i, 200 if i % 10 else 404, float(rng.normal(10, 1))) for i in range(1500)]
+        rows += [(i, 500, float(rng.normal(10, 1))) for i in range(1500, 3000)]  # drifted codes
+        df = spark.createDataFrame(rows, "id long, status int, x double").withColumn(
+            "seg", (F.col("id") >= 1500).cast("int")
+        )
+        reports = drift_report_by(df, "seg", "status", "x")
+        chi = next(r for r in reports if r.check == "chi_square")
+        assert chi.statistic > 0 and chi.drifted  # int categorical not silently zeroed
+
+    def test_json_type_counts_ignores_top_level_arrays(self, spark):
+        from jsonoid_discovery_spark.operators.discovery import json_type_counts
+
+        df = spark.createDataFrame(
+            [('{"a": 1}',), ("[1, 2, 3]",), ('{"a": 2}',)], "doc string"
+        )
+        rows = json_type_counts(df, "doc").collect()
+        assert all(r["key"] is not None for r in rows)
+        assert {(r["key"], r["jtype"], r["n"]) for r in rows} == {("a", "integer", 2)}
+
+    def test_old_pickles_resume_with_defaults(self):
+        import pickle
+
+        import pyarrow as pa
+
+        from jsonoid_discovery_spark.operators.profile import ColumnState
+
+        st = ColumnState("c", "string")
+        st.update_array(pa.array(["img_1.png", "img_2.png"]))
+        # simulate a state written by the previous engine version
+        old = dict(st.__dict__)
+        for k in ("hash_space", "suffix", "num_min", "num_max", "num_gcd",
+                  "num_all_integral", "cat_counts", "cat_overflow"):
+            old.pop(k, None)
+        old["min_rs"], old["max_rs"] = "gnp.1_gmi", "gnp.2_gmi"
+        blob = pickle.dumps((ColumnState, old))
+        cls, state = pickle.loads(blob)
+        revived = cls.__new__(cls)
+        revived.__setstate__(state)
+        assert revived.hash_space == "pandas" and revived.cat_overflow
+        # legacy reversed-min/max bookkeeping converts to the direct form:
+        # LCP('gnp.1_gmi', 'gnp.2_gmi') reversed == '.png'
+        assert revived.suffix == ".png"
+        # and merging with a NEW state does not crash
+        st2 = ColumnState("c", "string")
+        st2.update_array(pa.array(["img_3.png"]))
+        merged = revived.merge(st2)
+        assert merged.count == 3 and merged.common_suffix() == ".png"
+
+    def test_lsh_cap_disable_restores_uncapped_output(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
+
+        rows = [(i, "the same boilerplate text repeated for every row") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = lsh_candidate_pairs(df, "text", "doc_id", num_hashes=16, bands=4, max_bucket_size=10)
+        uncapped = lsh_candidate_pairs(df, "text", "doc_id", num_hashes=16, bands=4, max_bucket_size=None)
+        assert capped.count() == 0
+        assert uncapped.count() == 30 * 29 // 2
+
+
 class TestLshBucketCap:
     def test_degenerate_corpus_is_capped_and_logged(self, spark):
         from jsonoid_discovery_spark.operators.dedup import (
