@@ -1,0 +1,59 @@
+"""Golden-file tests: byte-stable outputs frozen under tests/golden/.
+
+The engine's determinism claims — monoid merges, hash-ranked examples,
+stable emission ordering — mean the SAME input must yield the IDENTICAL
+serialized schema/profile on every run, at any parallelism. These tests
+enforce that end to end; if an intentional semantic change alters an
+output, regenerate the fixture in the same commit and say why.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from jsonoid_discovery_spark.operators.discovery import discover
+from jsonoid_discovery_spark.operators.profile import profile
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def _corpus_docs():
+    return [
+        {
+            "id": i,
+            "name": f"user_{i:03d}",
+            "score": (i % 7) * 3,
+            "active": i % 2 == 0,
+            "tags": ["a", "b"][: 1 + i % 2],
+            "meta": {"k": i % 5, "src": "gen"},
+        }
+        for i in range(200)
+    ]
+
+
+def test_discovered_schema_matches_golden(spark):
+    df = spark.createDataFrame(
+        [(json.dumps(d),) for d in _corpus_docs()], "doc string"
+    ).repartition(4)
+    got = json.loads(json.dumps(discover(df, "doc").to_json_schema(), sort_keys=True))
+    expected = json.loads((GOLDEN / "discovered_schema.json").read_text())
+    assert got == expected
+
+
+def test_discovered_schema_partitioning_invariant_vs_golden(spark):
+    """The golden must hold regardless of how the input is partitioned."""
+    df = spark.createDataFrame(
+        [(json.dumps(d),) for d in _corpus_docs()], "doc string"
+    ).coalesce(1)
+    got = json.loads(json.dumps(discover(df, "doc").to_json_schema(), sort_keys=True))
+    expected = json.loads((GOLDEN / "discovered_schema.json").read_text())
+    assert got == expected
+
+
+def test_profile_matches_golden(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = profile(d, columns=["lang", "source", "n_chars"])
+    got = json.loads(json.dumps(json.loads(prof.to_json()), sort_keys=True))
+    expected = json.loads((GOLDEN / "profile_documents.json").read_text())
+    assert got == expected
