@@ -48,6 +48,15 @@ def _compile_cached(pattern: str) -> re.Pattern:
     return re.compile(pattern)
 
 
+@functools.lru_cache(maxsize=4096)
+def _sorted_pairs(keys: tuple) -> tuple:
+    """All C(k,2) sorted key pairs for one key tuple (DependenciesProperty
+    feed), memoized: real corpora repeat a handful of shapes millions of
+    times."""
+    ks = sorted(keys)
+    return tuple((a, b) for i, a in enumerate(ks) for b in ks[i + 1 :])
+
+
 # exact-type dispatch: values come from json.loads, which only ever yields
 # these seven concrete types — a dict hit beats the isinstance chain ~3x on
 # the per-value discovery hot path
@@ -66,11 +75,13 @@ def _json_type(v: object) -> str:
     return _JSON_TYPE_BY_PYTYPE.get(type(v), "object")
 
 
-@dataclass
+@dataclass(slots=True)
 class SchemaNode:
     """One node of the discovered schema — the analog of a JsonSchema with
     its SchemaProperties (a ProductSchema when several types are observed,
-    schemas/ProductSchema.scala:350-384)."""
+    schemas/ProductSchema.scala:350-384). ``slots`` because millions of
+    nodes are allocated and touched per Arrow batch on the discovery hot
+    path (attribute access and per-node memory both matter)."""
 
     params: EngineParams = field(default_factory=lambda: DEFAULT_PARAMS, repr=False)
     count: int = 0
@@ -178,23 +189,23 @@ class SchemaNode:
 
     def _observe_object(self, obj: dict) -> None:
         self.object_count += 1
-        keys = list(obj.keys())
         for k, v in obj.items():
             self.field_presence[k] = self.field_presence.get(k, 0) + 1
             child = self.fields.get(k)
             if child is None:
                 child = self.fields[k] = SchemaNode(self.params)
             child.observe(v)
-        # DependenciesProperty: pairwise co-occurrence, give up above the cap
+        # DependenciesProperty: pairwise co-occurrence, give up above the cap.
+        # Key SETS repeat heavily across documents, so the sorted pair list
+        # per key tuple is memoized (insertion order repeats too, making the
+        # raw tuple a high-hit cache key)
         if not self.dep_overloaded:
-            if len(keys) > self.params.dependencies_max_keys:
+            if len(obj) > self.params.dependencies_max_keys:
                 self.dep_overloaded = True
                 self.dep_pairs = {}
             else:
-                ks = sorted(keys)
-                for i, a in enumerate(ks):
-                    for b in ks[i + 1 :]:
-                        self.dep_pairs[(a, b)] = self.dep_pairs.get((a, b), 0) + 1
+                for p in _sorted_pairs(tuple(obj.keys())):
+                    self.dep_pairs[p] = self.dep_pairs.get(p, 0) + 1
 
     def _observe_array(self, arr: list) -> None:
         n = len(arr)
