@@ -65,6 +65,21 @@ def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
     return acc
 
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality probed from the first NON-NULL vector
+    (one tiny job; NULL rows are skipped so a leading NULL can't yield a
+    bogus -1/None dimension). Raises on an empty/all-null column instead
+    of crashing later inside numpy."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .where(F.col(vec_col).isNotNull())
+        .first()
+    )
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dimension: no non-empty {vec_col!r} values")
+    return int(row["d"])
+
+
 def make_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (no numpy at plan time
     on executors — the planes are plan literals)."""
@@ -87,9 +102,13 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k: score only vectors whose hyperplane signature is within
-    ``probe_bits`` Hamming distance of the query's signature (multi-probe).
-    At scale the signature is a partition/bucket key: the scan prunes to a
+    ``probe_bits`` Hamming distance of the query's signature (multi-probe —
+    ALL signatures up to that radius are probed: C(n_planes, r) per radius
+    r, so keep probe_bits small; 16 planes at radius 2 is 137 probes). At
+    scale the signature is a partition/bucket key: the scan prunes to a
     tiny candidate set before any arithmetic."""
+    from itertools import combinations
+
     dim = len(query_vec)
     planes = make_planes(dim, n_planes, seed)
     sig_col = hyperplane_signature(vec_col, planes)
@@ -98,8 +117,17 @@ def lsh_topk(
         if sum(a * b for a, b in zip(p, query_vec)) >= 0:
             qsig |= 1 << i
     probes = [qsig]
-    if probe_bits >= 1:
-        probes += [qsig ^ (1 << i) for i in range(n_planes)]
+    for r in range(1, max(0, probe_bits) + 1):
+        for flip in combinations(range(n_planes), r):
+            m = 0
+            for i in flip:
+                m |= 1 << i
+            probes.append(qsig ^ m)
+    if len(probes) > 100_000:
+        raise ValueError(
+            f"probe_bits={probe_bits} over {n_planes} planes yields {len(probes)} "
+            "probe signatures; reduce the radius or the plane count"
+        )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = df.withColumn("_sig", sig_col).where(F.col("_sig").isin(probes))
     return (
@@ -122,7 +150,7 @@ def all_pairs_topk(
     the signature key only — the all-pairs O(n^2) never materializes."""
     from pyspark.sql import Window
 
-    dim = int(df.select(F.size(vec_col)).first()[0])
+    dim = _vector_dim(df, vec_col)
     planes = make_planes(dim, n_planes, seed)
     sigged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "_sig", hyperplane_signature("v", planes)
@@ -148,7 +176,7 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs: LSH blocking (near-identical
     vectors share all sign bits) + exact cosine filter within buckets.
     Returns (id_a, id_b, cosine) with id_a < id_b."""
-    dim = int(df.select(F.size(vec_col)).first()[0])
+    dim = _vector_dim(df, vec_col)
     planes = make_planes(dim, n_planes, seed)
     sigged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "_sig", hyperplane_signature("v", planes)
@@ -180,10 +208,13 @@ def train_ivf_centroids(
 
     sample = (
         df.select(F.col(vec_col).alias("v"))
+        .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
         .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
         .limit(sample_rows)
         .collect()
     )
+    if not sample:
+        raise ValueError(f"cannot train IVF centroids: no non-empty {vec_col!r} values")
     x = np.array([r["v"] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.Generator(np.random.Philox(key=seed))

@@ -23,6 +23,9 @@ from jsonoid_discovery_spark.config import DEFAULT_PARAMS, AnomalyLevel, EngineP
 from jsonoid_discovery_spark.operators.profile import ColumnState, ProfileResult
 
 
+from jsonoid_discovery_spark.operators.profile import quoted_col as _qcol
+
+
 @dataclass(frozen=True)
 class Constraint:
     """A named validation predicate. ``ok`` must evaluate TRUE for rows that
@@ -102,8 +105,8 @@ def contract_min_to(current: float, limit: float) -> float:
 def widen_max(v: float) -> float:
     if v <= 0:
         return 0.0 if v == 0 else -widen_min(-v)
-    p2 = 2 ** math.ceil(math.log2(v)) if v > 1 else 1.0
-    return float(p2) if p2 / v <= 2 or v <= 1 else float(v)
+    # next power of 2 (by construction within 2x of v); (0, 1] widens to 1
+    return float(2 ** math.ceil(math.log2(v))) if v > 1 else 1.0
 
 
 def widen_min(v: float) -> float:
@@ -130,7 +133,7 @@ def constraints_from_profile(
     then ``collectAnomalies`` future rows against it)."""
     out: list[Constraint] = []
     for name, st in result.states[group].items():
-        col = F.col(name)
+        col = _qcol(name)
         if st.required:
             out.append(Constraint(f"{name}.required", col.isNotNull(), AnomalyLevel.FATAL))
         if st.kind == "string" and st.count:
@@ -160,6 +163,15 @@ def constraints_from_profile(
                 rx = dict((n, p.pattern) for n, p in format_patterns(st.params)).get(fmt)
                 if rx is not None:
                     out.append(Constraint(f"{name}.format[{fmt}]", col.isNull() | col.rlike(rx), AnomalyLevel.WARNING))
+            hb = st.hist.bounds()
+            if hb is not None:
+                out.append(
+                    Constraint(
+                        f"{name}.lengthHistogram",
+                        col.isNull() | F.length(col).between(F.lit(hb[0]), F.lit(hb[1])),
+                        AnomalyLevel.INFO,
+                    )
+                )
         elif st.kind in ("int", "float") and st.count:
             lo, hi = st.min_v, st.max_v
             if widen:
@@ -172,10 +184,13 @@ def constraints_from_profile(
                 )
             )
             if st.gcd and st.gcd > 1 and st.all_integral:
+                # no cast: pmod on the native type keeps fractional parts,
+                # so 6.5 on a float column fails multipleOf=2 (a long cast
+                # would truncate it to 6 and silently pass)
                 out.append(
                     Constraint(
                         f"{name}.multipleOf",
-                        col.isNull() | (F.pmod(col.cast("long"), F.lit(st.gcd)) == 0),
+                        col.isNull() | (F.pmod(col, F.lit(st.gcd)) == 0),
                         AnomalyLevel.WARNING,
                     )
                 )
@@ -188,15 +203,6 @@ def constraints_from_profile(
                         AnomalyLevel.INFO,
                     )
                 )
-        if st.kind == "string" and st.count and st.hist.bounds() is not None:
-            b = st.hist.bounds()
-            out.append(
-                Constraint(
-                    f"{name}.lengthHistogram",
-                    col.isNull() | F.length(col).between(F.lit(b[0]), F.lit(b[1])),
-                    AnomalyLevel.INFO,
-                )
-            )
     return out
 
 
@@ -220,8 +226,14 @@ def validate(
     codegen; rows that violate nothing never shuffle.
     """
     checks = [c for c in constraints if c.level >= min_level]
+    # NULL-evaluating predicates count as VIOLATIONS (the Constraint
+    # contract): coalesce to false before negating, else `~NULL` is NULL
+    # and when() silently drops the violation struct
     structs = [
-        F.when(~c.ok, F.struct(F.lit(c.name).alias("rule"), F.lit(int(c.level)).alias("level")))
+        F.when(
+            ~F.coalesce(c.ok, F.lit(False)),
+            F.struct(F.lit(c.name).alias("rule"), F.lit(int(c.level)).alias("level")),
+        )
         for c in checks
     ]
     arr = F.array_compact(F.array(*structs)) if structs else F.array().cast("array<struct<rule:string,level:int>>")
@@ -234,9 +246,9 @@ def validate(
         )
         extra = [F.col("content_sha256")]
     return base.select(
-        *[F.col(k) for k in keys], *extra, F.explode("_violations").alias("__violation")
+        *[_qcol(k).alias(k) for k in keys], *extra, F.explode("_violations").alias("__violation")
     ).select(
-        *keys,
+        *[F.col("`" + k.replace("`", "``") + "`") for k in keys],
         F.col("__violation.rule").alias("rule"),
         F.col("__violation.level").alias("level"),
         *extra,
@@ -256,13 +268,20 @@ def partition_verdicts(
 
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for c in constraints:
-        ok = c.ok
+        # NULL-evaluating predicates count as violations (see validate());
+        # without the coalesce, min() skips NULLs (false pass) and sum()
+        # undercounts, and an all-NULL group yields a NULL pass_all
+        ok = F.coalesce(c.ok, F.lit(False))
         aggs.append(F.min(ok.cast("int")).cast("boolean").alias(f"pass__{_safe(c.name)}"))
         aggs.append(F.sum((~ok).cast("long")).alias(f"violations__{_safe(c.name)}"))
     pass_all = F.forall(
         F.array(*[F.col(f"pass__{_safe(c.name)}") for c in constraints]), lambda x: x
     ) if constraints else F.lit(True)
-    return df.groupBy(*partition_cols).agg(*aggs).withColumn("pass_all", pass_all)
+    return (
+        df.groupBy(*[_qcol(c).alias(c) for c in partition_cols])
+        .agg(*aggs)
+        .withColumn("pass_all", pass_all)
+    )
 
 
 def grouped_constraints_from_profile(
@@ -292,7 +311,7 @@ def grouped_constraints_from_profile(
     for g in groups:
         match = None
         for c, v in zip(group_cols, g):
-            cond = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            cond = _qcol(c).isNull() if v is None else (_qcol(c) == F.lit(v))
             match = cond if match is None else (match & cond)
         label = ",".join("null" if v is None else str(v) for v in g)
         for c in constraints_from_profile(result, g, params, widen):

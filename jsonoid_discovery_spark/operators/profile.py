@@ -103,6 +103,13 @@ _KIND_BY_SPARK_TYPE = {
 }
 
 
+def quoted_col(name: str) -> "F.Column":
+    """Backtick-quoted column reference: profiled column NAMES may contain
+    dots (JSON-flattened tables), which bare string/F.col references would
+    parse as struct-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _kind_of(dtype: str) -> str:
     if dtype.startswith("array"):
         return "array"
@@ -701,22 +708,30 @@ class ProfileResult:
 PARTIAL_SCHEMA = "g string, column string, state binary"
 
 
-def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set="all", hashed_cols=()):
+def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set="all", hashed_cols=(), name_map=None):
     """Build the mapInArrow function computing per-batch partial states.
 
     ``hashed_cols`` are columns whose xxhash64 was precomputed JVM-side and
-    shipped as ``__h__{col}``; the python fold consumes those instead of
-    hashing strings itself (hash CONSISTENCY matters: every partial of one
-    profile uses the same hash source, so sketch merges stay coherent)."""
+    shipped as a sibling hash column; the python fold consumes those instead
+    of hashing strings itself (hash CONSISTENCY matters: every partial of
+    one profile uses the same hash source, so sketch merges stay coherent).
+
+    ``name_map`` maps each ORIGINAL column name to its name in the shipped
+    batch — the scan aliases every column to a safe placeholder because
+    pyspark's mapInArrow resolves `df[name]` per column and chokes on
+    dotted names; emitted state rows always carry the original names."""
     import pyarrow.compute as pc
 
     hashed_cols = set(hashed_cols)
+    name_map = name_map or {c: c for c in list(group_by) + list(columns)}
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             if group_by:
-                key_pdf = pd.DataFrame({k: tbl.column(k).to_pandas().astype(object) for k in group_by})
+                key_pdf = pd.DataFrame(
+                    {k: tbl.column(name_map[k]).to_pandas().astype(object) for k in group_by}
+                )
                 groups = {
                     (gval if isinstance(gval, tuple) else (gval,)): np.asarray(idx)
                     for gval, idx in key_pdf.groupby(group_by, dropna=False, sort=False).indices.items()
@@ -728,10 +743,10 @@ def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set=
                 sub = tbl if idx is None else tbl.take(pa.array(idx))
                 for col, kind in zip(columns, kinds):
                     st = ColumnState(col, kind, params, with_bloom=with_bloom, metric_set=metric_set)
-                    values = sub.column(col)
+                    values = sub.column(name_map[col])
                     hashes = None
                     if col in hashed_cols and values.null_count < len(values):
-                        hcol = sub.column(f"__h__{col}")
+                        hcol = sub.column("__h__" + name_map[col])
                         if values.null_count:
                             hcol = pc.filter(hcol, pc.is_valid(values))
                         if isinstance(hcol, pa.ChunkedArray):
@@ -786,8 +801,16 @@ def partial_states(
     hashed_cols = [
         c for c in columns if _kind_of(kinds[c]) == "string" and metric_set == "all"
     ]
-    hash_exprs = [F.xxhash64(F.col(c)).alias(f"__h__{c}") for c in hashed_cols]
-    sel = df.select(*(group_by + columns), *hash_exprs)
+    # every column ships under a safe placeholder name (pyspark's mapInArrow
+    # resolves df[name] per column, which breaks on dotted names); the
+    # generator maps back to the originals for the emitted state rows
+    name_map = {c: f"__c{i}" for i, c in enumerate(group_by + columns)}
+    hash_exprs = [
+        F.xxhash64(quoted_col(c)).alias("__h__" + name_map[c]) for c in hashed_cols
+    ]
+    sel = df.select(
+        *[quoted_col(c).alias(name_map[c]) for c in group_by + columns], *hash_exprs
+    )
     partials = sel.mapInArrow(
         _partial_state_gen(
             columns,
@@ -797,6 +820,7 @@ def partial_states(
             with_bloom,
             metric_set,
             hashed_cols,
+            name_map,
         ),
         PARTIAL_SCHEMA,
     )
@@ -856,7 +880,7 @@ def profile_sql(
     exprs: list = [F.count(F.lit(1)).alias("total_rows")]
     for c in columns:
         kind = _kind_of(kinds[c])
-        col = F.col(c)
+        col = quoted_col(c)
         exprs.append(F.count(col).alias(f"{c}__count"))
         exprs.append((F.count(F.lit(1)) - F.count(col)).alias(f"{c}__nulls"))
         if kind == "string":

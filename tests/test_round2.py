@@ -379,6 +379,58 @@ class TestReviewRegressions:
         merged = revived.merge(st2)
         assert merged.count == 3 and merged.common_suffix() == ".png"
 
+    def test_null_evaluating_predicate_counts_as_violation(self, spark):
+        from jsonoid_discovery_spark.config import AnomalyLevel
+        from jsonoid_discovery_spark.operators.constraints import (
+            Constraint,
+            partition_verdicts,
+            validate,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0, "a"), (2, None, "a"), (3, -1.0, "b")], "id long, x double, g string"
+        )
+        # deliberately NOT null-safe: x > 0 is NULL for row 2
+        cons = [Constraint("x.positive", F.col("x") > 0, AnomalyLevel.WARNING)]
+        viol = validate(df, cons, key_cols=["id"]).collect()
+        assert sorted(r["id"] for r in viol) == [2, 3]  # NULL counts as violation
+        verd = {r["g"]: r for r in partition_verdicts(df, cons, ["g"]).collect()}
+        assert verd["a"]["violations__x_positive"] == 1
+        assert verd["a"]["pass_all"] is False and verd["b"]["pass_all"] is False
+
+    def test_multiple_of_catches_fractional_floats(self, spark):
+        from jsonoid_discovery_spark.operators.constraints import (
+            constraints_from_profile,
+            validate,
+        )
+        from jsonoid_discovery_spark.operators.profile import profile
+
+        train = spark.createDataFrame([(float(2 * k),) for k in range(1, 30)], "x double")
+        prof = profile(train, columns=["x"])
+        assert prof.state("x").gcd == 2
+        cons = [c for c in constraints_from_profile(prof, widen=False) if "multipleOf" in c.name]
+        assert cons
+        test = spark.createDataFrame([(6.0,), (6.5,), (8.0,)], "x double")
+        bad = validate(test, cons, key_cols=["x"]).collect()
+        assert [r["x"] for r in bad] == [6.5]  # truncation no longer hides 6.5
+
+    def test_dotted_column_names_validate(self, spark):
+        from jsonoid_discovery_spark.operators.constraints import (
+            constraints_from_profile,
+            validate,
+        )
+        from jsonoid_discovery_spark.operators.profile import profile
+
+        df = spark.range(50).select(
+            F.col("id").alias("user.id"), (F.col("id") % 5).alias("meta.kind")
+        )
+        prof = profile(df)
+        cons = constraints_from_profile(prof, widen=False)
+        assert cons
+        # compiling + validating must not throw 'cannot resolve user.id'
+        # (key_cols take RAW names; quoting is the engine's job)
+        assert validate(df, cons, key_cols=["user.id"]).count() == 0
+
     def test_lsh_cap_disable_restores_uncapped_output(self, spark):
         from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
 
