@@ -21,19 +21,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+LATCH = -1  # distinct from gcd's identity 0: a batch with non-integral (or
+# float-inexact) values emits LATCH, and ANY latched partial kills the
+# multipleOf globally. Using 0 here would be wrong — 0 is gcd's identity,
+# so gcd(0, g) == g would silently revive the property when the offending
+# values land in a different Arrow batch than the integral ones.
+
+
 def gcd_partials(df: DataFrame, column: str) -> DataFrame:
-    """DataFrame[g: long] with one partial gcd per Arrow batch."""
+    """DataFrame[g: long] with one partial gcd per Arrow batch (or LATCH)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.types as pat
+
         for b in batches:
-            v = b.column(0).drop_null().to_numpy(zero_copy_only=False)
-            if len(v) == 0:
+            arr = b.column(0).drop_null()
+            if len(arr) == 0:
                 continue
-            v = np.abs(np.asarray(v, dtype=np.float64))
-            if not np.all(np.floor(v) == v):
-                g = 0  # non-integral values: no multipleOf (reference `tiny` latch)
+            if pat.is_integer(arr.type):
+                # exact integer path: no float round trip, full int64 range
+                v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+                g = int(np.gcd.reduce(v))
             else:
-                g = int(np.gcd.reduce(v.astype(np.int64)))
+                v = np.abs(arr.to_numpy(zero_copy_only=False).astype(np.float64))
+                if (
+                    not np.all(np.isfinite(v))
+                    or not np.all(np.floor(v) == v)
+                    or bool(np.any(v >= 2**53))  # beyond float64 exactness
+                ):
+                    g = LATCH  # reference `tiny` latch: no multipleOf
+                else:
+                    g = int(np.gcd.reduce(v.astype(np.int64)))
             yield pa.RecordBatch.from_pydict({"g": pa.array([g], pa.int64())})
 
     return df.select(F.col(column)).mapInArrow(gen, "g long")
@@ -41,10 +59,13 @@ def gcd_partials(df: DataFrame, column: str) -> DataFrame:
 
 def gcd_aggregate(df: DataFrame, column: str) -> DataFrame:
     """1-row DataFrame[gcd_value: long] — the multipleOf of all non-null
-    values (0 when any value is non-integral)."""
+    values (0 when any value is non-integral / float-inexact)."""
     parts = [r["g"] for r in gcd_partials(df, column).collect()]
     g = 0
     for p in parts:
+        if p == LATCH:
+            g = 0
+            break
         g = math.gcd(g, p)
     spark = df.sparkSession
     return spark.createDataFrame([(g,)], "gcd_value long")

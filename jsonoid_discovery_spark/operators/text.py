@@ -71,7 +71,13 @@ def quality_features(col: str | Column) -> dict[str, Column]:
         "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
         "stopword_ratio": F.when(tokens > 0, stop_hits / tokens).otherwise(F.lit(0.0)),
         "distinct_token_ratio": distinct_ratio,
-        "mean_token_len": F.when(tokens > 0, (n_chars - tokens + 1) / tokens).otherwise(F.lit(0.0)),
+        # exact: total word characters / word count (the old n_chars-based
+        # form assumed single-space separators and no padding, inflating
+        # the feature for whitespace-padded documents)
+        "mean_token_len": F.when(
+            tokens > 0,
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / tokens,
+        ).otherwise(F.lit(0.0)),
     }
 
 

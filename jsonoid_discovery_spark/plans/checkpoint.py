@@ -88,26 +88,32 @@ class CheckpointedProfileRun:
         State is written BEFORE the lineage 'done' marker, so a crash between
         the two re-processes the unit (at-least-once; the overwrite of the
         unit's state dir keeps it idempotent)."""
+        import pickle as _pickle
+
         t0 = time.perf_counter()
         states = partial_states(df, self.columns, self.group_by, self.params, self.with_bloom)
         state_path = os.path.join(self.dir, "state", f"run_id={self.run_id}", f"unit={unit}")
         states.write.mode("overwrite").parquet(state_path)
         wall = time.perf_counter() - t0
-        persisted = self.spark.read.parquet(state_path)
-        row_count = (
-            persisted.select(F.col("g"), F.col("column"))
-            .groupBy("g")
-            .count()
-            .count()
-        )  # cheap sanity read-back; row_count of groups, not rows
-        n_rows = df.count()
+        # lineage metrics derive from the persisted state itself — the unit
+        # was already fully scanned once by the profile; a second df.count()
+        # scan (and a third read-back aggregation) would double input I/O
+        # per unit, which matters when a unit is a filtered pass over the
+        # whole source
+        persisted = self.spark.read.parquet(state_path).collect()
+        groups: dict[str, int] = {}
+        for row in persisted:
+            if row["g"] not in groups:
+                st = _pickle.loads(row["state"])
+                groups[row["g"]] = st.count + st.nulls
+        n_rows = sum(groups.values())
         self._append("lineage", [(self.run_id, unit, "done", n_rows, wall)], LINEAGE_SCHEMA)
         self._append(
             "metrics",
             [
                 (self.run_id, unit, "rows_profiled", float(n_rows)),
                 (self.run_id, unit, "wall_sec", float(wall)),
-                (self.run_id, unit, "state_groups", float(row_count)),
+                (self.run_id, unit, "state_groups", float(len(groups))),
             ],
             METRICS_SCHEMA,
         )

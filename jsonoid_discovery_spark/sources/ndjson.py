@@ -50,7 +50,7 @@ def read_ndjson_any(spark: SparkSession, source: str, line_col: str = "doc") -> 
     if source.startswith(("http://", "https://")):
         from urllib.request import urlopen
 
-        with urlopen(source) as resp:
+        with urlopen(source, timeout=60) as resp:
             body = resp.read().decode("utf-8", errors="replace")
         raw = [(ln,) for ln in body.splitlines()]
         lines = spark.createDataFrame(raw, f"{line_col} string")

@@ -29,8 +29,13 @@ TESTDATA_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Accepts an Iceberg/catalog table name when ``sf_dir``
-    is a catalog prefix (contains no path separator), else parquet files."""
-    if os.sep not in sf_dir and not sf_dir.startswith("/"):
+    is a catalog prefix — no path separator of EITHER flavor (Spark paths
+    always use '/', even on Windows) and not an existing local directory —
+    else parquet files."""
+    looks_like_path = (
+        "/" in sf_dir or os.sep in sf_dir or sf_dir.startswith(".") or os.path.isdir(sf_dir)
+    )
+    if not looks_like_path:
         return spark.read.table(f"{sf_dir}.{name}")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

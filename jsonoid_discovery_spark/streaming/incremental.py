@@ -18,15 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
-from jsonoid_discovery_spark.operators.profile import (
-    PARTIAL_SCHEMA,
-    ProfileResult,
-    partial_states,
-)
+from jsonoid_discovery_spark.operators.profile import ProfileResult, partial_states
 
 
 class StreamingProfiler:
-    """Maintains a mergeable profile over a stream via foreachBatch."""
+    """Maintains a mergeable profile over a stream via foreachBatch.
+
+    ``state_dir`` belongs to ONE stream lifetime: idempotency comes from
+    per-batch overwrite paths keyed by the stream's batch_id, so resetting
+    the Spark checkpoint (which restarts batch ids at 0) while reusing the
+    same state_dir would mix two streams' partials — use a fresh state_dir
+    whenever the Spark checkpoint is reset."""
 
     def __init__(
         self,
@@ -43,28 +45,20 @@ class StreamingProfiler:
         self.with_bloom = with_bloom
 
     # -- plumbing ------------------------------------------------------------
-    def _batch_marker(self, batch_id: int) -> str:
-        return os.path.join(self.state_dir, "batches", f"{batch_id}.done")
-
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch sink: profile the micro-batch and OVERWRITE its
         per-batch partial-state directory (``partials/batch_id=N``).
         Idempotent by construction: a replayed batch after a crash rewrites
         the same directory instead of appending a second copy, so result()
-        can never double-count a batch. The marker only skips redundant
-        work on replay; correctness doesn't depend on it."""
-        marker = self._batch_marker(batch_id)
-        if os.path.exists(marker):
-            return
+        can never double-count a batch. (No driver-local done-markers: they
+        broke on remote state dirs and went stale across checkpoint resets;
+        re-profiling a replayed batch is the cheap, correct behavior.)"""
         states = partial_states(
             batch_df, self.columns, self.group_by, self.params, self.with_bloom
         )
         states.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "partials", f"batch_id={batch_id}")
         )
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("done")
 
     def start(
         self,
@@ -89,7 +83,12 @@ class StreamingProfiler:
         Hive-partitioned by batch_id, so each batch contributes exactly one
         directory regardless of how many times it was replayed."""
         path = os.path.join(self.state_dir, "partials")
-        rows = spark.read.parquet(path).select("g", "column", "state").collect()
+        try:
+            rows = spark.read.parquet(path).select("g", "column", "state").collect()
+        except Exception as e:  # zero batches processed yet -> empty profile
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return ProfileResult(tuple(self.group_by), {})
+            raise
         states: dict[tuple, dict] = {}
         for row in rows:
             g = tuple(json.loads(row["g"]))

@@ -431,6 +431,34 @@ class TestReviewRegressions:
         # (key_cols take RAW names; quoting is the engine's job)
         assert validate(df, cons, key_cols=["user.id"]).count() == 0
 
+    def test_gcd_latch_survives_batch_split(self, spark):
+        from jsonoid_discovery_spark.operators.gcd import gcd_aggregate
+
+        # the non-integral value sits alone in its own partition/batch —
+        # with the old 0-identity encoding the latch was silently dropped
+        ints = spark.createDataFrame([(4.0,), (8.0,)], "x double")
+        frac = spark.createDataFrame([(2.5,)], "x double")
+        df = ints.repartition(1).unionByName(frac.repartition(1))
+        assert gcd_aggregate(df, "x").first()["gcd_value"] == 0
+
+    def test_gcd_exact_for_big_integers(self, spark):
+        from jsonoid_discovery_spark.operators.gcd import gcd_aggregate
+
+        # int64 path stays exact beyond float53 (2^53+1 is odd)
+        big = spark.createDataFrame([(2**53 + 1,), (2,)], "x long")
+        assert gcd_aggregate(big, "x").first()["gcd_value"] == 1
+        # float column beyond exactness latches instead of lying
+        bigf = spark.createDataFrame([(float(2**53),), (2.0,)], "x double")
+        assert gcd_aggregate(bigf, "x").first()["gcd_value"] == 0
+
+    def test_mean_token_len_ignores_padding(self, spark):
+        from jsonoid_discovery_spark.operators.text import quality_features
+
+        df = spark.createDataFrame([("  hi  ",), ("a\n\nb",)], "t string")
+        f = quality_features("t")
+        rows = df.select(f["mean_token_len"].alias("m")).collect()
+        assert [r["m"] for r in rows] == [2.0, 1.0]
+
     def test_lsh_cap_disable_restores_uncapped_output(self, spark):
         from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
 
@@ -772,11 +800,15 @@ class TestStreamingReplayIdempotent:
         df = spark.range(100).select(F.col("id").cast("long").alias("x"))
         prof = StreamingProfiler(str(tmp_path / "state"), columns=["x"])
         prof.process_batch(df, 0)
-        # simulate a crash AFTER the state write but BEFORE the marker:
-        # remove the marker and replay the same batch
-        import os
-
-        os.remove(prof._batch_marker(0))
+        # replayed batch (crash-before-commit semantics): the per-batch
+        # overwrite path makes the second write idempotent
         prof.process_batch(df, 0)
         res = prof.result(spark)
         assert res.state("x").count == 100  # not 200
+
+    def test_result_before_any_batch_is_empty(self, spark, tmp_path):
+        from jsonoid_discovery_spark.streaming.incremental import StreamingProfiler
+
+        prof = StreamingProfiler(str(tmp_path / "state_empty"), columns=["x"])
+        res = prof.result(spark)
+        assert res.states == {}
