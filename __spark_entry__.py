@@ -294,22 +294,22 @@ def _drift_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 def _pk_uniqueness_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-column exact uniqueness feed of the PrimaryKeyFinder (the HLL
-    prefilter's exact counterpart; PrimaryKeyFinder.scala:158-190)."""
+    prefilter's exact counterpart; PrimaryKeyFinder.scala:158-190). ONE
+    aggregate computes every (count, count_distinct) pair in a single scan
+    (Catalyst expands the multi-distinct internally); a ``stack`` unpivot
+    shapes the wide row into one row per column — no per-column rescans."""
     docs = _t(spark, sf, "documents")
-    parts = []
-    for c in ("doc_id", "text", "lang", "source", "n_chars"):
-        parts.append(
-            docs.agg(
-                F.lit(c).alias("column"),
-                F.count(c).alias("n"),
-                F.count_distinct(c).alias("n_distinct"),
-                (F.count(c) == F.count_distinct(c)).alias("is_unique"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    aggs = []
+    for c in cols:
+        aggs += [F.count(c).alias(f"__n_{c}"), F.count_distinct(c).alias(f"__d_{c}")]
+    wide = docs.agg(*aggs)
+    stack = "stack({}, {}) AS (column, n, n_distinct)".format(
+        len(cols), ", ".join(f"'{c}', __n_{c}, __d_{c}" for c in cols)
+    )
+    return wide.select(F.expr(stack)).withColumn(
+        "is_unique", F.col("n") == F.col("n_distinct")
+    )
 
 
 def _pk_candidates_documents(spark: SparkSession, sf: str) -> DataFrame:

@@ -42,7 +42,7 @@ class PkCandidate:
     score: float
     unique_by_hll: bool
     count: int
-    distinct_estimate: float
+    distinct_estimate: float | None
 
 
 def score_pk_candidate(st: ColumnState, depth: int = 0) -> float:
@@ -119,18 +119,19 @@ def state_incompatibilities(a: ColumnState, b: ColumnState) -> list[Incompatibil
         return out
     if a.nulls > 0 and b.nulls == 0 and b.count > 0:
         add("required", "nullable", "required")
+    # min/max check independently: expandTo may have dropped ONE direction's
+    # bound (reference parity — a failed expansion drops only its own bound,
+    # Helpers.scala:75-235), so the surviving bound must still be enforced
     if a.kind == "string":
-        if a.min_len is not None and b.min_len is not None:
-            if a.min_len < b.min_len:
-                add("minLength", a.min_len, b.min_len)
-            if a.max_len > b.max_len:
-                add("maxLength", a.max_len, b.max_len)
+        if a.min_len is not None and b.min_len is not None and a.min_len < b.min_len:
+            add("minLength", a.min_len, b.min_len)
+        if a.max_len is not None and b.max_len is not None and a.max_len > b.max_len:
+            add("maxLength", a.max_len, b.max_len)
     if a.kind in ("int", "float"):
-        if a.min_v is not None and b.min_v is not None:
-            if a.min_v < b.min_v:
-                add("minimum", a.min_v, b.min_v)
-            if a.max_v > b.max_v:
-                add("maximum", a.max_v, b.max_v)
+        if a.min_v is not None and b.min_v is not None and a.min_v < b.min_v:
+            add("minimum", a.min_v, b.min_v)
+        if a.max_v is not None and b.max_v is not None and a.max_v > b.max_v:
+            add("maximum", a.max_v, b.max_v)
         ga, gb = a.gcd or 1, b.gcd or 1
         if gb > 1 and ga % gb != 0:
             add("multipleOf", ga, gb)
@@ -139,7 +140,11 @@ def state_incompatibilities(a: ColumnState, b: ColumnState) -> list[Incompatibil
         if pb in (0.0, 1.0) and pa_ is not None and pa_ != pb:
             add("const", pa_, pb)
     if a.with_bloom and b.with_bloom and a.count and b.count:
-        if not a.bloom.maybe_subset_of(b.bloom):
+        # blooms fed from different 64-bit hash spaces (e.g. a legacy
+        # pandas-space checkpoint vs a fresh xxhash64 profile) share no bit
+        # positions — a subset verdict would be meaningless, so the sketch
+        # check is SKIPPED (exact property checks above still apply)
+        if a.hash_space == b.hash_space and not a.bloom.maybe_subset_of(b.bloom):
             add("bloomSubset", "not-subset", "subset")
     return out
 
@@ -200,12 +205,11 @@ def split_discover(
             if st_test is not None and st_test.min_v is not None:
                 lo_v = contract_min_to(float(st.min_v), float(st_test.min_v))
                 hi_v = expand_max_to(float(st.max_v), float(st_test.max_v))
-                if math.isinf(lo_v) or math.isinf(hi_v):
-                    # expansion gave up (10 rounds / negative limit): drop
-                    # the bound pair instead of leaking a non-JSON Infinity
-                    st.min_v = st.max_v = None
-                else:
-                    st.min_v, st.max_v = lo_v, hi_v
+                # expansion gave up (10 rounds / negative limit): drop ONLY
+                # the failed bound — the reference's expandTo keeps the
+                # other direction's widened bound (Helpers.scala:75-235)
+                st.min_v = None if math.isinf(lo_v) else lo_v
+                st.max_v = None if math.isinf(hi_v) else hi_v
             else:
                 st.min_v = widen_min(float(st.min_v))
                 st.max_v = widen_max(float(st.max_v))
@@ -213,11 +217,10 @@ def split_discover(
             if st_test is not None and st_test.min_len is not None:
                 lo = contract_min_to(st.min_len, st_test.min_len)
                 hi = expand_max_to(st.max_len, st_test.max_len)
-                if math.isinf(lo) or math.isinf(hi):
-                    # expansion gave up after MaxExpandRounds: drop the bound
-                    st.min_len = st.max_len = None
-                else:
-                    st.min_len, st.max_len = int(lo), int(hi)
+                # drop only the bound whose expansion gave up (see numeric
+                # branch above; reference expandTo parity)
+                st.min_len = None if math.isinf(lo) else int(lo)
+                st.max_len = None if math.isinf(hi) else int(hi)
             else:
                 st.min_len = int(widen_min(st.min_len))
                 st.max_len = int(widen_max(st.max_len))
@@ -591,7 +594,7 @@ def definition_transform(node: SchemaNode, eps: float = 0.1, transformers: bool 
                 name = f"defn{index}"
         while name in defs:
             name += "_"
-        defs[name] = merged.to_json_schema()
+        defs[name] = merged.to_json_schema(transformers)
         for p in sorted(cluster):
             tokens = _path_tokens(p)
             if not tokens:

@@ -108,7 +108,17 @@ def lsh_topk(
     scale the signature is a partition/bucket key: the scan prunes to a
     tiny candidate set before any arithmetic."""
     from itertools import combinations
+    from math import comb
 
+    # guard BEFORE materializing anything: the probe count is a closed form,
+    # so an oversized radius fails in O(probe_bits) instead of after building
+    # millions of signatures
+    n_probes = sum(comb(n_planes, r) for r in range(0, max(0, probe_bits) + 1))
+    if n_probes > 100_000:
+        raise ValueError(
+            f"probe_bits={probe_bits} over {n_planes} planes yields {n_probes} "
+            "probe signatures; reduce the radius or the plane count"
+        )
     dim = len(query_vec)
     planes = make_planes(dim, n_planes, seed)
     sig_col = hyperplane_signature(vec_col, planes)
@@ -123,13 +133,18 @@ def lsh_topk(
             for i in flip:
                 m |= 1 << i
             probes.append(qsig ^ m)
-    if len(probes) > 100_000:
-        raise ValueError(
-            f"probe_bits={probe_bits} over {n_planes} planes yields {len(probes)} "
-            "probe signatures; reduce the radius or the plane count"
-        )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = df.withColumn("_sig", sig_col).where(F.col("_sig").isin(probes))
+    sigged = df.withColumn("_sig", sig_col)
+    if len(probes) <= 1024:
+        cand = sigged.where(F.col("_sig").isin(probes))
+    else:
+        # a thousands-long isin literal bloats the plan and defeats codegen;
+        # a broadcast semi-join against a tiny probe table keeps the plan
+        # constant-size and prunes just as hard
+        probe_df = df.sparkSession.createDataFrame(
+            [(int(p),) for p in probes], "_sig bigint"
+        )
+        cand = sigged.join(F.broadcast(probe_df), "_sig", "left_semi")
     return (
         cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))

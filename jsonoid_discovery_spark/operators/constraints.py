@@ -459,6 +459,8 @@ def bloom_fk_candidates(
     cols = [(n, s) for n, s in states.items() if s.with_bloom and s.count > 0]
     for na, sa in cols:
         for nb, sb in cols:
-            if na != nb and sa.bloom.maybe_subset_of(sb.bloom):
+            # cross-hash-space bloom comparisons are meaningless (no shared
+            # bit positions) — skip such pairs rather than emit a bogus verdict
+            if na != nb and sa.hash_space == sb.hash_space and sa.bloom.maybe_subset_of(sb.bloom):
                 cands.append((na, nb))
     return cands

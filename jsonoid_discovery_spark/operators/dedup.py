@@ -237,31 +237,68 @@ def jaccard_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (verification stage after
     LSH): |A ∩ B| / |A ∪ B| on distinct shingle sets, all with array
     built-ins. With no candidates given, verifies ALL pairs sharing any
-    shingle — small-scale only (the shingle-set table is persisted for the
-    duration of the plan because three joins consume it; at scale, pass LSH
-    candidates instead and land shingle sets on storage). Candidate
-    generation joins on the shingle's 64-bit hash (small shuffle key; hash
-    collisions only ADD candidates, which the exact Jaccard filter then
-    rejects — output is unaffected)."""
-    sh = shingle_rows(df, col, id_col, shingle_k).groupBy("id").agg(F.collect_list("s").alias("sh"))
+    shingle (the shingle-set table is persisted for the duration of the plan
+    because three joins consume it; at true scale, pass LSH candidates
+    instead and land shingle sets on storage). Candidate generation joins on
+    the shingle's 64-bit hash (small shuffle key; hash collisions only ADD
+    candidates, which the exact Jaccard filter then rejects — output is
+    unaffected).
+
+    With ``candidates=None``, the whole computation is COUNT-shaped — no
+    shingle arrays are ever materialized: |A ∩ B| falls out of the shingle
+    self-join as a per-pair group count, |A| and |B| are per-document
+    shingle counts, and |A ∪ B| = |A| + |B| − |A ∩ B|. The join key is the
+    shingle STRING itself, so the result is exact by construction (no hash
+    anywhere). This replaces the round-2 collect_list + array_intersect
+    shape (big arrays through two joins) with map-side-combinable counts.
+
+    ``max_shingle_df`` caps the self-candidate blow-up: a shingle appearing
+    in n documents emits C(n,2) join rows, so boilerplate shingles (license
+    headers, templates) make the self-join O(n^2) — the same degenerate-
+    bucket shape ``lsh_candidate_pairs`` caps. Shingles above the cap are
+    DROPPED from the shingle universe before the join, on the join's own
+    shuffle partitioning (the window count adds no exchange). When the cap
+    fires, Jaccard is computed over the CAPPED universe (boilerplate
+    shingles excluded from both intersection and union — the idf-flavored
+    variant); with the default cap inert on non-degenerate corpora this is
+    exactly classic Jaccard. No silent cap: ``shingle_df_report`` (the
+    ``lsh_bucket_report`` pattern) returns what the cap dropped.
+    ``None`` disables the cap."""
     if candidates is None:
-        # localCheckpoint (lazy): materialized once on first compute and
-        # shared by the three consuming joins; unlike DataFrame.persist,
-        # the backing RDD blocks are released by the ContextCleaner when
-        # the plan is garbage-collected, so repeated calls don't leak
-        # executor storage
-        sh = sh.localCheckpoint(eager=False)
-        ex = sh.select("id", F.explode("sh").alias("s")).select("id", F.xxhash64("s").alias("h"))
-        candidates = (
+        ex = shingle_rows(df, col, id_col, shingle_k)  # (id, s), distinct
+        if max_shingle_df is not None:
+            w = Window.partitionBy("s")
+            ex = (
+                ex.withColumn("_df", F.count(F.lit(1)).over(w))
+                .where(F.col("_df") <= max_shingle_df)
+                .drop("_df")
+            )
+        # localCheckpoint (lazy): materialized once, shared by both join
+        # sides and the per-doc size aggregate; blocks are released by the
+        # ContextCleaner when the plan is garbage-collected
+        ex = ex.localCheckpoint(eager=False)
+        sz = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        inter = (
             ex.alias("x")
-            .join(ex.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-            .distinct()
+            .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
+        j = (
+            inter.join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sz.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+            .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        )
+        return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    # explicit-candidate verification (the LSH pipeline's second stage):
+    # per-pair exact Jaccard on the materialized shingle sets
+    sh = shingle_rows(df, col, id_col, shingle_k).groupBy("id").agg(F.collect_list("s").alias("sh"))
+    sh = sh.localCheckpoint(eager=False)
     j = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -270,6 +307,27 @@ def jaccard_pairs(
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
     )
     return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def shingle_df_report(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """DataFrame[s, doc_freq] of the shingles ``jaccard_pairs`` (with
+    candidates=None) would DROP at this document-frequency cap — the
+    explicit log of the cap event, mirroring ``lsh_bucket_report``. Run it
+    when pair counts look suspiciously low, or as a pipeline health metric
+    (a large report means the corpus is boilerplate-heavy and the exact
+    self-candidate path should be fed LSH candidates instead)."""
+    return (
+        shingle_rows(df, col, id_col, shingle_k)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") > max_shingle_df)
+    )
 
 
 def simhash_from_hashes(hashes: F.Column, bits: int = 64) -> F.Column:

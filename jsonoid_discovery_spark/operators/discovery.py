@@ -554,7 +554,15 @@ class SchemaNode:
             if self.max_v is not None and (x > self.max_v or (self.exclusive_max and x == self.max_v)):
                 out.append((path, "maximum", int(AnomalyLevel.WARNING)))
             if self.int_multiple and self.int_multiple > 1:
-                if not (float(v) / self.int_multiple).is_integer():
+                # exact integer modulo for ints (float division is inexact
+                # at/above 2^53 and can mis-verdict big values — same class
+                # of float error the Spark-side constraint path avoids);
+                # floats fall back to division, their only meaningful check
+                if isinstance(v, int):
+                    bad = v % self.int_multiple != 0
+                else:
+                    bad = not (float(v) / self.int_multiple).is_integer()
+                if bad:
                     out.append((path, "multipleOf", int(AnomalyLevel.WARNING)))
         if (
             self.declared_enum

@@ -410,12 +410,24 @@ class ColumnState:
             return b if a is None else (a if b is None else max(a, b))
 
         out = ColumnState(self.column, self.kind, self.params)
-        # sketches from different hash spaces are incompatible
-        if self.kind == "string" and self.count and o.count and self.hash_space != o.hash_space:
-            raise ValueError(
-                f"cannot merge sketches from hash spaces {self.hash_space!r} and {o.hash_space!r}"
-            )
-        out.hash_space = self.hash_space if self.count else o.hash_space
+        # Hashed sketches (HLL/Bloom) from different 64-bit hash spaces
+        # cannot combine meaningfully. DEGRADE instead of failing: exact
+        # statistics (counts, bounds, formats, moments...) merge normally,
+        # the hashed sketches are dropped, and hash_space latches to
+        # 'mixed' (an absorbing state) — so a checkpoint written by an
+        # older engine version (pandas-space) resumes cleanly against new
+        # xxhash64-space partials with sketch-based checks DISABLED rather
+        # than silently wrong or fatally rejected.
+        spaces_differ = bool(
+            self.kind == "string"
+            and self.count
+            and o.count
+            and self.hash_space != o.hash_space
+        )
+        if spaces_differ:
+            out.hash_space = "mixed"
+        else:
+            out.hash_space = self.hash_space if self.count else o.hash_space
         out.count = self.count + o.count
         out.nulls = self.nulls + o.nulls
         out.min_v, out.max_v = _mn(self.min_v, o.min_v), _mx(self.max_v, o.max_v)
@@ -461,10 +473,14 @@ class ColumnState:
         out.true_count = self.true_count + o.true_count
         out.min_items, out.max_items = _mn(self.min_items, o.min_items), _mx(self.max_items, o.max_items)
         out.all_unique = self.all_unique and o.all_unique
-        out.hll = self.hll.merge(o.hll)
-        out.with_bloom = self.with_bloom and o.with_bloom
-        if out.with_bloom:
-            out.bloom = self.bloom.merge(o.bloom)
+        if spaces_differ:
+            out.hll = HllSketch()  # dropped — distinct_estimate() -> None
+            out.with_bloom = False
+        else:
+            out.hll = self.hll.merge(o.hll)
+            out.with_bloom = self.with_bloom and o.with_bloom
+            if out.with_bloom:
+                out.bloom = self.bloom.merge(o.bloom)
         out.hist = self.hist.merge(o.hist)
         out.examples = self.examples.merge(o.examples)
         return out
@@ -484,7 +500,9 @@ class ColumnState:
         out.max_items = _imin(self.max_items, o.max_items)
         if self.gcd and o.gcd:
             out.gcd = self.gcd * o.gcd // math.gcd(self.gcd, o.gcd)  # lcm
-        if self.with_bloom and o.with_bloom:
+        if self.with_bloom and o.with_bloom and out.with_bloom:
+            # out.with_bloom is False when merge() degraded a mixed-hash-space
+            # pair — an ANDed bitset across spaces would be meaningless
             out.bloom = BloomSketch(
                 self.bloom.num_bits, self.bloom.num_hashes, self.bloom.bits & o.bloom.bits
             )
@@ -555,12 +573,19 @@ class ColumnState:
     def pct_true(self) -> float | None:
         return self.true_count / self.count if self.kind == "bool" and self.count else None
 
-    def distinct_estimate(self) -> float:
+    def distinct_estimate(self) -> float | None:
+        """HLL distinct estimate, or None when the sketch was dropped by a
+        mixed-hash-space merge (legacy-checkpoint resume)."""
+        if self.hash_space == "mixed":
+            return None
         return self.hll.estimate()
 
     def is_unique_candidate(self) -> bool:
         """PrimaryKeyFinder-style uniqueness via HLL: estimate*(1+stderr) >=
-        count (discovery/PrimaryKeyFinder.scala:158-190)."""
+        count (discovery/PrimaryKeyFinder.scala:158-190). A mixed-space
+        state has no usable sketch and is never a candidate."""
+        if self.hash_space == "mixed":
+            return False
         return self.count > 0 and self.hll.estimate() * (1 + self.hll.stderr) >= self.count
 
     def to_dict(self) -> dict:
@@ -571,7 +596,11 @@ class ColumnState:
             "nulls": self.nulls,
             "required": self.required,
             "fieldPresence": self.field_presence,
-            "distinctEstimate": round(self.distinct_estimate(), 2),
+            "distinctEstimate": (
+                round(self.distinct_estimate(), 2)
+                if self.distinct_estimate() is not None
+                else None
+            ),
             "examples": self.examples.values()[: self.params.max_examples],
         }
         if self.kind in ("int", "float", "timestamp"):
