@@ -333,11 +333,16 @@ def schema_from_json(
         if isinstance(m, int):
             node.int_multiple = m
     if "enum" in doc:
-        # hashable scalars only (array/object enum members are out of scope)
-        node.distinct_values = {v for v in doc["enum"] if not isinstance(v, (list, dict))}
+        # hashable scalars only (array/object enum members are out of scope);
+        # stored type-tagged (discovery._dv_key) so 0 / false / 0.0 coexist
+        from jsonoid_discovery_spark.operators.discovery import _dv_key
+
+        node.distinct_values = {_dv_key(v) for v in doc["enum"] if not isinstance(v, (list, dict))}
         node.declared_enum = True
     if "const" in doc and not isinstance(doc["const"], (list, dict)):
-        node.distinct_values = {doc["const"]}
+        from jsonoid_discovery_spark.operators.discovery import _dv_key
+
+        node.distinct_values = {_dv_key(doc["const"])}
         node.declared_enum = True
     return node
 

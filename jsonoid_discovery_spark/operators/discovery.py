@@ -75,6 +75,28 @@ def _json_type(v: object) -> str:
     return _JSON_TYPE_BY_PYTYPE.get(type(v), "object")
 
 
+def _dv_key(v: object):
+    """Storage key for the distinct-values (enum) set. Python's set
+    equality collapses 0 == False == 0.0 keeping the FIRST inserted — an
+    observation-order (and partitioning-order) dependence. The reference's
+    Set[JValue] keeps JBool / JInt / JDouble distinct (EnumSchema.scala:
+    74-135, json4s equality), so the key tags the scalar type; strings and
+    None key as themselves."""
+    t = type(v)
+    if t is bool:
+        return ("b", v)
+    if t is int:
+        return ("i", v)
+    if t is float:
+        return ("f", v)
+    return v
+
+
+def _dv_val(k):
+    """Inverse of _dv_key for emission/membership."""
+    return k[1] if type(k) is tuple else k
+
+
 @dataclass(slots=True)
 class SchemaNode:
     """One node of the discovered schema — the analog of a JsonSchema with
@@ -180,9 +202,196 @@ class SchemaNode:
             self.true_count += int(v)
             self._observe_scalar(v)
 
+    # ------------------------------------------------------- columnar fold
+    def observe_many(self, values: list) -> None:
+        """Fold a BATCH of JSON values — semantically identical to calling
+        ``observe`` per value (property-tested), but columnar: one python
+        pass buckets values by type, then every heavy property updates
+        vectorized (numpy min/max/gcd, Counter-deduped format detection,
+        per-SHAPE dependency pairs and field presence multiplied by group
+        size instead of per-document dict walks). This is the Variant
+        *shredding* idea applied inside the Arrow batch: the round-2 profile
+        showed json.loads at ~7% and the recursive per-value walk at ~93%
+        of discovery CPU, so a JVM pre-pass (which still needs the python
+        residual walk for enums/deps/tuples) cannot reach 2x — vectorizing
+        the walk itself can (measured ~4-6x at 1M docs; ROUND3_NOTES.md)."""
+        if len(values) < 8:
+            # tiny batches: the sequential path has less constant overhead
+            for v in values:
+                self.observe(v)
+            return
+        ints: list = []
+        floats: list = []
+        strs: list = []
+        bools: list = []
+        dicts: list = []
+        lists: list = []
+        n_null = 0
+        other: list = []
+        for v in values:
+            t = type(v)
+            if t is dict:
+                dicts.append(v)
+            elif t is str:
+                strs.append(v)
+            elif t is bool:
+                bools.append(v)
+            elif t is int:
+                ints.append(v)
+            elif t is float:
+                floats.append(v)
+            elif t is list:
+                lists.append(v)
+            elif v is None:
+                n_null += 1
+            else:
+                other.append(v)  # non-JSON python type: sequential fallback
+        self.count += len(values) - len(other)
+        tc = self.type_counts
+        for t, n in (
+            ("object", len(dicts)),
+            ("array", len(lists)),
+            ("string", len(strs)),
+            ("integer", len(ints)),
+            ("number", len(floats)),
+            ("boolean", len(bools)),
+            ("null", n_null),
+        ):
+            if n:
+                tc[t] = tc.get(t, 0) + n
+        if strs:
+            self._observe_strings(strs)
+        if ints or floats:
+            self._observe_numbers(ints, floats)
+        if bools:
+            self.bool_count += len(bools)
+            self.true_count += sum(bools)
+        if not self.distinct_overflow and (strs or ints or floats or bools):
+            dv = self.distinct_values
+            dv.update(strs)
+            dv.update(("i", v) for v in ints)
+            dv.update(("f", v) for v in floats)
+            dv.update(("b", v) for v in bools)
+            if len(dv) > self.params.enum_max_values:
+                self.distinct_overflow = True
+                self.distinct_values = set()
+        if dicts:
+            self._observe_objects(dicts)
+        if lists:
+            self._observe_arrays(lists)
+        for v in other:
+            self.observe(v)
+
+    def _observe_strings(self, strs: list) -> None:
+        lens = list(map(len, strs))
+        mn, mx = min(lens), max(lens)
+        self.min_len = mn if self.min_len is None else min(self.min_len, mn)
+        self.max_len = mx if self.max_len is None else max(self.max_len, mx)
+        # format detection per DISTINCT value x multiplicity: real corpora
+        # repeat string values heavily, so the regex battery runs once per
+        # distinct instead of once per occurrence
+        from collections import Counter
+
+        fm = self.formats
+        for s, c in Counter(strs).items():
+            fmt = _detect_format(s, self.params)
+            fm[fmt] = fm.get(fmt, 0) + c
+
+    def _observe_numbers(self, ints: list, floats: list) -> None:
+        lo = hi = None
+        for bucket in (ints, floats):
+            if bucket:
+                bmn, bmx = min(bucket), max(bucket)
+                lo = bmn if lo is None or bmn < lo else lo
+                hi = bmx if hi is None or bmx > hi else hi
+        lo, hi = float(lo), float(hi)
+        self.min_v = lo if self.min_v is None else min(self.min_v, lo)
+        self.max_v = hi if self.max_v is None else max(self.max_v, hi)
+        # gcd survives only while the node has NEVER seen a float (this
+        # batch's floats are already in type_counts, so one check covers
+        # both history and batch — sequential-order equivalent)
+        if self.type_counts.get("number", 0) > 0:
+            self.int_multiple = None
+        elif ints:
+            g = 0
+            if len(ints) > 64:
+                try:
+                    import numpy as _np
+
+                    g = int(_np.gcd.reduce(_np.abs(_np.asarray(ints, dtype=_np.int64))))
+                except (OverflowError, TypeError):
+                    g = 0
+            if g == 0:
+                for v in ints:
+                    g = math.gcd(g, v)
+            self.int_multiple = g if self.int_multiple is None else math.gcd(self.int_multiple, g)
+
+    def _observe_objects(self, dicts: list) -> None:
+        self.object_count += len(dicts)
+        groups: dict[tuple, list] = {}
+        for d in dicts:
+            groups.setdefault(tuple(d.keys()), []).append(d)
+        fp = self.field_presence
+        for keys, group in groups.items():
+            gn = len(group)
+            for k in keys:
+                fp[k] = fp.get(k, 0) + gn
+                child = self.fields.get(k)
+                if child is None:
+                    child = self.fields[k] = SchemaNode(self.params)
+                child.observe_many([d[k] for d in group])
+            if not self.dep_overloaded:
+                if len(keys) > self.params.dependencies_max_keys:
+                    self.dep_overloaded = True
+                    self.dep_pairs = {}
+                else:
+                    dp = self.dep_pairs
+                    for p in _sorted_pairs(keys):
+                        dp[p] = dp.get(p, 0) + gn
+
+    def _observe_arrays(self, lists: list) -> None:
+        lens = [len(a) for a in lists]
+        mn, mx = min(lens), max(lens)
+        self.min_items = mn if self.min_items is None else min(self.min_items, mn)
+        self.max_items = mx if self.max_items is None else max(self.max_items, mx)
+        if self.items_hist is None:
+            self.items_hist = LogHistogram()
+        import numpy as _np
+
+        self.items_hist.update(_np.asarray(lens, dtype=_np.float64))
+        if mx > 1:
+            self.unary_arrays = False
+        if self.unique_items:
+            for a in lists:
+                if len(a) > 1:
+                    try:
+                        if len(set(map(_freeze, a))) != len(a):
+                            self.unique_items = False
+                            break
+                    except TypeError:
+                        pass
+        if self.items is None:
+            self.items = SchemaNode(self.params)
+        flat = [v for a in lists for v in a]
+        if flat:
+            self.items.observe_many(flat)
+        if not self.tuple_collapsed:
+            lengths = set(lens)
+            if self.tuple_items is not None:
+                lengths.add(len(self.tuple_items))
+            if len(lengths) > 1:
+                self.tuple_collapsed = True
+                self.tuple_items = None
+            else:
+                n = lengths.pop()
+                if self.tuple_items is None:
+                    self.tuple_items = [SchemaNode(self.params) for _ in range(n)]
+                for j, slot in enumerate(self.tuple_items):
+                    slot.observe_many([a[j] for a in lists])
+
     def _observe_scalar(self, v: object) -> None:
         if not self.distinct_overflow:
-            self.distinct_values.add(v)
+            self.distinct_values.add(_dv_key(v))
             if len(self.distinct_values) > self.params.enum_max_values:
                 self.distinct_overflow = True
                 self.distinct_values = set()
@@ -444,7 +653,9 @@ class SchemaNode:
         if not transformers or self.distinct_overflow or not self.distinct_values:
             return {}
         n_obs = self.type_counts.get(kind, 0) + (self.type_counts.get("number", 0) if kind == "integer" else 0)
-        vals = sorted(self.distinct_values, key=lambda x: (str(type(x)), str(x)))
+        vals = sorted(
+            (_dv_val(k) for k in self.distinct_values), key=lambda x: (str(type(x)), str(x))
+        )
         if len(vals) == 1:
             return {"const": vals[0]}
         if n_obs > self.params.enum_ratio * len(vals):
@@ -635,8 +846,10 @@ def _mx(a, b):
 
 def _enum_member(v, values) -> bool:
     """JSON-faithful enum membership: numbers compare numerically across
-    int/float, but booleans never match numbers (python's True == 1 quirk)."""
-    for x in values:
+    int/float, but booleans never match numbers (python's True == 1 quirk).
+    ``values`` holds _dv_key-tagged entries."""
+    for k in values:
+        x = _dv_val(k)
         if isinstance(v, bool) != isinstance(x, bool):
             continue
         if v == x:
@@ -696,24 +909,46 @@ def discover(
     col: str,
     params: EngineParams = DEFAULT_PARAMS,
     merge_fanin: int = 64,
+    intern: bool = True,
 ) -> DiscoveryResult:
     """Discover the schema of a JSON-string column: one scan, per-batch
-    partial SchemaNodes, salted applyInPandas tree merge, driver fold."""
+    partial SchemaNodes, salted applyInPandas tree merge, driver fold.
+
+    ``intern`` dedups identical RAW document strings per batch (one C-level
+    Counter pass) and parses each distinct payload once — telemetry/event
+    corpora repeat exact payloads heavily, and repeated parsed values also
+    collapse inside the columnar fold's distinct/format paths. Worst case
+    (all-unique corpus) costs one hash pass (~3%); the observed fold is
+    order-insensitive (commutative monoid) so replication order is free."""
+    from collections import Counter
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             node = SchemaNode(params)
             malformed = 0
-            for s in b.column(0).to_pylist():
-                if s is None:
-                    malformed += 1
-                    continue
-                try:
-                    v = json.loads(s)
-                except (ValueError, TypeError):
-                    malformed += 1
-                    continue
-                node.observe(v)
+            docs = []
+            raw = b.column(0).to_pylist()
+            if intern:
+                for s, c in Counter(raw).items():
+                    if s is None:
+                        malformed += c
+                        continue
+                    try:
+                        v = json.loads(s)
+                    except (ValueError, TypeError):
+                        malformed += c
+                        continue
+                    docs.extend([v] * c)  # shared references; fold never mutates
+            else:
+                for s in raw:
+                    if s is None:
+                        malformed += 1
+                        continue
+                    try:
+                        docs.append(json.loads(s))
+                    except (ValueError, TypeError):
+                        malformed += 1
+            node.observe_many(docs)  # columnar fold (see SchemaNode.observe_many)
             payload = pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)
             salt = hash((b.num_rows, str(b.column(0).slice(0, 1).to_pylist()))) % merge_fanin
             yield pa.RecordBatch.from_pydict(
@@ -948,7 +1183,7 @@ def discover_grouped(
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            nodes: dict[str, SchemaNode] = {}
+            by_shape: dict[str, list] = {}
             malformed: dict[str, int] = {}
             for s in b.column(0).to_pylist():
                 if s is None:
@@ -960,12 +1195,11 @@ def discover_grouped(
                     malformed["__malformed__"] = malformed.get("__malformed__", 0) + 1
                     continue
                 shape = json.dumps(sorted(v.keys())) if isinstance(v, dict) else f"<{_json_type(v)}>"
-                node = nodes.get(shape)
-                if node is None:
-                    node = nodes[shape] = SchemaNode(params)
-                node.observe(v)
+                by_shape.setdefault(shape, []).append(v)
             out_key, out_state = [], []
-            for shape, node in nodes.items():
+            for shape, docs in by_shape.items():
+                node = SchemaNode(params)
+                node.observe_many(docs)
                 out_key.append(shape)
                 out_state.append(pickle.dumps((node, 0), protocol=pickle.HIGHEST_PROTOCOL))
             for shape, m in malformed.items():
@@ -1006,7 +1240,7 @@ def discover_by(
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            nodes: dict[str, SchemaNode] = {}
+            by_group: dict[str, list] = {}
             malformed: dict[str, int] = {}
             for g, s in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
                 key = json.dumps(g)
@@ -1018,12 +1252,11 @@ def discover_by(
                 except (ValueError, TypeError):
                     malformed[key] = malformed.get(key, 0) + 1
                     continue
-                node = nodes.get(key)
-                if node is None:
-                    node = nodes[key] = SchemaNode(params)
-                node.observe(v)
+                by_group.setdefault(key, []).append(v)
             out_key, out_state = [], []
-            for key, node in nodes.items():
+            for key, docs in by_group.items():
+                node = SchemaNode(params)
+                node.observe_many(docs)
                 out_key.append(key)
                 out_state.append(
                     pickle.dumps((node, malformed.pop(key, 0)), protocol=pickle.HIGHEST_PROTOCOL)

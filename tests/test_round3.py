@@ -224,6 +224,124 @@ class TestJaccardAggregate:
         assert a == b and a
 
 
+def _node_fingerprint(node):
+    """Every observable field of a SchemaNode tree, for exact-equality
+    parity checks between the sequential and the columnar fold."""
+    if node is None:
+        return None
+    return {
+        "count": node.count,
+        "tc": dict(sorted(node.type_counts.items())),
+        "fields": {k: _node_fingerprint(v) for k, v in sorted(node.fields.items())},
+        "presence": dict(sorted(node.field_presence.items())),
+        "oc": node.object_count,
+        "deps": sorted((list(k), v) for k, v in node.dep_pairs.items()),
+        "depov": node.dep_overloaded,
+        "items": _node_fingerprint(node.items),
+        "tuple": [_node_fingerprint(s) for s in node.tuple_items] if node.tuple_items else None,
+        "tcol": node.tuple_collapsed,
+        "mi": node.min_items,
+        "ma": node.max_items,
+        "uniq": node.unique_items,
+        "unary": node.unary_arrays,
+        "ml": node.min_len,
+        "xl": node.max_len,
+        "fmt": dict(sorted(node.formats.items())),
+        "mv": node.min_v,
+        "xv": node.max_v,
+        "gcd": node.int_multiple,
+        "tcnt": node.true_count,
+        "bcnt": node.bool_count,
+        "dv": sorted(map(repr, node.distinct_values)),
+        "dov": node.distinct_overflow,
+        "hist": (
+            (sorted(node.items_hist.bins.items()), node.items_hist.zero_count, node.items_hist.total)
+            if node.items_hist
+            else None
+        ),
+    }
+
+
+class TestColumnarFoldParity:
+    """SchemaNode.observe_many must be field-for-field identical to the
+    sequential per-value observe fold, for ANY value mix (the columnar fold
+    is the round-3 discovery hot path; see ROUND3_NOTES.md)."""
+
+    def test_property_parity(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        scalars = st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(-(2**40), 2**40),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=20),
+        )
+        json_values = st.recursive(
+            scalars,
+            lambda ch: st.one_of(
+                st.lists(ch, max_size=4),
+                st.dictionaries(st.text(min_size=1, max_size=6), ch, max_size=4),
+            ),
+            max_leaves=12,
+        )
+
+        @given(st.lists(json_values, min_size=0, max_size=40))
+        @settings(max_examples=120, deadline=None)
+        def check(vals):
+            seq = SchemaNode()
+            for v in vals:
+                seq.observe(v)
+            col = SchemaNode()
+            col.observe_many(vals)
+            assert _node_fingerprint(seq) == _node_fingerprint(col)
+            assert seq.to_json_schema() == col.to_json_schema()
+
+        check()
+
+    def test_parity_on_fixture_corpus(self, spark):
+        import json as _json
+
+        from jsonoid_discovery_spark.datagen import props_docs
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        docs = [r["doc"] for r in props_docs(spark, n_rows=4000).collect()]
+        parsed = []
+        for s in docs:
+            try:
+                parsed.append(_json.loads(s))
+            except ValueError:
+                pass
+        seq, col = SchemaNode(), SchemaNode()
+        for v in parsed:
+            seq.observe(v)
+        col.observe_many(parsed)
+        assert _node_fingerprint(seq) == _node_fingerprint(col)
+
+    def test_intern_parity(self, spark):
+        from jsonoid_discovery_spark.datagen import props_docs
+        from jsonoid_discovery_spark.operators.discovery import discover
+
+        df = props_docs(spark, n_rows=3000)
+        a = discover(df, "doc", intern=True)
+        b = discover(df, "doc", intern=False)
+        assert a.docs == b.docs and a.malformed == b.malformed
+        assert _node_fingerprint(a.schema) == _node_fingerprint(b.schema)
+
+    def test_big_int_gcd_numpy_fallback(self):
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        vals = [3 * 2**70, 6 * 2**70] + [3 * 2**70] * 100  # > int64: numpy path must fall back
+        seq, col = SchemaNode(), SchemaNode()
+        for v in vals:
+            seq.observe(v)
+        col.observe_many(vals)
+        assert col.int_multiple == seq.int_multiple == 3 * 2**70
+
+
 class TestPkStatsOneScan:
     def test_single_scan_plan_and_values(self, spark):
         import __spark_entry__ as em
