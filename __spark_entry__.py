@@ -451,6 +451,90 @@ def _json_field_profile_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _json_schema_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Tree-level incompatibility diff (IncompatibilityCollector analog,
+    discovery/IncompatibilityCollector.scala:10-219): orders serialized to
+    JSON JVM-side (to_json(struct(...)), one scan), discovered per
+    o_orderstatus via discover_by, then the GLOBAL tree (union merge of the
+    groups) diffed against each group — one row per (status, json-path,
+    property) where the global tree is not a subset (the global enum /
+    bounds span all statuses, each group's are tighter). Deterministic:
+    bounds, enums, and presence are exact. Rows-only: the recursive
+    per-path walk has no ANSI-SQL expression; exactness is covered by
+    tests/test_treediff.py (spec-parity cases + the subset invariant)."""
+    from jsonoid_discovery_spark.operators.discovery import discover_by
+    from jsonoid_discovery_spark.operators.treediff import find_incompatibilities
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        F.to_json(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        ).alias("doc"),
+    )
+    groups = discover_by(o, "doc", "o_orderstatus")
+    glob = None
+    for k in sorted(groups):
+        t = groups[k].schema
+        glob = t if glob is None else glob.merge(t)
+    rows = []
+    for k in sorted(groups):
+        for path, prop in find_incompatibilities(glob, groups[k].schema, skip_if_subset=False):
+            rows.append((k, path, prop))
+    return spark.createDataFrame(rows, "o_orderstatus string, path string, property string")
+
+
+def _split_discover_json_events(spark: SparkSession, sf: str) -> DataFrame:
+    """splitDiscover over a JSON column (DiscoverSchema.scala:428-472): one
+    scan discovers both halves (the split flag is the discover_by group),
+    the train tree expandTo-widens toward the test tree, and the per-path
+    walk yields the verdict. Rows-only: seeded rand() split + tree walk are
+    Spark/engine-specific; pytest covers expandTo and the walk exactly."""
+    from jsonoid_discovery_spark.operators.treediff import split_discover_json
+
+    ev = _t(spark, sf, "events").where(F.col("props").isNotNull())
+    out = split_discover_json(ev, "props", train_fraction=0.9, seed=7)
+    return spark.createDataFrame(
+        [
+            (
+                out["train"].docs,
+                out["test"].docs,
+                len(out["incompatibilities"]),
+                bool(out["is_subset"]),
+            )
+        ],
+        "docs_train long, docs_test long, n_incompatibilities int, is_subset boolean",
+    )
+
+
+def _json_discovery_sketches_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-path sketches inside JSON discovery (StringHyperLogLogProperty /
+    StringExamplesProperty analogs, schemas/StringSchema.scala:362-488):
+    per top-level key of orders-as-JSON, the HLL distinct estimate and the
+    deterministic hash-rank example count. Rows-only: HLL estimates and
+    pandas-hash example ranking have no DuckDB expression; merge laws and
+    parity are pytest-covered (test_round3.TestDiscoverySketches)."""
+    from jsonoid_discovery_spark.config import EngineParams
+    from jsonoid_discovery_spark.operators.discovery import discover
+
+    o = _t(spark, sf, "orders").select(
+        F.to_json(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        ).alias("doc")
+    )
+    res = discover(o, "doc", params=EngineParams(discovery_sketches=True))
+    rows = []
+    for key in sorted(res.schema.fields):
+        n = res.schema.fields[key]
+        for sk, kind in ((n.str_hll, "string"), (n.num_hll, "numeric")):
+            if sk is None:
+                continue
+            ex = n.str_examples if kind == "string" else n.num_examples
+            rows.append((key, kind, int(round(sk.estimate())), len(ex.items)))
+    return spark.createDataFrame(
+        rows, "key string, kind string, distinct_estimate long, n_examples int"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -488,6 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_stats_embeddings": _array_stats_embeddings,
         "json_field_stats_events": _json_field_stats_events,
         "json_discovery_by_event_type": _json_discovery_by_event_type,
+        "json_schema_diff_orders": _json_schema_diff_orders,
+        "split_discover_json_events": _split_discover_json_events,
+        "json_discovery_sketches_orders": _json_discovery_sketches_orders,
         "json_type_counts_events": _json_type_counts_events,
         "jaccard_pairs_documents": _jaccard_pairs_documents,
         "json_field_profile_events": _json_field_profile_events,

@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--oblivious-expansion", action="store_true",
                    help="with --split-percentage: blind power-of-2 widening instead of "
                         "targeted expandTo toward the test profile")
+    d.add_argument("--prop-set", default="all", choices=["all", "simple", "min"],
+                   help="property set (PropertySets.scala:102-134): 'all' carries "
+                        "per-path HLL distinct estimates + examples; simple/min prune them")
 
     p = sub.add_parser("profile", parents=[common], help="profile table columns")
     p.add_argument("--group-by", default=None, help="comma-separated group columns")
@@ -100,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
                 max_examples=args.max_examples,
                 format_threshold=args.format_threshold,
                 extended_formats=args.extended_formats,
+                # the reference's All property set carries per-path HLL +
+                # examples (schemas/StringSchema.scala:116-128); simple/min
+                # prune them (PropertySets.scala:102-134)
+                discovery_sketches=args.prop_set == "all",
             )
             df, col = _load(spark, args.input, args.column)
             if args.split_percentage is not None:

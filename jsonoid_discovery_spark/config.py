@@ -76,6 +76,14 @@ class EngineParams:
     # EnumTransformer rules (transformers/EnumTransformer.scala:10-11)
     enum_ratio: int = 10  # examples > 10x distinct -> enum
     enum_max_values: int = 50
+    # per-path HLL + examples inside JSON discovery SchemaNodes — the
+    # reference's StringHyperLogLogProperty / StringExamplesProperty /
+    # IntHyperLogLogProperty analogs (schemas/StringSchema.scala:116-128,
+    # 362-488). OFF by default: the sketches add ~1 KiB HLL + <=100
+    # examples PER PATH to every partial state and per-batch hashing work,
+    # and their estimates have no ANSI-SQL oracle — enable for the
+    # reference's `all` property set (CLI --prop-set all does this)
+    discovery_sketches: bool = False
     # exact per-category counts kept in string profiles (feeds chi-square
     # drift in one scan); overflow latches above the cap
     category_max_values: int = 256

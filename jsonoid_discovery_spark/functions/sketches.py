@@ -438,8 +438,13 @@ class TopKExamples:
         return v
 
     def _absorb(self, new: list[tuple[int, object]]) -> None:
+        # first-wins on hash ties: callers may hash CANONICALIZED keys (e.g.
+        # discovery numerics hash repr(float(v)) so 5 and 5.0 share a hash
+        # while storing the canonical value) — keeping the incumbent makes
+        # the fold independent of batch shape and merge order
         combined = {h: v for h, v in self.items}
-        combined.update({h: v for h, v in new})
+        for h, v in new:
+            combined.setdefault(h, v)
         self.items = sorted(combined.items())[: self.k]
 
     def merge(self, other: "TopKExamples") -> "TopKExamples":

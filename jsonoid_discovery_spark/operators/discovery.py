@@ -168,6 +168,23 @@ class SchemaNode:
     # array-length histogram (ArrayLengthHistogramProperty analog,
     # schemas/ArraySchema.scala:849-899); lazily created on first array
     items_hist: "LogHistogram | None" = None
+    # per-path sketches (params.discovery_sketches): HLL distinct estimate +
+    # deterministic hash-rank examples for string and numeric values — the
+    # StringHyperLogLogProperty / StringExamplesProperty / Int+Num HLL
+    # analogs (schemas/StringSchema.scala:116-128, 362-488). Numerics hash
+    # by canonical float repr so 5 and 5.0 count once (integer/number
+    # promotion parity, schemas/IntegerSchema.scala:177-229). Lazy: None
+    # until the first value, so disabled trees pay nothing.
+    str_hll: object = None
+    num_hll: object = None
+    str_examples: object = None
+    num_examples: object = None
+    # ZeroSchema marker (schemas/ZeroSchema.scala): a node accepting NOTHING,
+    # produced only by intersect-merging type-disjoint trees. Distinct from
+    # the Any node (no type evidence, accepts everything): without the flag
+    # an empty intersection would read as Any and intersect would lose
+    # associativity. Discovery never sets it.
+    nothing: bool = False
 
     # ------------------------------------------------------------------ fold
     def observe(self, v: object) -> None:
@@ -185,6 +202,8 @@ class SchemaNode:
             self._observe_scalar(v)
             fmt = _detect_format(v, self.params)
             self.formats[fmt] = self.formats.get(fmt, 0) + 1
+            if self.params.discovery_sketches:
+                self._sketch_strings([v])
         elif t in ("integer", "number"):
             x = float(v)
             self.min_v = x if self.min_v is None else min(self.min_v, x)
@@ -197,6 +216,8 @@ class SchemaNode:
                 # latch analog; our gcd is integer-only)
                 self.int_multiple = None
             self._observe_scalar(v)
+            if self.params.discovery_sketches:
+                self._sketch_numbers([v])
         elif t == "boolean":
             self.bool_count += 1
             self.true_count += int(v)
@@ -296,6 +317,8 @@ class SchemaNode:
         for s, c in Counter(strs).items():
             fmt = _detect_format(s, self.params)
             fm[fmt] = fm.get(fmt, 0) + c
+        if self.params.discovery_sketches:
+            self._sketch_strings(strs)
 
     def _observe_numbers(self, ints: list, floats: list) -> None:
         lo = hi = None
@@ -325,6 +348,8 @@ class SchemaNode:
                 for v in ints:
                     g = math.gcd(g, v)
             self.int_multiple = g if self.int_multiple is None else math.gcd(self.int_multiple, g)
+        if self.params.discovery_sketches:
+            self._sketch_numbers(ints + floats)
 
     def _observe_objects(self, dicts: list) -> None:
         self.object_count += len(dicts)
@@ -395,6 +420,58 @@ class SchemaNode:
             if len(self.distinct_values) > self.params.enum_max_values:
                 self.distinct_overflow = True
                 self.distinct_values = set()
+
+    # ------------------------------------------------- per-path sketches
+    # Both fold paths (sequential observe and columnar observe_many) call
+    # these with value batches; the states are commutative monoids over
+    # per-value hashes, so a 1-element batch leaves the same state as any
+    # batching — the fold-parity property test covers the sketches too.
+    def _sketch_strings(self, strs: list) -> None:
+        import numpy as _np
+
+        from jsonoid_discovery_spark.functions.sketches import (
+            HllSketch,
+            TopKExamples,
+            hash64_array,
+        )
+
+        if self.str_hll is None:
+            p = self.params
+            self.str_hll = HllSketch(p.hll_lg_k)
+            self.str_examples = TopKExamples(p.max_examples, p.example_max_len)
+        h = hash64_array(pd.Series(strs, dtype=object))
+        self.str_hll.update_hashes(h)
+        self.str_examples.update_hashed(_np.asarray(strs, dtype=object), h)
+
+    def _sketch_numbers(self, nums: list) -> None:
+        import numpy as _np
+
+        from jsonoid_discovery_spark.functions.sketches import (
+            HllSketch,
+            TopKExamples,
+            hash64_array,
+        )
+
+        if self.num_hll is None:
+            p = self.params
+            self.num_hll = HllSketch(p.hll_lg_k)
+            self.num_examples = TopKExamples(p.max_examples, p.example_max_len)
+        # canonical float repr as the hash key: 5 and 5.0 count once
+        # (integer/number promotion); ints beyond float range fall back to
+        # their exact repr PER VALUE (batch-shape independent, so the
+        # sequential and columnar folds stay bit-identical)
+        keys, canon = [], []
+        for v in nums:
+            try:
+                f = float(v)
+                keys.append(repr(f))
+                canon.append(f)
+            except OverflowError:
+                keys.append(repr(v))
+                canon.append(v)
+        h = hash64_array(pd.Series(keys, dtype=object))
+        self.num_hll.update_hashes(h)
+        self.num_examples.update_hashed(_np.asarray(canon, dtype=object), h)
 
     def _observe_object(self, obj: dict) -> None:
         self.object_count += 1
@@ -545,6 +622,13 @@ class SchemaNode:
         # agreement is the safe widening)
         out.declared_pattern = self.declared_pattern if self.declared_pattern == o.declared_pattern else None
         out.declared_format = self.declared_format if self.declared_format == o.declared_format else None
+        # Zero is the union identity: it survives only if both sides are Zero
+        out.nothing = self.nothing and o.nothing
+        # per-path sketches: HLL register max / examples top-K union — both
+        # commutative (unionMerge, schemas/StringSchema.scala:375-388)
+        for f_ in ("str_hll", "num_hll", "str_examples", "num_examples"):
+            a_, b_ = getattr(self, f_), getattr(o, f_)
+            setattr(out, f_, a_.merge(b_) if a_ is not None and b_ is not None else (a_ if a_ is not None else b_))
         return out
 
     # ------------------------------------------------------------- emission
@@ -568,6 +652,8 @@ class SchemaNode:
         """JSON Schema 2020-12 with the reference's extra keys
         (fieldPresence, pctTrue, examples-as-enum via EnumTransformer ratio
         rules, transformers/EnumTransformer.scala:97-116)."""
+        if self.nothing:
+            return {"not": {}}  # ZeroSchema: accepts no value
         if self.alternatives:
             key = "oneOf" if self.one_of else "anyOf"
             return {key: [a.to_json_schema(transformers) for a in self.alternatives]}
@@ -602,6 +688,11 @@ class SchemaNode:
                 d["maximum"] = _numfmt(self.max_v, t)
             if self.int_multiple and self.int_multiple > 1:
                 d["multipleOf"] = self.int_multiple
+            if self.num_hll is not None:
+                # StringHyperLogLogProperty-style extra keys for numerics
+                # (schemas/IntegerSchema.scala HLL/examples analogs)
+                d["distinctValues"] = int(round(self.num_hll.estimate()))
+                d["examples"] = sorted(set(self.num_examples.values()))
             d.update(self._maybe_enum(transformers, kind=t))
             return d
         if t == "string":
@@ -611,6 +702,12 @@ class SchemaNode:
                 d["format"] = fmt
             if self.declared_pattern is not None:
                 d["pattern"] = self.declared_pattern
+            if self.str_hll is not None:
+                # distinctValues + examples extra keys
+                # (schemas/StringSchema.scala:362-488: HLL emits the count,
+                # StringExamplesProperty emits examples.distinct.sorted)
+                d["distinctValues"] = int(round(self.str_hll.estimate()))
+                d["examples"] = sorted(set(self.str_examples.values()))
             d.update(self._maybe_enum(transformers, kind="string"))
             return d
         if t == "array":
@@ -834,6 +931,37 @@ class SchemaNode:
         (schemas/JsonSchema.scala:101 isAnomalous)."""
         m = self.max_anomaly_level(v)
         return m is not None and m >= int(level)
+
+    # ------------------------------------------- tree-level schema algebra
+    # thin delegates to operators/treediff.py (imported lazily: treediff
+    # imports this module)
+    def is_subset_of(self, other: "SchemaNode") -> bool:
+        """JsonSchema.isSubsetOf over whole discovered trees
+        (schemas/JsonSchema.scala:630-648)."""
+        from jsonoid_discovery_spark.operators.treediff import node_is_subset_of
+
+        return node_is_subset_of(self, other)
+
+    def find_incompatibilities(self, other: "SchemaNode", skip_if_subset: bool = True):
+        """Per-path (json-path, property) diffs vs another tree
+        (discovery/IncompatibilityCollector.scala:10-219)."""
+        from jsonoid_discovery_spark.operators.treediff import find_incompatibilities
+
+        return find_incompatibilities(self, other, skip_if_subset)
+
+    def intersect(self, other: "SchemaNode") -> "SchemaNode":
+        """MergeType.Intersect of two discovered trees (constraints
+        tighten; discovery/MergeType.scala:4-14)."""
+        from jsonoid_discovery_spark.operators.treediff import intersect_nodes
+
+        return intersect_nodes(self, other)
+
+    def expand_to(self, other: "SchemaNode") -> "SchemaNode":
+        """Widen this tree toward another with the reference's iterative
+        step rules (schemas/JsonSchema.scala:650-672)."""
+        from jsonoid_discovery_spark.operators.treediff import expand_node_to
+
+        return expand_node_to(self, other)
 
 
 def _mn(a, b):

