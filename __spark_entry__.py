@@ -418,10 +418,11 @@ def _json_type_counts_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _jaccard_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (the verification stage of
-    the LSH pipeline, run standalone so DuckDB can oracle it — candidate
-    generation joins on the shingle hash, which only ADDS candidates that
-    the exact filter rejects, so the output is hash-free and exact)."""
+    """Word-3-gram Jaccard near-dup pairs under the operator's df-capped
+    semantics (shingles in >1000 docs excluded from the universe — the
+    boilerplate guard that keeps the self-join off O(n^2)); the DuckDB
+    oracle applies the SAME cap, so the comparison is exact at any scale.
+    Hash-free: the join key is the shingle string itself."""
     from jsonoid_discovery_spark.operators.dedup import jaccard_pairs
 
     d = _t(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
@@ -854,6 +855,11 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY 1, 2
         """,
         "jaccard_pairs_documents": """
+            -- df-capped Jaccard, the operator's DEFINED semantics: shingles
+            -- with document frequency > 1000 are excluded from the universe
+            -- on BOTH sides (intersection, union, and candidate generation)
+            -- exactly as jaccard_pairs does — the oracle stays bit-exact at
+            -- ANY scale, not just while the cap is inert
             WITH words AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
               FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
@@ -866,19 +872,23 @@ def oracle_sql() -> dict[str, str]:
                   ELSE [array_to_string(w, ' ')] END AS g
               FROM words
             ),
-            ex AS (SELECT doc_id, unnest(g) AS s FROM grams),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            ex0 AS (SELECT doc_id, unnest(g) AS s FROM grams),
+            ex AS (
+              SELECT doc_id, s FROM ex0
+              QUALIFY count(*) OVER (PARTITION BY s) <= 1000
+            ),
+            sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
             )
             SELECT id_a, id_b,
-                   round(len(list_intersect(ga.g, gb.g))::DOUBLE
-                         / len(list_distinct(ga.g || gb.g)), 9) AS jaccard
-            FROM cand
-            JOIN grams ga ON ga.doc_id = cand.id_a
-            JOIN grams gb ON gb.doc_id = cand.id_b
-            WHERE len(list_intersect(ga.g, gb.g))::DOUBLE
-                  / len(list_distinct(ga.g || gb.g)) >= 0.5
+                   round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 9) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.id_a
+            JOIN sz sb ON sb.doc_id = inter.id_b
+            WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.5
         """,
         # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents,
         # pk_candidates_documents, split_discover_documents,

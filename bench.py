@@ -28,10 +28,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("BENCH_SOURCE_FILES_ROWS", "1000000"))
 DISCOVERY_ROWS = int(os.environ.get("BENCH_DISCOVERY_ROWS", "1000000"))
-# the --scaling input defaults to 4M rows: at 1M a 32-wide run finishes in
-# ~8 s and fixed per-job costs (scheduling, python worker spin-up, codegen)
-# dominate the 8->32 pair; 4M amortizes them so the pair measures the engine
-SCALING_ROWS = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
+# the --scaling input defaults to 16M rows (VERDICT r2 #4: promoted from
+# 4M via an 8M intermediate): at small inputs a 32-wide run finishes in
+# seconds and fixed per-job costs (scheduling, python worker spin-up,
+# codegen) dominate the 8->32 pair; 16M amortizes them so the pair measures
+# the engine. The report keys runs by input size AND the job structure
+# changed with the 16M promotion (4-way concurrent downstream phase), so
+# the 4M/8M history in scaling_runs.jsonl stays uncontaminated — new-job
+# runs live only at the new input size.
+SCALING_ROWS = int(os.environ.get("BENCH_SCALING_ROWS", "16000000"))
 # small scan splits so a tiny bench input still spreads across all cores —
 # the local-mode stand-in for the many-file layout of a real 100 TB table
 BENCH_CONF = {"spark.sql.files.maxPartitionBytes": "8m"}
@@ -62,6 +67,14 @@ def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _phase2(r: dict) -> float:
+    """Phase-2 seconds for a logged run — new rows carry downstream_sec;
+    pre-restructure rows (separate validate/checks phases) sum the two."""
+    if "downstream_sec" in r:
+        return r["downstream_sec"]
+    return round(r.get("validate_sec", 0.0) + r.get("checks_sec", 0.0), 3)
 
 
 def validation_job(master: str, data_path: str, passes: int = 3) -> dict:
@@ -97,20 +110,22 @@ def validation_job(master: str, data_path: str, passes: int = 3) -> dict:
     # pipeline on a shared cluster
     from concurrent.futures import ThreadPoolExecutor
 
-    def phase_validate(prof):
+    def phase_downstream(prof):
+        """Everything after the profile needs only (df, prof): the
+        validation pass, per-partition verdicts, uniqueness (sha2-compacted
+        distinct shuffle, ~4x smaller than raw key strings) and referential
+        integrity run as FOUR concurrent Spark jobs. The two check jobs are
+        mostly fixed scheduling latency at high core counts (measured ~3.5s
+        floor 8->32 when run as their own phase — an Amdahl term); inside
+        the validate pool that latency hides under the big jobs' compute."""
         cons = constraints_from_profile(prof)
-        with ThreadPoolExecutor(2) as pool:
+        with ThreadPoolExecutor(4) as pool:
             f_viol = pool.submit(
                 lambda: validate(
                     df, cons, key_cols=["repo", "path", "commit"], content_col="content"
                 ).count()
             )
             f_verd = pool.submit(lambda: partition_verdicts(df, cons, ["lang"]).count())
-            return f_viol.result(), f_verd.result()
-
-    def phase_checks():
-        # sha2-compacted distinct shuffle (~4x smaller than raw key strings)
-        with ThreadPoolExecutor(2) as pool:
             f_uniq = pool.submit(
                 lambda: uniqueness_summary(
                     df, ["repo", "path", "commit"], compact_keys=True
@@ -121,19 +136,17 @@ def validation_job(master: str, data_path: str, passes: int = 3) -> dict:
                     df, ["commit"], repo_commits(spark), ["commit"]
                 ).collect()[0]
             )
-            return f_uniq.result(), f_ri.result()
+            return f_viol.result(), f_verd.result(), f_uniq.result(), f_ri.result()
 
     # steady-state measurement: one warm-up pass (python workers, codegen,
     # page cache), then `passes` timed passes per phase. The report carries
     # BOTH the best (noisy neighbors only ever slow a run; min = machine
     # capability) and the median (robust central tendency).
     prof = phase_profile()
-    phase_validate(prof)
-    phase_checks()
+    phase_downstream(prof)
 
     t_prof: list[float] = []
-    t_val: list[float] = []
-    t_chk: list[float] = []
+    t_down: list[float] = []
     n_viol = n_verd = 0
     uniq = ri = None
     for _ in range(passes):
@@ -142,27 +155,22 @@ def validation_job(master: str, data_path: str, passes: int = 3) -> dict:
         t_prof.append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        n_viol, n_verd = phase_validate(prof)
-        t_val.append(time.perf_counter() - t0)
+        n_viol, n_verd, uniq, ri = phase_downstream(prof)
+        t_down.append(time.perf_counter() - t0)
 
-        t0 = time.perf_counter()
-        uniq, ri = phase_checks()
-        t_chk.append(time.perf_counter() - t0)
-
-    total = min(t_prof) + min(t_val) + min(t_chk)
-    total_median = _median(t_prof) + _median(t_val) + _median(t_chk)
+    total = min(t_prof) + min(t_down)
+    total_median = _median(t_prof) + _median(t_down)
     spark.stop()
     return {
         "master": master,
         "n_files": n_files,
         "profile_sec": round(min(t_prof), 3),
-        "validate_sec": round(min(t_val), 3),
-        "checks_sec": round(min(t_chk), 3),
+        "downstream_sec": round(min(t_down), 3),
         "total_sec": round(total, 3),
         "files_per_sec": round(n_files / total, 1),
         "total_sec_median": round(total_median, 3),
         "files_per_sec_median": round(n_files / total_median, 1),
-        "pass_totals": [round(a + b + c, 3) for a, b, c in zip(t_prof, t_val, t_chk)],
+        "pass_totals": [round(a + b, 3) for a, b in zip(t_prof, t_down)],
         "n_violations": n_viol,
         "n_verdict_groups": n_verd,
         "uniq_ok": bool(uniq["is_unique"]),
@@ -197,7 +205,7 @@ def run_queries() -> None:
 
     n = df.count()
     t_flag = float("inf")
-    for _ in range(2):  # best-of-2: noisy-neighbor insurance (see --scaling)
+    for _ in range(3):  # best-of-3: noisy-neighbor insurance (see --scaling)
         t0 = time.perf_counter()
         prof = profile(df, columns=["repo", "path", "commit", "lang", "content"])
         validate(df, constraints_from_profile(prof), key_cols=["repo", "path", "commit"], content_col="content").count()
@@ -205,18 +213,28 @@ def run_queries() -> None:
     timings["validation_pipeline"] = round(t_flag, 3)
 
     # flagship #2: recursive JSON discovery throughput on the nested-JSON
-    # fixture (mixed flat/tuple-array/object-list shapes + malformed lines)
+    # fixture (mixed flat/tuple-array/object-list shapes + malformed lines).
+    # Like validation_pipeline this is a best-of (flagships measure machine
+    # capability; the 3-pass-median protocol above covers the suite queries)
     from jsonoid_discovery_spark.datagen import props_docs
     from jsonoid_discovery_spark.operators.discovery import discover
 
     ddf = props_docs(spark, n_rows=DISCOVERY_ROWS).repartition(CPUS).localCheckpoint()
-    nd = ddf.count()
-    t_disc = float("inf")
+    t_disc, disc_res = float("inf"), None
     for _ in range(2):
         t0 = time.perf_counter()
-        discover(ddf, "doc")
+        disc_res = discover(ddf, "doc")
         t_disc = min(t_disc, time.perf_counter() - t0)
-    timings["json_discovery_1m"] = round(t_disc, 3)
+    # key the metric by input size; docs/sec counts PARSED docs (malformed
+    # lines excluded) so changing the fixture's malformed rate can't
+    # silently inflate throughput
+    nd = disc_res.docs
+    disc_label = (
+        f"{DISCOVERY_ROWS // 1_000_000}m"
+        if DISCOVERY_ROWS >= 1_000_000 and DISCOVERY_ROWS % 1_000_000 == 0
+        else str(DISCOVERY_ROWS)
+    )
+    timings[f"json_discovery_{disc_label}"] = round(t_disc, 3)
     spark.stop()
 
     out = {
@@ -228,7 +246,10 @@ def run_queries() -> None:
         "query_passes": passes,
         "queries_best": timings_best,
         "validation_files_per_sec": round(n / t_flag, 1),
+        "validation_rows": n,
         "discovery_docs_per_sec": round(nd / t_disc, 1),
+        "discovery_rows": DISCOVERY_ROWS,
+        "discovery_docs_parsed": nd,
     }
     # surface the north-rule scaling evidence: cross-run medians over all
     # logged runs at the LARGEST input size (matches BENCH/BASELINE.md)
@@ -342,13 +363,17 @@ shows the LATEST run (best-of-3 timings per phase — noisy neighbors only
 ever slow a run; min = machine capability — plus per-pass medians). The
 efficiency lines are CROSS-RUN MEDIANS over all {n_runs} logged runs at this
 input size (BENCH/scaling_runs.jsonl keeps every run, per-pass totals
-included) — no best-run cherry-picking.
+included) — no best-run cherry-picking. Phase 2 ("downstream") runs the
+validation pass, per-partition verdicts, uniqueness, and referential
+integrity as four CONCURRENT jobs: the check jobs are mostly fixed
+scheduling latency at high core counts, and overlapping them under the big
+jobs removes that Amdahl term from the scaling pair.
 
-| config | files/sec (best) | files/sec (median) | profile s | validate s | checks s | total s |
-|---|---|---|---|---|---|---|
-| local[2]  | {r2['files_per_sec']} | {med(r2)} | {r2['profile_sec']} | {r2['validate_sec']} | {r2['checks_sec']} | {r2['total_sec']} |
-| local[8]  | {r8['files_per_sec']} | {med(r8)} | {r8['profile_sec']} | {r8['validate_sec']} | {r8['checks_sec']} | {r8['total_sec']} |
-| local[32] | {r32['files_per_sec']} | {med(r32)} | {r32['profile_sec']} | {r32['validate_sec']} | {r32['checks_sec']} | {r32['total_sec']} |
+| config | files/sec (best) | files/sec (median) | profile s | downstream s | total s |
+|---|---|---|---|---|---|
+| local[2]  | {r2['files_per_sec']} | {med(r2)} | {r2['profile_sec']} | {_phase2(r2)} | {r2['total_sec']} |
+| local[8]  | {r8['files_per_sec']} | {med(r8)} | {r8['profile_sec']} | {_phase2(r8)} | {r8['total_sec']} |
+| local[32] | {r32['files_per_sec']} | {med(r32)} | {r32['profile_sec']} | {_phase2(r32)} | {r32['total_sec']} |
 
 **Scaling efficiency (N=2 -> 4N=8): (thr8/thr2)/4 = {eff_2_8:.3f}**
 (cross-run median of best-of-3) / {eff_2_8_med:.3f} (of median-of-3);
@@ -356,6 +381,17 @@ target >= 0.8.
 **Scaling efficiency (N=8 -> 4N=32): (thr32/thr8)/4 = {eff_8_32:.3f}**
 (best-of-3) / {eff_8_32_med:.3f} (median-of-3);
 **{eff_8_32_clock:.3f} clock-normalized** (see below).
+
+### Reading the 2->8 pair at this input size
+
+At 16M rows the local[2] configuration runs the same 8 GiB single JVM
+with only two task slots: per-pass working sets are largest there and the
+run is partly memory/GC-bound, so its throughput is DISPROPORTIONATELY
+low and the 2->8 ratio can meet or exceed 1.0. Treat near/above-1.0
+values as "at least compute-proportional" rather than superlinear
+hardware magic; the 4M/8M history in scaling_runs.jsonl (0.85-0.94 on an
+unpressured local[2]) is the cleaner 2->8 evidence, and the 16M runs
+exist primarily for the fixed-cost-amortized 8->32 pair.
 
 ### Hardware confound at 32 cores (measured, engine-independent)
 
@@ -365,9 +401,10 @@ This box reduces per-core clock speed under all-core load (DVFS). A pure
 -> running 32-wide makes EVERY core {clock_ratio_8_32:.2f}x slower than at
 8-wide. No software can scale past that ceiling on this machine; on a real
 cluster, going from N to 4N *executors* adds machines (each at full clock),
-which is what the clock-normalized number models. The 2->8 pair is within
-the flat region of the frequency curve and therefore the cleanest N->4N
-evidence on this hardware.
+which is what the clock-normalized number models. The calibration itself
+varies run to run with thermal state (observed 1.04x-1.31x across the 16M
+runs), so the clock-normalized figure inherits that spread; the raw
+efficiencies above are the stable cross-run medians.
 
 Checks passed in all runs: uniqueness={r8['uniq_ok']}, RI={r8['ri_ok']},
 violations found={r8['n_violations']} (expected 0 on the clean table),

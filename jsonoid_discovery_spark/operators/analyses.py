@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
-from jsonoid_discovery_spark.operators.discovery import SchemaNode
+from jsonoid_discovery_spark.operators.discovery import SchemaNode, _dv_key
 from jsonoid_discovery_spark.operators.profile import ColumnState, ProfileResult, profile
 
 # ---------------------------------------------------------------------------
@@ -335,13 +335,9 @@ def schema_from_json(
     if "enum" in doc:
         # hashable scalars only (array/object enum members are out of scope);
         # stored type-tagged (discovery._dv_key) so 0 / false / 0.0 coexist
-        from jsonoid_discovery_spark.operators.discovery import _dv_key
-
         node.distinct_values = {_dv_key(v) for v in doc["enum"] if not isinstance(v, (list, dict))}
         node.declared_enum = True
     if "const" in doc and not isinstance(doc["const"], (list, dict)):
-        from jsonoid_discovery_spark.operators.discovery import _dv_key
-
         node.distinct_values = {_dv_key(doc["const"])}
         node.declared_enum = True
     return node

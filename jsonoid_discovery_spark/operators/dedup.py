@@ -266,7 +266,11 @@ def jaccard_pairs(
     fires, Jaccard is computed over the CAPPED universe (boilerplate
     shingles excluded from both intersection and union — the idf-flavored
     variant); with the default cap inert on non-degenerate corpora this is
-    exactly classic Jaccard. No silent cap: ``shingle_df_report`` (the
+    exactly classic Jaccard. KNOWN BLINDSPOT of the capped semantics: a
+    duplicate group larger than the cap has every shingle above it, so its
+    pairs vanish — EXACT duplicates belong to the (cheaper) exact_dedup
+    stage, and boilerplate NEAR-dups need the LSH-candidates path, which is
+    uncapped. No silent cap: ``shingle_df_report`` (the
     ``lsh_bucket_report`` pattern) returns what the cap dropped.
     ``None`` disables the cap."""
     if candidates is None:
@@ -296,9 +300,21 @@ def jaccard_pairs(
         )
         return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
     # explicit-candidate verification (the LSH pipeline's second stage):
-    # per-pair exact Jaccard on the materialized shingle sets
-    sh = shingle_rows(df, col, id_col, shingle_k).groupBy("id").agg(F.collect_list("s").alias("sh"))
-    sh = sh.localCheckpoint(eager=False)
+    # semi-join the corpus down to the documents that actually appear in a
+    # candidate pair BEFORE shingling — a small candidate set over a large
+    # corpus shingles only its own documents, nothing is pinned in block
+    # storage and no full-corpus aggregation can be recomputed per join side
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(ids, id_col, "left_semi")
+    sh = (
+        shingle_rows(needed, col, id_col, shingle_k)
+        .groupBy("id")
+        .agg(F.collect_list("s").alias("sh"))
+    )
     j = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

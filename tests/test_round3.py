@@ -38,8 +38,13 @@ class TestMixedHashSpaceDegrade:
         assert not out.with_bloom
         assert out.distinct_estimate() is None
         assert not out.is_unique_candidate()
+        # hash-RANKED examples degrade with the other sketches: the same
+        # value hashes differently per space, so a cross-space merge would
+        # emit duplicates under a meaningless ranking (review finding)
+        assert out.examples.values() == []
         d = out.to_dict()
         assert d["distinctEstimate"] is None
+        assert d["examples"] == []
 
     def test_mixed_is_absorbing(self):
         a = _string_state(["aa"])
@@ -93,18 +98,29 @@ class TestPerBoundExpandDrop:
         assert any(i.prop == "maximum" for i in out)  # max still enforced
         assert not any(i.prop == "minimum" for i in out)
 
-    def test_split_discover_drops_only_failed_bound(self, spark):
-        # train max_len far below test max_len -> the upward expansion has a
-        # finite answer; engineered give-up is hard to trigger on real data,
-        # so this asserts the non-regression shape: bounds never BOTH vanish
-        # when only one direction was stressed
-        from jsonoid_discovery_spark.operators.analyses import split_discover
+    def test_split_discover_drops_only_failed_bound(self, spark, monkeypatch):
+        """When ONE directional expansion gives up, only that bound drops
+        (reference expandTo parity). Forced give-up via a monkeypatched
+        contract_min_to so the test discriminates the per-bound behavior
+        from the old both-bounds-dropped code (review finding: the previous
+        assertion was satisfied by both behaviors)."""
+        import jsonoid_discovery_spark.operators.analyses as analyses_mod
+        from jsonoid_discovery_spark.operators import constraints as cons_mod
 
         rows = [(i, "x" * (10 + i % 5)) for i in range(400)]
         df = spark.createDataFrame(rows, "id long, text string")
-        out = split_discover(df, columns=["text"], seed=3)
+
+        real_contract = cons_mod.contract_min_to
+        monkeypatch.setattr(cons_mod, "contract_min_to", lambda cur, limit: float("-inf"))
+        out = analyses_mod.split_discover(df, columns=["text"], seed=3)
         st = out["train"].states[()]["text"]
-        assert (st.min_len is None) == (False) or st.max_len is not None
+        assert st.min_len is None  # failed direction dropped...
+        assert st.max_len is not None  # ...surviving bound KEPT (widened)
+
+        monkeypatch.setattr(cons_mod, "contract_min_to", real_contract)
+        out2 = analyses_mod.split_discover(df, columns=["text"], seed=3)
+        st2 = out2["train"].states[()]["text"]
+        assert st2.min_len is not None and st2.max_len is not None
 
 
 class TestDefsTransformersFlag:
@@ -346,6 +362,30 @@ class TestColumnarFoldParity:
         col.observe_many(vals)
         assert col.int_multiple == seq.int_multiple == 3 * 2**70
 
+    def test_beyond_float_range_int_survives(self):
+        """A >308-digit JSON integer is WELL-FORMED and must not kill the
+        fold (review finding: float() overflow in the bounds bookkeeping);
+        the exact int is kept as the bound and emitted exactly."""
+        from jsonoid_discovery_spark.config import EngineParams
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        big = 10**400
+        vals = [big, 1, 2, 3, 4, 5, 6, 7, 8, big]
+        seq, col = SchemaNode(), SchemaNode()
+        for v in vals:
+            seq.observe(v)
+        col.observe_many(vals)
+        assert _node_fingerprint(seq) == _node_fingerprint(col)
+        assert col.max_v == big and col.min_v == 1.0
+        assert col.to_json_schema()["maximum"] == big
+        # validation against a big-int bound stays exact
+        assert col.collect_anomalies(big) == []
+        assert col.collect_anomalies(big * 10)
+        # and the sketch path's per-value repr fallback is reachable
+        sk = SchemaNode(EngineParams(discovery_sketches=True))
+        sk.observe_many(vals)
+        assert sk.num_hll is not None and len(sk.num_examples.items) >= 2
+
 
 class TestDiscoverySketches:
     """Per-path HLL + examples (VERDICT r2 'What's missing' #1): parity
@@ -441,6 +481,93 @@ def _json_dumps_tree(d):
     import json as _json
 
     return _json.dumps(d, sort_keys=True, default=str)
+
+
+class TestParseJsonExact:
+    """parse_json_exact must be observably identical to json.loads — every
+    orjson divergence (big-int type flip, NaN/Infinity, lone surrogates,
+    deep nesting) routes back to json.loads."""
+
+    CASES = [
+        "1e-323", "-0.0", "0.1", "9007199254740993", str(2**63), str(2**64),
+        str(2**64 + 1), str(10**30), str(-(2**63) - 1), '"\\ud800"',
+        "NaN", "Infinity", "-Infinity", '{"a":1,"a":2}',
+        '{"k":[1.5,"\\u00e9",null,true,' + str(10**25) + "]}",
+        '"' + "x" * 200 + '"', "[" * 60 + "1" + "]" * 60,
+        '{"big": 1' + "0" * 400 + "}",
+    ]
+
+    def test_battery(self):
+        import json as _json
+
+        from jsonoid_discovery_spark.operators.discovery import parse_json_exact
+
+        for s in self.CASES:
+            assert repr(parse_json_exact(s)) == repr(_json.loads(s)), s
+
+    def test_malformed_raises_like_json(self):
+        import pytest as _pytest
+
+        from jsonoid_discovery_spark.operators.discovery import parse_json_exact
+
+        for s in ("not json", "{", '{"a":}', ""):
+            with _pytest.raises(ValueError):
+                parse_json_exact(s)
+
+    def test_property_parity(self):
+        import json as _json
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jsonoid_discovery_spark.operators.discovery import parse_json_exact
+
+        scalars = st.one_of(
+            st.none(), st.booleans(),
+            st.integers(-(10**25), 10**25),
+            st.floats(allow_nan=False),
+            st.text(max_size=20),
+        )
+        values = st.recursive(
+            scalars,
+            lambda ch: st.one_of(
+                st.lists(ch, max_size=4),
+                st.dictionaries(st.text(max_size=6), ch, max_size=4),
+            ),
+            max_leaves=10,
+        )
+
+        @given(values)
+        @settings(max_examples=150, deadline=None)
+        def check(v):
+            s = _json.dumps(v)
+            assert repr(parse_json_exact(s)) == repr(_json.loads(s))
+
+        check()
+
+
+class TestJaccardCandidatesPath:
+    def test_candidates_path_matches_self_path(self, spark):
+        """Explicit-candidates verification (post-semi-join rewrite) must
+        agree with the self-candidate count-aggregate path on the pairs it
+        is given, and must only shingle the candidates' documents."""
+        from jsonoid_discovery_spark.operators.dedup import jaccard_pairs
+
+        rows = [(i, f"alpha beta gamma delta epsilon zeta doc{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(df, "text", "doc_id", threshold=0.1).collect()
+        }
+        some = sorted(full)[:5]
+        cand = spark.createDataFrame(
+            [(a, b) for a, b in some], "id_a long, id_b long"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(df, "text", "doc_id", threshold=0.1, candidates=cand).collect()
+        }
+        assert got == {p: full[p] for p in some}
 
 
 class TestPkStatsOneScan:

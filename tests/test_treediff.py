@@ -94,6 +94,26 @@ class TestIncompatibilityCollector:
         got = find_incompatibilities(node([True]), node([0]), skip_if_subset=False)
         assert ("$", "ItemType") in got
 
+    def test_differing_array_item_schemas(self):
+        # array(bool) vs array(int) -> ItemType at $
+        # (IncompatibilityCollectorSpec.scala:98-108)
+        from jsonoid_discovery_spark.operators.analyses import schema_from_json
+
+        a1 = schema_from_json({"type": "array", "items": {"type": "boolean"}})
+        a2 = schema_from_json({"type": "array", "items": {"type": "integer"}})
+        assert find_incompatibilities(a1, a2, skip_if_subset=False) == [("$", "ItemType")]
+
+    def test_tuple_subset_of_array_but_not_reverse(self):
+        # tuple([bool]) ⊆ array(bool); array(bool) ⊄ tuple([bool])
+        # (IncompatibilityCollectorSpec.scala:110-122)
+        from jsonoid_discovery_spark.operators.analyses import schema_from_json
+
+        tup = schema_from_json({"type": "array", "prefixItems": [{"type": "boolean"}]})
+        arr = schema_from_json({"type": "array", "items": {"type": "boolean"}})
+        assert node_is_subset_of(tup, arr)
+        assert find_incompatibilities(tup, arr) == []
+        assert not node_is_subset_of(arr, tup)
+
     def test_invariant_empty_iff_subset(self):
         # the reference ASSERTS this for every call
         # (IncompatibilityCollector.scala:214-217)
@@ -106,6 +126,28 @@ class TestIncompatibilityCollector:
     def test_any_accepts_everything(self):
         # empty (Any) other side -> subset (JsonSchema.scala:640)
         assert node_is_subset_of(node({"a": 1}, "str", [1]), SchemaNode())
+
+    def test_tuple_slot_nested_recursion(self):
+        """A nested diff INSIDE a constant-length tuple must surface (a
+        review-found gap: slot comparison has to recurse, reported with the
+        slot index on the path)."""
+        a, b = node([{"x": "s"}]), node([{"x": 1}])
+        assert find_incompatibilities(a, b, skip_if_subset=False) == [("$[0].x", "ObjectTypes")]
+        assert not node_is_subset_of(a, b)
+
+    def test_product_forall_exists_direction(self):
+        """anyOf subset: EVERY left alternative must fit SOME right
+        alternative (review-found: exists-left / forall-right was
+        inverted)."""
+        from jsonoid_discovery_spark.operators.analyses import schema_from_json
+
+        both = schema_from_json({"anyOf": [{"type": "integer"}, {"type": "string"}]})
+        int_only = schema_from_json({"type": "integer"})
+        assert not node_is_subset_of(both, int_only)
+        assert node_is_subset_of(int_only, both)
+        # a one-alt product IS a subset of a wider product
+        narrow = schema_from_json({"anyOf": [{"type": "integer"}]})
+        assert node_is_subset_of(narrow, both)
 
     def test_string_enum_membership(self):
         assert find_incompatibilities(node("x"), node("a", "b"), skip_if_subset=False) == [
@@ -136,6 +178,24 @@ class TestIntersect:
         i = intersect_nodes(node(4, 8), node(6, 12))
         assert i.int_multiple == 12  # lcm(gcd(4,8)=4? no: gcd(4,8)=4, gcd(6,12)=6) -> lcm(4,6)
 
+    def test_integer_intersect_spec_bounds(self):
+        # IntegerSchema(8).merge(IntegerSchema(4), Intersect): minimum 8,
+        # maximum 4 — the inner envelope survives even when empty
+        # (IntegerSchemaSpec.scala:15-18, 74-97)
+        i = intersect_nodes(node(8), node(4))
+        assert i.min_v == 8.0 and i.max_v == 4.0
+
+    def test_product_intersect_any_and_zero(self):
+        # ProductSchemaSpec.scala:102-107: product ∩ Any = product;
+        # product ∩ Zero = Zero
+        from jsonoid_discovery_spark.operators.analyses import schema_from_json
+        from jsonoid_discovery_spark.operators.treediff import _zero
+
+        prod = schema_from_json({"anyOf": [{"type": "integer"}, {"type": "string"}]})
+        same = intersect_nodes(prod, SchemaNode())
+        assert _schema_fp(same) == _schema_fp(prod)
+        assert intersect_nodes(prod, _zero(prod.params)).nothing
+
     def test_type_disjoint_is_zero(self):
         z = intersect_nodes(node("s"), node(1))
         assert z.nothing and z.to_json_schema() == {"not": {}}
@@ -147,6 +207,19 @@ class TestIntersect:
         a = node({"k": 1})
         assert _schema_fp(intersect_nodes(a, SchemaNode())) == _schema_fp(a)
         assert _schema_fp(intersect_nodes(SchemaNode(), a)) == _schema_fp(a)
+
+    def test_declared_pattern_commutative(self):
+        """Intersect of two parsed schemas with different declared patterns
+        must be deterministic and commutative (review finding)."""
+        from jsonoid_discovery_spark.operators.analyses import schema_from_json
+
+        pa = schema_from_json({"type": "string", "pattern": "^a"})
+        pb = schema_from_json({"type": "string", "pattern": "^b"})
+        assert (
+            intersect_nodes(pa, pb).declared_pattern
+            == intersect_nodes(pb, pa).declared_pattern
+            == "^a"
+        )
 
     def test_commutative_associative(self):
         rng = random.Random(7)
