@@ -26,7 +26,37 @@ def _op_count(plan: str, op: str) -> int:
     return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.MULTILINE))
 
 
-class TestScanPruning:
+class TestRound3QueryPlans:
+    def test_orders_json_serialization_stays_jvm_side(self, spark):
+        """json_schema_diff_orders / json_discovery_sketches_orders build
+        their JSON column with to_json(struct(...)): the serialization must
+        plan as a codegen'd Project over the parquet scan — no Python, no
+        exchange, and column pruning down to the four used columns."""
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        ser = o.select(
+            "o_orderstatus",
+            F.to_json(
+                F.struct("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+            ).alias("doc"),
+        )
+        plan = _plan(ser)
+        # Spark 4 prints the invoked evaluator, not the function name
+        assert "StructsToJson" in plan or "to_json" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert _op_count(plan, "Exchange") == 0
+        readschema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "o_comment" not in readschema and "o_totalprice" in readschema
+
+    def test_jaccard_candidates_path_semi_joins_before_shingling(self, spark):
+        """The explicit-candidates Jaccard path must reduce the corpus with
+        a LeftSemi join BEFORE the shingle explosion/aggregation, so a small
+        candidate set never aggregates the full corpus."""
+        from jsonoid_discovery_spark.operators.dedup import jaccard_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cand = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+        plan = _plan(jaccard_pairs(docs, "text", "doc_id", candidates=cand))
+        assert "LeftSemi" in plan
     def test_filter_and_projection_reach_parquet_scan(self, spark):
         # lineitem: no session fixture caches it, so the plan keeps a real
         # parquet scan (the cached `documents` would plan InMemoryTableScan)
