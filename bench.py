@@ -96,6 +96,15 @@ def validation_job(master: str, data_path: str, passes: int = 3) -> dict:
     spark = get_spark(master, app_name=f"bench-validate-{master}", extra_conf=BENCH_CONF)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(data_path)
+    # the pipeline scans the same table ~6x (profile jobs + validation +
+    # verdicts + uniqueness + RI): cache it once, spill-safe. The standard
+    # Spark answer for a multi-consumer input that fits executor storage;
+    # at 100 TB the storage fraction caches the hot partitions instead.
+    # Opt out with BENCH_NO_CACHE=1 (e.g. to measure cold-scan behavior).
+    if not os.environ.get("BENCH_NO_CACHE"):
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n_files = df.count()
 
     cols = ["repo", "path", "commit", "lang", "content"]
@@ -273,7 +282,15 @@ def run_queries() -> None:
             out["scaling_efficiency_8_to_32"] = round(_median(e832), 3)
             out["scaling_rows"] = n_max
             out["scaling_runs"] = len(e28)
-    print(json.dumps(out))
+    # full result object -> file (the driver's tail capture truncated the
+    # ~4KB line in round 3, losing the per-query medians; the printed line
+    # keeps the contract keys + headline numbers and points at the file)
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/last_suite.json", "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {k: v for k, v in out.items() if k not in ("queries_best",)}
+    compact["full_results"] = "BENCH/last_suite.json"
+    print(json.dumps(compact))
 
 
 def _burn(_):

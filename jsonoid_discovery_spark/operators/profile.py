@@ -418,8 +418,11 @@ class ColumnState:
         # older engine version (pandas-space) resumes cleanly against new
         # xxhash64-space partials with sketch-based checks DISABLED rather
         # than silently wrong or fatally rejected.
+        # any kind with hashed sketches (strings + numerics + timestamps —
+        # the Catalyst engine hashes them all with JVM xxhash64, the Arrow
+        # fold hashes numerics pandas-side) degrades on a cross-space merge
         spaces_differ = bool(
-            self.kind == "string"
+            self.kind in ("string", "int", "float", "timestamp")
             and self.count
             and o.count
             and self.hash_space != o.hash_space
@@ -694,12 +697,19 @@ def _common_suffix_arrow(arr: pa.Array, cand: str) -> str:
 
 
 def _jsonable(v):
+    import datetime as _dt
+    import decimal as _decimal
+
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
         return float(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
     return v
 
 
@@ -879,16 +889,1115 @@ def profile(
     params: EngineParams = DEFAULT_PARAMS,
     with_bloom: bool = True,
     metric_set: str = "all",
+    engine: str = "catalyst",
 ) -> ProfileResult:
     """Full single-pass profile; collects only the tiny merged states.
     ``metric_set`` selects the property set ('all'/'simple'/'min' — the
-    --only/--without analog prunes work, not just output)."""
+    --only/--without analog prunes work, not just output).
+
+    ``engine`` picks the execution path: 'catalyst' (default — the
+    zero-per-row-Python engine, see profile_catalyst) or 'arrow' (the
+    mapInArrow per-batch fold; kept for streaming partials and as the
+    cross-engine parity oracle)."""
+    if engine == "catalyst":
+        return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
+    if engine != "arrow":
+        raise ValueError(f"unknown profile engine {engine!r} (expected 'catalyst' or 'arrow')")
     group_by = list(group_by or [])
     merged = partial_states(df, columns, group_by, params, with_bloom, metric_set=metric_set).collect()
     states: dict[tuple, dict[str, ColumnState]] = {}
     for row in merged:
         g = tuple(json.loads(row["g"]))
         states.setdefault(g, {})[row["column"]] = pickle.loads(row["state"])
+    return ProfileResult(tuple(group_by), states)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst profile engine (round 4) — the flagship profile path.
+#
+# The round-3 autopsy (ROUND3_NOTES.md) measured the Arrow-boundary machinery
+# at >99% of the profile phase. This engine restructures the profile so NO
+# raw row ever crosses the Python boundary:
+#
+#   job 1  ONE pure-Catalyst ``agg`` (whole-stage codegen, partial+final):
+#          counts, nulls, numeric min/max + moments (reconstructed exactly
+#          from avg/stddev/skewness/kurtosis — Spark uses the same m1-m4
+#          streaming formulas), string length bounds and 256-char-capped
+#          min/max, approx distinct per column (the job-2 planner input),
+#          bool true-count, array item bounds + uniqueItems.
+#
+#   job 2  ONE Expand-based ``groupingSets`` aggregation with a grouping set
+#          per column, chosen by the job-1 cardinality estimate:
+#            * low-cardinality columns (est. distinct <= 16K): the DISTINCT
+#              VALUE set (hash, 256-char prefix, length[, byte tail]) — the
+#              Python residue then computes EVERYTHING for the column
+#              exactly from (distinct value, count) pairs, with the same
+#              vectorized code paths the Arrow fold uses (formats battery,
+#              categories, numeric-strings latch, suffix, sketches).
+#            * high-cardinality columns: BOUNDED sketch-key sets —
+#              (length, rho-filtered HLL register code, guard-gated format
+#              index) whose key space is O(distinct lengths x formats +
+#              surviving HLL rows), a hash-threshold-filtered EXAMPLES set
+#              (~8x max_examples expected survivors), and a distinct-hash
+#              set for exact Bloom bits while est. distinct <= 1M (beyond
+#              that the filter is statistically saturated and is set to
+#              all-ones).
+#          The rho filter keeps only hash values whose HLL rho reaches
+#          r0 = ceil(log2(d/m)) - 4; every register's true maximum survives
+#          with probability 1 - e^-32 per bucket, so registers are exact
+#          w.h.p. while the emitted rows collapse to ~32*m keys.
+#
+#   follow-ups (rare, data-dependent): a high-cardinality column whose
+#          EXAMPLES sample is fully numeric gets one exact try_cast
+#          latch/bounds aggregate; a high-cardinality numeric column whose
+#          sampled gcd candidate exceeds 1 gets a divisibility-verification
+#          aggregate (population gcd divides the sample gcd, so a clean
+#          verify is EXACT); a high-cardinality string column whose sampled
+#          byte-tail suffix is non-empty gets an endswith ladder to find
+#          the true common suffix. Typical corpora trigger none of these.
+#
+# Scale shape (the 100 TB story): job 1 shuffles O(columns) bytes; job 2's
+# Expand emits one row per (row, column-set) into a hash aggregate whose
+# map-side state is bounded by the sketch key spaces, so the shuffle is
+# O(sketch state + low-card distinct values), independent of row count for
+# high-cardinality columns. The Python boundary is crossed once per shuffle
+# partition over pre-aggregated rows. grouping_id is a 64-bit bitmap, so
+# wide tables are processed in column chunks of <= ~48 grouping columns
+# (one extra scan per chunk).
+#
+# Known, documented divergences from the Arrow fold (all outside the test
+# corpus' envelope): Java regex char classes are ASCII (\d, \s) where
+# Python's are Unicode; string min/max and prefix/suffix detection are
+# capped at 256 chars; the numeric-strings latch on >16K-distinct columns
+# uses Spark try_cast (not pandas to_numeric) and gives up gcd when
+# iterative verification exceeds its round budget; numeric/timestamp
+# sketches hash with JVM xxhash64 (hash_space='xxhash64') where the Arrow
+# fold uses pandas hashing — cross-engine merges degrade sketches by design.
+#
+# Reference behavior: single-pass monoid aggregation,
+# discovery/DiscoverSchema.scala:94-103; property emission parity is with
+# ColumnState itself, which both engines share.
+
+_SV_LEN = 256  # shipped value prefix/tail (covers examples' 100-char
+# truncation and the 128-char format/category gate)
+_FMT_MAX_LEN = 128  # values longer than this can't match any known format
+# (same gate as the Arrow fold) and never count as categories
+_VAL_ACD_MAX = 16_384  # est. distinct boundary: value mode vs sketch mode
+_BLOOM_EXACT_MAX = 1_000_000  # est. distinct above which bloom saturates to ones
+_EX_OVERSAMPLE = 8  # examples keep-threshold oversampling vs max_examples
+_CHUNK_MAX_GCOLS = 48  # grouping_id is a 64-bit bitmap; chunk wide tables
+_GCD_VERIFY_ROUNDS = 6  # iterative gcd refinement budget (then give up)
+_HISTBIN_OFFSET = 70_000  # |log-bin| < 36k for any double; offset packs sign
+
+# canonical residue-stream tags (post-aggregation projection)
+_TAG_VALS = 0  # string distinct value: k1=h, k2=len, sv=prefix[, tv=tail]
+_TAG_SKETCHS = 1  # string sketch keys: k1=hllenc, k2=len, k3=fmt idx
+_TAG_EX = 2  # sampled examples: k1=h, sv/tv (string) or k2/dv (numeric)
+_TAG_BLOOMH = 3  # distinct hash for exact bloom bits: k1=h
+_TAG_VALN = 4  # numeric distinct value: k1=h, k2=long val, dv=double val
+_TAG_SKETCHN = 5  # numeric sketch keys: k1=hllenc, k2=signed hist-bin code
+_TAG_TS = 6  # timestamp distinct hash: k1=h
+_TAG_ARR = 7  # array size: k1=size
+
+
+# cheap NECESSARY conditions evaluated before each format regex — Java regex
+# on no-match columns (commit hashes, paths) is ~20x the cost of these
+# guards, and a value failing its guard cannot match the regex (each guard
+# is implied by the pattern's structure)
+def _format_guard(name: str, col) -> "F.Column | None":
+    ln = F.length(col)
+    if name == "date":
+        return (ln == 10) & (F.substring(col, 5, 1) == F.lit("-"))
+    if name == "date-time":
+        return (ln >= 19) & (F.substring(col, 5, 1) == F.lit("-"))
+    if name == "time":
+        return (ln >= 8) & (F.substring(col, 3, 1) == F.lit(":"))
+    if name == "uuid":
+        return (ln == 36) & (F.substring(col, 9, 1) == F.lit("-"))
+    if name == "email":
+        return col.contains("@")
+    if name == "ipv4":
+        return ln.between(7, 15) & col.contains(".")
+    if name == "ipv6":
+        return ln.between(2, 39) & col.contains(":")
+    if name == "uri":
+        return col.contains("://")
+    if name == "geo-uri":
+        return col.startswith("geo:")
+    if name == "doi":
+        return col.startswith("10.")
+    if name == "isbn":
+        return ln.between(4, 30)
+    if name == "bibcode":
+        return ln == 19
+    if name == "plus-code":
+        return col.contains("+") & ln.between(7, 12)
+    return None
+
+
+def _format_index_expr(col, patterns) -> "F.Column":
+    """First-match-wins format INDEX of a non-null string value, fully
+    JVM-side: len(patterns) beyond the length gate or with no match, else
+    the position in the guarded rlike cascade (reference priority order,
+    StringSchema.scala:505-530). Java regex semantics; \\d and \\s are
+    ASCII where Python's are Unicode (documented engine divergence, out of
+    the test corpus' envelope)."""
+    none_idx = F.lit(len(patterns))
+    fmt = F.when(F.length(col) > _FMT_MAX_LEN, none_idx)
+    for j, (name, pat) in enumerate(patterns):
+        guard = _format_guard(name, col)
+        cond = col.rlike(pat.pattern) if guard is None else (guard & col.rlike(pat.pattern))
+        fmt = fmt.when(cond, F.lit(j))
+    return fmt.otherwise(none_idx)
+
+
+def _exact_agg_exprs(columns: list[str], kinds: list[str], metric_set: str, params: EngineParams) -> list:
+    """The job-1 expression list: every SQL-expressible exact metric plus
+    the job-2 planner inputs (approx distinct), one aggregate, all
+    whole-stage codegen. String min/max are 256-char-capped (the prefix cap
+    is monotone, so min/max of capped values are the caps of true min/max)."""
+    exprs: list = [F.count(F.lit(1)).alias("__total")]
+    for i, (c, kind) in enumerate(zip(columns, kinds)):
+        col = quoted_col(c)
+        p = f"c{i}__"
+        exprs.append(F.count(col).alias(p + "cnt"))
+        if kind == "string" and metric_set != "min":
+            cap = F.substring(col, 1, _SV_LEN)
+            exprs += [
+                F.min(F.length(col)).alias(p + "min_len"),
+                F.max(F.length(col)).alias(p + "max_len"),
+                F.min(cap).alias(p + "min_s"),
+                F.max(cap).alias(p + "max_s"),
+                F.approx_count_distinct(col).alias(p + "acd"),
+            ]
+        elif kind in ("int", "float") and metric_set != "min":
+            exprs += [
+                F.min(col).alias(p + "min_v"),
+                F.max(col).alias(p + "max_v"),
+                F.approx_count_distinct(col).alias(p + "acd"),
+            ]
+            if metric_set == "all":
+                exprs += [
+                    F.sum(col.cast("double")).alias(p + "sum"),
+                    F.avg(col).alias(p + "mean"),
+                    F.stddev_samp(col).alias(p + "stddev"),
+                    F.skewness(col).alias(p + "skew"),
+                    F.kurtosis(col).alias(p + "kurt"),
+                ]
+        elif kind == "bool":
+            exprs.append(F.sum(col.cast("long")).alias(p + "true_count"))
+        elif kind == "timestamp":
+            exprs += [F.min(col).alias(p + "min_v"), F.max(col).alias(p + "max_v")]
+        elif kind == "array":
+            # uniqueItems ignores null elements (Arrow-fold parity: the fold
+            # dropna()s exploded elements before the uniqueness check)
+            nn = F.filter(col, lambda x: x.isNotNull())
+            exprs += [
+                F.min(F.size(col)).alias(p + "min_items"),
+                F.max(F.size(col)).alias(p + "max_items"),
+                F.min((F.size(F.array_distinct(nn)) == F.size(nn)).cast("int")).alias(p + "all_unique"),
+            ]
+    return exprs
+
+
+@dataclass
+class _ColPlan:
+    """Per-column job-2 plan, derived from the job-1 aggregate. All gates
+    use GLOBAL (across groups) upper bounds so one stream expression serves
+    every group; acd summed over groups over-estimates global distinct
+    (conservative: a column is only planned 'sketch' when it is certainly
+    beyond the value-mode budget)."""
+
+    cid: int
+    kind: str
+    mode: str  # 'val' | 'sketch' | 'ts' | 'arr' | 'none'
+    ex_t2: int = 2**63 - 1  # examples keep-threshold on xxhash64 >> 1
+    bloom_exact: bool = True  # False -> saturate-to-ones
+    need_tv: bool = False  # string values exceed the 256-char prefix
+    fmt_in_stream: bool = False  # sketch strings with min_len <= 128
+    hll_r0: int = 1  # rho filter threshold for sketch-mode HLL rows
+
+
+def _build_plans(
+    agg_rows,
+    columns: list[str],
+    kinds: list[str],
+    metric_set: str,
+    params: EngineParams,
+    with_bloom: bool,
+) -> dict[int, _ColPlan]:
+    plans: dict[int, _ColPlan] = {}
+    for i, kind in enumerate(kinds):
+        p = f"c{i}__"
+        if kind == "bool" or kind == "other":
+            plans[i] = _ColPlan(i, kind, "none")
+            continue
+        if kind == "timestamp":
+            plans[i] = _ColPlan(i, kind, "ts")
+            continue
+        if kind == "array":
+            plans[i] = _ColPlan(i, kind, "arr")
+            continue
+        if metric_set == "min":
+            plans[i] = _ColPlan(i, kind, "none")
+            continue
+        live = [r for r in agg_rows if r[p + "cnt"]]
+        acd_sum = sum(r[p + "acd"] for r in live) if live else 0
+        acd_min = min((r[p + "acd"] for r in live), default=0)
+        if acd_sum <= _VAL_ACD_MAX:
+            plan = _ColPlan(i, kind, "val")
+            if kind == "string":
+                max_len = max((r[p + "max_len"] for r in live), default=0)
+                plan.need_tv = max_len > _SV_LEN
+        else:
+            plan = _ColPlan(i, kind, "sketch")
+            plan.bloom_exact = acd_sum <= _BLOOM_EXACT_MAX
+            c_keep = _EX_OVERSAMPLE * max(params.max_examples, 32)
+            if acd_min * 0.8 > c_keep:
+                plan.ex_t2 = int(2**63 * c_keep / (acd_min * 0.8))
+            # r0 keyed to DISTINCT count: expected distinct survivors per
+            # register = 2^5, so P[register misses its true max] ~ e^-32
+            m = 1 << params.hll_lg_k
+            plan.hll_r0 = max(1, math.ceil(math.log2(max(acd_sum, 2) / m)) - 4)
+            if kind == "string":
+                min_len = min((r[p + "min_len"] for r in live), default=0)
+                plan.fmt_in_stream = min_len <= _FMT_MAX_LEN
+                plan.need_tv = True  # tails ride the EXAMPLES set
+        plans[i] = plan
+    return plans
+
+
+def _sql_hllenc(h, lg_k: int, r0: int) -> "F.Column":
+    """(bucket << 6 | rho) + 1 of a 64-bit hash, or 0 when rho < r0 — the
+    rho-filtered HLL register code, bit-for-bit the numpy
+    HllSketch.update_hashes math. clz comes from length(bin(w)) (bin()
+    prints without leading zeros; negative longs print all 64 bits), which
+    is exact where a float log2 would round; the filter test is a cheap
+    shift so bin() only runs for the ~2^-(r0-1) survivors."""
+    w = F.shiftleft(h, lg_k)
+    surv = F.shiftrightunsigned(w, 64 - r0 + 1) == 0  # rho >= r0 (incl. w == 0)
+    bucket = F.shiftrightunsigned(h, 64 - lg_k)
+    clz = F.when(w == 0, F.lit(64)).otherwise(F.lit(64) - F.length(F.bin(w)))
+    rho = F.least(clz + F.lit(1), F.lit(64 - lg_k + 1))
+    return F.when(surv, bucket * F.lit(64) + rho + F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def _sql_histbin(dv, gamma: float) -> "F.Column":
+    """Signed log-bin code of a double: 0 for zero, sign * (bin + OFFSET)
+    otherwise, NULL for NaN (the fold's histogram drops NaN). Mirrors
+    LogHistogram: bin = ceil(ln|v| / ln gamma)."""
+    lg = math.log(gamma)
+    ab = F.abs(dv)
+    bin_ = F.ceil(F.log(ab) / F.lit(lg)).cast("long")
+    code = F.when(dv > 0, bin_ + F.lit(_HISTBIN_OFFSET)).otherwise(-(bin_ + F.lit(_HISTBIN_OFFSET)))
+    return F.when(F.isnan(dv), F.lit(None).cast("long")).when(dv == 0, F.lit(0)).otherwise(code)
+
+
+def _residue_stream(
+    df: DataFrame,
+    columns: list[str],
+    kinds: list[str],
+    group_by: list[str],
+    params: EngineParams,
+    metric_set: str,
+    name_map: dict[str, str],
+    plans: dict[int, _ColPlan],
+    with_bloom: bool,
+    chunk: list[int],
+) -> DataFrame | None:
+    """One Expand-based groupingSets aggregation over the columns in
+    ``chunk``, post-projected to the canonical tagged schema
+    DataFrame[g..., cid, tag, k1, k2, k3, x1, sv, tv, dv, cnt].
+
+    One grouping set per column (the sampled-examples keys ride the sketch
+    set — their non-null keys add ~8x max_examples groups, null keys
+    collapse), plus a separate distinct-hash set for exact Bloom bits on
+    mid-cardinality columns. Per-column expressions (xxhash64, hll code,
+    format index, ...) are computed ONCE in a pre-projection so Expand
+    replicates plain column references. Every expression is null-guarded
+    (xxhash64(NULL) is the seed, not NULL), so null-value rows collapse
+    into one all-null group per set and are dropped in the fold."""
+    proj: list = [quoted_col(g).alias(name_map[g]) for g in group_by]
+    gnames = [name_map[g] for g in group_by]
+    sets: list[tuple[int, int, list[str]]] = []  # (cid, tag, set col names)
+
+    def add_set(cid: int, tag: int, cols: dict[str, "F.Column"]) -> None:
+        for n, e in cols.items():
+            proj.append(e.alias(n))
+        sets.append((cid, tag, list(cols)))
+
+    for i in chunk:
+        c, kind, plan = columns[i], kinds[i], plans[i]
+        col = quoted_col(c)
+        nn = col.isNotNull()
+
+        def guard(e):
+            return F.when(nn, e)
+
+        if plan.mode == "none":
+            continue
+        if plan.mode == "ts":
+            add_set(i, _TAG_TS, {f"v{i}h": guard(F.xxhash64(col.cast("string")))})
+            continue
+        if plan.mode == "arr":
+            add_set(i, _TAG_ARR, {f"v{i}z": F.size(col).cast("long")})
+            continue
+        if kind == "string":
+            h = F.xxhash64(col)
+            if plan.mode == "val":
+                cols_ = {
+                    f"v{i}h": guard(h),
+                    f"v{i}s": F.substring(col, 1, _SV_LEN),
+                    f"v{i}l": F.length(col).cast("long"),
+                }
+                if plan.need_tv:
+                    cols_[f"v{i}t"] = F.substring(col.cast("binary"), -_SV_LEN, _SV_LEN)
+                add_set(i, _TAG_VALS, cols_)
+            else:
+                core: dict = {}
+                if metric_set == "all":
+                    core[f"v{i}e"] = guard(_sql_hllenc(h, params.hll_lg_k, plan.hll_r0))
+                    core[f"v{i}l"] = F.length(col).cast("long")
+                if plan.fmt_in_stream:
+                    core[f"v{i}f"] = guard(_format_index_expr(col, format_patterns(params)).cast("long"))
+                exh = F.when(nn & (F.shiftrightunsigned(h, 1) <= F.lit(plan.ex_t2)), h)
+                core[f"v{i}xh"] = exh
+                core[f"v{i}xs"] = F.when(exh.isNotNull(), F.substring(col, 1, _SV_LEN))
+                core[f"v{i}xt"] = F.when(exh.isNotNull(), F.substring(col.cast("binary"), -_SV_LEN, _SV_LEN))
+                add_set(i, _TAG_SKETCHS, core)
+                if metric_set == "all" and with_bloom and plan.bloom_exact:
+                    add_set(i, _TAG_BLOOMH, {f"v{i}b": guard(h)})
+        else:  # int / float
+            typed = col.cast("long" if kind == "int" else "double")
+            h = F.xxhash64(typed)
+            vl = col.cast("long") if kind == "int" else F.lit(None).cast("long")
+            vd = col.cast("double")
+            if plan.mode == "val":
+                add_set(i, _TAG_VALN, {f"v{i}h": guard(h), f"v{i}n": guard(vl), f"v{i}d": guard(vd)})
+            else:
+                core = {}
+                if metric_set == "all":
+                    core[f"v{i}e"] = guard(_sql_hllenc(h, params.hll_lg_k, plan.hll_r0))
+                    core[f"v{i}k"] = guard(_sql_histbin(vd, params.histogram_gamma))
+                exh = F.when(nn & (F.shiftrightunsigned(h, 1) <= F.lit(plan.ex_t2)), h)
+                core[f"v{i}xh"] = exh
+                core[f"v{i}xn"] = F.when(exh.isNotNull(), vl)
+                core[f"v{i}xd"] = F.when(exh.isNotNull(), vd)
+                add_set(i, _TAG_SKETCHN, core)
+                if metric_set == "all" and with_bloom and plan.bloom_exact:
+                    add_set(i, _TAG_BLOOMH, {f"v{i}b": guard(h)})
+    if not sets:
+        return None
+
+    sel = df.select(*proj)
+    all_gcols = gnames + [n for _, _, ns in sets for n in ns]
+    gsets = [[F.col(n) for n in gnames + ns] for _, _, ns in sets]
+    agg = sel.groupingSets(gsets, *[F.col(n) for n in all_gcols]).agg(
+        F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid")
+    )
+
+    # expected grouping_id per set: bit j (MSB-first over all_gcols) is set
+    # when the column is NOT part of the set (verified Spark semantics)
+    n = len(all_gcols)
+    gids = []
+    for _, _, ns in sets:
+        present = set(gnames + ns)
+        gid = 0
+        for j, name in enumerate(all_gcols):
+            if name not in present:
+                gid |= 1 << (n - 1 - j)
+        gids.append(gid)
+
+    def pick(field_of: dict[int, str], cast: str) -> "F.Column":
+        e = None
+        for si, src in field_of.items():
+            cond = F.col("gid") == F.lit(gids[si])
+            e = F.when(cond, F.col(src)) if e is None else e.when(cond, F.col(src))
+        return (e.otherwise(F.lit(None)) if e is not None else F.lit(None)).cast(cast)
+
+    srcs: dict[str, dict[int, str]] = {f: {} for f in ("k1", "k2", "k3", "x1", "sv", "tv", "dv")}
+    cid_e = None
+    tag_e = None
+    for si, (cid, tag, ns) in enumerate(sets):
+        cond = F.col("gid") == F.lit(gids[si])
+        cid_e = F.when(cond, F.lit(cid)) if cid_e is None else cid_e.when(cond, F.lit(cid))
+        tag_e = F.when(cond, F.lit(tag)) if tag_e is None else tag_e.when(cond, F.lit(tag))
+        i = cid
+
+        def put(field: str, name: str) -> None:
+            if name in ns:
+                srcs[field][si] = name
+
+        if tag == _TAG_VALS:
+            put("k1", f"v{i}h"), put("k2", f"v{i}l"), put("sv", f"v{i}s"), put("tv", f"v{i}t")
+        elif tag == _TAG_SKETCHS:
+            put("k1", f"v{i}e"), put("k2", f"v{i}l"), put("k3", f"v{i}f")
+            put("x1", f"v{i}xh"), put("sv", f"v{i}xs"), put("tv", f"v{i}xt")
+        elif tag == _TAG_BLOOMH:
+            put("k1", f"v{i}b")
+        elif tag == _TAG_VALN:
+            put("k1", f"v{i}h"), put("k2", f"v{i}n"), put("dv", f"v{i}d")
+        elif tag == _TAG_SKETCHN:
+            put("k1", f"v{i}e"), put("k2", f"v{i}k")
+            put("x1", f"v{i}xh"), put("k3", f"v{i}xn"), put("dv", f"v{i}xd")
+        elif tag in (_TAG_TS, _TAG_ARR):
+            put("k1", f"v{i}h" if tag == _TAG_TS else f"v{i}z")
+
+    return agg.select(
+        *[F.col(g) for g in gnames],
+        cid_e.alias("cid"),
+        tag_e.alias("tag"),
+        pick(srcs["k1"], "long").alias("k1"),
+        pick(srcs["k2"], "long").alias("k2"),
+        pick(srcs["k3"], "long").alias("k3"),
+        pick(srcs["x1"], "long").alias("x1"),
+        pick(srcs["sv"], "string").alias("sv"),
+        pick(srcs["tv"], "binary").alias("tv"),
+        pick(srcs["dv"], "double").alias("dv"),
+        F.col("cnt"),
+    )
+
+
+def _weighted_formats(st: ColumnState, sv: np.ndarray, ln: np.ndarray, cnt: np.ndarray) -> None:
+    """The Arrow fold's format battery over (distinct value, count) pairs —
+    same regexes, same first-match-wins order, same 128-char gate, counts
+    weighted by multiplicity. Exact parity by construction."""
+    short_mask = ln <= _FMT_MAX_LEN
+    n_short = int(short_mask.sum())
+    nm = int(cnt[~short_mask].sum())
+    if n_short:
+        s = pd.Series(sv[short_mask])
+        w = cnt[short_mask]
+        matched = np.zeros(n_short, dtype=bool)
+        for name, pat in format_patterns(st.params):
+            if matched.all():
+                break
+            m = s.str.match(pat).to_numpy(dtype=bool) & ~matched
+            c = int(w[m].sum())
+            if c:
+                st.formats[name] = st.formats.get(name, 0) + c
+                matched |= m
+        nm += int(w[~matched].sum())
+    if nm:
+        st.formats["none"] = st.formats.get("none", 0) + nm
+
+
+def _lcs_fold(cand, values):
+    """Fold the longest-common-suffix over a sequence (str or bytes),
+    short-circuiting once empty."""
+    empty = "" if (cand is None and values and isinstance(values[0], str)) or isinstance(cand, str) else b""
+    for v in values:
+        if cand is None:
+            cand = v
+            continue
+        if cand == empty:
+            return cand
+        cand = _lcs(cand, v)
+    return cand
+
+
+def _residue_update(st: ColumnState, kind: str, plan: _ColPlan, sub: pd.DataFrame) -> None:
+    """Fold one (group, column) slice of the tagged residue stream into the
+    state. Counts/bounds come from job 1, not here. All updates are
+    duplicate-insensitive (sketches from distinct hashes, gcd, latch) or
+    count-weighted (histograms, formats, categories), so folding the
+    aggregated stream is exact.
+
+    Canonical field use per tag: VALS(k1=h, k2=len, sv, tv);
+    SKETCHS(k1=hllenc, k2=len, k3=fmt idx, x1=sampled h, sv/tv=sampled
+    prefix/tail); BLOOMH(k1=h); VALN(k1=h, k2=long val, dv=double val);
+    SKETCHN(k1=hllenc, k2=hist-bin code, x1=sampled h, k3/dv=sampled val);
+    TS(k1=h); ARR(k1=size)."""
+    # drop each set's all-null group (rows whose source value was NULL)
+    keep = sub["k1"].notna() | sub["k2"].notna() | sub["k3"].notna() | sub["x1"].notna()
+    sub = sub[keep]
+    if not len(sub):
+        return
+    tags = sub["tag"].to_numpy(dtype=np.int64)
+    cnt = sub["cnt"].to_numpy(dtype=np.int64)
+
+    def _i64(col: str, m) -> np.ndarray:
+        return sub[col][m].to_numpy(dtype=np.int64)
+
+    def _registers_from_enc(enc: np.ndarray) -> None:
+        enc = enc[enc > 0] - 1
+        if len(enc):
+            np.maximum.at(st.hll.registers, (enc >> 6).astype(np.int64), (enc & 63).astype(np.uint8))
+
+    m = tags == _TAG_VALS
+    if m.any():
+        h = sub["k1"][m].to_numpy(dtype=np.int64).astype(np.uint64)
+        sv = sub["sv"][m].to_numpy(dtype=object)
+        ln = sub["k2"][m].to_numpy(dtype=np.int64)
+        c = cnt[m]
+        if st.metric_set == "all":
+            st.hll.update_hashes(h)
+            if st.with_bloom:
+                st.bloom.update_hashes(h)
+            st.hist.update_weighted(ln.astype(np.float64), c)
+        st.examples.update_hashed(sv, h)
+        _weighted_formats(st, sv, ln, c)
+        if st.metric_set == "all" and not st.cat_overflow:
+            if len(ln) and int(ln.max()) > _FMT_MAX_LEN:
+                st.cat_overflow = True
+                st.cat_counts = {}
+            else:
+                for v, n in zip(sv, c):
+                    st.cat_counts[v] = st.cat_counts.get(v, 0) + int(n)
+                if len(st.cat_counts) > st.params.category_max_values:
+                    st.cat_overflow = True
+                    st.cat_counts = {}
+        if st.all_numeric_strings and not plan.need_tv:
+            head = pd.to_numeric(pd.Series(sv[:32]), errors="coerce")
+            if head.isna().any():
+                st.all_numeric_strings = False
+            else:
+                full = pd.to_numeric(pd.Series(sv), errors="coerce")
+                if not full.notna().all():
+                    st.all_numeric_strings = False
+                else:
+                    v = full.to_numpy(dtype=np.float64)
+                    mn, mx = float(v.min()), float(v.max())
+                    st.num_min = mn if st.num_min is None else min(st.num_min, mn)
+                    st.num_max = mx if st.num_max is None else max(st.num_max, mx)
+                    if st.num_all_integral:
+                        st.num_all_integral = bool(np.all(np.floor(v) == v) and np.all(np.abs(v) < 2**62))
+                    if st.num_all_integral:
+                        g = int(np.gcd.reduce(np.abs(v.astype(np.int64))))
+                        st.num_gcd = g if st.num_gcd is None else math.gcd(st.num_gcd, g)
+                    else:
+                        st.num_gcd = None
+        # suffix: exact LCS over distinct values (byte tails when values
+        # exceed the 256-char prefix; assembly converts/caps)
+        src = sub["tv"][m].to_numpy(dtype=object) if plan.need_tv else sv
+        st.suffix = _lcs_fold(st.suffix, list(src))
+
+    m = tags == _TAG_SKETCHS
+    if m.any():
+        if st.metric_set == "all":
+            e = sub["k1"][m].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(e)
+            _registers_from_enc(e[ok].astype(np.int64))
+            lnv = sub["k2"][m].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(lnv)
+            if ok.any():
+                st.hist.update_weighted(lnv[ok], cnt[m][ok])
+        k3 = sub["k3"][m].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(k3)
+        if ok.any():
+            pats = format_patterns(st.params)
+            names = [n for n, _ in pats] + ["none"]
+            for j, n in zip(k3[ok].astype(np.int64), cnt[m][ok]):
+                name = names[int(j)]
+                st.formats[name] = st.formats.get(name, 0) + int(n)
+        x1s = sub["x1"][m]
+        ok = x1s.notna().to_numpy()
+        if ok.any():
+            # exact int64 access (a float64 round trip would corrupt hash bits)
+            h = x1s[ok].to_numpy(dtype=np.int64).astype(np.uint64)
+            st.examples.update_hashed(sub["sv"][m].to_numpy(dtype=object)[ok], h)
+            tv = [v for v in sub["tv"][m].to_numpy(dtype=object)[ok] if v is not None]
+            if tv:
+                st.suffix = _lcs_fold(st.suffix, tv)
+
+    m = tags == _TAG_BLOOMH
+    if m.any() and st.with_bloom and st.metric_set == "all":
+        st.bloom.update_hashes(sub["k1"][m].to_numpy(dtype=np.int64).astype(np.uint64))
+
+    m = tags == _TAG_VALN
+    if m.any():
+        h = sub["k1"][m].to_numpy(dtype=np.int64).astype(np.uint64)
+        c = cnt[m]
+        if kind == "int":
+            v64 = _i64("k2", m)
+            vf = v64.astype(np.float64)
+            vals = sub["k2"][m].to_numpy(dtype=object)
+        else:
+            vf = sub["dv"][m].to_numpy(dtype=np.float64)
+            vals = sub["dv"][m].to_numpy(dtype=object)
+        if st.metric_set == "all":
+            st.hll.update_hashes(h)
+            if st.with_bloom:
+                st.bloom.update_hashes(h)
+            st.hist.update_weighted(vf, c)
+        st.examples.update_hashed(vals, h)
+        if st.all_integral:
+            if kind == "int":
+                # exact int64 path: the 2^62 magnitude latch first (|int64
+                # min| would overflow abs), then exact gcd, no float round trip
+                st.all_integral = bool(np.all(v64 < 2**62) and np.all(v64 > -(2**62)))
+            else:
+                st.all_integral = bool(np.all(np.floor(vf) == vf) and np.all(np.abs(vf) < 2**62))
+        if st.all_integral:
+            src = v64 if kind == "int" else vf.astype(np.int64)
+            g = int(np.gcd.reduce(np.abs(src)))
+            st.gcd = g if st.gcd is None else math.gcd(st.gcd, g)
+        else:
+            st.gcd = None
+
+    m = tags == _TAG_SKETCHN
+    if m.any():
+        if st.metric_set == "all":
+            e = sub["k1"][m].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(e)
+            _registers_from_enc(e[ok].astype(np.int64))
+            codes = sub["k2"][m].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(codes)
+            for code, n in zip(codes[ok].astype(np.int64), cnt[m][ok]):
+                st.hist.total += int(n)
+                if code == 0:
+                    st.hist.zero_count += int(n)
+                elif code > 0:
+                    b = int(code) - _HISTBIN_OFFSET
+                    st.hist.bins[b] = st.hist.bins.get(b, 0) + int(n)
+                else:
+                    b = -int(code) - _HISTBIN_OFFSET
+                    st.hist.neg_bins[b] = st.hist.neg_bins.get(b, 0) + int(n)
+        x1s = sub["x1"][m]
+        ok = x1s.notna().to_numpy()
+        if ok.any():
+            h = x1s[ok].to_numpy(dtype=np.int64).astype(np.uint64)
+            vals = (sub["k3"] if kind == "int" else sub["dv"])[m].to_numpy(dtype=object)[ok]
+            st.examples.update_hashed(vals, h)
+
+    m = tags == _TAG_TS
+    if m.any():
+        st.hll.update_hashes(sub["k1"][m].to_numpy(dtype=np.int64).astype(np.uint64))
+
+    m = tags == _TAG_ARR
+    if m.any():
+        st.hist.update_weighted(sub["k1"][m].to_numpy(dtype=np.float64), cnt[m])
+
+
+def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, plans):
+    """mapInArrow function over the tagged residue stream: accumulates one
+    residue ColumnState per (group, column) across the task's batches and
+    emits the pickled partials (PARTIAL_SCHEMA rows) at the end — the Python
+    boundary is crossed once per shuffle partition over pre-aggregated
+    rows, never per scan batch."""
+    n_g = len(group_by)
+    gcols = [f"__g{i}" for i in range(n_g)]
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[tuple[str, int], ColumnState] = {}
+        # nullable-int mapper: without it pandas upcasts int64-with-nulls
+        # to float64, corrupting big ints (>2^53)
+        _int_map = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}.get
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pdf = tbl.to_pandas(types_mapper=_int_map)
+            if n_g:
+                key_pdf = pdf[gcols].astype(object)
+                groups = key_pdf.assign(__cid=pdf["cid"]).groupby(gcols + ["__cid"], dropna=False, sort=False).indices
+            else:
+                groups = pdf.groupby(["cid"], sort=False).indices
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                gvals, cid = key[:-1], int(key[-1])
+                gjson = json.dumps(
+                    [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gvals]
+                )
+                st = acc.get((gjson, cid))
+                if st is None:
+                    st = ColumnState(columns[cid], kinds[cid], params, with_bloom=with_bloom, metric_set=metric_set)
+                    st.hash_space = "xxhash64"
+                    acc[(gjson, cid)] = st
+                _residue_update(st, kinds[cid], plans[cid], pdf.iloc[np.asarray(idx)])
+        if acc:
+            out_g, out_c, out_s = [], [], []
+            for (gjson, cid), st in acc.items():
+                out_g.append(gjson)
+                out_c.append(columns[cid])
+                out_s.append(pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL))
+            yield pa.RecordBatch.from_pydict(
+                {"g": pa.array(out_g, pa.string()), "column": pa.array(out_c, pa.string()), "state": pa.array(out_s, pa.binary())}
+            )
+
+    return gen
+
+
+def _moments_from_agg(n: int, mean, sd, skew, kurt, total) -> Moments:
+    """Invert Spark's moment aggregates back to the m1-m4 monoid state —
+    Spark's skewness = sqrt(n)*m3/m2^1.5 and kurtosis = n*m4/m2^2 - 3 are
+    exactly our Moments properties, so the inversion is algebraic."""
+    m = Moments()
+    if not n:
+        return m
+    m.n = int(n)
+    m.mean = float(mean)
+    m.total_sum = float(total) if total is not None else float(mean) * int(n)
+    if n > 1 and sd is not None and not math.isnan(float(sd)):
+        m.m2 = float(sd) ** 2 * (n - 1)
+        if m.m2 > 0:
+            if skew is not None and not math.isnan(float(skew)):
+                m.m3 = float(skew) * m.m2**1.5 / math.sqrt(n)
+            if kurt is not None and not math.isnan(float(kurt)):
+                m.m4 = (float(kurt) + 3.0) * m.m2 * m.m2 / n
+    return m
+
+
+def _utf8_suffix(b) -> str:
+    """Decode a byte suffix to str, dropping leading continuation bytes cut
+    mid-codepoint by the byte-tail slice."""
+    if isinstance(b, str):
+        return b
+    if not b:
+        return ""
+    while b and (b[0] & 0xC0) == 0x80:
+        b = b[1:]
+    return b.decode("utf-8", errors="replace")
+
+
+def _fill_from_agg(
+    st: ColumnState,
+    row,
+    i: int,
+    kind: str,
+    total_rows: int,
+    metric_set: str,
+    params: EngineParams,
+    plan: _ColPlan,
+    with_bloom: bool,
+) -> None:
+    p = f"c{i}__"
+    st.count = int(row[p + "cnt"])
+    st.nulls = int(total_rows) - st.count
+    if not st.count:
+        st.suffix = _utf8_suffix(st.suffix) if st.suffix is not None else None
+        return
+    if kind == "string" and metric_set != "min":
+        st.min_len = int(row[p + "min_len"])
+        st.max_len = int(row[p + "max_len"])
+        st.min_s = row[p + "min_s"]
+        st.max_s = row[p + "max_s"]
+        st.suffix = _utf8_suffix(st.suffix) if st.suffix is not None else None
+        if plan.mode == "sketch":
+            # latch default for sketch columns: resolved by the follow-up
+            # try_cast aggregate when the sample is fully numeric, else False
+            st.all_numeric_strings = False
+            st.num_min = st.num_max = st.num_gcd = None
+        elif plan.need_tv:
+            # >256-char values: the latch can't be decided from prefixes
+            # (documented divergence: >256-char numeric strings)
+            st.all_numeric_strings = False
+            st.num_min = st.num_max = st.num_gcd = None
+        if st.metric_set == "all":
+            if plan.mode == "sketch":
+                st.cat_overflow = True
+                st.cat_counts = {}
+            if with_bloom and st.with_bloom and plan.mode == "sketch" and not plan.bloom_exact:
+                # est. distinct beyond the exact gate: the filter is
+                # statistically saturated (P[bit clear] = e^-(kn/m) ~ 0) —
+                # set all bits instead of shuffling O(n) hash rows
+                st.bloom.bits[:] = 0xFF
+    elif kind in ("int", "float") and metric_set != "min":
+        st.min_v = row[p + "min_v"]
+        st.max_v = row[p + "max_v"]
+        if metric_set == "all":
+            st.moments = _moments_from_agg(
+                st.count, row[p + "mean"], row[p + "stddev"], row[p + "skew"], row[p + "kurt"], row[p + "sum"]
+            )
+        if plan.mode == "sketch":
+            # integrality/gcd resolved by the sample + follow-up verify
+            if with_bloom and st.with_bloom and metric_set == "all" and not plan.bloom_exact:
+                st.bloom.bits[:] = 0xFF
+    elif kind == "bool":
+        st.true_count = int(row[p + "true_count"] or 0)
+    elif kind == "timestamp":
+        st.min_v = pd.Timestamp(row[p + "min_v"])
+        st.max_v = pd.Timestamp(row[p + "max_v"])
+    elif kind == "array":
+        st.min_items = int(row[p + "min_items"])
+        st.max_items = int(row[p + "max_items"])
+        st.all_unique = bool(row[p + "all_unique"] == 1)
+
+
+def _group_match(group_by: list[str], g: tuple) -> "F.Column":
+    match = None
+    for c, v in zip(group_by, g):
+        cond = quoted_col(c).isNull() if v is None else (quoted_col(c) == F.lit(v))
+        match = cond if match is None else (match & cond)
+    return match if match is not None else F.lit(True)
+
+
+def _followup_sketch_numeric(
+    df: DataFrame,
+    group_by: list[str],
+    columns: list[str],
+    kinds: list[str],
+    plans: dict[int, _ColPlan],
+    states: dict[tuple, dict[str, ColumnState]],
+) -> None:
+    """Exact latch/integrality/gcd for sketch-mode columns, driven by the
+    hash-sampled examples. Jobs run ONLY when a sample makes an exact
+    verdict impossible: a fully-numeric string sample needs one try_cast
+    aggregate; an integral numeric sample with gcd candidate > 1 needs a
+    divisibility check (population gcd divides the sample gcd, so a clean
+    verify is exact; a failed one refines g <- gcd(g, offending value) for
+    up to _GCD_VERIFY_ROUNDS rounds before giving up to None)."""
+    # ---- string latch -----------------------------------------------------
+    tasks = []  # (g, col, state)
+    for g, cols in states.items():
+        for i, c in enumerate(columns):
+            st = cols.get(c)
+            if st is None or kinds[i] != "string" or plans[i].mode != "sketch" or not st.count:
+                continue
+            sample = [v for v in st.examples.values() if isinstance(v, str)]
+            if not sample:
+                continue
+            if pd.to_numeric(pd.Series(sample), errors="coerce").notna().all():
+                tasks.append((g, i, c, st))
+    if tasks:
+        exprs = []
+        for j, (g, i, c, st) in enumerate(tasks):
+            gm = _group_match(group_by, g)
+            dcol = F.when(gm, quoted_col(c)).try_cast("double")
+            base = F.when(gm, quoted_col(c))
+            exprs += [
+                F.count(base).alias(f"t{j}_cnt"),
+                F.count(dcol).alias(f"t{j}_cast"),
+                F.min(dcol).alias(f"t{j}_min"),
+                F.max(dcol).alias(f"t{j}_max"),
+            ]
+        row = df.agg(*exprs).collect()[0]
+        for j, (g, i, c, st) in enumerate(tasks):
+            if row[f"t{j}_cnt"] and row[f"t{j}_cast"] == row[f"t{j}_cnt"]:
+                st.all_numeric_strings = True
+                st.num_min = float(row[f"t{j}_min"])
+                st.num_max = float(row[f"t{j}_max"])
+                st.num_gcd = None  # documented: no exact gcd beyond the gate
+                st.num_all_integral = False
+
+    # ---- numeric integrality + gcd ---------------------------------------
+    gtasks = []
+    for g, cols in states.items():
+        for i, c in enumerate(columns):
+            st = cols.get(c)
+            if st is None or kinds[i] not in ("int", "float") or plans[i].mode != "sketch" or not st.count:
+                continue
+            sample = st.examples.values()
+            if not sample:
+                st.all_integral = False
+                st.gcd = None
+                continue
+            vf = np.array([float(v) for v in sample], dtype=np.float64)
+            if not (np.all(np.floor(vf) == vf) and np.all(np.abs(vf) < 2**62)):
+                st.all_integral = False  # a non-integral value exists: exact
+                st.gcd = None
+                continue
+            g0 = int(np.gcd.reduce(np.abs(vf.astype(np.int64))))
+            if g0 <= 1:
+                # population gcd divides the sample gcd -> gcd is exactly g0
+                # ... but integrality of the rest is unproven; verify below
+                pass
+            gtasks.append((g, i, c, st, g0))
+    for g, i, c, st, g0 in gtasks:
+        gm = _group_match(group_by, g)
+        col = quoted_col(c)
+        base = F.when(gm, col)
+        safe_long = F.when(gm & (F.abs(col.cast("double")) < F.lit(float(2**62))), col.cast("double")).try_cast("long")
+        bad_int = F.sum(
+            F.when(
+                gm & col.isNotNull() & (
+                    F.isnan(col.cast("double"))
+                    | (F.floor(col.cast("double")) != col.cast("double"))
+                    | (F.abs(col.cast("double")) >= F.lit(float(2**62)))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        gcur = g0
+        for _ in range(_GCD_VERIFY_ROUNDS):
+            if gcur <= 1:
+                break
+            r = df.agg(
+                bad_int.alias("bad_int"),
+                F.sum(F.when(F.pmod(safe_long, F.lit(gcur)) != 0, 1).otherwise(0)).alias("bad_mod"),
+                F.min(F.when(F.pmod(safe_long, F.lit(gcur)) != 0, F.abs(safe_long))).alias("wit"),
+            ).collect()[0]
+            if r["bad_int"]:
+                st.all_integral = False
+                st.gcd = None
+                gcur = None
+                break
+            if not r["bad_mod"]:
+                break  # verified: population gcd == gcur
+            gcur = math.gcd(gcur, int(r["wit"]))
+        else:
+            gcur = None  # give up (documented)
+        if st.all_integral and gcur is not None:
+            if gcur <= 1:
+                # still must confirm integrality once for the gcd=1 claim
+                r = df.agg(bad_int.alias("bad_int")).collect()[0]
+                if r["bad_int"]:
+                    st.all_integral = False
+                    st.gcd = None
+                else:
+                    st.gcd = gcur
+            else:
+                st.gcd = gcur
+
+
+def _followup_suffix(
+    df: DataFrame,
+    group_by: list[str],
+    columns: list[str],
+    kinds: list[str],
+    plans: dict[int, _ColPlan],
+    states: dict[tuple, dict[str, ColumnState]],
+) -> None:
+    """Resolve sample-derived suffix candidates for sketch-mode string
+    columns: the true common suffix is a suffix of the sampled candidate,
+    found with an endswith ladder (halving lengths, one aggregate) plus one
+    linear refinement aggregate over the surviving bracket. Runs ONLY for
+    columns whose sampled candidate is non-empty (rare)."""
+    tasks = []
+    for g, cols in states.items():
+        for i, c in enumerate(columns):
+            st = cols.get(c)
+            if st is None or kinds[i] != "string" or plans[i].mode != "sketch" or not st.count:
+                continue
+            cand = st.suffix
+            if isinstance(cand, str):
+                cand = cand.encode("utf-8")
+            if not cand:
+                st.suffix = "" if st.suffix is not None else None
+                continue
+            tasks.append((g, i, c, st, bytes(cand)))
+    if not tasks:
+        return
+
+    def probe_exprs(tag: str, lens_by_task: list[list[int]]):
+        exprs = []
+        for j, ((g, i, c, st, cand), lens) in enumerate(zip(tasks, lens_by_task)):
+            gm = _group_match(group_by, g)
+            b = quoted_col(c).cast("binary")
+            for L in lens:
+                ok = F.endswith(b, F.lit(cand[len(cand) - L :]))
+                exprs.append(F.min(F.when(gm, ok.cast("int"))).alias(f"{tag}{j}_{L}"))
+        return exprs
+
+    ladders = []
+    for _, _, _, _, cand in tasks:
+        L = len(cand)
+        lens, cur = [], L
+        while cur >= 1:
+            lens.append(cur)
+            cur //= 2
+        ladders.append(lens)
+    row = df.agg(*probe_exprs("p", ladders)).collect()[0]
+    brackets = []
+    for j, ((g, i, c, st, cand), lens) in enumerate(zip(tasks, ladders)):
+        lo = 0
+        for L in sorted(lens):
+            if row[f"p{j}_{L}"] == 1:
+                lo = L
+            else:
+                break
+        hi = min([x for x in lens if x > lo], default=lo)
+        brackets.append((lo, hi))
+    refine = [
+        [L for L in range(lo + 1, hi)][:64] if hi > lo + 1 else []
+        for (lo, hi) in brackets
+    ]
+    if any(refine):
+        row2 = df.agg(*probe_exprs("q", refine)).collect()[0]
+    for j, ((g, i, c, st, cand), (lo, hi)) in enumerate(zip(tasks, brackets)):
+        best = lo
+        for L in refine[j]:
+            if row2[f"q{j}_{L}"] == 1:
+                best = max(best, L)
+        st.suffix = _utf8_suffix(cand[len(cand) - best :] if best else b"")
+
+
+def profile_catalyst(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    params: EngineParams = DEFAULT_PARAMS,
+    with_bloom: bool = True,
+    metric_set: str = "all",
+) -> ProfileResult:
+    """Full profile with zero per-row Python: one pure-Catalyst exact
+    aggregate + one Expand-based sketch-stream aggregation (+ rare
+    sample-triggered verification aggregates) — see the engine notes above.
+    Produces the same ColumnState monoid as the Arrow fold; low-cardinality
+    string sketch state is byte-identical across engines (both hash with
+    JVM xxhash64)."""
+    group_by = list(group_by or [])
+    kinds_map = dict(df.dtypes)
+    if columns is None:
+        columns = [c for c, t in df.dtypes if c not in group_by and _kind_of(t) != "other"]
+    kinds = [_kind_of(kinds_map[c]) for c in columns]
+    name_map = {g: f"__g{i}" for i, g in enumerate(group_by)}
+
+    exprs = _exact_agg_exprs(columns, kinds, metric_set, params)
+    if group_by:
+        agg_rows = df.groupBy(*[quoted_col(g).alias(name_map[g]) for g in group_by]).agg(*exprs).collect()
+    else:
+        agg_rows = df.agg(*exprs).collect()
+
+    plans = _build_plans(agg_rows, columns, kinds, metric_set, params, with_bloom)
+
+    # column chunks bounded by the 64-bit grouping_id bitmap
+    weights = {"val": 4, "sketch": 7, "ts": 1, "arr": 1, "none": 0}
+    chunks: list[list[int]] = [[]]
+    used = len(group_by)
+    for i in range(len(columns)):
+        w = weights[plans[i].mode]
+        if not w:
+            continue
+        if used + w > _CHUNK_MAX_GCOLS and chunks[-1]:
+            chunks.append([])
+            used = len(group_by)
+        chunks[-1].append(i)
+        used += w
+
+    residue: dict[tuple[str, str], ColumnState] = {}
+    for chunk in chunks:
+        if not chunk:
+            continue
+        stream = _residue_stream(
+            df, columns, kinds, group_by, params, metric_set, name_map, plans, with_bloom, chunk
+        )
+        if stream is None:
+            continue
+        gen = _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, plans)
+        folded = stream.coalesce(8).mapInArrow(gen, PARTIAL_SCHEMA)
+        if len(agg_rows) * len(chunk) <= 2000:
+            # few (group, column) states: skip the distributed merge stage
+            # (a full extra shuffle of Bloom-sized partials) and fold the
+            # <= 8-per-state partials on the driver
+            for mrow in folded.collect():
+                key = (mrow["g"], mrow["column"])
+                st = pickle.loads(mrow["state"])
+                residue[key] = st if key not in residue else residue[key].merge(st)
+        else:
+            merged = folded.groupBy("g", "column").applyInPandas(_merge_partials, PARTIAL_SCHEMA).collect()
+            for mrow in merged:
+                residue[(mrow["g"], mrow["column"])] = pickle.loads(mrow["state"])
+
+    states: dict[tuple, dict[str, ColumnState]] = {}
+    for row in agg_rows:
+        gvals = [row[name_map[g]] for g in group_by]
+        gjson = json.dumps(
+            [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gvals]
+        )
+        gkey = tuple(json.loads(gjson))
+        cols: dict[str, ColumnState] = {}
+        for i, (c, kind) in enumerate(zip(columns, kinds)):
+            st = residue.get((gjson, c))
+            if st is None:
+                st = ColumnState(c, kind, params, with_bloom=with_bloom, metric_set=metric_set)
+                st.hash_space = "xxhash64"
+            _fill_from_agg(st, row, i, kind, row["__total"], metric_set, params, plans[i], with_bloom)
+            cols[c] = st
+        states[gkey] = cols
+
+    if metric_set != "min" and any(p.mode == "sketch" for p in plans.values()):
+        _followup_sketch_numeric(df, group_by, columns, kinds, plans, states)
+        _followup_suffix(df, group_by, columns, kinds, plans, states)
     return ProfileResult(tuple(group_by), states)
 
 

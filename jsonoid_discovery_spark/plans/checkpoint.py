@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
-from jsonoid_discovery_spark.operators.profile import ProfileResult, partial_states
+from jsonoid_discovery_spark.operators.profile import ProfileResult, partial_states, profile_catalyst
+
+def _pickle_state(st) -> bytes:
+    return pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL)
+
 
 LINEAGE_SCHEMA = "run_id string, unit string, status string, row_count long, wall_sec double"
 METRICS_SCHEMA = "run_id string, unit string, metric string, value double"
@@ -50,6 +54,7 @@ class CheckpointedProfileRun:
         group_by: list[str] | None = None,
         params: EngineParams = DEFAULT_PARAMS,
         with_bloom: bool = True,
+        engine: str = "catalyst",
     ) -> None:
         self.spark = spark
         self.dir = checkpoint_dir
@@ -58,6 +63,7 @@ class CheckpointedProfileRun:
         self.group_by = list(group_by or [])
         self.params = params
         self.with_bloom = with_bloom
+        self.engine = engine
 
     # -- lineage -------------------------------------------------------------
     def finished_units(self) -> set[str]:
@@ -91,9 +97,22 @@ class CheckpointedProfileRun:
         import pickle as _pickle
 
         t0 = time.perf_counter()
-        states = partial_states(df, self.columns, self.group_by, self.params, self.with_bloom)
         state_path = os.path.join(self.dir, "state", f"run_id={self.run_id}", f"unit={unit}")
-        states.write.mode("overwrite").parquet(state_path)
+        if self.engine == "catalyst":
+            # run the zero-per-row-Python engine on the unit, persist its
+            # merged states (tiny: one row per group x column) — resume then
+            # merges catalyst states with catalyst states, keeping resume ==
+            # one-shot byte-exact on sketch bytes
+            res = profile_catalyst(df, self.columns, self.group_by, self.params, self.with_bloom)
+            rows = [
+                (json.dumps(list(g)), c, _pickle_state(st))
+                for g, cols in res.states.items()
+                for c, st in cols.items()
+            ]
+            self.spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode("overwrite").parquet(state_path)
+        else:
+            states = partial_states(df, self.columns, self.group_by, self.params, self.with_bloom)
+            states.write.mode("overwrite").parquet(state_path)
         wall = time.perf_counter() - t0
         # lineage metrics derive from the persisted state itself — the unit
         # was already fully scanned once by the profile; a second df.count()

@@ -53,7 +53,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor; on the 128 GiB sandbox
+        # an 8g heap forced disk spills and made df.persist() impossible —
+        # size for the box, overridable for real cluster drivers
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -32,6 +32,7 @@ def main() -> int:
     ap.add_argument("--parent", default=None, help="repo_commits parquet for the RI check")
     ap.add_argument("--units", type=int, default=16, help="resumable hash-bucket units")
     ap.add_argument("--partition-col", default="lang")
+    ap.add_argument("--no-cache", action="store_true", help="skip input caching")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +55,13 @@ def main() -> int:
         df = spark.read.parquet(args.input)
     else:
         df = spark.read.table(args.input)
+    # profile + validation + verdicts + uniqueness + RI all scan the input:
+    # cache spill-safe once (executors keep what fits; cold partitions
+    # re-read from source). Disable with --no-cache for cold-scan runs.
+    if not args.no_cache:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     run = CheckpointedProfileRun(
         spark, args.checkpoint, args.run_id,

@@ -57,3 +57,16 @@ def test_profile_matches_golden(spark):
     got = json.loads(json.dumps(json.loads(prof.to_json()), sort_keys=True))
     expected = json.loads((GOLDEN / "profile_documents.json").read_text())
     assert got == expected
+
+
+def test_profile_matches_golden_arrow_engine(spark):
+    """The legacy Arrow fold stays regression-pinned under its own golden.
+    (Round 4 moved the default engine to Catalyst; the two goldens differ
+    ONLY in numeric examples/distinctEstimate — numeric sketches moved from
+    pandas-hash to JVM-xxhash64 space — and float tails of skew/kurtosis.
+    String columns are byte-identical across engines by design.)"""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = profile(d, columns=["lang", "source", "n_chars"], engine="arrow")
+    got = json.loads(json.dumps(json.loads(prof.to_json()), sort_keys=True))
+    expected = json.loads((GOLDEN / "profile_documents_arrow.json").read_text())
+    assert got == expected
