@@ -277,9 +277,10 @@ def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 def _drift_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Chi-square + KS drift between the even/odd doc_id halves (a no-drift
-    control on real data; rows-only check — the statistic math is covered by
-    pytest against shifted/control generators). ONE grouped-profile scan:
-    the parity segment is a derived column, not two filtered rescans."""
+    control on real data). ONE grouped-profile scan: the parity segment is a
+    derived column, not two filtered rescans. Oracled since round 4:
+    chi-square is plain SQL over exact category counts, and the step-ECDF
+    KS is SQL over grouped log-histogram buckets (see _drift_oracle_sql)."""
     from jsonoid_discovery_spark.operators.drift import drift_report_by
 
     d = _t(spark, sf, "documents").withColumn(
@@ -472,7 +473,8 @@ def _json_schema_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.struct("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
         ).alias("doc"),
     )
-    groups = discover_by(o, "doc", "o_orderstatus")
+    # orders payloads are unique (o_orderkey): skip the dedup gate outright
+    groups = discover_by(o, "doc", "o_orderstatus", dedup="batch")
     glob = None
     for k in sorted(groups):
         t = groups[k].schema
@@ -522,7 +524,9 @@ def _json_discovery_sketches_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.struct("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
         ).alias("doc")
     )
-    res = discover(o, "doc", params=EngineParams(discovery_sketches=True))
+    # orders-as-JSON payloads are unique by construction (o_orderkey) —
+    # skip the dedup auto-gate's distinct-rate aggregate outright
+    res = discover(o, "doc", params=EngineParams(discovery_sketches=True), dedup="batch")
     rows = []
     for key in sorted(res.schema.fields):
         n = res.schema.fields[key]
@@ -890,10 +894,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = inter.id_b
             WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.5
         """,
-        # minhash_lsh_pairs_documents, simhash_documents, drift_lang_documents,
+        "drift_lang_documents": _drift_oracle_sql(),
+        # minhash_lsh_pairs_documents, simhash_documents,
         # pk_candidates_documents, split_discover_documents,
         # value_table_documents: intentionally no oracle (xxhash64 / sketch
         # state / seeded randomSplit are not SQL-expressible in DuckDB) ->
         # the driver records rows-only checks; pytest covers their exactness
         # with python oracles.
     }
+
+
+def _drift_oracle_sql() -> str:
+    """DuckDB oracle for drift_lang_documents (round 4, VERDICT r3 #6).
+
+    Chi-square: exact category counts per even/odd segment, expected counts
+    scale baseline shares to the current total with the 0.5-count prior for
+    unseen categories; the drifted flag replaces `WH-pvalue < 0.01` with the
+    equivalent monotone test `WH-z > Phi^-1(0.99)` (same decision, no erfc
+    needed in SQL). KS: step-ECDF max gap over the union of log-histogram
+    buckets — the engine's ks_drift evaluates the same right-continuous
+    step CDFs on the same bucket lattice, so the statistic matches bit-for-
+    bit up to the shared round(6). Bucket key: zero -> -1e9 sentinel,
+    positives -> ceil(ln(v)/ln gamma), negatives -> -2e9 - bucket (keeps
+    the integer key order identical to the CDF x order)."""
+    import math as _math
+
+    from jsonoid_discovery_spark.config import DEFAULT_PARAMS as _P
+
+    lg = repr(_math.log(_P.histogram_gamma))  # same double the engine divides by
+    z99 = "2.3263478740408408"  # Phi^-1(0.99)
+    return f"""
+        WITH seg AS (
+          SELECT doc_id % 2 AS seg, COALESCE(lang, '<null>') AS c, n_chars
+          FROM documents
+        ),
+        bcnt AS (SELECT c, COUNT(*)::DOUBLE AS n FROM seg WHERE seg = 0 GROUP BY 1),
+        ccnt AS (SELECT c, COUNT(*)::DOUBLE AS n FROM seg WHERE seg = 1 GROUP BY 1),
+        tots AS (SELECT (SELECT SUM(n) FROM bcnt) AS bt, (SELECT SUM(n) FROM ccnt) AS ct),
+        cats AS (SELECT c FROM bcnt UNION SELECT c FROM ccnt),
+        chi AS (
+          SELECT SUM(POW(COALESCE(cc.n, 0) - GREATEST(COALESCE(bb.n, 0), 0.5) / t.bt * t.ct, 2)
+                     / (GREATEST(COALESCE(bb.n, 0), 0.5) / t.bt * t.ct)) AS stat,
+                 GREATEST(COUNT(*) - 1, 1) AS dof
+          FROM cats
+          LEFT JOIN bcnt bb ON cats.c = bb.c
+          LEFT JOIN ccnt cc ON cats.c = cc.c
+          CROSS JOIN tots t
+          GROUP BY t.bt, t.ct
+        ),
+        keyed AS (
+          SELECT seg,
+                 CASE WHEN n_chars = 0 THEN -1000000000
+                      WHEN n_chars > 0 THEN CAST(CEIL(LN(n_chars::DOUBLE) / {lg}) AS BIGINT)
+                      ELSE -2000000000 - CAST(CEIL(LN(ABS(n_chars)::DOUBLE) / {lg}) AS BIGINT)
+                 END AS k
+          FROM seg WHERE n_chars IS NOT NULL
+        ),
+        kc AS (SELECT seg, k, COUNT(*)::DOUBLE AS n FROM keyed GROUP BY 1, 2),
+        kt AS (SELECT seg, SUM(n) AS t FROM kc GROUP BY 1),
+        cum AS (
+          SELECT g.k,
+                 COALESCE((SELECT SUM(n) FROM kc WHERE seg = 0 AND k <= g.k), 0)
+                   / (SELECT t FROM kt WHERE seg = 0) AS fb,
+                 COALESCE((SELECT SUM(n) FROM kc WHERE seg = 1 AND k <= g.k), 0)
+                   / (SELECT t FROM kt WHERE seg = 1) AS fc
+          FROM (SELECT DISTINCT k FROM kc) g
+        ),
+        ks AS (SELECT MAX(ABS(fb - fc)) AS stat FROM cum)
+        SELECT 'chi_square' AS "check",
+               ROUND(stat, 6) AS statistic,
+               ((POW(stat / dof, 0.3333333333333333) - (1 - 2.0 / (9 * dof)))
+                 / SQRT(2.0 / (9 * dof))) > {z99} AS drifted
+        FROM chi
+        UNION ALL
+        SELECT 'ks', ROUND(stat, 6), stat > 0.1 FROM ks
+    """

@@ -260,6 +260,17 @@ class LogHistogram:
         store = self.bins if v > 0 else self.neg_bins
         store[b] = store.get(b, 0) + 1
 
+    def scale(self, c: int) -> None:
+        """Multiply every count by ``c`` — equivalent to having observed the
+        same value multiset c times (bins are a function of the value, so
+        multiplicity scales counts linearly)."""
+        for k in self.bins:
+            self.bins[k] *= c
+        for k in self.neg_bins:
+            self.neg_bins[k] *= c
+        self.zero_count *= c
+        self.total *= c
+
     def merge(self, other: "LogHistogram") -> "LogHistogram":
         out = LogHistogram(self.gamma, dict(self.bins), dict(self.neg_bins), self.zero_count, self.total)
         for k, c in other.bins.items():

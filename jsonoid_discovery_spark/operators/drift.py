@@ -97,14 +97,24 @@ def ks_drift(
 ) -> DriftReport:
     """Two-sample KS statistic over the histogram CDFs (evaluated at the
     union of bucket boundaries; resolution-limited by the 1% relative
-    accuracy of the sketch, which is ample for drift gating)."""
+    accuracy of the sketch, which is ample for drift gating).
+
+    Step (right-continuous ECDF) evaluation — the statistically standard
+    two-sample KS form, and exactly expressible as plain SQL over grouped
+    bucket counts (the DuckDB oracle of `drift_lang_documents` mirrors it
+    bucket for bucket)."""
     xb, cb = baseline.cdf_points()
     xc, cc = current.cdf_points()
     if len(xb) == 0 or len(xc) == 0:
         return DriftReport("ks", 0.0, params.drift_ks_stat, False, AnomalyLevel.INFO, {})
     grid = np.union1d(xb, xc)
-    fb = np.interp(grid, xb, cb, left=0.0, right=1.0)
-    fc = np.interp(grid, xc, cc, left=0.0, right=1.0)
+
+    def step(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(x, grid, side="right")
+        return np.where(idx > 0, np.concatenate(([0.0], c))[idx], 0.0)
+
+    fb = step(xb, cb)
+    fc = step(xc, cc)
     stat = float(np.max(np.abs(fb - fc)))
     drifted = stat > params.drift_ks_stat
     return DriftReport(

@@ -1671,7 +1671,11 @@ def _fill_from_agg(
         st.max_len = int(row[p + "max_len"])
         st.min_s = row[p + "min_s"]
         st.max_s = row[p + "max_s"]
-        st.suffix = _utf8_suffix(st.suffix) if st.suffix is not None else None
+        if plan.mode != "sketch" and st.suffix is not None:
+            # sketch-mode candidates stay raw BYTES until the endswith
+            # follow-up verifies them (a lossy decode/encode round trip
+            # would corrupt tails cut mid-codepoint)
+            st.suffix = _utf8_suffix(st.suffix)
         if plan.mode == "sketch":
             # latch default for sketch columns: resolved by the follow-up
             # try_cast aggregate when the sample is fully numeric, else False

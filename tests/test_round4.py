@@ -1,0 +1,217 @@
+"""Round-4 additions:
+
+* SchemaNode.scale — the weighted-fold primitive of global-dedup discovery —
+  must be EXACTLY equivalent to observing the same values c times
+  (hypothesis property over arbitrary JSON value mixes).
+* discover(dedup='global') must equal the per-batch fold field-for-field,
+  including the malformed count, and the 'auto' gate must pick the right
+  mode from the distinct-rate.
+* The Catalyst profile engine (profile's default) must match the Arrow fold
+  on every exactly-shared property, byte-for-byte on low-cardinality string
+  sketch state, on adversarial corpora: format-rich, numeric-string,
+  high-cardinality (sketch mode + hash-threshold examples + sampled-suffix
+  verification), common-suffix, nulls.
+* The drift oracle (chi-square + step-ECDF KS in DuckDB SQL) must match the
+  engine's statistics on real data.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+from jsonoid_discovery_spark.operators.discovery import SchemaNode, discover
+from jsonoid_discovery_spark.operators.profile import profile
+
+from test_round3 import _node_fingerprint  # rootdir-style test import (no tests/__init__.py)
+
+
+class TestScaleParity:
+    json_values = st.recursive(
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=12),
+        ),
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(st.text(max_size=5), children, max_size=4),
+        ),
+        max_leaves=10,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(json_values, min_size=1, max_size=12), st.integers(min_value=1, max_value=7))
+    def test_scale_equals_repeated_observation(self, values, c):
+        expanded = SchemaNode(DEFAULT_PARAMS)
+        expanded.observe_many(values * c)
+        scaled = SchemaNode(DEFAULT_PARAMS)
+        scaled.observe_many(values)
+        scaled.scale(c)
+        assert _node_fingerprint(expanded) == _node_fingerprint(scaled)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(json_values, min_size=1, max_size=8), st.integers(min_value=2, max_value=5))
+    def test_scale_with_sketches(self, values, c):
+        params = EngineParams(discovery_sketches=True)
+        expanded = SchemaNode(params)
+        expanded.observe_many(values * c)
+        scaled = SchemaNode(params)
+        scaled.observe_many(values)
+        scaled.scale(c)
+        assert _node_fingerprint(expanded) == _node_fingerprint(scaled)
+
+
+class TestGlobalDedupDiscover:
+    def test_global_equals_batch(self, spark):
+        from jsonoid_discovery_spark.datagen import props_docs
+
+        df = props_docs(spark, n_rows=6000, seed=11)
+        a = discover(df, "doc", dedup="batch")
+        b = discover(df, "doc", dedup="global")
+        assert a.malformed == b.malformed and a.docs == b.docs
+        assert _node_fingerprint(a.schema) == _node_fingerprint(b.schema)
+
+    def test_discover_by_global_equals_batch(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonoid_discovery_spark.operators.discovery import discover_by
+
+        df = spark.range(5000).select(
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.when(
+                F.col("id") % 97 == 0, F.lit('{"bad":')  # malformed, weighted count
+            ).otherwise(
+                F.concat(F.lit('{"v": '), (F.col("id") % 20).cast("string"), F.lit("}"))
+            ).alias("doc"),
+        )
+        a = discover_by(df, "doc", "grp", dedup="batch")
+        b = discover_by(df, "doc", "grp", dedup="global")
+        assert set(a) == set(b)
+        for g in a:
+            assert a[g].malformed == b[g].malformed and a[g].docs == b[g].docs
+            assert _node_fingerprint(a[g].schema) == _node_fingerprint(b[g].schema)
+
+    def test_auto_gate(self, spark):
+        from pyspark.sql import functions as F
+
+        # dup-heavy: ~30 distinct docs over 4000 rows -> global
+        dup = spark.range(4000).select(
+            F.concat(F.lit('{"k": '), (F.col("id") % 30).cast("string"), F.lit("}")).alias("doc")
+        )
+        # unique: every doc distinct -> batch (no global shuffle)
+        uniq = spark.range(4000).select(
+            F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}")).alias("doc")
+        )
+        a = discover(dup, "doc")  # auto
+        b = discover(uniq, "doc")
+        assert a.docs == 4000 and a.schema.fields["k"].max_v == 29
+        assert b.docs == 4000 and b.schema.fields["k"].max_v == 3999
+
+
+def _assert_profiles_match(pa_, pc_, kind_exact_sketches=("string",)):
+    assert pa_.count == pc_.count and pa_.nulls == pc_.nulls
+    assert pa_.min_len == pc_.min_len and pa_.max_len == pc_.max_len
+    assert pa_.suffix == pc_.suffix
+    assert pa_.formats == pc_.formats
+    assert (pa_.cat_counts, pa_.cat_overflow) == (pc_.cat_counts, pc_.cat_overflow)
+    assert (pa_.all_numeric_strings, pa_.num_gcd) == (pc_.all_numeric_strings, pc_.num_gcd)
+    if pa_.all_numeric_strings and pa_.count:
+        assert pa_.num_min == pytest.approx(pc_.num_min)
+        assert pa_.num_max == pytest.approx(pc_.num_max)
+    assert (pa_.gcd, pa_.all_integral) == (pc_.gcd, pc_.all_integral)
+    assert pa_.hist.bins == pc_.hist.bins and pa_.hist.total == pc_.hist.total
+    assert pa_.hist.zero_count == pc_.hist.zero_count
+    if pa_.kind in kind_exact_sketches:
+        assert np.array_equal(pa_.hll.registers, pc_.hll.registers)
+        assert np.array_equal(pa_.bloom.bits, pc_.bloom.bits)
+        assert pa_.examples.values() == pc_.examples.values()
+
+
+class TestProfileEngineParity:
+    def test_documents_fixture(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = profile(docs, engine="arrow")
+        c = profile(docs, engine="catalyst")
+        for col in a.states[()]:
+            _assert_profiles_match(a.state(col), c.state(col))
+
+    def test_format_and_numeric_string_corpus(self, spark):
+        """Format battery (dates/uuids/emails/ips), categories, and the
+        numeric-strings latch with gcd — exact across engines."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(3000).select(
+            F.concat(F.lit("2021-"), F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0"), F.lit("-15")).alias("d"),
+            F.concat(F.lit("u"), (F.col("id") % 7).cast("string"), F.lit("@ex.com")).alias("em"),
+            ((F.col("id") % 40) * 6).cast("string").alias("numstr"),
+            F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise((F.col("id") % 3).cast("string")).alias("cat"),
+        )
+        a = profile(df, engine="arrow")
+        c = profile(df, engine="catalyst")
+        for col in ("d", "em", "numstr", "cat"):
+            _assert_profiles_match(a.state(col), c.state(col))
+        assert c.state("d").detected_format() == "date"
+        assert c.state("numstr").all_numeric_strings and c.state("numstr").num_gcd == 6
+
+    def test_high_cardinality_sketch_mode(self, spark):
+        """>16K distinct forces sketch mode: threshold-sampled examples must
+        still equal the fold's exact top-K, HLL registers must agree on the
+        estimate, and the sampled+verified suffix must be exact."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(60000).select(
+            F.concat(F.lit("item_"), F.sha2(F.col("id").cast("string"), 256), F.lit(".html")).alias("s")
+        )
+        a = profile(df, engine="arrow").state("s")
+        c = profile(df, engine="catalyst").state("s")
+        assert a.count == c.count
+        assert a.examples.values() == c.examples.values()  # threshold keeps the true top-K
+        assert c.hll.estimate() == pytest.approx(a.hll.estimate(), rel=0.1)
+        assert a.suffix == c.suffix == ".html"  # sampled candidate + endswith ladder
+        assert a.formats == c.formats
+        assert c.cat_overflow
+
+    def test_grouped_parity(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = profile(docs, columns=["text", "n_chars"], group_by=["lang"], engine="arrow")
+        c = profile(docs, columns=["text", "n_chars"], group_by=["lang"], engine="catalyst")
+        assert set(a.states) == set(c.states)
+        for g in a.states:
+            for col in ("text", "n_chars"):
+                _assert_profiles_match(a.state(col, g), c.state(col, g))
+
+    def test_job1_has_no_python(self, spark):
+        """Plan audit: the exact aggregate is pure Catalyst."""
+        from jsonoid_discovery_spark.operators.profile import _exact_agg_exprs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = docs.agg(*_exact_agg_exprs(["text", "n_chars"], ["string", "int"], "all", DEFAULT_PARAMS))._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestDriftOracle:
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        import __spark_entry__ as E
+
+        sdf = E.queries()["drift_lang_documents"](spark, "/root/testdata/sf0.01")
+        srows = {r["check"]: (r["statistic"], r["drifted"]) for r in sdf.collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+        )
+        orows = {
+            r[0]: (float(r[1]), bool(r[2]))
+            for r in con.execute(E.oracle_sql()["drift_lang_documents"]).fetchall()
+        }
+        assert srows == orows
