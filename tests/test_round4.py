@@ -180,6 +180,23 @@ class TestProfileEngineParity:
         assert a.formats == c.formats
         assert c.cat_overflow
 
+    def test_high_cardinality_numeric_sketch_mode(self, spark):
+        """>16K-distinct numerics: histogram bins from the SQL log-bin code,
+        gcd via sample candidate + divide-and-verify (exact), integrality
+        verified, threshold-sampled examples equal the fold's top-K."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(60000).select((F.col("id") * 6 + 12).cast("double").alias("v"))
+        a = profile(df, engine="arrow").state("v")
+        c = profile(df, engine="catalyst").state("v")
+        assert a.count == c.count
+        assert (a.gcd, a.all_integral) == (c.gcd, c.all_integral) == (6, True)
+        assert a.hist.bins == c.hist.bins and a.hist.total == c.hist.total
+        # numeric examples rank by DIFFERENT hash spaces across engines
+        # (pandas vs xxhash64) — selection differs by design, size must not
+        assert len(c.examples.values()) == len(a.examples.values()) == 100
+        assert c.hll.estimate() == pytest.approx(60000, rel=0.1)
+
     def test_grouped_parity(self, spark):
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         a = profile(docs, columns=["text", "n_chars"], group_by=["lang"], engine="arrow")
