@@ -138,6 +138,10 @@ class ColumnState:
     moments: Moments = field(default_factory=Moments)
     gcd: int | None = None  # NumMultipleOf (schemas/NumberSchema.scala:662-764)
     all_integral: bool = True
+    # gcd=None is overloaded: 'no integral data yet' (inheritable on merge)
+    # vs 'verification gave up' (catalyst divide-and-verify exhausted its
+    # rounds — the gcd is UNKNOWN for observed rows and must poison merges)
+    gcd_unknown: bool = False
     # string (schemas/StringSchema.scala)
     min_len: int | None = None
     max_len: int | None = None
@@ -196,6 +200,7 @@ class ColumnState:
         d.setdefault("num_max", None)
         d.setdefault("num_gcd", None)
         d.setdefault("num_all_integral", True)
+        d.setdefault("gcd_unknown", False)
         d.setdefault("cat_counts", {})
         d.setdefault("cat_overflow", True)  # old states never counted categories
         if d["suffix"] is None and d.get("min_rs") is not None and d.get("max_rs") is not None:
@@ -436,7 +441,8 @@ class ColumnState:
         out.min_v, out.max_v = _mn(self.min_v, o.min_v), _mx(self.max_v, o.max_v)
         out.moments = self.moments.merge(o.moments)
         out.all_integral = self.all_integral and o.all_integral
-        if out.all_integral:
+        out.gcd_unknown = self.gcd_unknown or o.gcd_unknown
+        if out.all_integral and not out.gcd_unknown:
             if self.gcd is None:
                 out.gcd = o.gcd
             elif o.gcd is None:
@@ -705,8 +711,16 @@ def _jsonable(v):
     if isinstance(v, (np.floating,)):
         return float(v)
     if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            # arrow to_pylist yields tz-aware UTC; Spark collect yields
+            # naive session-tz (UTC, session.py) — canonicalize to match
+            v = v.tz_convert("UTC").tz_localize(None)
         return v.isoformat()
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, _decimal.Decimal):
         return float(v)
@@ -773,12 +787,18 @@ def _partial_state_gen(columns, kinds, group_by, params, with_bloom, metric_set=
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             if group_by:
+                # pandas groupby partitions the rows; key VALUES come from
+                # the arrow arrays via to_pylist (exact python ints / None /
+                # datetime) because pandas factorization coerces
+                # int-with-null key columns to float, which would json-encode
+                # as "[1.0]" and never match the Spark-Row "[1]" agg keys.
                 key_pdf = pd.DataFrame(
                     {k: tbl.column(name_map[k]).to_pandas().astype(object) for k in group_by}
                 )
+                key_lists = [tbl.column(name_map[k]).to_pylist() for k in group_by]
                 groups = {
-                    (gval if isinstance(gval, tuple) else (gval,)): np.asarray(idx)
-                    for gval, idx in key_pdf.groupby(group_by, dropna=False, sort=False).indices.items()
+                    tuple(kl[int(np.asarray(idx)[0])] for kl in key_lists): np.asarray(idx)
+                    for _gval, idx in key_pdf.groupby(group_by, dropna=False, sort=False).indices.items()
                 }
             else:
                 groups = {(): None}
@@ -1175,7 +1195,13 @@ def _sql_hllenc(h, lg_k: int, r0: int) -> "F.Column":
     is exact where a float log2 would round; the filter test is a cheap
     shift so bin() only runs for the ~2^-(r0-1) survivors."""
     w = F.shiftleft(h, lg_k)
-    surv = F.shiftrightunsigned(w, 64 - r0 + 1) == 0  # rho >= r0 (incl. w == 0)
+    if r0 <= 1:
+        # rho >= 1 holds for every hash; the shift form would compute
+        # shiftrightunsigned(w, 64), which the JVM masks to a shift by 0
+        # and would wrongly reject every nonzero w.
+        surv = F.lit(True)
+    else:
+        surv = F.shiftrightunsigned(w, 64 - r0 + 1) == 0  # rho >= r0 (incl. w == 0)
     bucket = F.shiftrightunsigned(h, 64 - lg_k)
     clz = F.when(w == 0, F.lit(64)).otherwise(F.lit(64) - F.length(F.bin(w)))
     rho = F.least(clz + F.lit(1), F.lit(64 - lg_k + 1))
@@ -1587,14 +1613,24 @@ def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, 
             tbl = pa.Table.from_batches([batch])
             pdf = tbl.to_pandas(types_mapper=_int_map)
             if n_g:
+                # groupby only PARTITIONS the rows; key values are read back
+                # from the arrow arrays (exact python ints / None /
+                # datetime) — pandas factorization coerces int-with-null
+                # keys to float ("[1.0]" vs the agg side's "[1]") and NaT
+                # keys to the string "NaT", both of which would silently
+                # orphan the group's residue state.
                 key_pdf = pdf[gcols].astype(object)
+                key_lists = [tbl.column(g).to_pylist() for g in gcols]
                 groups = key_pdf.assign(__cid=pdf["cid"]).groupby(gcols + ["__cid"], dropna=False, sort=False).indices
             else:
+                key_lists = []
                 groups = pdf.groupby(["cid"], sort=False).indices
             for key, idx in groups.items():
                 if not isinstance(key, tuple):
                     key = (key,)
-                gvals, cid = key[:-1], int(key[-1])
+                cid = int(key[-1])
+                idx = np.asarray(idx)
+                gvals = [kl[int(idx[0])] for kl in key_lists]
                 gjson = json.dumps(
                     [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gvals]
                 )
@@ -1829,7 +1865,8 @@ def _followup_sketch_numeric(
                 break  # verified: population gcd == gcur
             gcur = math.gcd(gcur, int(r["wit"]))
         else:
-            gcur = None  # give up (documented)
+            gcur = None  # give up (documented): gcd UNKNOWN for observed rows
+            st.gcd_unknown = True
         if st.all_integral and gcur is not None:
             if gcur <= 1:
                 # still must confirm integrality once for the gcd=1 claim
@@ -1901,18 +1938,28 @@ def _followup_suffix(
                 break
         hi = min([x for x in lens if x > lo], default=lo)
         brackets.append((lo, hi))
-    refine = [
-        [L for L in range(lo + 1, hi)][:64] if hi > lo + 1 else []
-        for (lo, hi) in brackets
-    ]
-    if any(refine):
-        row2 = df.agg(*probe_exprs("q", refine)).collect()[0]
+    # close each bracket by iterated bisection — endswith at length L
+    # implies endswith at every shorter length (monotone), so the true
+    # common-suffix length vs the candidate is a threshold and binary
+    # search is EXACT for any candidate length (one aggregate per round,
+    # all open brackets probed together; <= log2(max len) rounds).
+    while True:
+        probes = [[(lo + hi + 1) // 2] if hi > lo + 1 else [] for (lo, hi) in brackets]
+        if not any(probes):
+            break
+        rowq = df.agg(*probe_exprs("q", probes)).collect()[0]
+        nxt = []
+        for j, ((lo, hi), ps) in enumerate(zip(brackets, probes)):
+            if ps:
+                mid = ps[0]
+                if rowq[f"q{j}_{mid}"] == 1:
+                    lo = mid
+                else:
+                    hi = mid
+            nxt.append((lo, hi))
+        brackets = nxt
     for j, ((g, i, c, st, cand), (lo, hi)) in enumerate(zip(tasks, brackets)):
-        best = lo
-        for L in refine[j]:
-            if row2[f"q{j}_{L}"] == 1:
-                best = max(best, L)
-        st.suffix = _utf8_suffix(cand[len(cand) - best :] if best else b"")
+        st.suffix = _utf8_suffix(cand[len(cand) - lo :] if lo else b"")
 
 
 def profile_catalyst(

@@ -1,0 +1,112 @@
+"""Round-5 regression tests for the ADVICE.md findings:
+
+* HLL rho filter must not reject every hash when r0 == 1 (the 16K-32K
+  distinct band): shiftrightunsigned(w, 64) is a JVM shift-by-0, so the
+  filter needs an explicit bypass. Parity test at ~20K distinct.
+* Grouped catalyst profiles must keep residue state when the group column
+  is an integer containing nulls (pandas groupby factorization coerces the
+  keys to float, "[1.0]" vs the agg side's "[1]") — and both engines must
+  produce the SAME canonical group keys (ints, not floats).
+* _followup_suffix must find the exact longest common suffix even when the
+  bisection bracket is wider than 64 positions (the old single linear
+  refinement capped at 64 candidates).
+* ColumnState.merge must not launder a gcd through a state whose gcd
+  verification gave up (gcd_unknown poisons the merge).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonoid_discovery_spark.operators.profile import ColumnState, profile
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS
+
+
+class TestHllRhoFilterBand:
+    def test_r0_one_band_parity(self, spark):
+        # ~20K distinct -> sketch mode with r0 == 1: every hash must survive
+        # the rho filter (rho >= 1 always holds)
+        d = spark.range(40000).selectExpr("concat('val_', id % 20000) as s")
+        a = profile(d, engine="arrow").state("s")
+        c = profile(d, engine="catalyst").state("s")
+        assert a.hll.estimate() > 15000
+        assert c.hll.estimate() == pytest.approx(a.hll.estimate(), rel=1e-9)
+        assert c.hll.registers.tobytes() == a.hll.registers.tobytes()
+
+
+class TestGroupedNullableIntKeys:
+    def test_grouped_nullable_int_group_keys(self, spark):
+        rows = [(i % 3 if i % 7 else None, f"val_{i % 50}", float(i)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "grp int, s string, x double")
+        res_a = profile(df, group_by=["grp"], engine="arrow")
+        res_c = profile(df, group_by=["grp"], engine="catalyst")
+        # canonical keys: python ints + None on BOTH engines (never floats)
+        assert set(res_a.states) == set(res_c.states) == {(0,), (1,), (2,), (None,)}
+        for g in res_a.states:
+            sa, sc = res_a.states[g]["s"], res_c.states[g]["s"]
+            assert sc.count == sa.count
+            # residue state (HLL / examples / categories) must be attached
+            # for every group, not just the null group
+            assert sc.hll.estimate() == pytest.approx(sa.hll.estimate(), rel=1e-9)
+            assert sorted(sc.examples.values()) == sorted(sa.examples.values())
+
+    def test_grouped_timestamp_group_keys(self, spark):
+        df = spark.sql(
+            """
+            select case when id % 5 = 0 then null
+                   else timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id % 2 as int),0,0)
+                   end as g,
+                   concat('v', id % 20) as s
+            from range(1000)
+            """
+        )
+        res_a = profile(df, group_by=["g"], engine="arrow")
+        res_c = profile(df, group_by=["g"], engine="catalyst")
+        assert set(res_a.states) == set(res_c.states)
+        assert len(res_a.states) == 3
+        for g in res_a.states:
+            assert res_c.states[g]["s"].count == res_a.states[g]["s"].count
+            assert res_c.states[g]["s"].hll.estimate() == pytest.approx(
+                res_a.states[g]["s"].hll.estimate(), rel=1e-9
+            )
+
+
+class TestSuffixWideBracket:
+    def test_suffix_longer_than_64_bracket(self, spark):
+        # 20K distinct strings (sketch mode) sharing a 150-char suffix,
+        # plus a handful agreeing only on the last 145 chars: the exact
+        # longest common suffix is 145. If the odd rows are not sampled,
+        # the candidate is 150 and the ladder leaves a (75, 150) bracket —
+        # 74 positions wide, beyond the old 64-candidate refinement cap.
+        common = "S" * 150
+        odd_tail = "X" + common[-145:]  # diverges 146 chars from the end
+        df = spark.sql(
+            f"""
+            select case when id < 5 then concat('odd_', id, '{odd_tail}')
+                   else concat('row_', id, '{common}') end as s
+            from range(20000)
+            """
+        )
+        a = profile(df, engine="arrow").state("s")
+        c = profile(df, engine="catalyst").state("s")
+        assert a.suffix == common[-145:]
+        assert c.suffix == a.suffix
+
+
+class TestGcdUnknownMerge:
+    def test_gcd_unknown_poisons_merge(self):
+        a = ColumnState("x", "int", DEFAULT_PARAMS)
+        a.count, a.gcd, a.all_integral = 10, None, True
+        a.gcd_unknown = True  # catalyst verify gave up with observed rows
+        b = ColumnState("x", "int", DEFAULT_PARAMS)
+        b.count, b.gcd, b.all_integral = 5, 6, True
+        m1, m2 = a.merge(b), b.merge(a)
+        assert m1.gcd is None and m2.gcd is None
+        assert m1.gcd_unknown and m2.gcd_unknown
+
+    def test_empty_side_still_inherits(self):
+        a = ColumnState("x", "int", DEFAULT_PARAMS)  # no data observed
+        b = ColumnState("x", "int", DEFAULT_PARAMS)
+        b.count, b.gcd, b.all_integral = 5, 6, True
+        assert a.merge(b).gcd == 6
+        assert b.merge(a).gcd == 6
