@@ -314,15 +314,13 @@ def _pk_uniqueness_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _pk_candidates_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Ranked PK candidates (rows-only: scoring uses sketch state)."""
-    from jsonoid_discovery_spark.operators.analyses import find_primary_keys
-    from jsonoid_discovery_spark.operators.profile import profile
+    """Ranked PK candidates, EXACT variant (round 5): uniqueness from
+    exact count_distinct (SQL-expressible) instead of the HLL prefilter;
+    same affix/depth/type score and cliff cut as find_primary_keys."""
+    from jsonoid_discovery_spark.operators.analyses import primary_key_candidates_exact
 
-    res = profile(_t(spark, sf, "documents"))
-    cands = find_primary_keys(res)
-    return spark.createDataFrame(
-        [(c.column, float(c.score), c.count) for c in cands],
-        "column string, score double, n long",
+    return primary_key_candidates_exact(
+        _t(spark, sf, "documents"), columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
 
 
@@ -895,13 +893,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.5
         """,
         "drift_lang_documents": _drift_oracle_sql(),
+        "pk_candidates_documents": _pk_candidates_oracle_sql(),
         # minhash_lsh_pairs_documents, simhash_documents,
-        # pk_candidates_documents, split_discover_documents,
-        # value_table_documents: intentionally no oracle (xxhash64 / sketch
-        # state / seeded randomSplit are not SQL-expressible in DuckDB) ->
-        # the driver records rows-only checks; pytest covers their exactness
-        # with python oracles.
+        # split_discover_documents, value_table_documents: intentionally no
+        # oracle (xxhash64 / sketch state / seeded randomSplit are not
+        # SQL-expressible in DuckDB) -> the driver records rows-only checks;
+        # pytest covers their exactness with python oracles.
     }
+
+
+def _pk_candidates_oracle_sql() -> str:
+    """DuckDB oracle for pk_candidates_documents (round 5, VERDICT r4 #5):
+    exact uniqueness (count_distinct == count, zero nulls), the
+    PrimaryKeyFinder affix/depth/type score as CASE arithmetic, and the
+    cliff cut (keep ranks before the first largest consecutive score drop)
+    via window functions — mirrors analyses.primary_key_candidates_exact."""
+    cols = [("doc_id", "int"), ("text", "string"), ("lang", "string"), ("source", "string"), ("n_chars", "int")]
+    affixes = ("id", "key", "nr", "no", "pk", "num", "code")
+
+    def affix_bonus(c: str) -> float:
+        # name-based, so a compile-time constant per column (the Spark side
+        # evaluates the same predicate in score_pk_candidate)
+        name = c.lower()
+        return 4.0 if any(name == a or name.endswith(a) or name.startswith(a) for a in affixes) else 0.0
+
+    wide_parts, stat_rows = [], []
+    for i, (c, kind) in enumerate(cols):
+        wide_parts += [
+            f"count({c}) AS n{i}",
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS z{i}",
+            f"count(DISTINCT {c}) AS d{i}",
+        ]
+        if kind == "string":
+            wide_parts.append(f"max(length({c})) AS ml{i}")
+            ml_ref = f"ml{i}"
+        else:
+            ml_ref = "NULL"
+        stat_rows.append(
+            f"SELECT '{c}' AS col, '{kind}' AS kind, {affix_bonus(c)} AS affix, "
+            f"n{i} AS n, z{i} AS z, d{i} AS d, {ml_ref} AS ml FROM wide"
+        )
+    return f"""
+        WITH wide AS (SELECT {', '.join(wide_parts)} FROM documents),
+        stats AS ({' UNION ALL '.join(stat_rows)}),
+        scored AS (
+          SELECT col, n,
+            affix + 2.0
+            + (CASE WHEN kind = 'int' THEN 2.0
+                    WHEN kind = 'string' THEN 1.0 + (CASE WHEN ml <= 40 THEN 1.0 ELSE 0.0 END)
+                    ELSE 0.5 END) AS score
+          FROM stats WHERE n > 0 AND z = 0 AND d = n
+        ),
+        ranked AS (
+          SELECT col, score, n, row_number() OVER (ORDER BY score DESC, col) AS rn FROM scored
+        ),
+        gaps AS (SELECT rn, score - lead(score) OVER (ORDER BY rn) AS gap FROM ranked)
+        SELECT col AS "column", score, n FROM ranked
+        WHERE rn <= COALESCE(
+          (SELECT CASE WHEN max(gap) > 0
+                       THEN (SELECT min(rn) FROM gaps g2
+                             WHERE g2.gap = (SELECT max(gap) FROM gaps))
+                       ELSE (SELECT max(rn) FROM ranked) END
+           FROM gaps WHERE gap IS NOT NULL),
+          (SELECT max(rn) FROM ranked))
+        ORDER BY rn
+    """
 
 
 def _drift_oracle_sql() -> str:

@@ -296,12 +296,24 @@ def run_queries() -> None:
             out["scaling_runs"] = len(e28)
     # full result object -> file (the driver's tail capture truncated the
     # ~4KB line in round 3, losing the per-query medians; the printed line
-    # keeps the contract keys + headline numbers and points at the file)
+    # keeps the contract keys + headline numbers and points at the file).
+    # Runs are tagged protocol (>=3 passes) vs smoke (fewer) — a smoke run
+    # must never overwrite the canonical protocol artifact (round-4 #5).
+    out["run_kind"] = "protocol" if passes >= 3 else "smoke"
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/last_suite.json", "w") as f:
+    suite_path = "/root/repo/BENCH/last_suite.json"
+    if out["run_kind"] == "smoke" and os.path.exists(suite_path):
+        try:
+            with open(suite_path) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = {}
+        if prev.get("run_kind", "protocol") == "protocol":
+            suite_path = "/root/repo/BENCH/last_suite_smoke.json"
+    with open(suite_path, "w") as f:
         json.dump(out, f, indent=1)
     compact = {k: v for k, v in out.items() if k not in ("queries_best",)}
-    compact["full_results"] = "BENCH/last_suite.json"
+    compact["full_results"] = os.path.relpath(suite_path, "/root/repo")
     print(json.dumps(compact))
 
 

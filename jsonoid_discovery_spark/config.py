@@ -90,6 +90,20 @@ class EngineParams:
     # drift thresholds (our chi-square / KS checks; driver-side scipy-free)
     drift_chi2_pvalue: float = 0.01
     drift_ks_stat: float = 0.1
+    # profile(engine='auto') crossover: the catalyst engine pays ~3s of
+    # fixed two-job machinery that only amortizes on large inputs — below
+    # this estimated input size the Arrow fold is faster. Measured on the
+    # bench source_files table (local[32], page-cache hot, min-of-2):
+    #   250K/79MB  arrow 1.22s  catalyst 2.53s
+    #   2M/620MB   arrow 3.12s  catalyst 3.45s
+    #   4M/1.23GB  arrow 5.98s  catalyst 4.27s   -> crossover ~800MB
+    # Plan-stats bytes, so compressed file size for parquet scans.
+    catalyst_min_bytes: int = 768 * 1024 * 1024
+    # grouped catalyst profiling collects one wide row per group and builds
+    # per-(group, column) follow-up expression lists — bounded by design.
+    # Beyond this many groups the engine falls back to the Arrow keyed fold
+    # (state stays distributed per group, no driver-side wide-row collect).
+    catalyst_max_groups: int = 1024
 
     @property
     def histogram_gamma(self) -> float:

@@ -90,6 +90,51 @@ def find_primary_keys(result: ProfileResult, group: tuple = ()) -> list[PkCandid
     return cands[:cut]
 
 
+def primary_key_candidates_exact(df: DataFrame, columns: list[str] | None = None, depth: int = 0) -> DataFrame:
+    """Ranked PK candidates with EXACT uniqueness (count_distinct == count,
+    zero nulls) instead of the HLL prefilter — the ANSI-SQL-expressible
+    variant of find_primary_keys (PrimaryKeyFinder.scala:46-58, 172-186):
+    one aggregate job over the table, then the same affix/depth/type score
+    and cliff cut over the <= n_columns stat rows. Ties rank by column name
+    so the ordering is deterministic across engines.
+
+    Returns DataFrame[column, score, n] (the candidates before the largest
+    consecutive score drop, best first)."""
+    from jsonoid_discovery_spark.operators.profile import _kind_of, quoted_col
+
+    kinds_map = dict(df.dtypes)
+    cols = [c for c in (columns or list(kinds_map)) if _kind_of(kinds_map[c]) != "other"]
+    aggs = []
+    for i, c in enumerate(cols):
+        col = quoted_col(c)
+        aggs += [
+            F.count(col).alias(f"n{i}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"z{i}"),
+            F.count_distinct(col).alias(f"d{i}"),
+        ]
+        if _kind_of(kinds_map[c]) == "string":
+            aggs.append(F.max(F.length(col)).alias(f"ml{i}"))
+    row = df.agg(*aggs).collect()[0]
+
+    cands = []
+    for i, c in enumerate(cols):
+        n, z, d = row[f"n{i}"], row[f"z{i}"], row[f"d{i}"]
+        if not n or z or d != n:
+            continue
+        kind = _kind_of(kinds_map[c])
+        st = ColumnState(c, kind, DEFAULT_PARAMS)
+        st.max_len = row[f"ml{i}"] if kind == "string" else None
+        cands.append((c, score_pk_candidate(st, depth), int(n)))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    if len(cands) > 1:
+        gaps = [cands[i][1] - cands[i + 1][1] for i in range(len(cands) - 1)]
+        if max(gaps) > 0:
+            cands = cands[: gaps.index(max(gaps)) + 1]
+    return df.sparkSession.createDataFrame(
+        [(c, float(s), n) for c, s, n in cands], "column string, score double, n long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # subset / incompatibility
 

@@ -902,6 +902,35 @@ def partial_states(
     return level1.groupBy("g", "column").applyInPandas(_merge_partials, PARTIAL_SCHEMA)
 
 
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's driver-side input size estimate (bytes): compressed file
+    bytes for parquet scans, in-memory size for cached/localCheckpoint
+    inputs. Free (no job). None when the plan carries no usable stats."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        return est if 0 < est < 2**62 else None
+    except Exception:
+        return None
+
+
+def _profile_arrow(
+    df: DataFrame,
+    columns: list[str] | None,
+    group_by: list[str],
+    params: EngineParams,
+    with_bloom: bool,
+    metric_set: str,
+) -> ProfileResult:
+    """The mapInArrow per-batch fold (keyed state — group cardinality only
+    bounds the collected STATES, never a driver-side wide-row collect)."""
+    merged = partial_states(df, columns, group_by, params, with_bloom, metric_set=metric_set).collect()
+    states: dict[tuple, dict[str, ColumnState]] = {}
+    for row in merged:
+        g = tuple(json.loads(row["g"]))
+        states.setdefault(g, {})[row["column"]] = pickle.loads(row["state"])
+    return ProfileResult(tuple(group_by), states)
+
+
 def profile(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -909,27 +938,32 @@ def profile(
     params: EngineParams = DEFAULT_PARAMS,
     with_bloom: bool = True,
     metric_set: str = "all",
-    engine: str = "catalyst",
+    engine: str = "auto",
 ) -> ProfileResult:
     """Full single-pass profile; collects only the tiny merged states.
     ``metric_set`` selects the property set ('all'/'simple'/'min' — the
     --only/--without analog prunes work, not just output).
 
-    ``engine`` picks the execution path: 'catalyst' (default — the
-    zero-per-row-Python engine, see profile_catalyst) or 'arrow' (the
-    mapInArrow per-batch fold; kept for streaming partials and as the
-    cross-engine parity oracle)."""
+    ``engine`` picks the execution path:
+      * 'auto' (default) — size-gated, the same corpus-dependent dispatch
+        as discover(dedup='auto'): the catalyst engine pays ~3s of fixed
+        two-job machinery that only amortizes on large inputs, so inputs
+        whose plan-stats size estimate is below params.catalyst_min_bytes
+        take the Arrow fold; everything else (including unknown-size
+        inputs — unknown means potentially huge) takes catalyst.
+      * 'catalyst' — the zero-per-row-Python engine (profile_catalyst).
+      * 'arrow' — the mapInArrow per-batch fold; kept for streaming
+        partials, high-group-cardinality inputs, and as the cross-engine
+        parity oracle."""
+    group_by = list(group_by or [])
+    if engine == "auto":
+        est = _plan_size_estimate(df)
+        engine = "arrow" if est is not None and est < params.catalyst_min_bytes else "catalyst"
     if engine == "catalyst":
         return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
     if engine != "arrow":
-        raise ValueError(f"unknown profile engine {engine!r} (expected 'catalyst' or 'arrow')")
-    group_by = list(group_by or [])
-    merged = partial_states(df, columns, group_by, params, with_bloom, metric_set=metric_set).collect()
-    states: dict[tuple, dict[str, ColumnState]] = {}
-    for row in merged:
-        g = tuple(json.loads(row["g"]))
-        states.setdefault(g, {})[row["column"]] = pickle.loads(row["state"])
-    return ProfileResult(tuple(group_by), states)
+        raise ValueError(f"unknown profile engine {engine!r} (expected 'auto', 'catalyst' or 'arrow')")
+    return _profile_arrow(df, columns, group_by, params, with_bloom, metric_set)
 
 
 # ---------------------------------------------------------------------------
@@ -1136,6 +1170,7 @@ class _ColPlan:
     need_tv: bool = False  # string values exceed the 256-char prefix
     fmt_in_stream: bool = False  # sketch strings with min_len <= 128
     hll_r0: int = 1  # rho filter threshold for sketch-mode HLL rows
+    est_rows: int = 4096  # estimated residue-stream rows (sizes the fold fan-in)
 
 
 def _build_plans(
@@ -1166,12 +1201,19 @@ def _build_plans(
         acd_min = min((r[p + "acd"] for r in live), default=0)
         if acd_sum <= _VAL_ACD_MAX:
             plan = _ColPlan(i, kind, "val")
+            plan.est_rows = max(int(acd_sum), 1)
             if kind == "string":
                 max_len = max((r[p + "max_len"] for r in live), default=0)
                 plan.need_tv = max_len > _SV_LEN
         else:
             plan = _ColPlan(i, kind, "sketch")
             plan.bloom_exact = acd_sum <= _BLOOM_EXACT_MAX
+            # stream rows: exact-bloom distinct hashes dominate while the
+            # gate holds; beyond it the bounded sketch keys (~32 rows per
+            # HLL register per group + lengths/formats/examples)
+            plan.est_rows = (int(acd_sum) if plan.bloom_exact else 0) + 33 * (1 << params.hll_lg_k) * max(
+                len(live), 1
+            ) + 4096
             c_keep = _EX_OVERSAMPLE * max(params.max_examples, 32)
             if acd_min * 0.8 > c_keep:
                 plan.ex_t2 = int(2**63 * c_keep / (acd_min * 0.8))
@@ -1962,6 +2004,17 @@ def _followup_suffix(
         st.suffix = _utf8_suffix(cand[len(cand) - lo :] if lo else b"")
 
 
+def _residue_fanin(plans: dict[int, _ColPlan], chunk: list[int], total_rows: int, parallelism: int) -> int:
+    """Fold width for one residue chunk: ~64K pre-aggregated rows per task
+    (the fold is vectorized, so tasks stay sub-second), floor 8, capped at
+    the cluster's parallelism. Timestamp residue is a distinct-hash stream
+    with no job-1 acd, so it is bounded by the row count instead."""
+    est_stream = sum(
+        min(total_rows, 2_000_000) if plans[i].mode == "ts" else plans[i].est_rows for i in chunk
+    )
+    return max(1, min(max(8, math.ceil(est_stream / 65_536)), parallelism))
+
+
 def profile_catalyst(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -1985,7 +2038,17 @@ def profile_catalyst(
 
     exprs = _exact_agg_exprs(columns, kinds, metric_set, params)
     if group_by:
-        agg_rows = df.groupBy(*[quoted_col(g).alias(name_map[g]) for g in group_by]).agg(*exprs).collect()
+        # wide-row collect + per-group follow-up expression lists are only
+        # sane for a bounded group count: cap the collect (limit keeps the
+        # driver safe even when the agg output is huge) and fall back to
+        # the Arrow keyed fold beyond the cap — state stays distributed
+        # per group there, so high-cardinality group_by degrades to one
+        # extra (wasted) aggregate, never a driver OOM.
+        cap = params.catalyst_max_groups
+        agg_df = df.groupBy(*[quoted_col(g).alias(name_map[g]) for g in group_by]).agg(*exprs)
+        agg_rows = agg_df.limit(cap + 1).collect()
+        if len(agg_rows) > cap:
+            return _profile_arrow(df, columns, group_by, params, with_bloom, metric_set)
     else:
         agg_rows = df.agg(*exprs).collect()
 
@@ -2005,6 +2068,7 @@ def profile_catalyst(
         chunks[-1].append(i)
         used += w
 
+    total_rows = sum(int(r["__total"] or 0) for r in agg_rows)
     residue: dict[tuple[str, str], ColumnState] = {}
     for chunk in chunks:
         if not chunk:
@@ -2015,11 +2079,20 @@ def profile_catalyst(
         if stream is None:
             continue
         gen = _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, plans)
-        folded = stream.coalesce(8).mapInArrow(gen, PARTIAL_SCHEMA)
-        if len(agg_rows) * len(chunk) <= 2000:
+        # fan-in sized to the PLANNED stream: ~64K pre-aggregated rows per
+        # task (the fold is vectorized, so tasks stay sub-second), floor 8,
+        # capped at the cluster's parallelism. A fixed coalesce(8) would
+        # bottleneck wide low-cardinality tables (64 cols x 16K distinct =
+        # 1M+ rows forced through 8 tasks regardless of cluster size) — and
+        # coalesce also narrows the final-aggregation stage it fuses into.
+        # Timestamp residue is a distinct-hash stream with no job-1 acd, so
+        # it is bounded by the group's row count.
+        width = _residue_fanin(plans, chunk, total_rows, df.sparkSession.sparkContext.defaultParallelism)
+        folded = stream.coalesce(width).mapInArrow(gen, PARTIAL_SCHEMA)
+        if len(agg_rows) * len(chunk) * width <= 16_000:
             # few (group, column) states: skip the distributed merge stage
             # (a full extra shuffle of Bloom-sized partials) and fold the
-            # <= 8-per-state partials on the driver
+            # width-per-state partials on the driver
             for mrow in folded.collect():
                 key = (mrow["g"], mrow["column"])
                 st = pickle.loads(mrow["state"])

@@ -53,9 +53,19 @@ def test_discovered_schema_partitioning_invariant_vs_golden(spark):
 
 def test_profile_matches_golden(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    prof = profile(d, columns=["lang", "source", "n_chars"])
+    prof = profile(d, columns=["lang", "source", "n_chars"], engine="catalyst")
     got = json.loads(json.dumps(json.loads(prof.to_json()), sort_keys=True))
     expected = json.loads((GOLDEN / "profile_documents.json").read_text())
+    assert got == expected
+
+
+def test_profile_auto_engine_picks_arrow_on_tiny_input(spark):
+    """Round 5: engine='auto' (the default) gates on estimated input size —
+    this sub-MB table must take the Arrow fold and match its golden."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = profile(d, columns=["lang", "source", "n_chars"])
+    got = json.loads(json.dumps(json.loads(prof.to_json()), sort_keys=True))
+    expected = json.loads((GOLDEN / "profile_documents_arrow.json").read_text())
     assert got == expected
 
 

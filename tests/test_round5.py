@@ -93,6 +93,106 @@ class TestSuffixWideBracket:
         assert c.suffix == a.suffix
 
 
+class TestEngineAutoGate:
+    def test_auto_picks_arrow_below_threshold(self, spark, monkeypatch):
+        import importlib
+        P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+
+        calls = []
+        real_cat, real_arr = P.profile_catalyst, P._profile_arrow
+        monkeypatch.setattr(P, "profile_catalyst", lambda *a, **k: calls.append("catalyst") or real_cat(*a, **k))
+        monkeypatch.setattr(P, "_profile_arrow", lambda *a, **k: calls.append("arrow") or real_arr(*a, **k))
+        small = spark.range(100).selectExpr("concat('v', id) as s")
+        P.profile(small)  # tiny input -> arrow
+        assert calls == ["arrow"]
+
+    def test_auto_picks_catalyst_above_threshold(self, spark, monkeypatch):
+        import dataclasses
+
+        import importlib
+        P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+        from jsonoid_discovery_spark.config import DEFAULT_PARAMS
+
+        calls = []
+        real_cat = P.profile_catalyst
+        monkeypatch.setattr(P, "profile_catalyst", lambda *a, **k: calls.append("catalyst") or real_cat(*a, **k))
+        params = dataclasses.replace(DEFAULT_PARAMS, catalyst_min_bytes=1)
+        small = spark.range(100).selectExpr("concat('v', id) as s")
+        P.profile(small, params=params)
+        assert calls == ["catalyst"]
+
+    def test_auto_unknown_size_defaults_catalyst(self, spark, monkeypatch):
+        import importlib
+        P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+
+        calls = []
+        real_cat = P.profile_catalyst
+        monkeypatch.setattr(P, "_plan_size_estimate", lambda df: None)
+        monkeypatch.setattr(P, "profile_catalyst", lambda *a, **k: calls.append("catalyst") or real_cat(*a, **k))
+        small = spark.range(100).selectExpr("concat('v', id) as s")
+        P.profile(small)
+        assert calls == ["catalyst"]
+
+
+class TestGroupCardinalityCap:
+    def test_catalyst_falls_back_beyond_group_cap(self, spark):
+        import dataclasses
+
+        from jsonoid_discovery_spark.config import DEFAULT_PARAMS
+
+        # 10K distinct groups with a small cap: the catalyst engine must
+        # degrade to the Arrow keyed fold (no driver-side wide-row collect)
+        # and still return every group's exact state
+        df = spark.range(10000).selectExpr("id as g", "concat('v', id % 7) as s")
+        params = dataclasses.replace(DEFAULT_PARAMS, catalyst_max_groups=64)
+        res = profile(df, group_by=["g"], params=params, engine="catalyst")
+        assert len(res.states) == 10000
+        assert res.states[(1234,)]["s"].count == 1
+
+    def test_under_cap_keeps_catalyst_semantics(self, spark):
+        df = spark.range(1000).selectExpr("id % 5 as g", "concat('v', id % 9) as s")
+        a = profile(df, group_by=["g"], engine="arrow")
+        c = profile(df, group_by=["g"], engine="catalyst")
+        assert set(a.states) == set(c.states)
+        for g in a.states:
+            assert c.states[g]["s"].count == a.states[g]["s"].count
+
+
+class TestResidueFanin:
+    def test_wide_lowcard_table_runs_at_least_16_wide(self):
+        from jsonoid_discovery_spark.operators.profile import _ColPlan, _residue_fanin
+
+        # 64 columns x 16K distinct values: the residue stream is ~1M
+        # pre-aggregated rows and must fan out beyond the old fixed 8
+        plans = {i: _ColPlan(i, "string", "val", est_rows=16_384) for i in range(64)}
+        chunk = list(range(64))
+        assert _residue_fanin(plans, chunk, total_rows=10**6, parallelism=32) >= 16
+
+    def test_small_stream_keeps_floor(self):
+        from jsonoid_discovery_spark.operators.profile import _ColPlan, _residue_fanin
+
+        plans = {0: _ColPlan(0, "string", "val", est_rows=500)}
+        assert _residue_fanin(plans, [0], total_rows=10**6, parallelism=32) == 8
+
+    def test_capped_at_parallelism(self):
+        from jsonoid_discovery_spark.operators.profile import _ColPlan, _residue_fanin
+
+        plans = {0: _ColPlan(0, "string", "sketch", est_rows=50_000_000)}
+        assert _residue_fanin(plans, [0], total_rows=10**8, parallelism=32) == 32
+
+    def test_wide_lowcard_parity(self, spark):
+        # integration: 24 low-cardinality columns, catalyst == arrow
+        exprs = [f"concat('c{j}_', id % {100 + j}) as c{j}" for j in range(24)]
+        df = spark.range(20000).selectExpr(*exprs)
+        a = profile(df, engine="arrow")
+        c = profile(df, engine="catalyst")
+        for j in range(24):
+            sa, sc = a.state(f"c{j}"), c.state(f"c{j}")
+            assert sc.count == sa.count
+            assert sc.hll.registers.tobytes() == sa.hll.registers.tobytes()
+            assert sc.cat_counts == sa.cat_counts
+
+
 class TestGcdUnknownMerge:
     def test_gcd_unknown_poisons_merge(self):
         a = ColumnState("x", "int", DEFAULT_PARAMS)
