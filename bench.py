@@ -47,7 +47,8 @@ BENCH_CONF = {"spark.sql.files.maxPartitionBytes": "8m"}
 # runs of the SAME engine/job structure (round-3 protocol — no history
 # mixing when the job changes). Rows without the field are the pre-round-4
 # Arrow-fold engine.
-ENGINE_TAG = "catalyst-r4"
+ENGINE_TAG = "catalyst-r5"  # round 5: dynamic residue fan-in + rho-filter
+# fix changed the profile job's plan, so r5 runs get their own median pool
 
 
 def _bench_data_path(rows: int) -> str:
@@ -252,6 +253,21 @@ def run_queries() -> None:
         else str(DISCOVERY_ROWS)
     )
     timings[f"json_discovery_{disc_label}"] = round(t_disc, 3)
+
+    # flagship #2b (round 5): the ADVERSARIAL discovery corpus — every
+    # payload globally distinct, so interning/global-dedup can't help and
+    # the per-document parse+walk cost is fully exposed (VERDICT r4 #2
+    # tracks this number round-over-round)
+    ddf_u = (
+        props_docs(spark, n_rows=DISCOVERY_ROWS, unique=True).repartition(CPUS).localCheckpoint()
+    )
+    t_disc_u, disc_res_u = float("inf"), None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        disc_res_u = discover(ddf_u, "doc")
+        t_disc_u = min(t_disc_u, time.perf_counter() - t0)
+    ndu = disc_res_u.docs
+    timings[f"json_discovery_unique_{disc_label}"] = round(t_disc_u, 3)
     spark.stop()
 
     out = {
@@ -267,6 +283,7 @@ def run_queries() -> None:
         "discovery_docs_per_sec": round(nd / t_disc, 1),
         "discovery_rows": DISCOVERY_ROWS,
         "discovery_docs_parsed": nd,
+        "discovery_unique_docs_per_sec": round(ndu / t_disc_u, 1),
     }
     # surface the north-rule scaling evidence: cross-run medians over all
     # logged runs at the LARGEST input size (matches BENCH/BASELINE.md)

@@ -268,10 +268,15 @@ def documents_drifted(spark: SparkSession, n_rows: int = 1000, seed: int = 42, d
     return spark.range(0, n_rows, numPartitions=8).mapInArrow(gen, "lang string, content_len long")
 
 
-def props_docs(spark: SparkSession, n_rows: int = 1000, seed: int = 42) -> DataFrame:
+def props_docs(spark: SparkSession, n_rows: int = 1000, seed: int = 42, unique: bool = False) -> DataFrame:
     """Nested-JSON fixture mirroring the reference's bundled datasets
     (FIXTURES.md §3): flat mixed-type objects, nested tuple arrays, object
-    lists, plus ~0.5% malformed lines that discovery must skip."""
+    lists, plus ~0.5% malformed lines that discovery must skip.
+
+    ``unique=True`` threads the row id into every scalar so each payload is
+    globally distinct — the adversarial corpus for discovery (no payload or
+    value repetition for interning/dedup/format-Counter paths to exploit;
+    the per-document walk cost is fully exposed)."""
     import json as _json
 
     from pyspark.sql import functions as _F  # noqa: F401
@@ -287,17 +292,28 @@ def props_docs(spark: SparkSession, n_rows: int = 1000, seed: int = 42) -> DataF
                     docs.append('{"broken": ')  # malformed line
                     continue
                 h = int(_hash64(np.array([rid]), seed, 23)[0])
+                r = int(rid)
                 if shape[i] == 0:
-                    d = {"a": h % 100, "b": (h % 1000) / 10.0, "c": f"s{h % 50}", "d": bool(h % 2), "e": None}
+                    if unique:
+                        d = {"a": r, "b": r / 10.0, "c": f"s{r}", "d": bool(h % 2), "e": None}
+                    else:
+                        d = {"a": h % 100, "b": (h % 1000) / 10.0, "c": f"s{h % 50}", "d": bool(h % 2), "e": None}
                 elif shape[i] == 1:
                     n_w = h % 5
-                    d = {"name": f"n{h % 30}", "wins": [[f"g{(h + j) % 9}", f"h{(h + j) % 7}"] for j in range(n_w)]}
+                    if unique:
+                        d = {"name": f"n{r}", "wins": [[f"g{r}_{j}", f"h{r}_{j}"] for j in range(n_w)]}
+                    else:
+                        d = {"name": f"n{h % 30}", "wins": [[f"g{(h + j) % 9}", f"h{(h + j) % 7}"] for j in range(n_w)]}
                 else:
                     d = {
                         "year": str(1900 + h % 120),
-                        "category": f"cat{h % 10}",
+                        "category": f"cat{r}" if unique else f"cat{h % 10}",
                         "laureates": [
-                            {"id": str(h % 900), "firstname": f"fn{h % 40}", "share": str(1 + h % 4)}
+                            {
+                                "id": str(r) if unique else str(h % 900),
+                                "firstname": f"fn{r}" if unique else f"fn{h % 40}",
+                                "share": str(1 + h % 4),
+                            }
                         ],
                     }
                 docs.append(_json.dumps(d))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import json
 import math
+import os
 import pickle
 import re
 from collections import Counter
@@ -365,14 +366,30 @@ class SchemaNode:
             self.bool_count += len(bools)
             self.true_count += sum(bools)
         if not self.distinct_overflow and (strs or ints or floats or bools):
+            # chunked with an early overflow exit: identical verdict to the
+            # full update (any prefix exceeding the cap means the whole
+            # batch would), but a unique batch stops after ~cap inserts
+            # instead of tagging and hashing every value (round 5)
             dv = self.distinct_values
-            dv.update(strs)
-            dv.update(("i", v) for v in ints)
-            dv.update(("f", v, math.copysign(1.0, v)) for v in floats)
-            dv.update(("b", v) for v in bools)
-            if len(dv) > self.params.enum_max_values:
-                self.distinct_overflow = True
-                self.distinct_values = set()
+            cap = self.params.enum_max_values
+            step = cap + 1
+            for kind, src in (("s", strs), ("i", ints), ("f", floats), ("b", bools)):
+                for off in range(0, len(src), step):
+                    chunk = src[off : off + step]
+                    if kind == "s":
+                        dv.update(chunk)
+                    elif kind == "i":
+                        dv.update(("i", v) for v in chunk)
+                    elif kind == "f":
+                        dv.update(("f", v, math.copysign(1.0, v)) for v in chunk)
+                    else:
+                        dv.update(("b", v) for v in chunk)
+                    if len(dv) > cap:
+                        self.distinct_overflow = True
+                        self.distinct_values = set()
+                        break
+                if self.distinct_overflow:
+                    break
         if dicts:
             self._observe_objects(dicts)
         if lists:
@@ -381,16 +398,26 @@ class SchemaNode:
             self.observe(v)
 
     def _observe_strings(self, strs: list) -> None:
-        lens = list(map(len, strs))
-        mn, mx = min(lens), max(lens)
+        if len(strs) >= 256:
+            # mostly-unique batches: the Counter dedup buys nothing and the
+            # per-string regex battery dominates — run the whole batch
+            # through the Arrow RE2 kernels instead (round 5; exact, the
+            # out-of-envelope rows fall back to the per-string path inside)
+            mn, mx, fmt_counts = _observe_strings_batch(strs, self.params)
+        else:
+            lens = list(map(len, strs))
+            mn, mx = min(lens), max(lens)
+            # format detection per DISTINCT value x multiplicity: real
+            # corpora repeat string values heavily, so the regex battery
+            # runs once per distinct instead of once per occurrence
+            fmt_counts = {}
+            for s, c in Counter(strs).items():
+                fmt = _detect_format(s, self.params)
+                fmt_counts[fmt] = fmt_counts.get(fmt, 0) + c
         self.min_len = mn if self.min_len is None else min(self.min_len, mn)
         self.max_len = mx if self.max_len is None else max(self.max_len, mx)
-        # format detection per DISTINCT value x multiplicity: real corpora
-        # repeat string values heavily, so the regex battery runs once per
-        # distinct instead of once per occurrence
         fm = self.formats
-        for s, c in Counter(strs).items():
-            fmt = _detect_format(s, self.params)
+        for fmt, c in fmt_counts.items():
             fm[fmt] = fm.get(fmt, 0) + c
         if self.params.discovery_sketches:
             self._sketch_strings(strs)
@@ -468,11 +495,19 @@ class SchemaNode:
             for a in lists:
                 if len(a) > 1:
                     try:
-                        if len(set(map(_freeze, a))) != len(a):
+                        # fast path: scalar elements hash directly (_freeze
+                        # is the identity on scalars, so set(a) is exact);
+                        # nested lists/dicts raise and take the freeze path
+                        if len(set(a)) != len(a):
                             self.unique_items = False
                             break
                     except TypeError:
-                        pass
+                        try:
+                            if len(set(map(_freeze, a))) != len(a):
+                                self.unique_items = False
+                                break
+                        except TypeError:
+                            pass
         if self.items is None:
             self.items = SchemaNode(self.params)
         flat = [v for a in lists for v in a]
@@ -1130,6 +1165,61 @@ def _detect_format(s: str, params: EngineParams = DEFAULT_PARAMS) -> str:
     return "none"
 
 
+def _observe_strings_batch(strs: list, params: EngineParams) -> tuple[int, int, dict[str, int]]:
+    """(min_len, max_len, format counts) for a batch of strings — exactly
+    Counter-folding ``_detect_format`` per value (parity-tested), but the
+    length scan and the regex battery run as Arrow C kernels over the whole
+    array instead of per Python string.
+
+    Exactness envelope: Python ``re`` and RE2 agree on the format patterns
+    only for ASCII input without ``\\n`` (Python's ``$`` matches before a
+    trailing newline and its ``\\d`` covers Unicode Nd digits; RE2's do
+    not), so rows outside the envelope take the per-string Python path.
+    The candidate prescreen mirrors _detect_format's cheap dispatch; its
+    first-char-digit arm uses ``\\p{Nd}`` so a Unicode-digit-led string
+    (which Python's ``\\d`` could match) is never screened out."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(strs, pa.large_string())
+    n = len(strs)
+    lens = pc.utf8_length(arr)
+    mm = pc.min_max(lens)
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+
+    fmt_counts: dict[str, int] = {}
+    in_envelope = pc.and_(pc.string_is_ascii(arr), pc.invert(pc.match_substring(arr, "\n")))
+    # cheap dispatch, vectorized: short AND (marker char present OR leads
+    # with a digit) — everything else in-envelope is "none" with no regex
+    cand = pc.and_(
+        in_envelope,
+        pc.and_(pc.less_equal(lens, 128), pc.match_substring_regex(arr, r"[-@:.+]|^\p{Nd}")),
+    )
+    n_py = n - pc.sum(in_envelope).as_py()
+    n_cand = pc.sum(cand).as_py()
+    n_none = n - n_py - n_cand
+    if n_cand:
+        from jsonoid_discovery_spark.operators.profile import format_patterns
+
+        carr = pc.filter(arr, cand)
+        unassigned = None  # None == all-true (first pattern scans everything)
+        for name, pat in format_patterns(params):
+            m = pc.match_substring_regex(carr, pat.pattern)
+            hit = m if unassigned is None else pc.and_(m, unassigned)
+            c = pc.sum(hit).as_py() or 0
+            if c:
+                fmt_counts[name] = fmt_counts.get(name, 0) + c
+            unassigned = pc.invert(m) if unassigned is None else pc.and_(unassigned, pc.invert(m))
+        n_none += (pc.sum(unassigned).as_py() or 0) if unassigned is not None else 0
+    if n_py:
+        # rare fallback: non-ASCII or embedded-newline strings, per-string
+        for s in pc.filter(arr, pc.invert(in_envelope)).to_pylist():
+            fmt = _detect_format(s, params)
+            fmt_counts[fmt] = fmt_counts.get(fmt, 0) + 1
+    if n_none:
+        fmt_counts["none"] = fmt_counts.get("none", 0) + n_none
+    return mn, mx, fmt_counts
+
+
 # ---------------------------------------------------------------------------
 # distributed discovery
 
@@ -1154,7 +1244,7 @@ def discover(
     col: str,
     params: EngineParams = DEFAULT_PARAMS,
     merge_fanin: int = 64,
-    intern: bool = True,
+    intern: bool | str = "auto",
     dedup: str = "auto",
 ) -> DiscoveryResult:
     """Discover the schema of a JSON-string column: one scan, per-batch
@@ -1163,9 +1253,11 @@ def discover(
     ``intern`` dedups identical RAW document strings per batch (one C-level
     Counter pass) and parses each distinct payload once — telemetry/event
     corpora repeat exact payloads heavily, and repeated parsed values also
-    collapse inside the columnar fold's distinct/format paths. Worst case
-    (all-unique corpus) costs one hash pass (~3%); the observed fold is
-    order-insensitive (commutative monoid) so replication order is free.
+    collapse inside the columnar fold's distinct/format paths. The observed
+    fold is order-insensitive (commutative monoid) so replication order is
+    free. 'auto' (default) enables it unless the dedup probe measured a
+    mostly-unique corpus (est. distinct/count > 0.9), where the hash pass
+    cannot pay for itself.
 
     ``dedup`` (round 4): 'global' folds over the GLOBALLY distinct payloads
     — one JVM groupBy(payload) with map-side combine, then each distinct
@@ -1175,14 +1267,44 @@ def discover(
     this removes >90% of the remaining per-document Python. 'batch' keeps
     the per-batch fold (no shuffle — the right shape for mostly-unique
     corpora, where a global groupBy would shuffle the whole input).
-    'auto' (default) spends one cheap JVM aggregate on
-    approx_count_distinct and picks: global iff est. distinct/count <= 0.5.
+    'auto' (default) probes a ~100K-row slice (near-constant cost) and
+    picks 'batch' when it looks mostly-unique; a dup-heavy slice triggers
+    one full approx_count_distinct scan to confirm before committing to
+    the global shuffle (global iff est. distinct/count <= 0.5).
     """
+    dup_ratio = None
     if dedup == "auto":
-        row = df.agg(
-            F.count(F.col(col)).alias("n"), F.approx_count_distinct(F.col(col)).alias("d")
-        ).collect()[0]
-        dedup = "global" if row["n"] and row["d"] / row["n"] <= 0.5 else "batch"
+        # two-stage probe (round 5). Stage 1 is a ~100K-row LIMIT slice —
+        # it reads only a few partitions, so a unique corpus decides for
+        # 'batch' at near-constant cost instead of paying a full scan
+        # (the full probe was ~15-20% of discover() wall on unique input).
+        # Stage 2 (the full approx_count_distinct scan) runs only when the
+        # slice looks dup-heavy: committing to a global payload shuffle is
+        # the expensive mistake, so it is the decision that gets confirmed.
+        # Asymmetry is safe — both paths are exact; 'batch' is merely the
+        # no-shuffle default, and telemetry-style duplicate payloads
+        # cluster, so a contiguous slice exposes them.
+        sl = (
+            df.select(F.col(col).alias("c"))
+            .limit(100_000)
+            .agg(F.count("c").alias("n"), F.approx_count_distinct("c").alias("d"))
+            .collect()[0]
+        )
+        dup_ratio = (sl["d"] / sl["n"]) if sl["n"] else 1.0
+        if dup_ratio > 0.7:
+            dedup = "batch"
+        else:
+            row = df.agg(
+                F.count(F.col(col)).alias("n"), F.approx_count_distinct(F.col(col)).alias("d")
+            ).collect()[0]
+            dup_ratio = (row["d"] / row["n"]) if row["n"] else 1.0
+            dedup = "global" if dup_ratio <= 0.5 else "batch"
+    if intern == "auto":
+        # the per-batch raw-payload Counter only pays for itself when
+        # payloads repeat — when the auto probe already measured a
+        # mostly-unique corpus, skip the hash pass (round 5). Without a
+        # probe (explicit dedup=), keep the round-3 default.
+        intern = dup_ratio is None or dup_ratio <= 0.9
     if dedup == "global":
         source = df.select(F.col(col).alias("__doc")).groupBy("__doc").agg(
             F.count(F.lit(1)).alias("__cnt")
@@ -1190,16 +1312,43 @@ def discover(
     else:
         source = df.select(F.col(col))
 
+    # ONE partial per TASK (round 5): the old per-arrow-batch partials
+    # paid SchemaNode construction, arrow-kernel fixed costs, pickling and
+    # merge work once per ~10K-row batch (spark's default
+    # arrow.maxRecordsPerBatch) — 13x per 125K-row task. The fold now
+    # accumulates parsed docs across the task's batches and folds in
+    # _FOLD_CHUNK-doc slices into one running node (chunking bounds memory
+    # on giant partitions — only one slice of parsed docs is live at once —
+    # and keeps the just-parsed docs cache-warm when the fold touches them).
+    _FOLD_CHUNK = int(os.environ.get("JDS_FOLD_CHUNK", "32768"))
+
     def gen_global(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        node = SchemaNode(params)
+        malformed = 0
+        salt = 0
+        by_c: dict[int, list] = {}
+        pending = 0
+
+        def flush() -> None:
+            nonlocal node, pending
+            for c, vals in by_c.items():
+                scratch = SchemaNode(params)
+                scratch.observe_many(vals)
+                scratch.scale(c)
+                node = scratch if not node.count else node.merge(scratch)
+            by_c.clear()
+            pending = 0
+
+        first = True
         for b in batches:
-            node = SchemaNode(params)
-            malformed = 0
+            if first:
+                salt = hash((b.num_rows, str(b.column(0).slice(0, 1).to_pylist()))) % merge_fanin
+                first = False
             raw = b.column(0).to_pylist()
             cnts = b.column(1).to_pylist()
             flags = _suspect_flags(b.column(0))
             if flags is None:
                 flags = [True] * len(raw)
-            by_c: dict[int, list] = {}
             for s, c, f in zip(raw, cnts, flags):
                 if s is None:
                     malformed += c
@@ -1210,22 +1359,27 @@ def discover(
                     malformed += c
                     continue
                 by_c.setdefault(c, []).append(v)
-            for c, vals in by_c.items():
-                scratch = SchemaNode(params)
-                scratch.observe_many(vals)
-                scratch.scale(c)
-                node = scratch if not node.count else node.merge(scratch)
-            payload = pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)
-            salt = hash((b.num_rows, str(b.column(0).slice(0, 1).to_pylist()))) % merge_fanin
-            yield pa.RecordBatch.from_pydict(
-                {"salt": pa.array([salt], pa.int32()), "state": pa.array([payload], pa.binary())}
-            )
+                pending += 1
+            if pending >= _FOLD_CHUNK:
+                flush()
+        if first:
+            return  # empty partition: no partial
+        flush()
+        payload = pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)
+        yield pa.RecordBatch.from_pydict(
+            {"salt": pa.array([salt], pa.int32()), "state": pa.array([payload], pa.binary())}
+        )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        node = SchemaNode(params)
+        malformed = 0
+        salt = 0
+        docs: list = []
+        first = True
         for b in batches:
-            node = SchemaNode(params)
-            malformed = 0
-            docs = []
+            if first:
+                salt = hash((b.num_rows, str(b.column(0).slice(0, 1).to_pylist()))) % merge_fanin
+                first = False
             raw = b.column(0).to_pylist()
             if intern:
                 cnt = Counter(raw)
@@ -1257,12 +1411,17 @@ def discover(
                         docs.append(_parse_flagged(s, f))
                     except (ValueError, TypeError):
                         malformed += 1
-            node.observe_many(docs)  # columnar fold (see SchemaNode.observe_many)
-            payload = pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)
-            salt = hash((b.num_rows, str(b.column(0).slice(0, 1).to_pylist()))) % merge_fanin
-            yield pa.RecordBatch.from_pydict(
-                {"salt": pa.array([salt], pa.int32()), "state": pa.array([payload], pa.binary())}
-            )
+            if len(docs) >= _FOLD_CHUNK:
+                node.observe_many(docs)  # columnar fold (see observe_many)
+                docs.clear()
+        if first:
+            return  # empty partition: no partial
+        if docs:
+            node.observe_many(docs)
+        payload = pickle.dumps((node, malformed), protocol=pickle.HIGHEST_PROTOCOL)
+        yield pa.RecordBatch.from_pydict(
+            {"salt": pa.array([salt], pa.int32()), "state": pa.array([payload], pa.binary())}
+        )
 
     def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         node, malformed = None, 0

@@ -210,3 +210,133 @@ class TestGcdUnknownMerge:
         b.count, b.gcd, b.all_integral = 5, 6, True
         assert a.merge(b).gcd == 6
         assert b.merge(a).gcd == 6
+
+
+class TestBatchFormatDetection:
+    """Round 5: _observe_strings_batch (Arrow RE2 kernels) must equal
+    Counter-folding _detect_format per value — including the envelope
+    fallbacks (non-ASCII, embedded newlines, >128 chars, unicode digits)."""
+
+    CASES = [
+        "2024-01-15", "2024-01-15T10:30:00Z", "2024-01-15 10:30:00.123+05:30",
+        "10:30:00", "10:30:00.5z", "550e8400-e29b-41d4-a716-446655440000",
+        "a@b.co", "user.name+tag@example.com", "192.168.1.1", "256.1.1.1",
+        "::1", "2001:db8::ff00:42:8329", "https://example.com/path?q=1",
+        "ftp://x", "geo:37.7,-122.4", "10.1234/abc.def", "978-0-306-40615-7",
+        "9780306406157", "2024AJ....167...50B", "8FVC9G8F+6X",
+        "plainword", "", "x" * 129, "x" * 128, "s123", "123", "1985", "-5",
+        "2024-01-15\n", "a\nb@c.de", "٢٠٢٤-٠١-١٥",
+        "٩٧٨0306406157", "²012-01-01", "café",
+        "naïve@exämple.com", "2024-01-15t10:30:00+0530",
+        "dot.", ".dot", "+plus", "a-b", "a:b", "Ω:∆", "\n", "  10:30:00  ",
+    ]
+
+    @pytest.mark.parametrize("extended", [False, True])
+    def test_parity_vs_per_value(self, extended):
+        import dataclasses
+        import random
+
+        from collections import Counter
+
+        import jsonoid_discovery_spark.operators.discovery as D
+
+        params = dataclasses.replace(DEFAULT_PARAMS, extended_formats=extended)
+        rng = random.Random(7)
+        strs = [rng.choice(self.CASES) for _ in range(4000)] + self.CASES
+        want: dict = {}
+        for s, c in Counter(strs).items():
+            f = D._detect_format(s, params)
+            want[f] = want.get(f, 0) + c
+        mn, mx, got = D._observe_strings_batch(strs, params)
+        assert got == want
+        assert mn == min(map(len, strs)) and mx == max(map(len, strs))
+
+    def test_observe_many_uses_batch_path_above_threshold(self):
+        # 300 copies of a formatted string: batch path (>=256) must count
+        # formats identically to the sequential observe path
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        strs = ["2024-01-15"] * 150 + ["plain"] * 150
+        a = SchemaNode(DEFAULT_PARAMS)
+        for s in strs:
+            a.observe(s)
+        b = SchemaNode(DEFAULT_PARAMS)
+        b.observe_many(list(strs))
+        assert a.formats == b.formats
+        assert (a.min_len, a.max_len) == (b.min_len, b.max_len)
+
+
+class TestChunkedEnumOverflow:
+    def test_overflow_verdict_matches_full_update(self):
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        # exactly at the cap: no overflow; one past: overflow — and the
+        # chunked early-exit must agree with per-value observe
+        cap = DEFAULT_PARAMS.enum_max_values
+        vals_at = [f"v{i}" for i in range(cap)] * 3
+        vals_over = [f"v{i}" for i in range(cap + 1)] * 3
+        for vals, want_overflow in ((vals_at, False), (vals_over, True)):
+            seq = SchemaNode(DEFAULT_PARAMS)
+            for v in vals:
+                seq.observe(v)
+            bat = SchemaNode(DEFAULT_PARAMS)
+            bat.observe_many(list(vals))
+            assert bat.distinct_overflow == seq.distinct_overflow == want_overflow
+            assert bat.distinct_values == seq.distinct_values
+
+    def test_mixed_type_enum_parity(self):
+        from jsonoid_discovery_spark.operators.discovery import SchemaNode
+
+        vals = ["a", 1, 1.0, True, "b", 2, -0.0, False] * 40
+        seq = SchemaNode(DEFAULT_PARAMS)
+        for v in vals:
+            seq.observe(v)
+        bat = SchemaNode(DEFAULT_PARAMS)
+        bat.observe_many(list(vals))
+        assert bat.distinct_values == seq.distinct_values
+        assert bat.to_json_schema() == seq.to_json_schema()
+
+
+class TestInternAutoGate:
+    def test_unique_corpus_discovery_still_exact(self, spark):
+        from jsonoid_discovery_spark.datagen import props_docs
+        from jsonoid_discovery_spark.operators.discovery import discover
+
+        ddf = props_docs(spark, n_rows=4000, unique=True)
+        # auto probe measures ~unique -> batch mode, intern skipped
+        r_auto = discover(ddf, "doc")
+        # forced intern path must agree
+        r_forced = discover(ddf, "doc", dedup="batch", intern=True)
+        assert r_auto.docs == r_forced.docs
+        assert r_auto.malformed == r_forced.malformed
+        assert r_auto.to_json_schema() == r_forced.to_json_schema()
+
+    def test_unique_fixture_is_unique(self, spark):
+        from jsonoid_discovery_spark.datagen import props_docs
+
+        ddf = props_docs(spark, n_rows=5000, unique=True)
+        from pyspark.sql import functions as F
+
+        row = ddf.agg(
+            F.count("doc").alias("n"), F.count_distinct("doc").alias("d")
+        ).collect()[0]
+        # every non-malformed payload globally distinct (malformed lines
+        # repeat the same broken prefix)
+        assert row["d"] >= row["n"] - int(0.01 * row["n"])
+
+
+class TestTaskLevelPartials:
+    def test_one_partial_per_task_parity_and_invariance(self, spark):
+        from jsonoid_discovery_spark.datagen import props_docs
+        from jsonoid_discovery_spark.operators.discovery import discover
+
+        ddf = props_docs(spark, n_rows=3000).cache()
+        try:
+            a = discover(ddf.repartition(1), "doc", dedup="batch")
+            b = discover(ddf.repartition(7), "doc", dedup="batch")
+            c = discover(ddf.repartition(64), "doc", dedup="batch")  # empty partitions
+            assert a.to_json_schema() == b.to_json_schema() == c.to_json_schema()
+            assert a.docs == b.docs == c.docs
+            assert a.malformed == b.malformed == c.malformed
+        finally:
+            ddf.unpersist()
