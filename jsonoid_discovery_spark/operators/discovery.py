@@ -1320,7 +1320,9 @@ def discover(
     # _FOLD_CHUNK-doc slices into one running node (chunking bounds memory
     # on giant partitions — only one slice of parsed docs is live at once —
     # and keeps the just-parsed docs cache-warm when the fold touches them).
-    _FOLD_CHUNK = int(os.environ.get("JDS_FOLD_CHUNK", "32768"))
+    # 16K measured best on this box (sweep 8K-128K: larger chunks fold
+    # cache-cold docs, smaller ones re-pay arrow-kernel fixed costs)
+    _FOLD_CHUNK = int(os.environ.get("JDS_FOLD_CHUNK", "16384"))
 
     def gen_global(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         node = SchemaNode(params)
