@@ -550,10 +550,10 @@ class ColumnState:
     def common_suffix(self) -> str | None:
         return self.suffix
 
-    def pattern(self) -> str | None:
-        """Anchored regex from common prefix/suffix, valid only with >=10
-        values and prefix+suffix shorter than the min length
-        (schemas/StringSchema.scala:713-746)."""
+    def pattern_parts(self) -> tuple[str, str] | None:
+        """(prefix, suffix) pair behind pattern(), after the overlap guard.
+        Exposed separately so validation can enforce the invariant with
+        startswith/endswith string ops instead of a regex engine."""
         if self.count < self.params.pattern_min_examples or self.min_len is None:
             return None
         pre, suf = self.common_prefix() or "", self.common_suffix() or ""
@@ -562,6 +562,16 @@ class ColumnState:
         if len(pre) + len(suf) > self.min_len:
             # overlapping prefix/suffix (e.g. constant column): keep prefix only
             suf = ""
+        return pre, suf
+
+    def pattern(self) -> str | None:
+        """Anchored regex from common prefix/suffix, valid only with >=10
+        values and prefix+suffix shorter than the min length
+        (schemas/StringSchema.scala:713-746)."""
+        parts_ps = self.pattern_parts()
+        if parts_ps is None:
+            return None
+        pre, suf = parts_ps
         parts = []
         if pre:
             parts.append("^" + re.escape(pre))
