@@ -344,18 +344,23 @@ def _burn(_):
     return time.perf_counter() - t0
 
 
-def _dvfs_calibration() -> dict[int, float]:
+def _dvfs_calibration(rounds: int = 3) -> dict[int, float]:
     """Measure per-core slowdown under n-way full load (frequency scaling).
-    Pure-python burn, no Spark — characterizes the box, not the engine."""
+    Pure-python burn, no Spark — characterizes the box, not the engine.
+    Interleaved rounds with a per-round median: a single measurement is at
+    the mercy of the instantaneous thermal state (observed 1.04x-2.1x
+    spread run-to-run), and an inflated 32-way sample over-corrects the
+    clock-normalized efficiency into implausible >1 territory."""
     import multiprocessing as mp
 
     burn = _burn
-    out = {}
-    for n in (2, 8, 32):
-        with mp.Pool(n) as p:
-            times = p.map(burn, range(n))
-        out[n] = round(sum(times) / len(times), 4)
-    return out
+    samples: dict[int, list[float]] = {2: [], 8: [], 32: []}
+    for _ in range(rounds):
+        for n in (2, 8, 32):
+            with mp.Pool(n) as p:
+                times = p.map(burn, range(n))
+            samples[n].append(sum(times) / len(times))
+    return {n: round(_median(v), 4) for n, v in samples.items()}
 
 
 def run_scaling(report_only: bool = False) -> None:
@@ -399,6 +404,20 @@ def run_scaling(report_only: bool = False) -> None:
             e832_best.append(rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0)
             e832_med.append(med(rr["local[32]"]) / med(rr["local[8]"]) / 4.0)
     n_runs = len(e28_best)
+    # per-phase 8->32 efficiencies (cross-run medians, same pool): phase
+    # timings are best-of-3 per run, so the ratio matches the headline's
+    # best-of-3 basis. Attributes the scaling gap to a phase instead of
+    # leaving the total as a black box.
+    p832_prof, p832_down, p28_prof, p28_down = [], [], [], []
+    with open(log_path) as f:
+        for line in f:
+            rr = json.loads(line)
+            if rr["local[8]"]["n_files"] != n_now or rr.get("engine") != eng_now:
+                continue
+            p832_prof.append(rr["local[8]"]["profile_sec"] / rr["local[32]"]["profile_sec"] / 4.0)
+            p832_down.append(_phase2(rr["local[8]"]) / _phase2(rr["local[32]"]) / 4.0)
+            p28_prof.append(rr["local[2]"]["profile_sec"] / rr["local[8]"]["profile_sec"] / 4.0)
+            p28_down.append(_phase2(rr["local[2]"]) / _phase2(rr["local[8]"]) / 4.0)
     r2, r8, r32 = results["local[2]"], results["local[8]"], results["local[32]"]
     eff_2_8 = _median(e28_best)
     eff_8_32 = _median(e832_best)
@@ -406,7 +425,11 @@ def run_scaling(report_only: bool = False) -> None:
     eff_8_32_med = _median(e832_med)
     cal = _dvfs_calibration()
     clock_ratio_8_32 = cal[32] / cal[8]
-    eff_8_32_clock = eff_8_32 * clock_ratio_8_32
+    # cap at 1.0: a normalized efficiency above 1 just means the DVFS
+    # correction over-shot (the burn saw a hotter instant than the Spark
+    # run did); the defensible claim is "compute-proportional", not
+    # "superlinear". The raw ratio is printed alongside for transparency.
+    eff_8_32_clock = min(eff_8_32 * clock_ratio_8_32, 1.0)
     md = f"""# BENCH/BASELINE.md — measured north-rule numbers
 
 Flagship validation pipeline (single-pass full profile w/ HLL+Bloom+histogram
@@ -439,7 +462,21 @@ jobs removes that Amdahl term from the scaling pair.
 target >= 0.8.
 **Scaling efficiency (N=8 -> 4N=32): (thr32/thr8)/4 = {eff_8_32:.3f}**
 (best-of-3) / {eff_8_32_med:.3f} (median-of-3);
-**{eff_8_32_clock:.3f} clock-normalized** (see below).
+**{eff_8_32_clock:.3f} clock-normalized** (capped at 1.0; this
+calibration's raw correction factor is {clock_ratio_8_32:.2f}x — see below).
+
+### Per-phase scaling efficiency (cross-run medians, best-of-3 basis)
+
+| phase | eff 2->8 | eff 8->32 |
+|---|---|---|
+| profile | {_median(p28_prof):.3f} | {_median(p832_prof):.3f} |
+| downstream (validate+verdicts+uniq+RI, concurrent) | {_median(p28_down):.3f} | {_median(p832_down):.3f} |
+
+The downstream phase is four concurrent CPU-bound jobs over the cached
+input; sequential per-job probes (ROUND5_NOTES.md) put the individual
+8->32 efficiencies at profile 0.87 / validate 0.80 / uniqueness 0.91,
+with the two small check jobs fixed-latency and hidden under the big
+jobs by the concurrent pool.
 
 ### Reading the 2->8 pair at this input size
 
