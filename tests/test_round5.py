@@ -340,3 +340,66 @@ class TestTaskLevelPartials:
             assert a.malformed == b.malformed == c.malformed
         finally:
             ddf.unpersist()
+
+
+class TestPatternStringOps:
+    """The learned .pattern constraint compiles to startswith/endswith +
+    length guard instead of `rlike('^pre.*suf$')` (round 5). Pin the
+    equivalence: identical verdicts on newline-free values for any learned
+    prefix/suffix, and the one intentional divergence — multi-line values
+    that genuinely carry the affixes now PASS (Java regex `.` stops at \n,
+    which false-flagged them)."""
+
+    def _constraint(self, spark, values):
+        import pyspark.sql.functions as F
+        from jsonoid_discovery_spark.operators.constraints import constraints_from_profile
+        from jsonoid_discovery_spark.operators.profile import profile
+
+        train = spark.createDataFrame([(v,) for v in values], "s string")
+        prof = profile(train, columns=["s"], engine="arrow")
+        cons = [c for c in constraints_from_profile(prof) if c.name == "s.pattern"]
+        return prof, cons
+
+    def test_equiv_to_regex_on_newline_free(self, spark):
+        import pyspark.sql.functions as F
+
+        train = [f"img_{i:04d}_thumb.png" for i in range(64)]
+        prof, cons = self._constraint(spark, train)
+        assert cons, "pattern constraint should be learned"
+        pat = prof.state("s").pattern()
+        assert pat is not None
+        probes = [
+            "img_9999_thumb.png",      # conforming
+            "img_.png",                # too short for pre+suf: both reject
+            "img_0000_thumb.jpg",      # wrong suffix
+            "xmg_0000_thumb.png",      # wrong prefix
+            "img_overlapthumb.png",    # conforming, odd middle
+        ]
+        df = spark.createDataFrame([(p,) for p in probes], "s string")
+        got = [r["ok"] for r in df.select(cons[0].ok.alias("ok")).collect()]
+        want = [r["ok"] for r in df.select(F.col("s").rlike(pat).alias("ok")).collect()]
+        assert got == want
+
+    def test_multiline_value_with_affixes_passes(self, spark):
+        import pyspark.sql.functions as F
+
+        train = ["#!/bin/sh\n echo %d\nexit 0\n" % i for i in range(32)]
+        prof, cons = self._constraint(spark, train)
+        assert cons, "pattern constraint should be learned"
+        pre, suf = prof.state("s").pattern_parts()
+        assert pre and suf  # shared shebang prefix + trailing "exit 0\n"
+        # the interior newline sits BETWEEN the learned affixes, i.e. inside
+        # the regex's `.*` span — exactly where Java `.` refuses to match
+        probe = pre + "several\nmore\nlines" + suf
+        assert probe.startswith(pre) and probe.endswith(suf)
+        df = spark.createDataFrame([(probe,)], "s string")
+        assert df.select(cons[0].ok.alias("ok")).collect()[0]["ok"] is True
+        # the OLD predicate false-flagged it: `.` does not cross \n
+        pat = prof.state("s").pattern()
+        assert df.select(F.col("s").rlike(pat).alias("ok")).collect()[0]["ok"] is False
+
+    def test_pattern_emission_unchanged(self, spark):
+        prof, cons = self._constraint(spark, [f"left-{i}-right" for i in range(32)])
+        pat = prof.state("s").pattern()
+        assert pat.startswith("^left\\-") or pat.startswith("^left-")
+        assert pat.endswith("right$") or pat.endswith("$")
