@@ -511,7 +511,7 @@ verdict groups={r8['n_verdict_groups']}.
             probes = [json.loads(line) for line in f]
         by_n: dict = {}
         for pr in probes:
-            by_n.setdefault(pr["n_files"], {})[pr["master"]] = pr
+            by_n.setdefault((pr["n_files"], pr.get("engine", "arrow-r3")), {})[pr["master"]] = pr
         lines = [
             "",
             "### Input-size sensitivity of the 8->32 pair (probes)",
@@ -521,17 +521,27 @@ verdict groups={r8['n_verdict_groups']}.
             "same 3-pass protocol, local[8]/local[32] only) show the pair",
             "improving as they amortize:",
             "",
-            "| rows | local[8] f/s | local[32] f/s | eff 8->32 (best) | (median) |",
-            "|---|---|---|---|---|",
+            "| rows | engine | local[8] f/s | local[32] f/s | eff 8->32 (best) | (median) |",
+            "|---|---|---|---|---|---|",
         ]
-        for n, pair in sorted(by_n.items()):
+        for (n, eng), pair in sorted(by_n.items()):
             if "local[8]" in pair and "local[32]" in pair:
                 p8, p32 = pair["local[8]"], pair["local[32]"]
                 eb = p32["files_per_sec"] / p8["files_per_sec"] / 4.0
                 em = med(p32) / med(p8) / 4.0
                 lines.append(
-                    f"| {n} | {p8['files_per_sec']} | {p32['files_per_sec']} | {eb:.3f} | {em:.3f} |"
+                    f"| {n} | {eng} | {p8['files_per_sec']} | {p32['files_per_sec']} | {eb:.3f} | {em:.3f} |"
                 )
+        lines += [
+            "",
+            "Engine rows are not comparable on efficiency alone: a faster",
+            "engine raises throughput at BOTH widths while leaving fixed",
+            "per-job costs and the DVFS ceiling a LARGER share of the",
+            "32-wide wall time, so its pair efficiency at a given input",
+            "size can drop even as every absolute number improves. Compare",
+            "efficiency down a column (same engine, growing input), and",
+            "throughput across engines.",
+        ]
         md += "\n".join(lines) + "\n"
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
