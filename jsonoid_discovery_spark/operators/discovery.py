@@ -1229,6 +1229,10 @@ class DiscoveryResult:
     schema: SchemaNode
     docs: int
     malformed: int
+    # which ingest produced the fold: 'python' (orjson parse + walk),
+    # 'jvm' (from_json structs + columnar fold), 'typed' (no JSON at all).
+    # The typed paths annotate fallbacks with their reason (operators/typed.py).
+    ingest: str = "python"
 
     def to_json_schema(self, transformers: bool = True) -> dict:
         s = self.schema.to_json_schema(transformers)

@@ -1,0 +1,983 @@
+"""Typed (struct-native) schema discovery — the JSON-free ingest path.
+
+Two operators on top of the same SchemaNode monoid the JSON fold uses
+(operators/discovery.py):
+
+* ``discover_typed(df, columns)`` — discover over TYPED Spark columns
+  (struct/array/map/scalars). Each row is one document: an object whose
+  keys are the column names. No JSON string ever exists: the fold walks
+  Arrow arrays COLUMN-WISE (one vectorized pass per path instead of one
+  recursive walk per document), which removes both the parse (~40% of
+  per-doc cost on unique corpora, ROUND5_NOTES.md) and the per-document
+  dict/list dispatch. Semantics are defined as
+  ``discover(df.select(to_json(struct(*columns))))`` (Spark's default
+  ``ignoreNullFields=true`` rendering) and parity-tested against it.
+
+* ``discover_from_json(df, col)`` — the JVM-parse fast path for JSON
+  string columns: ONE pure-Catalyst probe derives the corpus' exact
+  merged Spark schema via ``schema_of_variant_agg(try_parse_json(col))``,
+  then ``from_json`` (Jackson, codegen, strict options) parses every
+  document JVM-side and the typed columnar fold above profiles the
+  resulting structs. Exactness is gate-kept, not assumed: any corpus
+  shape the typed path cannot represent losslessly falls back to the
+  classic python-parse ``discover`` — see ``_fallback_reason``.
+
+Reference behavior: discovery over JSON documents
+(/root/reference/src/main/scala/edu/rit/cs/dataunitylab/jsonoid/discovery/
+DiscoverSchema.scala:113-137); the typed ingest is this engine's
+Spark-first analog for data that already lives in parquet structs, where
+serializing to JSON strings to discover a schema would be pure waste.
+
+Known, documented divergences from the JSON-string path (all outside the
+JSON data model): SQL NULL in a struct field means ABSENT KEY (matching
+``to_json``'s null-field dropping; JSON's explicit ``null`` is expressible
+via map values and array elements, which keep nulls); non-finite floats
+(NaN/Inf) are not JSON-representable and fold as null; DecimalType is folded at double precision
+(both paths round-to-nearest, so values agree; >int64 integers keep full
+precision only in the python path — ``discover_from_json`` detects them
+and falls back).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from jsonoid_discovery_spark.config import DEFAULT_PARAMS, EngineParams
+from jsonoid_discovery_spark.operators.discovery import (
+    _PARTIAL_SCHEMA,
+    DiscoveryResult,
+    SchemaNode,
+    _sorted_pairs,
+    discover,
+)
+from jsonoid_discovery_spark.functions.sketches import LogHistogram
+
+__all__ = ["discover_typed", "discover_from_json"]
+
+
+# ---------------------------------------------------------------------------
+# JVM prep: rewrite non-JSON leaf types to their to_json renderings so the
+# Arrow fold only ever sees JSON-model types. Timestamps/dates format with
+# the same patterns to_json uses (date_format IS to_json's formatter);
+# binary renders base64; decimal folds at double precision.
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+_DATE_FMT = "yyyy-MM-dd"
+
+
+def _jsonify(col: "F.Column", dt: T.DataType) -> "tuple[F.Column, bool]":
+    """(rewritten expr, changed?) — identity on JSON-model subtrees so the
+    common all-JSON case adds zero expressions to the plan."""
+    if isinstance(dt, T.StructType):
+        if [f.name for f in dt.fields] == [_LANE_I, _LANE_F]:
+            raise TypeError(
+                "discover_typed: struct field names "
+                f"({_LANE_I!r}, {_LANE_F!r}) are reserved for the numeric token lane"
+            )
+        parts = [_jsonify(col.getField(f.name), f.dataType) for f in dt.fields]
+        if not any(ch for _, ch in parts):
+            return col, False
+        rebuilt = F.struct(*[e.alias(f.name) for (e, _), f in zip(parts, dt.fields)])
+        # F.struct over a NULL struct yields a struct of nulls; preserve null
+        return F.when(col.isNotNull(), rebuilt), True
+    if isinstance(dt, T.ArrayType):
+        probe, changed = _jsonify(F.lit(None).cast(dt.elementType), dt.elementType)
+        if not changed:
+            return col, False
+        return F.transform(col, lambda x: _jsonify(x, dt.elementType)[0]), True
+    if isinstance(dt, T.MapType):
+        _, vch = _jsonify(F.lit(None).cast(dt.valueType), dt.valueType)
+        kch = not isinstance(dt.keyType, T.StringType)
+        out = col
+        if kch:  # JSON object keys are strings (to_json casts)
+            out = F.transform_keys(out, lambda k, v: k.cast("string"))
+        if vch:
+            out = F.transform_values(out, lambda k, v: _jsonify(v, dt.valueType)[0])
+        return out, kch or vch
+    if isinstance(dt, T.TimestampType):
+        return F.date_format(col, _TS_FMT), True
+    if isinstance(dt, T.TimestampNTZType):  # to_json: same but no zone suffix
+        return F.date_format(col, _TS_FMT.removesuffix("XXX")), True
+    if isinstance(dt, T.DateType):
+        return F.date_format(col, _DATE_FMT), True
+    if isinstance(dt, T.BinaryType):
+        return F.base64(col), True
+    if isinstance(dt, T.DecimalType):
+        return col.cast("double"), True
+    if isinstance(dt, T.FloatType):
+        # to_json renders float32 via Float.toString (shortest decimal);
+        # reparsing that decimal as double is what the JSON path sees, so the
+        # round trip through string IS the defined semantics ("0.4584952" ->
+        # 0.4584952, not the binary widening 0.45849519968032837)
+        return col.cast("string").cast("double"), True
+    if isinstance(
+        dt,
+        (T.StringType, T.BooleanType, T.DoubleType, T.NullType, T.ByteType,
+         T.ShortType, T.IntegerType, T.LongType, T.CharType, T.VarcharType),
+    ):
+        return col, False
+    raise TypeError(f"discover_typed: column type {dt.simpleString()} has no JSON rendering")
+
+
+# ---------------------------------------------------------------------------
+# Numeric token lane (from_json path only). Variant schema inference merges
+# int and float JSON tokens into one fractional type (1 + 2.5 ->
+# DECIMAL(21,1)), and DECIMAL parsing destroys -0.0 — so folding the parsed
+# numerics would lose the lexical int/float split the JSON data model keeps.
+# Fix: read every fractional path (DOUBLE / DECIMAL; FLOAT can't occur) as
+# STRING in from_json — Spark renders int tokens as exact integer text (20+
+# digit bigints included) and float tokens always with '.' or 'E', correctly
+# rounded at double precision with the -0.0 sign kept — then split the token
+# JVM-side into a two-field sentinel struct the fold dispatches on. Pure-int
+# paths (BIGINT) keep the native fast lane. Verified renderings:
+# '1'->'1', '1e300'->'1.0E300', '1E+2'->'100.0', '-0e0'->'-0.0',
+# '92233720368547758079' exact.
+
+_LANE_I = "__jds_int_lane__"
+_LANE_F = "__jds_float_lane__"
+_FRACTIONAL = (T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def _has_fractional(dt: T.DataType) -> bool:
+    if isinstance(dt, T.StructType):
+        return any(_has_fractional(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_fractional(dt.elementType)
+    return isinstance(dt, _FRACTIONAL)
+
+
+def _token_schema(dt: T.DataType) -> T.DataType:
+    """from_json read schema: fractional numeric leaves arrive as STRING
+    tokens so the int/float lexical tag survives the JVM parse."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _token_schema(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_token_schema(dt.elementType), True)
+    if isinstance(dt, _FRACTIONAL):
+        return T.StringType()
+    return dt
+
+
+def _lane_rewrite_arrow(arr: pa.Array, dt: T.DataType) -> pa.Array:
+    """Arrow-side lane split, walking the ORIGINAL inferred types: at each
+    fractional leaf the token string array becomes STRUCT<int lane BIGINT,
+    float lane DOUBLE> — exactly one lane non-null per present value. This
+    deliberately happens PAST the Arrow boundary: doing it in the Spark plan
+    re-evaluates from_json once per field reference when projections
+    collapse (measured 7.7s -> 22s at 4M docs), while one vectorized
+    rewrite per batch is ~free."""
+    if isinstance(dt, _FRACTIONAL):
+        isf = pc.match_substring_regex(arr, "[.eE]")  # float tokens, exactly
+        try:
+            it = pc.cast(pc.if_else(isf, pa.scalar(None, arr.type), arr), pa.int64())
+        except pa.lib.ArrowInvalid:
+            raise _LanePoison("integer beyond int64 in a mixed numeric column") from None
+        fl = pc.cast(pc.if_else(isf, arr, pa.scalar(None, arr.type)), pa.float64())
+        return pa.StructArray.from_arrays([it, fl], [_LANE_I, _LANE_F], mask=pc.is_null(arr))
+    if isinstance(dt, T.StructType):
+        if not _has_fractional(dt):
+            return arr
+        kids = [_lane_rewrite_arrow(arr.field(i), f.dataType) for i, f in enumerate(dt.fields)]
+        mask = pc.is_null(arr) if arr.null_count else None
+        return pa.StructArray.from_arrays(kids, [f.name for f in dt.fields], mask=mask)
+    if isinstance(dt, T.ArrayType):
+        if not _has_fractional(dt.elementType):
+            return arr
+        vals = _lane_rewrite_arrow(arr.values, dt.elementType)
+        mask = pc.is_null(arr) if arr.null_count else None
+        return pa.ListArray.from_arrays(arr.offsets, vals, mask=mask)
+    return arr
+
+
+class _LanePoison(Exception):
+    """A numeric token neither lane holds exactly (>int64 integer in a mixed
+    column, or a float token casting non-finite): the task abandons its fold
+    and the driver falls back to the exact python parse."""
+
+
+# ---------------------------------------------------------------------------
+# Columnar Arrow fold: one vectorized pass per PATH instead of one recursive
+# walk per DOCUMENT. Each helper mirrors one branch of
+# SchemaNode.observe_many and is parity-tested against the JSON fold.
+
+
+def _dv_update(node: SchemaNode, kind: str, vals: list) -> None:
+    """Enum-set update with the same chunked early-overflow exit as
+    observe_many (identical verdict; a unique batch stops after ~cap
+    inserts)."""
+    if node.distinct_overflow:
+        return
+    dv = node.distinct_values
+    cap = node.params.enum_max_values
+    step = cap + 1
+    for off in range(0, len(vals), step):
+        chunk = vals[off : off + step]
+        if kind == "s":
+            dv.update(chunk)
+        elif kind == "i":
+            dv.update(("i", v) for v in chunk)
+        elif kind == "f":
+            dv.update(("f", v, math.copysign(1.0, v)) for v in chunk)
+        else:
+            dv.update(("b", v) for v in chunk)
+        if len(dv) > cap:
+            node.distinct_overflow = True
+            node.distinct_values = set()
+            break
+
+
+def _present_mask(arr: pa.Array) -> "np.ndarray | None":
+    """Per-row presence in STRUCT-FIELD context: valid and (for floats)
+    finite. None means all-present (the common dense case, no mask cost)."""
+    if pa.types.is_floating(arr.type):
+        vals = arr.to_numpy(zero_copy_only=False)  # nulls -> NaN
+        m = np.isfinite(vals)
+        return None if m.all() else m
+    if arr.null_count == 0:
+        return None
+    return np.asarray(pc.is_valid(arr))
+
+
+def _observe_values(node: SchemaNode, arr: pa.Array) -> None:
+    """ARRAY-ELEMENT / MAP-VALUE context: SQL NULL is JSON null (to_json
+    keeps nulls there); non-finite floats fold as null too."""
+    n = len(arr)
+    if n == 0:
+        return
+    t = arr.type
+    if pa.types.is_null(t):
+        node.count += n
+        node.type_counts["null"] = node.type_counts.get("null", 0) + n
+        return
+    if pa.types.is_floating(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        fin = np.isfinite(vals)
+        n_ok = int(fin.sum())
+        if n_ok < n:
+            node.count += n - n_ok
+            node.type_counts["null"] = node.type_counts.get("null", 0) + (n - n_ok)
+        if n_ok:
+            _observe_present(node, arr.filter(pa.array(fin)) if n_ok < n else arr)
+        return
+    nulls = arr.null_count
+    if nulls:
+        node.count += nulls
+        node.type_counts["null"] = node.type_counts.get("null", 0) + nulls
+        arr = arr.drop_null()
+    if len(arr):
+        _observe_present(node, arr)
+
+
+def _observe_present(node: SchemaNode, arr: pa.Array) -> None:
+    """Fold an array of PRESENT values (no top-level nulls; floats finite)."""
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.dictionary_decode()
+        t = arr.type
+    n = len(arr)
+    tc = node.type_counts
+    if pa.types.is_struct(t) and t.num_fields == 2 and t.field(0).name == _LANE_I:
+        _observe_numeric_lane(node, arr)
+    elif pa.types.is_struct(t):
+        _observe_struct(node, arr)
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        _observe_list(node, arr)
+    elif pa.types.is_map(t):
+        node.count += n
+        tc["object"] = tc.get("object", 0) + n
+        # dynamic keys: the per-row dict walk is exact and maps are rare;
+        # _clean_py applies the same null/absent semantics the columnar
+        # paths use (struct null field -> absent, map/array null -> null)
+        vt = t.item_type
+        node._observe_objects(
+            [{str(k): _clean_py(v, vt) for k, v in row} for row in arr.to_pylist()]
+        )
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        node.count += n
+        tc["string"] = tc.get("string", 0) + n
+        strs = arr.to_pylist()
+        node._observe_strings(strs)
+        _dv_update(node, "s", strs)
+    elif pa.types.is_boolean(t):
+        node.count += n
+        tc["boolean"] = tc.get("boolean", 0) + n
+        npb = arr.to_numpy(zero_copy_only=False)
+        node.bool_count += n
+        node.true_count += int(npb.sum())
+        if not node.distinct_overflow:
+            _dv_update(node, "b", [bool(v) for v in np.unique(npb)])
+    elif pa.types.is_integer(t):
+        # numpy-native: bounds/gcd vectorize and the enum set feeds from
+        # DISTINCT values only (identical set-fold result)
+        node.count += n
+        tc["integer"] = tc.get("integer", 0) + n
+        npv = arr.to_numpy(zero_copy_only=False)
+        lo, hi = float(npv.min()), float(npv.max())
+        node.min_v = lo if node.min_v is None else min(node.min_v, lo)
+        node.max_v = hi if node.max_v is None else max(node.max_v, hi)
+        if node.type_counts.get("number", 0) > 0:
+            node.int_multiple = None
+        else:
+            if npv.dtype == np.uint64 and hi > float(2**63 - 1):
+                g = 0  # int64 can't hold these; exact python gcd
+                for v in npv:
+                    g = math.gcd(g, int(v))
+            else:
+                g = abs(int(np.gcd.reduce(npv.astype(np.int64, copy=False))))
+            node.int_multiple = g if node.int_multiple is None else math.gcd(node.int_multiple, g)
+        if not node.distinct_overflow:
+            # feed DISTINCT values only — identical set fold; > cap+1 of
+            # them trip _dv_update's overflow check exactly like the full
+            # batch would
+            cap = node.params.enum_max_values
+            _dv_update(node, "i", [int(v) for v in np.unique(npv)[: cap + 1]])
+        if node.params.discovery_sketches:
+            node._sketch_numbers([int(v) for v in npv])
+    elif pa.types.is_floating(t):
+        node.count += n
+        tc["number"] = tc.get("number", 0) + n
+        npv = arr.to_numpy(zero_copy_only=False)
+        lo, hi = float(npv.min()), float(npv.max())
+        node.min_v = lo if node.min_v is None else min(node.min_v, lo)
+        node.max_v = hi if node.max_v is None else max(node.max_v, hi)
+        node.int_multiple = None  # any float kills multipleOf for good
+        if not node.distinct_overflow:
+            cap = node.params.enum_max_values
+            uniq = np.unique(npv)
+            head = [float(v) for v in uniq[: cap + 1]]
+            # np.unique collapses -0.0/0.0 (they compare equal) into ONE
+            # representative; the enum keys tag the sign, so when BOTH signs
+            # occur feed the representative's opposite too
+            zeros = npv == 0.0
+            if zeros.any():
+                sb = np.signbit(npv[zeros])
+                if sb.any() and not sb.all():
+                    head.append(-0.0 if not np.signbit(uniq[uniq == 0.0][0]) else 0.0)
+            _dv_update(node, "f", head)
+        if node.params.discovery_sketches:
+            node._sketch_numbers([float(v) for v in npv])
+    else:
+        raise TypeError(f"discover_typed: unsupported Arrow type {t} in fold")
+
+
+def _observe_numeric_lane(node: SchemaNode, arr: pa.Array) -> None:
+    """Fold a sentinel numeric-lane struct (see _lane_expr): the int lane
+    reuses the native integer branch, the float lane the float branch —
+    end state is order-independent (gcd's any-float latch, min/max on
+    floats, tagged enum keys, per-value sketches), so lane-at-a-time equals
+    the python path's value-at-a-time interleaving."""
+    n = len(arr)
+    ints = arr.field(0)
+    flts = arr.field(1)
+    ni = n - ints.null_count
+    nf = n - flts.null_count
+    if ni + nf != n:
+        raise _LanePoison("integer beyond int64 in a mixed numeric column")
+    if nf:
+        sub = flts.drop_null()
+        if not np.isfinite(sub.to_numpy(zero_copy_only=False)).all():
+            raise _LanePoison("float token casts non-finite")
+        _observe_present(node, sub)
+    if ni:
+        _observe_present(node, ints.drop_null())
+
+
+def _observe_struct(node: SchemaNode, arr: pa.Array) -> None:
+    n = len(arr)
+    node.count += n
+    node.type_counts["object"] = node.type_counts.get("object", 0) + n
+    st = arr.type
+    names = [st.field(i).name for i in range(st.num_fields)]
+    fields = [arr.field(i) for i in range(st.num_fields)]
+    _observe_fields(node, names, fields, n)
+
+
+def _fold_field_children(
+    node: SchemaNode, names: list[str], fields: list[pa.Array], n: int
+) -> tuple[list, dict[str, int]]:
+    """Fold each field's PRESENT (non-null, finite) values into its child
+    node; returns (per-field masks, per-field non-null counts) for the
+    caller's presence/dependency bookkeeping."""
+    masks: list[np.ndarray | None] = []
+    nonnull: dict[str, int] = {}
+    for name, f in zip(names, fields):
+        m = _present_mask(f)
+        masks.append(m)
+        cnt = n if m is None else int(m.sum())
+        nonnull[name] = cnt
+        if not cnt:
+            continue
+        child = node.fields.get(name)
+        if child is None:
+            child = node.fields[name] = SchemaNode(node.params)
+        if m is None:
+            sub = f
+        else:
+            sub = f.filter(pa.array(m))
+            if sub.null_count:  # float lanes: nulls were already masked out
+                sub = sub.drop_null()
+        _observe_present(child, sub)
+    return masks, nonnull
+
+
+def _observe_fields(node: SchemaNode, names: list[str], fields: list[pa.Array], n: int) -> None:
+    """Object bookkeeping shared by struct columns and the row-object root:
+    per-field presence + child fold + pairwise dependencies (the
+    DependenciesProperty feed, computed from presence bitmaps instead of
+    per-document key tuples — same pair counts)."""
+    node.object_count += n
+    masks, nonnull = _fold_field_children(node, names, fields, n)
+    fp = node.field_presence
+    for name in names:
+        if nonnull[name]:
+            fp[name] = fp.get(name, 0) + nonnull[name]
+    _observe_deps(node, names, masks, n)
+
+
+def _observe_root_keyed(
+    node: SchemaNode, names: list[str], flds: list[pa.Array], keys: pa.Array, n: int
+) -> int:
+    """Root fold for the from_json fast path WITH explicit-null support:
+    the struct fields carry the parsed values (SQL NULL = absent-or-null),
+    the ``json_object_keys`` sidecar carries each document's exact top-level
+    key set. presence/dependencies come from the key sets; a key present in
+    the keys but NULL (or absent) in the struct is an explicit JSON null.
+    Returns the number of explicit nulls folded (the driver checks it
+    against the corpus' ``:\\s*null`` candidate count — any candidate NOT
+    accounted here means a nested explicit null, which the struct model
+    cannot represent, and forces the python fallback)."""
+    from collections import Counter
+
+    node.count += n
+    node.type_counts["object"] = node.type_counts.get("object", 0) + n
+    node.object_count += n
+    _, nonnull = _fold_field_children(node, names, flds, n)
+
+    # exact per-document key sets; shapes repeat heavily, so dedup the raw
+    # tuples first and canonicalize (duplicate keys collapse like dict
+    # parse) once per DISTINCT shape
+    raw_shapes = Counter(map(tuple, keys.to_pylist()))
+    shapes: Counter = Counter()
+    for tup, cnt in raw_shapes.items():
+        shapes[tup if len(set(tup)) == len(tup) else tuple(dict.fromkeys(tup))] += cnt
+    fp = node.field_presence
+    presence: dict[str, int] = {}
+    maxk = node.params.dependencies_max_keys
+    for shape, cnt in shapes.items():
+        for k in shape:
+            presence[k] = presence.get(k, 0) + cnt
+        if not node.dep_overloaded:
+            if len(shape) > maxk:
+                node.dep_overloaded = True
+                node.dep_pairs = {}
+            else:
+                dp = node.dep_pairs
+                for p in _sorted_pairs(shape):
+                    dp[p] = dp.get(p, 0) + cnt
+    explicit_total = 0
+    for k, pres in presence.items():
+        fp[k] = fp.get(k, 0) + pres
+        explicit = pres - nonnull.get(k, 0)
+        if explicit < 0:
+            # key-vs-struct bookkeeping disagreement: poison the accounting
+            # so the driver falls back to the python parse
+            return -(10**9)
+        if explicit:
+            child = node.fields.get(k)
+            if child is None:
+                child = node.fields[k] = SchemaNode(node.params)
+            child.count += explicit
+            child.type_counts["null"] = child.type_counts.get("null", 0) + explicit
+            explicit_total += explicit
+    return explicit_total
+
+
+def _observe_deps(node: SchemaNode, names: list[str], masks: list, n: int) -> None:
+    if node.dep_overloaded or n == 0:
+        return
+    k = len(names)
+    maxk = node.params.dependencies_max_keys
+    if k == 0:
+        return
+    # presence bitmap per row, W 64-bit words; distinct key-sets collapse
+    # via np.unique so pair counting runs once per SHAPE (the same grouping
+    # observe_many's key-tuple dict does)
+    W = (k + 63) // 64
+    bits = np.zeros((n, W), np.uint64)
+    for i, m in enumerate(masks):
+        col = np.ones(n, np.uint64) if m is None else m.astype(np.uint64)
+        bits[:, i // 64] |= col << np.uint64(i % 64)
+    u, c = (np.unique(bits, axis=0, return_counts=True) if W > 1 else np.unique(bits[:, 0], return_counts=True))
+    for row_idx in range(len(c)):
+        mask_words = u[row_idx] if W > 1 else [u[row_idx]]
+        keys = tuple(
+            names[i] for i in range(k) if (int(mask_words[i // 64]) >> (i % 64)) & 1
+        )
+        if len(keys) > maxk:
+            node.dep_overloaded = True
+            node.dep_pairs = {}
+            return
+        if len(keys) > 1:
+            cnt = int(c[row_idx])
+            dp = node.dep_pairs
+            for p in _sorted_pairs(keys):
+                dp[p] = dp.get(p, 0) + cnt
+
+
+def _observe_list(node: SchemaNode, arr: pa.Array) -> None:
+    n = len(arr)
+    node.count += n
+    node.type_counts["array"] = node.type_counts.get("array", 0) + n
+    offs = np.asarray(arr.offsets)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    mn, mx = int(lens.min()), int(lens.max())
+    node.min_items = mn if node.min_items is None else min(node.min_items, mn)
+    node.max_items = mx if node.max_items is None else max(node.max_items, mx)
+    if node.items_hist is None:
+        node.items_hist = LogHistogram()
+    node.items_hist.update(lens.astype(np.float64))
+    if mx > 1:
+        node.unary_arrays = False
+
+    # one cleaned VALUES array serves the items child, the tuple slots and
+    # the uniqueness check (float lanes: non-finite -> null, as everywhere)
+    vals = arr.values
+    if pa.types.is_floating(vals.type):
+        npv = vals.to_numpy(zero_copy_only=False)
+        fin = np.isfinite(npv)
+        if not fin.all():
+            vals = pa.array(npv, mask=~fin)
+
+    if node.unique_items and mx > 1:
+        _unique_check(node, arr, vals, offs, lens)
+
+    if node.items is None:
+        node.items = SchemaNode(node.params)
+    flat = pc.list_flatten(arr)
+    if pa.types.is_floating(flat.type):
+        npf = flat.to_numpy(zero_copy_only=False)
+        finf = np.isfinite(npf)
+        if not finf.all():
+            flat = pa.array(npf, mask=~finf)
+    if len(flat):
+        _observe_values(node.items, flat)
+
+    if not node.tuple_collapsed:
+        lengths = {mn, mx} if mn != mx else {mn}
+        if node.tuple_items is not None:
+            lengths.add(len(node.tuple_items))
+        if len(lengths) > 1:
+            node.tuple_collapsed = True
+            node.tuple_items = None
+        else:
+            L = lengths.pop()
+            if node.tuple_items is None:
+                node.tuple_items = [SchemaNode(node.params) for _ in range(L)]
+            starts = offs[:-1].astype(np.int64)
+            for j, slot in enumerate(node.tuple_items):
+                _observe_values(slot, vals.take(pa.array(starts + j)))
+
+
+def _unique_check(node: SchemaNode, arr: pa.Array, vals: pa.Array, offs: np.ndarray, lens: np.ndarray) -> None:
+    """uniqueItems latch: any row with a duplicate element flips it off.
+    Scalar element types check columnar ((row, value-code) duplicates via
+    factorize); nested types fall back to the python freeze path."""
+    et = vals.type
+    scalar = (
+        pa.types.is_string(et) or pa.types.is_large_string(et) or pa.types.is_integer(et)
+        or pa.types.is_floating(et) or pa.types.is_boolean(et) or pa.types.is_null(et)
+    )
+    if scalar:
+        starts = offs[:-1].astype(np.int64)
+        idx = np.repeat(starts, lens) + _ranges(lens)
+        rid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = np.repeat(lens > 1, lens)
+        if not keep.any():
+            return
+        flat = vals.take(pa.array(idx[keep]))
+        codes, _ = pd.factorize(flat.to_pandas(), use_na_sentinel=False)
+        key = rid[keep] * np.int64(len(codes) + 1) + codes.astype(np.int64)
+        if len(np.unique(key)) != len(key):
+            node.unique_items = False
+    else:
+        from jsonoid_discovery_spark.operators.discovery import _freeze
+
+        for row in arr.to_pylist():
+            if row is not None and len(row) > 1:
+                try:
+                    if len(set(map(_freeze, row))) != len(row):
+                        node.unique_items = False
+                        return
+                except TypeError:
+                    pass
+
+
+def _clean_py(v, dt: pa.DataType):
+    """python-value analog of the columnar null/absent semantics, used for
+    map subtrees (which fall back to the per-row dict walk): struct null
+    fields and non-finite floats vanish from objects; array elements and
+    map values keep null."""
+    if v is None:
+        return None
+    if pa.types.is_struct(dt):
+        out = {}
+        for i in range(dt.num_fields):
+            f = dt.field(i)
+            x = v.get(f.name)
+            if x is None or (pa.types.is_floating(f.type) and not math.isfinite(x)):
+                continue
+            out[f.name] = _clean_py(x, f.type)
+        return out
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        et = dt.value_type
+        return [
+            None if (x is None or (pa.types.is_floating(et) and not math.isfinite(x))) else _clean_py(x, et)
+            for x in v
+        ]
+    if pa.types.is_map(dt):
+        vt = dt.item_type
+        return {
+            str(k): (
+                None if (x is None or (pa.types.is_floating(vt) and not math.isfinite(x))) else _clean_py(x, vt)
+            )
+            for k, x in v
+        }
+    if pa.types.is_floating(dt) and not math.isfinite(v):
+        return None
+    return v
+
+
+def _ranges(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized arange-per-row)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    row_starts = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens)
+
+
+# ---------------------------------------------------------------------------
+# Distributed fold: one partial SchemaNode per task, salted two-level merge
+# (the same shape as discover()'s tail).
+
+
+def _fold_distributed(
+    source: DataFrame,
+    params: EngineParams,
+    merge_fanin: int,
+    # 'rows': row-object per row (discover_typed)
+    # 'doc': one top-level-array document per row (null = malformed)
+    # 'doc_struct': token struct + trailing corrupt col, presence from
+    #               field masks (corpus proven free of explicit nulls)
+    # 'doc_keyed': token struct + corrupt col + json_object_keys sidecar
+    mode: str,
+    extra_malformed: int = 0,
+    lane_dt: "T.DataType | None" = None,  # ORIGINAL inferred types (doc modes)
+) -> tuple[DiscoveryResult, int, "str | None"]:
+    """One partial SchemaNode per task, salted two-level merge (the same
+    shape as discover()'s tail). Returns (result, explicit-null total,
+    poison reason) — explicit only meaningful for mode='doc_keyed'; a
+    non-None poison means some task hit a value the lanes can't hold
+    exactly and the whole result must be discarded for the python path."""
+    names = list(source.columns)
+    # ONE fold call per ~chunk rows, not per arrow batch: the columnar
+    # observers have per-call fixed costs (kernel dispatch, per-field
+    # masks), so accumulating the task's 10K-row arrow batches into larger
+    # chunks amortizes them (the typed analog of discover()'s JDS_FOLD_CHUNK)
+    chunk_rows = int(os.environ.get("JDS_TYPED_CHUNK", "131072"))
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        node = SchemaNode(params)
+        salt = 0
+        first = True
+        explicit = 0
+        poison: str | None = None
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+
+        def flush() -> None:
+            nonlocal explicit, buffered
+            if not buf:
+                return
+            tbl = pa.Table.from_batches(buf)
+            buf.clear()
+            buffered = 0
+            n = tbl.num_rows
+            if not n:
+                return
+            cols = [tbl.column(i).combine_chunks() for i in range(tbl.num_columns)]
+            if mode == "rows":
+                node.count += n
+                node.type_counts["object"] = node.type_counts.get("object", 0) + n
+                _observe_fields(node, names, cols, n)
+            elif mode in ("doc_struct", "doc_keyed"):
+                raw = cols[0]
+                # Jackson-malformed rows carry a non-null corrupt column
+                # (the struct's last field); null inputs a null struct —
+                # both are dropped here (counted driver-side as malformed)
+                keep = pc.and_(pc.is_valid(raw), pc.is_null(raw.field(raw.type.num_fields - 1)))
+                if not pc.all(keep).as_py():
+                    raw = raw.filter(keep)
+                    if mode == "doc_keyed":
+                        cols[1] = cols[1].filter(keep)
+                n = len(raw)
+                if not n:
+                    return
+                fields_dt = lane_dt.fields
+                fnames = [f.name for f in fields_dt]
+                flds = [
+                    _lane_rewrite_arrow(raw.field(i), f.dataType)
+                    for i, f in enumerate(fields_dt)
+                ]
+                if mode == "doc_keyed":
+                    explicit += _observe_root_keyed(node, fnames, flds, cols[1], n)
+                else:
+                    node.count += n
+                    node.type_counts["object"] = node.type_counts.get("object", 0) + n
+                    _observe_fields(node, fnames, flds, n)
+            else:  # 'doc': one top-level-array document per row
+                col = cols[0]
+                if col.null_count:  # malformed / null inputs: counted upstream
+                    col = col.drop_null()
+                if len(col):
+                    _observe_present(node, _lane_rewrite_arrow(col, lane_dt))
+
+        for b in batches:
+            if first:
+                salt = hash((b.num_rows, str(b.column(0).slice(0, 1).to_pylist()))) % merge_fanin
+                first = False
+            if poison is not None:
+                continue  # drain: the driver discards everything anyway
+            buf.append(b)
+            buffered += b.num_rows
+            if buffered >= chunk_rows:
+                try:
+                    flush()
+                except _LanePoison as e:
+                    poison = str(e)
+                    buf.clear()
+        if first:
+            return
+        if poison is None:
+            try:
+                flush()
+            except _LanePoison as e:
+                poison = str(e)
+        payload = pickle.dumps((node, explicit, poison), protocol=pickle.HIGHEST_PROTOCOL)
+        yield pa.RecordBatch.from_pydict(
+            {"salt": pa.array([salt], pa.int32()), "state": pa.array([payload], pa.binary())}
+        )
+
+    def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, m, p = None, 0, None
+        for blob in pdf["state"]:
+            nd, mm, pp = pickle.loads(blob)
+            m += mm
+            p = p or pp
+            out = nd if out is None else out.merge(nd)
+        return pd.DataFrame(
+            {"salt": [0], "state": [pickle.dumps((out, m, p), protocol=pickle.HIGHEST_PROTOCOL)]}
+        )
+
+    partials = source.mapInArrow(gen, _PARTIAL_SCHEMA)
+    level1 = partials.groupBy("salt").applyInPandas(merge_pdf, _PARTIAL_SCHEMA)
+    node, explicit_total, poison = SchemaNode(params), 0, None
+    for r in level1.collect():
+        nd, m, p = pickle.loads(r["state"])
+        if nd is not None:
+            node = node.merge(nd) if node.count else nd
+        explicit_total += m
+        poison = poison or p
+    return DiscoveryResult(node, node.count, extra_malformed), explicit_total, poison
+
+
+def discover_typed(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    params: EngineParams = DEFAULT_PARAMS,
+    merge_fanin: int = 64,
+) -> DiscoveryResult:
+    """Schema discovery over TYPED columns: each row is one document, an
+    object keyed by column name. Zero JSON anywhere — the fold walks Arrow
+    struct/list/scalar arrays path-wise (vectorized) instead of documents
+    (recursive). SQL NULL means ABSENT key (to_json's null-field
+    semantics); see the module docstring for the full semantics map."""
+    if columns is None:
+        columns = list(df.columns)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    proj = []
+    for c in columns:
+        e, changed = _jsonify(F.col(c), schema[c])
+        proj.append(e.alias(c) if changed else F.col(c))
+    res, _, _ = _fold_distributed(df.select(*proj), params, merge_fanin, mode="rows")
+    res.ingest = "typed"
+    return res
+
+
+# ---------------------------------------------------------------------------
+# JVM-parse fast path for JSON string columns
+
+
+# strict Jackson options: match orjson's strict JSON so the malformed-doc
+# boundary is the same one the python fold draws
+_FROM_JSON_OPTS = {
+    "allowSingleQuotes": "false",
+    "allowNonNumericNumbers": "false",
+    "allowUnquotedFieldNames": "false",
+    "allowBackslashEscapingAnyCharacter": "false",
+}
+
+_DEC_INT = re.compile(r"DECIMAL\((\d+),\s*0\)")
+
+
+def _fallback_reason(ddl: str | None, max_fields: int = 4096) -> str | None:
+    """Why the typed fast path cannot represent this corpus losslessly
+    (None = safe). Every reason is conservative: the fallback is the exact
+    python-parse fold, so a false positive costs speed, never correctness."""
+    if ddl is None:
+        return "no parseable documents"
+    if not (ddl.startswith("OBJECT<") or ddl.startswith("ARRAY<")):
+        return f"top-level type {ddl!r} is not object/array"
+    if re.search(r"\bVARIANT\b", ddl):
+        return "conflicting value types at one path"
+    m = _DEC_INT.search(ddl)
+    if m and int(m.group(1)) > 18:
+        return "integers beyond int64 (python path keeps exact bigints)"
+    if ddl.count(":") > max_fields:
+        return f"more than {max_fields} fields (map-shaped keys)"
+    return None
+
+
+def _has_nested_void(dt: T.DataType) -> bool:
+    """True when an always-null path exists BELOW the top level (top-level
+    VOID fields are stripped and served exactly by the key sidecar)."""
+    if isinstance(dt, T.StructType):
+        return any(isinstance(f.dataType, T.NullType) or _has_nested_void(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_nested_void(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_nested_void(dt.valueType)
+    return False
+
+
+def discover_from_json(
+    df: DataFrame,
+    col: str,
+    params: EngineParams = DEFAULT_PARAMS,
+    merge_fanin: int = 64,
+    schema_ddl: str | None = None,
+) -> DiscoveryResult:
+    """JSON discovery with the parse moved JVM-side: probe the corpus'
+    exact merged schema with ``schema_of_variant_agg`` (one codegen'd
+    aggregate), ``from_json`` into structs, fold columnar. Falls back to
+    the classic python-parse ``discover`` whenever the struct model cannot
+    represent the corpus losslessly (see ``_fallback_reason``), and when a
+    post-fold count guard detects a Jackson/variant parser disagreement —
+    so the result is exact by construction, never by assumption.
+
+    The two parsers' malformed boundaries are aligned by strict Jackson
+    options; the guard catches the residual pathologies.
+    """
+    c = F.col(col)
+    pj = F.try_parse_json(c)
+    probe = df.agg(
+        F.count(F.lit(1)).alias("n"),  # NULL inputs count as malformed (discover parity)
+        F.count(pj).alias("ok"),
+        # explicit-null CANDIDATES over parseable docs: every real JSON
+        # object null is `"key":<ws>null`, so this regex never undercounts;
+        # string values containing ':null' overcount, which only costs a
+        # conservative fallback
+        F.sum(F.when(pj.isNotNull(), F.regexp_count(c, F.lit(r":\s*null"))).otherwise(F.lit(0))).alias(
+            "null_cand"
+        ),
+        *([] if schema_ddl else [F.schema_of_variant_agg(pj).alias("ddl")]),
+    ).collect()[0]
+    ddl = schema_ddl or probe["ddl"]
+    null_cand = int(probe["null_cand"] or 0)
+
+    def _fallback(reason: str) -> DiscoveryResult:
+        res = discover(df, col, params=params, merge_fanin=merge_fanin)
+        res.ingest = f"python ({reason})"
+        return res
+
+    reason = _fallback_reason(ddl)
+    if reason is not None:
+        return _fallback(reason)
+    total, ok = int(probe["n"]), int(probe["ok"])
+    spark_ddl = ddl.replace("OBJECT<", "STRUCT<")
+    if spark_ddl.startswith("STRUCT<"):
+        st = T._parse_datatype_string(spark_ddl)
+        # top-level always-null fields (VOID) are unrepresentable in the
+        # struct but fully described by the key sidecar: strip them
+        kept = [f for f in st.fields if not isinstance(f.dataType, T.NullType)]
+        st = T.StructType(kept)
+        if _has_nested_void(st):
+            return _fallback("a nested path is always null")
+        # PERMISSIVE from_json renders a malformed document as a struct of
+        # all-null fields — indistinguishable from a genuine `{}`. A corrupt-
+        # record column makes Jackson's malformed boundary explicit so those
+        # rows are dropped, not folded as empty objects. (Top-level arrays
+        # come back as plain NULL on corrupt input and need no marker.)
+        corrupt = "__jds_corrupt"
+        while any(corrupt == f.name for f in st.fields):
+            corrupt += "_"
+        # fractional paths are read as STRING tokens (_token_schema returns a
+        # fresh StructType, so .add can't mutate st); the corrupt-row filter,
+        # corrupt-column strip and the int/float lane split all happen PAST
+        # the Arrow boundary — the JVM plan stays ONE projection, so
+        # from_json runs exactly once per row. The json_object_keys sidecar
+        # (a second JVM parse) is only paid when the corpus actually
+        # contains explicit-null candidates.
+        tok = _token_schema(st)
+        v = F.from_json(c, tok.add(corrupt, T.StringType()), dict(_FROM_JSON_OPTS, columnNameOfCorruptRecord=corrupt))
+        keyed = null_cand > 0
+        sel = [v.alias("__raw")]
+        if keyed:
+            sel.append(F.json_object_keys(c).alias("__keys"))
+        res, explicit, poison = _fold_distributed(
+            df.select(*sel),
+            params,
+            merge_fanin,
+            mode="doc_keyed" if keyed else "doc_struct",
+            extra_malformed=total - ok,
+            lane_dt=st,
+        )
+        if poison:
+            return _fallback(poison)
+        if keyed and explicit != null_cand:
+            # some `:null` candidate was NOT a top-level explicit null —
+            # a nested explicit null (unrepresentable post-from_json) or a
+            # string value containing ':null'. Exactness wins.
+            return _fallback("explicit JSON nulls below the top level")
+    else:
+        if null_cand:
+            return _fallback("explicit JSON nulls below the top level")
+        dt = T._parse_datatype_string(spark_ddl)
+        parsed = df.select(F.from_json(c, _token_schema(dt), _FROM_JSON_OPTS).alias("__doc"))
+        res, _, poison = _fold_distributed(
+            parsed, params, merge_fanin, mode="doc", extra_malformed=total - ok, lane_dt=dt
+        )
+        if poison:
+            return _fallback(poison)
+    if res.docs != ok:
+        # Jackson and the variant parser disagreed on some document's
+        # validity — the inferred schema may not cover the Jackson-parsed
+        # corpus. Rare (strict options align them); exactness wins.
+        return _fallback("parser disagreement on malformed boundary")
+    res.docs = ok
+    res.malformed = total - ok
+    res.ingest = "jvm"
+    return res

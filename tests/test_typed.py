@@ -1,0 +1,214 @@
+"""Typed / JVM-parse discovery ingest (operators/typed.py).
+
+Exactness contract: `discover_typed(df, cols)` is defined as
+`discover(df.select(to_json(struct(*cols))))` and `discover_from_json` is
+defined as `discover` — both are checked FIELD-FOR-FIELD via
+_node_fingerprint (every observable SchemaNode field, sketch bytes
+included), on hand-picked adversarial corpora plus randomized ones.
+
+Reference behavior: DiscoverSchema.discoverFromValue over parsed documents
+(/root/reference/src/main/scala/edu/rit/cs/dataunitylab/jsonoid/discovery/
+DiscoverSchema.scala:113-137).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonoid_discovery_spark.operators.discovery import discover
+from jsonoid_discovery_spark.operators.typed import discover_from_json, discover_typed
+
+from test_round3 import _node_fingerprint
+
+
+def _check_from_json(spark, rows, expect_ingest=None):
+    df = spark.createDataFrame([(r,) for r in rows], "j string")
+    got = discover_from_json(df, "j")
+    want = discover(df, "j")
+    assert _node_fingerprint(got.schema) == _node_fingerprint(want.schema)
+    assert (got.docs, got.malformed) == (want.docs, want.malformed)
+    assert got.to_json_schema() == want.to_json_schema()
+    if expect_ingest is not None:
+        assert got.ingest == expect_ingest or got.ingest.startswith(expect_ingest)
+    return got
+
+
+CORPORA = {
+    # name -> (rows, expected ingest prefix)
+    "flat_ints": (['{"k": 87}', '{"k": 0}', '{"k": -3}'], "jvm"),
+    "mixed_int_float": (['{"a":1,"b":"x"}', '{"a":2.5,"c":[1,2,3]}',
+                         '{"a":3,"b":"y","d":{"e":true}}', "not json",
+                         '{"a":4}', None, '{"b":"z","c":[]}'], "jvm"),
+    "explicit_null_top": (['{"a":1,"b":null}', '{"a":2}', '{"b":null}'], "jvm"),
+    "explicit_null_nested": (['{"a":{"x":null}}', '{"a":{"x":1}}'], "python"),
+    "null_in_array": (['{"a":[1,null,2]}', '{"a":[3]}'], "jvm"),
+    "colon_null_in_string": (['{"a":"foo:null bar","b":1}', '{"a":"x","b":2}'], "python"),
+    "conflicting_types": (['{"a":1}', '{"a":"s"}'], "python"),
+    "bigint_beyond_i64": (['{"a":92233720368547758079}', '{"a":1}'], "python"),
+    "top_level_array": (["[1,2,3]", "[4,5]", "[]"], "jvm"),
+    "top_array_mixed_nums": (["[1,2.5]", "[4]"], "jvm"),
+    "tuple_arrays": (['{"t":[1,"a"]}', '{"t":[2,"b"]}'], "python"),
+    "empty_objects": (["{}", '{"a":1}'], "jvm"),
+    "unicode_keys": (['{"k\\u00e9":"caf\\u00e9"}', '{"k\\u00e9":"\\u00fcber"}'], "jvm"),
+    "duplicate_keys": (['{"a":1,"a":2}', '{"a":3}'], "python"),
+    "deep_nesting": (['{"a":{"b":{"c":{"d":[{"e":1.5}]}}}}',
+                      '{"a":{"b":{"c":{"d":[]}}}}'], "jvm"),
+    "bool_with_null": (['{"f":true}', '{"f":false}', '{"f":null}'], "jvm"),
+    "negative_zero": (['{"x":-0.0}', '{"x":0.0}'], "jvm"),
+    "huge_exponents": (['{"x":1e300}', '{"x":-2.5e-10}'], "jvm"),
+    "whitespace_nulls": (['{"a": null}', '{"a":\n null}', '{"a":1}'], "jvm"),
+    "scalar_documents": (["42", '"str"', "true"], "python"),
+    "all_malformed": (["nope", "{", None], "python"),
+    "int_exponent_tokens": (['{"x":1E+2}', '{"x":2e3}'], "jvm"),
+}
+
+
+class TestFromJsonParity:
+    @pytest.mark.parametrize("name", sorted(CORPORA))
+    def test_corpus(self, spark, name):
+        rows, ingest = CORPORA[name]
+        _check_from_json(spark, rows, expect_ingest=ingest)
+
+    def test_events_props(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = discover_from_json(ev, "props")
+        want = discover(ev, "props")
+        assert _node_fingerprint(got.schema) == _node_fingerprint(want.schema)
+        assert got.ingest == "jvm"
+
+    def test_randomized_documents(self, spark):
+        """Random JSON documents from a generator biased toward the traps:
+        int/float mixes at one path, -0.0, explicit nulls, empty containers."""
+        import random
+
+        rng = random.Random(5150)
+        scalars = [0, 1, -7, 2**40, 0.0, -0.0, 2.5, -1e-3, 1e300, True, False,
+                   "", "x", "foo:null", "café", None]
+
+        def value(depth):
+            r = rng.random()
+            if depth >= 3 or r < 0.55:
+                return rng.choice(scalars)
+            if r < 0.8:
+                return [value(depth + 1) for _ in range(rng.randrange(0, 4))]
+            return {f"k{rng.randrange(4)}": value(depth + 1) for _ in range(rng.randrange(0, 4))}
+
+        for trial in range(6):
+            rows = [json.dumps({f"f{rng.randrange(6)}": value(0) for _ in range(rng.randrange(0, 5))})
+                    for _ in range(40)]
+            if trial % 3 == 0:
+                rows += ["not json", None]
+            _check_from_json(spark, rows)
+
+    def test_poison_inside_mixed_double_path(self, spark):
+        """A >int64 integer in a path whose merged type is DOUBLE (so the
+        DDL-level DECIMAL(p>18,0) guard can't see it) must poison the lane
+        fold and fall back to the exact python parse."""
+        rows = ['{"a":1e300}', '{"a":92233720368547758079}', '{"a":2}']
+        got = _check_from_json(spark, rows)
+        assert got.ingest.startswith("python")
+
+
+class TestTypedParity:
+    """discover_typed(df) ≡ discover(to_json(struct(*cols))) — field-for-field."""
+
+    def _check(self, df, cols=None):
+        cols = cols or list(df.columns)
+        got = discover_typed(df, cols)
+        # defined semantics: to_json rendering, EXCEPT non-finite floats
+        # (to_json emits the string "NaN"/"Infinity"; the typed path folds
+        # them as absent/null — documented divergence, asserted separately
+        # in test_nonfinite_divergence). Null them out on the oracle side.
+        ref = df.select(*[
+            F.when(F.isnan(c) | F.col(c).isin(float("inf"), float("-inf")), None)
+            .otherwise(F.col(c)).alias(c)
+            if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+            else F.col(c)
+            for c in cols
+        ])
+        want = discover(ref.select(F.to_json(F.struct(*cols)).alias("j")), "j")
+        assert _node_fingerprint(got.schema) == _node_fingerprint(want.schema)
+        assert got.docs == want.docs
+        assert got.to_json_schema() == want.to_json_schema()
+        assert got.ingest == "typed"
+
+    def test_documents_table(self, spark, docs):
+        self._check(docs)
+
+    def test_lineitem_slice(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(2000)
+        self._check(li)
+
+    def test_embeddings_arrays(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300)
+        self._check(emb)
+
+    def test_nested_struct_array_map(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, {"a": 1, "b": [1.5, None]}, {"k1": 1}, [{"x": "s"}], None),
+                (2, {"a": None, "b": []}, {}, [], 2.5),
+                (3, None, None, None, float("nan")),
+            ],
+            "id bigint, s struct<a:bigint,b:array<double>>, m map<string,bigint>, "
+            "l array<struct<x:string>>, v double",
+        )
+        self._check(df)
+
+    def test_typed_temporal_binary_decimal(self, spark):
+        import datetime
+        from decimal import Decimal
+
+        df = spark.createDataFrame(
+            [
+                (datetime.datetime(2024, 5, 1, 12, 30, 45, 123000),
+                 datetime.date(2024, 5, 1), b"\x00\xff", Decimal("12.34")),
+                (None, None, None, Decimal("-1.00")),
+            ],
+            "ts timestamp, d date, bin binary, dec decimal(10,2)",
+        )
+        # semantics: identical to to_json's rendering of those leaf types
+        self._check(df)
+
+    def test_nonfinite_divergence(self, spark):
+        """Documented divergence: NaN/Inf fold as absent in struct-field
+        context and null in array context — NOT to_json's '"NaN"' string."""
+        df = spark.createDataFrame(
+            [(float("nan"), [1.0, float("inf")]), (1.5, [2.0, None])],
+            "v double, l array<double>",
+        )
+        got = discover_typed(df)
+        v = got.schema.fields["v"]
+        assert v.count == 1 and v.type_counts == {"number": 1}
+        items = got.schema.fields["l"].items
+        assert items.type_counts == {"number": 2, "null": 2}
+
+    def test_reserved_lane_names_rejected(self, spark):
+        df = spark.createDataFrame(
+            [((1, 2.0),)],
+            "s struct<__jds_int_lane__:bigint,__jds_float_lane__:double>",
+        )
+        with pytest.raises(TypeError, match="reserved"):
+            discover_typed(df, ["s"])
+
+    def test_randomized_typed_rows(self, spark):
+        import random
+
+        rng = random.Random(77)
+        rows = []
+        for _ in range(200):
+            rows.append((
+                rng.choice([None, rng.randrange(-5, 5)]),
+                rng.choice([None, rng.random(), -0.0, float("nan")]),
+                rng.choice([None, "a", "bb", ""]),
+                rng.choice([None, [rng.randrange(3) for _ in range(rng.randrange(3))]]),
+                rng.choice([None, (rng.choice([None, rng.randrange(9)]),)]),
+            ))
+        df = spark.createDataFrame(
+            rows, "i bigint, f double, s string, l array<bigint>, st struct<q:bigint>"
+        )
+        self._check(df)
