@@ -210,6 +210,49 @@ def _json_discovery_events(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, jtype string, n long")
 
 
+def _typed_discovery_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct-native discovery over a parquet table (operators/typed.py):
+    no JSON string ever exists; per-field JSON-model type counts. Reference
+    analog: DiscoverSchema over pre-parsed rows (DiscoverSchema.scala:113-137)."""
+    from jsonoid_discovery_spark.operators.typed import discover_typed
+
+    res = discover_typed(_t(spark, sf, "lineitem"))
+    rows = []
+    for field, node in sorted(res.schema.fields.items()):
+        for jtype, n in sorted(node.type_counts.items()):
+            rows.append((field, jtype, int(n)))
+    return spark.createDataFrame(rows, "field string, jtype string, n long")
+
+
+def _typed_discovery_bounds_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric min/max discovered by the typed columnar fold (the
+    Min/MaxValueProperty analog over typed input)."""
+    from jsonoid_discovery_spark.operators.typed import discover_typed
+
+    res = discover_typed(_t(spark, sf, "lineitem"))
+    rows = [
+        (field, round(float(node.min_v), 6), round(float(node.max_v), 6))
+        for field, node in sorted(res.schema.fields.items())
+        if node.min_v is not None
+    ]
+    return spark.createDataFrame(rows, "field string, min_v double, max_v double")
+
+
+def _json_discovery_jvm_events(spark: SparkSession, sf: str) -> DataFrame:
+    """JVM-parse discovery fast path (schema_of_variant_agg + from_json +
+    columnar fold). The literal `ingest` column is oracle-checked against
+    'jvm', so a silent fallback to the python parse FAILS the contract —
+    the fast path's engagement is itself under test."""
+    from jsonoid_discovery_spark.operators.typed import discover_from_json
+
+    res = discover_from_json(_t(spark, sf, "events"), "props")
+    rows = []
+    for key, node in sorted(res.schema.fields.items()):
+        for jtype, n in sorted(node.type_counts.items()):
+            rows.append((key, jtype, int(n), res.ingest))
+    return spark.createDataFrame(rows, "key string, jtype string, n long, ingest string")
+
+
 def _ann_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     from jsonoid_discovery_spark.operators.ann import brute_force_topk
 
@@ -558,6 +601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_presence_events": _field_presence_events,
         "moments_documents": _moments_documents,
         "json_discovery_events": _json_discovery_events,
+        "typed_discovery_lineitem": _typed_discovery_lineitem,
+        "typed_discovery_bounds_lineitem": _typed_discovery_bounds_lineitem,
+        "json_discovery_jvm_events": _json_discovery_jvm_events,
         "ann_topk_embeddings": _ann_topk_embeddings,
         "lang_id_documents": _lang_id_documents,
         "quality_documents": _quality_documents,
@@ -712,6 +758,51 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
                 WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
               count(*) AS n
+            FROM kv GROUP BY 1, 2
+        """,
+        "typed_discovery_lineitem": """
+            SELECT 'l_orderkey' AS field, 'integer' AS jtype, count(l_orderkey) AS n FROM lineitem
+            UNION ALL SELECT 'l_partkey', 'integer', count(l_partkey) FROM lineitem
+            UNION ALL SELECT 'l_suppkey', 'integer', count(l_suppkey) FROM lineitem
+            UNION ALL SELECT 'l_linenumber', 'integer', count(l_linenumber) FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'number', count(l_quantity) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'number', count(l_extendedprice) FROM lineitem
+            UNION ALL SELECT 'l_discount', 'number', count(l_discount) FROM lineitem
+            UNION ALL SELECT 'l_tax', 'number', count(l_tax) FROM lineitem
+            UNION ALL SELECT 'l_returnflag', 'string', count(l_returnflag) FROM lineitem
+            UNION ALL SELECT 'l_linestatus', 'string', count(l_linestatus) FROM lineitem
+            UNION ALL SELECT 'l_shipdate', 'string', count(l_shipdate) FROM lineitem
+        """,
+        "typed_discovery_bounds_lineitem": """
+            SELECT 'l_orderkey' AS field, round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min_v,
+                   round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max_v FROM lineitem
+            UNION ALL SELECT 'l_partkey', round(CAST(min(l_partkey) AS DOUBLE), 6),
+                   round(CAST(max(l_partkey) AS DOUBLE), 6) FROM lineitem
+            UNION ALL SELECT 'l_suppkey', round(CAST(min(l_suppkey) AS DOUBLE), 6),
+                   round(CAST(max(l_suppkey) AS DOUBLE), 6) FROM lineitem
+            UNION ALL SELECT 'l_linenumber', round(CAST(min(l_linenumber) AS DOUBLE), 6),
+                   round(CAST(max(l_linenumber) AS DOUBLE), 6) FROM lineitem
+            UNION ALL SELECT 'l_quantity', round(min(l_quantity), 6),
+                   round(max(l_quantity), 6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', round(min(l_extendedprice), 6),
+                   round(max(l_extendedprice), 6) FROM lineitem
+            UNION ALL SELECT 'l_discount', round(min(l_discount), 6),
+                   round(max(l_discount), 6) FROM lineitem
+            UNION ALL SELECT 'l_tax', round(min(l_tax), 6),
+                   round(max(l_tax), 6) FROM lineitem
+        """,
+        "json_discovery_jvm_events": """
+            WITH kv AS (
+              SELECT unnest(json_keys(props::JSON)) AS key, props::JSON AS j FROM events
+              WHERE props IS NOT NULL
+            )
+            SELECT key,
+              CASE json_type(j, '$.' || key)
+                WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+                WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+                WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+                WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS jtype,
+              count(*) AS n, 'jvm' AS ingest
             FROM kv GROUP BY 1, 2
         """,
         "ann_topk_embeddings": """
