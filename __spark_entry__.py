@@ -1029,10 +1029,10 @@ def _pk_candidates_oracle_sql() -> str:
         stats AS ({' UNION ALL '.join(stat_rows)}),
         scored AS (
           SELECT col, n,
-            affix + 2.0
+            CAST(affix + 2.0
             + (CASE WHEN kind = 'int' THEN 2.0
                     WHEN kind = 'string' THEN 1.0 + (CASE WHEN ml <= 40 THEN 1.0 ELSE 0.0 END)
-                    ELSE 0.5 END) AS score
+                    ELSE 0.5 END) AS DOUBLE) AS score
           FROM stats WHERE n > 0 AND z = 0 AND d = n
         ),
         ranked AS (
