@@ -104,6 +104,17 @@ class EngineParams:
     # Beyond this many groups the engine falls back to the Arrow keyed fold
     # (state stays distributed per group, no driver-side wide-row collect).
     catalyst_max_groups: int = 1024
+    # probe-planned profile engines (profile_fused / plan='probe'): the
+    # column-mode planner reads a bounded head sample — probe_tasks
+    # coalesced scan slices, each consuming at most probe_rows_per_task
+    # rows from its first Arrow batches, with at most probe_hash_cap
+    # distinct value hashes kept per column per task. Cross-partition
+    # heads keep a clustered layout from fully deceiving the sample-
+    # distinct lower bound; a deceived planner degrades performance,
+    # never correctness (all planning rules are safe-direction).
+    probe_tasks: int = 64
+    probe_rows_per_task: int = 8192
+    probe_hash_cap: int = 16384
 
     @property
     def histogram_gamma(self) -> float:

@@ -962,6 +962,14 @@ def profile(
         take the Arrow fold; everything else (including unknown-size
         inputs — unknown means potentially huge) takes catalyst.
       * 'catalyst' — the zero-per-row-Python engine (profile_catalyst).
+      * 'catalyst-probe' — same exact results, but job 2's grouping sets
+        are planned from a bounded head sample so job 1 and the residue
+        stream run as CONCURRENT Spark jobs (global-only; grouped/'min'
+        calls silently take the serial planner).
+      * 'fused' — the single-scan engine (profile_fused): job 1's exact
+        aggregates ride the residue stream's aggregation; one pass over
+        the table. Global + 'all'/'simple' only; other shapes delegate
+        to 'catalyst'.
       * 'arrow' — the mapInArrow per-batch fold; kept for streaming
         partials, high-group-cardinality inputs, and as the cross-engine
         parity oracle."""
@@ -969,10 +977,19 @@ def profile(
     if engine == "auto":
         est = _plan_size_estimate(df)
         engine = "arrow" if est is not None and est < params.catalyst_min_bytes else "catalyst"
-    if engine == "catalyst":
-        return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
+    if engine == "fused":
+        if group_by or metric_set == "min":
+            return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
+        return profile_fused(df, columns, params, with_bloom, metric_set)
+    if engine in ("catalyst", "catalyst-probe"):
+        return profile_catalyst(
+            df, columns, group_by, params, with_bloom, metric_set,
+            plan="probe" if engine == "catalyst-probe" else "exact",
+        )
     if engine != "arrow":
-        raise ValueError(f"unknown profile engine {engine!r} (expected 'auto', 'catalyst' or 'arrow')")
+        raise ValueError(
+            f"unknown profile engine {engine!r} (expected 'auto', 'catalyst', 'catalyst-probe', 'fused' or 'arrow')"
+        )
     return _profile_arrow(df, columns, group_by, params, with_bloom, metric_set)
 
 
@@ -1181,6 +1198,12 @@ class _ColPlan:
     fmt_in_stream: bool = False  # sketch strings with min_len <= 128
     hll_r0: int = 1  # rho filter threshold for sketch-mode HLL rows
     est_rows: int = 4096  # estimated residue-stream rows (sizes the fold fan-in)
+    # probe-planned val strings ship tv unconditionally (the probe's max_len
+    # is a sample, not a bound) and compute the numeric-strings latch from
+    # the 256-char prefixes in-stream; the EXACT max_len (known only after
+    # the scan) then decides at fill time whether the latch/suffix derived
+    # from prefixes is valid (<= 256-char values: prefixes ARE the values)
+    latch_from_stream: bool = False
 
 
 def _build_plans(
@@ -1282,10 +1305,15 @@ def _residue_stream(
     plans: dict[int, _ColPlan],
     with_bloom: bool,
     chunk: list[int],
+    fused: "_FusedMeta | None" = None,
 ) -> DataFrame | None:
     """One Expand-based groupingSets aggregation over the columns in
     ``chunk``, post-projected to the canonical tagged schema
-    DataFrame[g..., cid, tag, k1, k2, k3, x1, sv, tv, dv, cnt].
+    DataFrame[g..., cid, tag, k1, k2, k3, x1, sv, tv, dv, cnt]
+    (+ the fused exact-metric columns when ``fused`` is given — see
+    profile_fused: the single-scan engine rides job 1's exact aggregates
+    on this same aggregation and reads them back on the carrier set's
+    rows).
 
     One grouping set per column (the sampled-examples keys ride the sketch
     set — their non-null keys add ~8x max_examples groups, null keys
@@ -1329,7 +1357,12 @@ def _residue_stream(
                     f"v{i}l": F.length(col).cast("long"),
                 }
                 if plan.need_tv:
-                    cols_[f"v{i}t"] = F.substring(col.cast("binary"), -_SV_LEN, _SV_LEN)
+                    # probe-planned val sets ship 4x tails: a 256-CHAR
+                    # common suffix can span up to 1024 BYTES, and the
+                    # byte-LCS + utf8 decode must equal the str-LCS
+                    # whenever the exact max_len turns out <= 256 chars
+                    tail = _SV_LEN * 4 if plan.latch_from_stream else _SV_LEN
+                    cols_[f"v{i}t"] = F.substring(col.cast("binary"), -tail, tail)
                 add_set(i, _TAG_VALS, cols_)
             else:
                 core: dict = {}
@@ -1367,11 +1400,37 @@ def _residue_stream(
     if not sets:
         return None
 
+    fused_aggs: list = []
+    fused_names: list[str] = []
+    if fused is not None:
+        # pre-project the raw columns the fused aggregates consume (Expand
+        # replicates plain references; derived exprs evaluate at agg-update
+        # time) and record which set is the carrier
+        for i in fused.col_idx:
+            proj.append(quoted_col(columns[i]).alias(f"__f{i}src"))
+        fused_aggs, fused_names = _fused_agg_exprs(fused.col_idx, columns, kinds, metric_set)
+
+        def _carrier_score(cid: int, tag: int) -> int:
+            # fewest expected rows wins: fused metrics are read back on the
+            # carrier's rows, so a small set keeps the fold's extra work
+            # (and the per-group moment inversions) negligible
+            if tag in (_TAG_VALS, _TAG_VALN):
+                return plans[cid].est_rows
+            if tag == _TAG_ARR:
+                return 4096
+            if tag in (_TAG_SKETCHS, _TAG_SKETCHN):
+                return plans[cid].est_rows * 2
+            if tag == _TAG_BLOOMH:
+                return plans[cid].est_rows * 4
+            return 1 << 40  # timestamp distinct-hash stream: row-count bounded
+
+        fused.carrier = min(((cid, tag) for cid, tag, _ in sets), key=lambda ct: _carrier_score(*ct))
+
     sel = df.select(*proj)
     all_gcols = gnames + [n for _, _, ns in sets for n in ns]
     gsets = [[F.col(n) for n in gnames + ns] for _, _, ns in sets]
     agg = sel.groupingSets(gsets, *[F.col(n) for n in all_gcols]).agg(
-        F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid")
+        F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"), *fused_aggs
     )
 
     # expected grouping_id per set: bit j (MSB-first over all_gcols) is set
@@ -1433,6 +1492,9 @@ def _residue_stream(
         pick(srcs["tv"], "binary").alias("tv"),
         pick(srcs["dv"], "double").alias("dv"),
         F.col("cnt"),
+        # fused exact metrics pass through untouched: every group row
+        # carries them, the fold reads them only on carrier-set rows
+        *[F.col(n) for n in fused_names],
     )
 
 
@@ -1474,7 +1536,7 @@ def _lcs_fold(cand, values):
     return cand
 
 
-def _residue_update(st: ColumnState, kind: str, plan: _ColPlan, sub: pd.DataFrame) -> None:
+def _residue_update(st: ColumnState, kind: str, plan: _ColPlan, sub: pd.DataFrame, fused_mode: bool = False) -> None:
     """Fold one (group, column) slice of the tagged residue stream into the
     state. Counts/bounds come from job 1, not here. All updates are
     duplicate-insensitive (sketches from distinct hashes, gcd, latch) or
@@ -1514,6 +1576,14 @@ def _residue_update(st: ColumnState, kind: str, plan: _ColPlan, sub: pd.DataFram
                 st.bloom.update_hashes(h)
             st.hist.update_weighted(ln.astype(np.float64), c)
         st.examples.update_hashed(sv, h)
+        if fused_mode and len(sv):
+            # single-scan engine: job 1's min(prefix)/max(prefix) can't ride
+            # the aggregation (string buffers demote it to SortAggregate),
+            # but the val set carries every distinct 256-char prefix — the
+            # exact same capped min/max falls out of the fold
+            mns, mxs = min(sv), max(sv)
+            st.min_s = mns if st.min_s is None else min(st.min_s, mns)
+            st.max_s = mxs if st.max_s is None else max(st.max_s, mxs)
         _weighted_formats(st, sv, ln, c)
         if st.metric_set == "all" and not st.cat_overflow:
             if len(ln) and int(ln.max()) > _FMT_MAX_LEN:
@@ -1525,7 +1595,7 @@ def _residue_update(st: ColumnState, kind: str, plan: _ColPlan, sub: pd.DataFram
                 if len(st.cat_counts) > st.params.category_max_values:
                     st.cat_overflow = True
                     st.cat_counts = {}
-        if st.all_numeric_strings and not plan.need_tv:
+        if st.all_numeric_strings and (plan.latch_from_stream or not plan.need_tv):
             head = pd.to_numeric(pd.Series(sv[:32]), errors="coerce")
             if head.isna().any():
                 st.all_numeric_strings = False
@@ -1573,7 +1643,18 @@ def _residue_update(st: ColumnState, kind: str, plan: _ColPlan, sub: pd.DataFram
         if ok.any():
             # exact int64 access (a float64 round trip would corrupt hash bits)
             h = x1s[ok].to_numpy(dtype=np.int64).astype(np.uint64)
-            st.examples.update_hashed(sub["sv"][m].to_numpy(dtype=object)[ok], h)
+            svs = sub["sv"][m].to_numpy(dtype=object)[ok]
+            st.examples.update_hashed(svs, h)
+            if fused_mode:
+                # sampled 256-char prefixes: their LCP extends the TRUE
+                # common prefix (any subset's LCP does), so min/max over
+                # them is a valid CANDIDATE for the startswith ladder
+                # (_followup_prefix) that closes it to the exact prefix
+                pres = [v for v in svs if v is not None]
+                if pres:
+                    mns, mxs = min(pres), max(pres)
+                    st.min_s = mns if st.min_s is None else min(st.min_s, mns)
+                    st.max_s = mxs if st.max_s is None else max(st.max_s, mxs)
             tv = [v for v in sub["tv"][m].to_numpy(dtype=object)[ok] if v is not None]
             if tv:
                 st.suffix = _lcs_fold(st.suffix, tv)
@@ -1647,12 +1728,14 @@ def _residue_update(st: ColumnState, kind: str, plan: _ColPlan, sub: pd.DataFram
         st.hist.update_weighted(sub["k1"][m].to_numpy(dtype=np.float64), cnt[m])
 
 
-def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, plans):
+def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, plans, fused=None):
     """mapInArrow function over the tagged residue stream: accumulates one
     residue ColumnState per (group, column) across the task's batches and
     emits the pickled partials (PARTIAL_SCHEMA rows) at the end — the Python
     boundary is crossed once per shuffle partition over pre-aggregated
-    rows, never per scan batch."""
+    rows, never per scan batch. With ``fused`` (single-scan engine), rows of
+    the carrier set additionally deliver the job-1-equivalent exact metrics
+    into every fused column's state."""
     n_g = len(group_by)
     gcols = [f"__g{i}" for i in range(n_g)]
 
@@ -1664,6 +1747,13 @@ def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, 
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             pdf = tbl.to_pandas(types_mapper=_int_map)
+            if fused is not None and fused.carrier is not None:
+                ccid, ctag = fused.carrier
+                cmask = (pdf["cid"] == ccid) & (pdf["tag"] == ctag)
+                if cmask.any():
+                    _fused_update(
+                        acc, pdf[cmask], fused, columns, kinds, params, with_bloom, metric_set
+                    )
             if n_g:
                 # groupby only PARTITIONS the rows; key values are read back
                 # from the arrow arrays (exact python ints / None /
@@ -1691,7 +1781,7 @@ def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, 
                     st = ColumnState(columns[cid], kinds[cid], params, with_bloom=with_bloom, metric_set=metric_set)
                     st.hash_space = "xxhash64"
                     acc[(gjson, cid)] = st
-                _residue_update(st, kinds[cid], plans[cid], pdf.iloc[np.asarray(idx)])
+                _residue_update(st, kinds[cid], plans[cid], pdf.iloc[np.asarray(idx)], fused_mode=fused is not None)
         if acc:
             out_g, out_c, out_s = [], [], []
             for (gjson, cid), st in acc.items():
@@ -1769,9 +1859,12 @@ def _fill_from_agg(
             # try_cast aggregate when the sample is fully numeric, else False
             st.all_numeric_strings = False
             st.num_min = st.num_max = st.num_gcd = None
-        elif plan.need_tv:
+        elif st.max_len is not None and st.max_len > _SV_LEN:
             # >256-char values: the latch can't be decided from prefixes
-            # (documented divergence: >256-char numeric strings)
+            # (documented divergence: >256-char numeric strings). Keyed on
+            # the EXACT max_len, not plan.need_tv: probe plans ship tv
+            # defensively even when every value turns out short, and then
+            # the prefix-derived latch is valid.
             st.all_numeric_strings = False
             st.num_min = st.num_max = st.num_gcd = None
         if st.metric_set == "all":
@@ -2014,6 +2107,87 @@ def _followup_suffix(
         st.suffix = _utf8_suffix(cand[len(cand) - lo :] if lo else b"")
 
 
+def _followup_prefix(
+    df: DataFrame,
+    group_by: list[str],
+    columns: list[str],
+    kinds: list[str],
+    plans: dict[int, _ColPlan],
+    states: dict[tuple, dict[str, ColumnState]],
+) -> None:
+    """The fused engine's prefix analog of _followup_suffix: sketch-mode
+    string columns have no job-1 min(prefix)/max(prefix) (string aggregation
+    buffers would demote the fused aggregation to SortAggregate), so the
+    common prefix is resolved from the sampled candidate — the LCP of any
+    SUBSET of values extends the true LCP, so a startswith ladder over
+    candidate prefix lengths converges to the exact common prefix (char-
+    level, same monotone-threshold bisection as the suffix ladder). The
+    verified prefix is stored as min_s = max_s = prefix: common_prefix()
+    reads LCP(min_s, max_s), and a later cross-state merge stays correct
+    because adding a set's own LCP to the set never changes its LCP."""
+    tasks = []
+    for g, cols in states.items():
+        for i, c in enumerate(columns):
+            st = cols.get(c)
+            if st is None or kinds[i] != "string" or plans[i].mode != "sketch" or not st.count:
+                continue
+            if st.min_s is None or st.max_s is None:
+                continue
+            cand = _lcp(st.min_s, st.max_s)
+            if not cand:
+                st.min_s = st.max_s = ""
+                continue
+            tasks.append((g, i, c, st, cand))
+    if not tasks:
+        return
+
+    def probe_exprs(tag: str, lens_by_task: list[list[int]]):
+        exprs = []
+        for j, ((g, i, c, st, cand), lens) in enumerate(zip(tasks, lens_by_task)):
+            gm = _group_match(group_by, g)
+            col = quoted_col(c)
+            for L in lens:
+                ok = F.startswith(col, F.lit(cand[:L]))
+                exprs.append(F.min(F.when(gm, ok.cast("int"))).alias(f"{tag}{j}_{L}"))
+        return exprs
+
+    ladders = []
+    for _, _, _, _, cand in tasks:
+        lens, cur = [], len(cand)
+        while cur >= 1:
+            lens.append(cur)
+            cur //= 2
+        ladders.append(lens)
+    row = df.agg(*probe_exprs("p", ladders)).collect()[0]
+    brackets = []
+    for j, ((g, i, c, st, cand), lens) in enumerate(zip(tasks, ladders)):
+        lo = 0
+        for L in sorted(lens):
+            if row[f"p{j}_{L}"] == 1:
+                lo = L
+            else:
+                break
+        hi = min([x for x in lens if x > lo], default=lo)
+        brackets.append((lo, hi))
+    while True:
+        probes = [[(lo + hi + 1) // 2] if hi > lo + 1 else [] for (lo, hi) in brackets]
+        if not any(probes):
+            break
+        rowq = df.agg(*probe_exprs("q", probes)).collect()[0]
+        nxt = []
+        for j, ((lo, hi), ps) in enumerate(zip(brackets, probes)):
+            if ps:
+                mid = ps[0]
+                if rowq[f"q{j}_{mid}"] == 1:
+                    lo = mid
+                else:
+                    hi = mid
+            nxt.append((lo, hi))
+        brackets = nxt
+    for j, ((g, i, c, st, cand), (lo, hi)) in enumerate(zip(tasks, brackets)):
+        st.min_s = st.max_s = cand[:lo] if lo else ""
+
+
 def _residue_fanin(plans: dict[int, _ColPlan], chunk: list[int], total_rows: int, parallelism: int) -> int:
     """Fold width for one residue chunk: ~64K pre-aggregated rows per task
     (the fold is vectorized, so tasks stay sub-second), floor 8, capped at
@@ -2025,45 +2199,449 @@ def _residue_fanin(plans: dict[int, _ColPlan], chunk: list[int], total_rows: int
     return max(1, min(max(8, math.ceil(est_stream / 65_536)), parallelism))
 
 
-def profile_catalyst(
+# ---------------------------------------------------------------------------
+# Probe-planned engines (round 5): sample-based column-mode planning.
+#
+# The two-job catalyst engine spends one FULL scan (job 1) computing exact
+# metrics whose only *scheduling* role is planning job 2's grouping sets
+# (approx distinct -> val vs sketch mode, rho filter, example thresholds).
+# A bounded head-sample probe can play that planning role instead, which
+# unlocks two execution shapes:
+#
+#   * plan='probe' on profile_catalyst — job 1 and the residue stream run as
+#     CONCURRENT Spark jobs (job 1's exact metrics are still used verbatim
+#     at fill time), halving the profile phase's wall-clock on a multi-core
+#     cluster at the cost of zero exactness.
+#   * profile_fused — job 1's aggregates RIDE the residue stream's
+#     groupingSets aggregation as extra aggregate functions and are read
+#     back on one small carrier set's rows: ONE scan total. At 100 TB this
+#     halves the IO, not just the latency. (Measured at 8M rows, local[8]:
+#     two-scan 20.1s -> fused 9.7s; the n_sets-redundant aggregate-buffer
+#     updates Spark performs for rows of other grouping sets cost +0.6s.)
+#
+# Every probe-derived planning rule errs in a direction that degrades
+# PERFORMANCE, never correctness:
+#   * mode: val iff sample-distinct <= _VAL_ACD_MAX. sample-distinct <= true
+#     distinct, so every column the exact planner would run in val mode is
+#     val here too (categories/enum parity by construction); a deceived
+#     sample (clustered layout) picks val for a high-cardinality column,
+#     which is exact but shuffles more.
+#   * HLL rho filter r0 from the sample-distinct LOWER bound: a smaller r0
+#     admits a superset of register rows and the fold's max-per-bucket is
+#     unchanged — registers stay byte-identical, only stream rows grow.
+#   * example threshold ex_t2 from max(sample-distinct, extrapolated/32):
+#     a larger threshold keeps a SUPERSET of hash-ranked candidates and the
+#     fold's top-K is selection-stable under supersets.
+#   * val strings always ship 4x byte tails (the byte-LCS + utf8 decode of
+#     full-value tails equals the str-LCS) and compute the numeric-strings
+#     latch in-stream; the EXACT max_len decides at fill time whether the
+#     prefix-derived latch stands (_fill_from_agg keys the kill switch on
+#     max_len, not plan.need_tv).
+#   * bloom exact-vs-saturate is the one genuinely two-sided call (it needs
+#     an UPPER bound); it is planned from a byte-ratio extrapolation and
+#     REPAIRED post-scan when the truth (exact acd in probe mode, the
+#     state's own HLL estimate in fused mode) says a saturated filter
+#     should have been exact — one column-pruned distinct-hash scan per
+#     repaired column, rare by construction.
+# ---------------------------------------------------------------------------
+
+_PROBE_EX_MARGIN = 32  # ex_t2 oversample slack vs the extrapolated distinct
+_PROBE_UNKNOWN_EXTRAP = 1024.0  # unknown input size: assume huge (repairable)
+_PROBE_SCHEMA = "cid long, nrows long, nbytes long, nnull long, minl long, maxl long, capped boolean, hashes binary"
+
+
+@dataclass
+class _FusedMeta:
+    """Bookkeeping for the single-scan fused engine: which columns' exact
+    metrics ride this chunk's aggregation, and which (cid, tag) set is the
+    carrier whose rows the fold reads them back from."""
+
+    col_idx: list[int]
+    carrier: tuple[int, int] | None = None
+
+
+def _fused_agg_exprs(col_idx: list[int], columns: list[str], kinds: list[str], metric_set: str):
+    """Job-1's exact aggregates (mirrors _exact_agg_exprs minus the planner-
+    only approx_count_distinct), expressed over the pre-projected raw
+    columns so they can ride the residue stream's groupingSets aggregation.
+    Computed per expanded-agg group; exact global values are recovered by
+    folding them over any ONE set's rows (each set partitions the input)."""
+    aggs: list = []
+    names: list[str] = []
+
+    def add(e, n: str) -> None:
+        aggs.append(e.alias(n))
+        names.append(n)
+
+    for i in col_idx:
+        kind = kinds[i]
+        src = F.col(f"__f{i}src")
+        p = f"f{i}"
+        add(F.count(src), p + "n")
+        if kind == "string" and metric_set != "min":
+            # NO string min/max here: a StringType aggregation buffer is not
+            # hash-aggregable and would demote the WHOLE groupingSets
+            # aggregation to SortAggregate — a sort of the full Expand
+            # output (rows x sets x row width), measured catastrophic.
+            # min_s/max_s are recovered instead from the stream's value
+            # prefixes (val mode, exact) or a sampled-candidate LCP +
+            # startswith ladder (_followup_prefix, sketch mode, exact).
+            add(F.min(F.length(src)), p + "minl")
+            add(F.max(F.length(src)), p + "maxl")
+        elif kind in ("int", "float") and metric_set != "min":
+            add(F.min(src), p + "minv")
+            add(F.max(src), p + "maxv")
+            if metric_set == "all":
+                add(F.sum(src.cast("double")), p + "sum")
+                add(F.avg(src), p + "mean")
+                add(F.stddev_samp(src), p + "sd")
+                add(F.skewness(src), p + "sk")
+                add(F.kurtosis(src), p + "ku")
+        elif kind == "bool":
+            add(F.sum(src.cast("long")), p + "tc")
+        elif kind == "timestamp":
+            add(F.min(src), p + "minv")
+            add(F.max(src), p + "maxv")
+        elif kind == "array":
+            # uniqueItems ignores null elements (Arrow-fold parity — same
+            # expression as _exact_agg_exprs)
+            nn = F.filter(src, lambda x: x.isNotNull())
+            add(F.min(F.size(src)), p + "mini")
+            add(F.max(F.size(src)), p + "maxi")
+            add(F.min((F.size(F.array_distinct(nn)) == F.size(nn)).cast("int")), p + "uniq")
+    return aggs, names
+
+
+def _canon_ts(v):
+    """Arrow-side timestamps arrive tz-aware UTC; Spark collect yields naive
+    session-tz — canonicalize to the collect form (same rule as _jsonable)."""
+    ts = pd.Timestamp(v)
+    if ts.tzinfo is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts
+
+
+def _fused_update(
+    acc: dict,
+    pdf: pd.DataFrame,
+    fused: "_FusedMeta",
+    columns: list[str],
+    kinds: list[str],
+    params: EngineParams,
+    with_bloom: bool,
+    metric_set: str,
+) -> None:
+    """Fold the carrier rows' fused exact metrics into the per-column
+    states. The carrier set's groups partition the input rows, so summing
+    counts / min-maxing bounds / Chan-merging the per-group moments over
+    its rows reproduces job 1's plain-aggregate values exactly."""
+    if not len(pdf):
+        return
+    gjson = "[]"  # fused v1 is global-only (asserted in profile_fused)
+    total = int(pdf["cnt"].sum())
+    for i in fused.col_idx:
+        kind = kinds[i]
+        st = acc.get((gjson, i))
+        if st is None:
+            st = ColumnState(columns[i], kind, params, with_bloom=with_bloom, metric_set=metric_set)
+            st.hash_space = "xxhash64"
+            acc[(gjson, i)] = st
+        p = f"f{i}"
+        ns = pdf[p + "n"].to_numpy(dtype=np.int64)
+        n = int(ns.sum())
+        st.count += n
+        st.nulls += total - n
+        if n == 0:
+            continue
+        live = pdf[ns > 0]
+        if kind == "string" and metric_set != "min":
+            st.min_len = _imin(st.min_len, int(live[p + "minl"].min()))
+            st.max_len = _imax(st.max_len, int(live[p + "maxl"].max()))
+            # min_s/max_s come from the stream's sv values (see
+            # _residue_update's fused_mode branches), not fused aggregates
+        elif kind in ("int", "float") and metric_set != "min":
+            conv = int if kind == "int" else float
+            st.min_v = _imin(st.min_v, conv(live[p + "minv"].min()))
+            st.max_v = _imax(st.max_v, conv(live[p + "maxv"].max()))
+            if metric_set == "all":
+                for gi, mean, sd, sk, ku, tot in zip(
+                    live[p + "n"], live[p + "mean"], live[p + "sd"], live[p + "sk"], live[p + "ku"], live[p + "sum"]
+                ):
+                    st.moments = st.moments.merge(_moments_from_agg(int(gi), mean, sd, sk, ku, tot))
+        elif kind == "bool":
+            st.true_count += int(live[p + "tc"].sum())
+        elif kind == "timestamp":
+            mn = _canon_ts(live[p + "minv"].min())
+            mx = _canon_ts(live[p + "maxv"].max())
+            st.min_v = mn if st.min_v is None else min(st.min_v, mn)
+            st.max_v = mx if st.max_v is None else max(st.max_v, mx)
+        elif kind == "array":
+            st.min_items = _imin(st.min_items, int(live[p + "mini"].min()))
+            st.max_items = _imax(st.max_items, int(live[p + "maxi"].max()))
+            st.all_unique = st.all_unique and int(live[p + "uniq"].min()) == 1
+
+
+def _fused_finalize(st: ColumnState, plan: _ColPlan, with_bloom: bool, metric_set: str) -> None:
+    """The plan-branch tail of _fill_from_agg for fold-filled fused states:
+    suffix decode, latch validity by EXACT max_len, sketch-mode category
+    overflow and bloom saturation. ``metric_set`` is passed explicitly —
+    partial merges reset st.metric_set to the default."""
+    if st.kind == "string" and metric_set != "min":
+        if not st.count:
+            st.suffix = _utf8_suffix(st.suffix) if st.suffix is not None else None
+            return
+        if plan.mode != "sketch" and st.suffix is not None:
+            st.suffix = _utf8_suffix(st.suffix)
+        if plan.mode == "sketch" or (st.max_len is not None and st.max_len > _SV_LEN):
+            st.all_numeric_strings = False
+            st.num_min = st.num_max = st.num_gcd = None
+        if metric_set == "all":
+            if plan.mode == "sketch":
+                st.cat_overflow = True
+                st.cat_counts = {}
+            if with_bloom and st.with_bloom and plan.mode == "sketch" and not plan.bloom_exact:
+                st.bloom.bits[:] = 0xFF
+    elif st.kind in ("int", "float") and metric_set != "min":
+        if (
+            plan.mode == "sketch"
+            and with_bloom
+            and st.with_bloom
+            and metric_set == "all"
+            and not plan.bloom_exact
+        ):
+            st.bloom.bits[:] = 0xFF
+
+
+def _sample_probe(df: DataFrame, columns: list[str], kinds: list[str], params: EngineParams) -> dict:
+    """Bounded head-sample column statistics for the probe planner.
+
+    One coalesced scan slice per probe task; each task consumes Arrow
+    batches until probe_rows_per_task rows and emits per-column rows:
+    non-null count, string length bounds, and up to probe_hash_cap distinct
+    value hashes. The driver unions the hash sets into a sample-distinct
+    LOWER bound (distinct of a subset never exceeds distinct of the whole)
+    and derives a byte-ratio extrapolation factor for the upper-ish calls
+    (bloom gating, stream-size estimates)."""
+    import pyarrow.compute as pc
+
+    idxs = [i for i, k in enumerate(kinds) if k in ("string", "int", "float")]
+    out: dict = {"rows": 0, "bytes": 0, "extrap": 1.0, "cols": {}}
+    if not idxs:
+        return out
+    # a few task waves at most: the probe's floor is worker round trips,
+    # not rows (each task reads one head batch of its first scan split)
+    tasks = min(params.probe_tasks, 4 * df.sparkSession.sparkContext.defaultParallelism)
+    sel = df.select(*[quoted_col(columns[i]).alias(f"c{i}") for i in idxs]).coalesce(tasks)
+    rows_cap = params.probe_rows_per_task
+    hash_cap = params.probe_hash_cap
+    col_kinds = {i: kinds[i] for i in idxs}
+    col_ids = list(idxs)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        seen = 0
+        nbytes = 0
+        stats = {i: {"nn": 0, "minl": None, "maxl": None, "hs": [], "nh": 0, "capped": False} for i in col_ids}
+        for b in batches:
+            if b.num_rows > rows_cap - seen:
+                b = b.slice(0, rows_cap - seen)
+            nbytes += b.nbytes
+            for j, i in enumerate(col_ids):
+                v = b.column(j).drop_null()
+                s = stats[i]
+                s["nn"] += len(v)
+                if not len(v):
+                    continue
+                if col_kinds[i] == "string":
+                    ln = pc.utf8_length(v)
+                    mm = pc.min_max(ln)
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                    s["minl"] = mn if s["minl"] is None else min(s["minl"], mn)
+                    s["maxl"] = mx if s["maxl"] is None else max(s["maxl"], mx)
+                if not s["capped"]:
+                    if col_kinds[i] == "string" and (mx or 0) > 128:
+                        # long strings: hash the (length, head-64, tail-64)
+                        # triple instead of full values — a distinctness
+                        # PROXY that can only UNDERcount (collisions merge
+                        # values), which is the planner's safe direction,
+                        # at a fraction of the hashing bytes
+                        proxy = pd.DataFrame(
+                            {
+                                "l": ln.to_numpy(zero_copy_only=False),
+                                "a": pc.utf8_slice_codeunits(v, 0, 64).to_pandas(),
+                                "b": pc.utf8_slice_codeunits(v, -64).to_pandas(),
+                            }
+                        )
+                        h = np.unique(pd.util.hash_pandas_object(proxy, index=False).to_numpy(dtype=np.uint64))
+                    else:
+                        h = np.unique(
+                            pd.util.hash_pandas_object(v.to_pandas(), index=False).to_numpy(dtype=np.uint64)
+                        )
+                    s["hs"].append(h)
+                    s["nh"] += len(h)
+                    if s["nh"] >= hash_cap:
+                        s["capped"] = True
+            seen += b.num_rows
+            if seen >= rows_cap:
+                break
+        if not seen:
+            return
+        rows = {k: [] for k in ("cid", "nrows", "nbytes", "nnull", "minl", "maxl", "capped", "hashes")}
+        for i in col_ids:
+            s = stats[i]
+            rows["cid"].append(i)
+            rows["nrows"].append(seen)
+            rows["nbytes"].append(nbytes)
+            rows["nnull"].append(seen - s["nn"])
+            rows["minl"].append(s["minl"])
+            rows["maxl"].append(s["maxl"])
+            rows["capped"].append(s["capped"])
+            hs = np.unique(np.concatenate(s["hs"])) if s["hs"] else np.empty(0, dtype=np.uint64)
+            rows["hashes"].append(hs[: hash_cap].tobytes())
+        yield pa.RecordBatch.from_pydict(
+            {
+                "cid": pa.array(rows["cid"], pa.int64()),
+                "nrows": pa.array(rows["nrows"], pa.int64()),
+                "nbytes": pa.array(rows["nbytes"], pa.int64()),
+                "nnull": pa.array(rows["nnull"], pa.int64()),
+                "minl": pa.array(rows["minl"], pa.int64()),
+                "maxl": pa.array(rows["maxl"], pa.int64()),
+                "capped": pa.array(rows["capped"], pa.bool_()),
+                "hashes": pa.array(rows["hashes"], pa.binary()),
+            }
+        )
+
+    probe_rows = sel.mapInArrow(gen, _PROBE_SCHEMA).collect()
+    by_cid: dict[int, list] = {}
+    for r in probe_rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    first = by_cid.get(col_ids[0], [])
+    out["rows"] = sum(r["nrows"] for r in first)
+    out["bytes"] = sum(r["nbytes"] for r in first)
+    est = _plan_size_estimate(df)
+    if est is not None and out["bytes"]:
+        out["extrap"] = max(1.0, est / out["bytes"])
+    elif est is None:
+        out["extrap"] = _PROBE_UNKNOWN_EXTRAP
+    for i in col_ids:
+        rs = by_cid.get(i, [])
+        if not rs:
+            out["cols"][i] = {"d": 0, "capped": False, "minl": None, "maxl": None, "nn": 0}
+            continue
+        hs = [np.frombuffer(r["hashes"], dtype=np.uint64) for r in rs]
+        d = int(len(np.unique(np.concatenate(hs)))) if hs else 0
+        out["cols"][i] = {
+            "d": d,
+            "capped": any(r["capped"] for r in rs),
+            "minl": min((r["minl"] for r in rs if r["minl"] is not None), default=None),
+            "maxl": max((r["maxl"] for r in rs if r["maxl"] is not None), default=None),
+            "nn": sum(r["nnull"] for r in rs),
+        }
+    return out
+
+
+def _build_plans_from_probe(
+    probe: dict,
+    columns: list[str],
+    kinds: list[str],
+    metric_set: str,
+    params: EngineParams,
+    with_bloom: bool,
+) -> dict[int, _ColPlan]:
+    """Probe-based analog of _build_plans. See the section comment for the
+    safe-direction argument per rule."""
+    plans: dict[int, _ColPlan] = {}
+    extrap = probe.get("extrap", _PROBE_UNKNOWN_EXTRAP)
+    for i, kind in enumerate(kinds):
+        if kind == "bool" or kind == "other":
+            plans[i] = _ColPlan(i, kind, "none")
+            continue
+        if kind == "timestamp":
+            plans[i] = _ColPlan(i, kind, "ts")
+            continue
+        if kind == "array":
+            plans[i] = _ColPlan(i, kind, "arr")
+            continue
+        if metric_set == "min":
+            plans[i] = _ColPlan(i, kind, "none")
+            continue
+        info = probe["cols"].get(i) or {"d": 0, "capped": False, "minl": None, "maxl": None}
+        d_s = int(info["d"])
+        # capped hash sets undercount the sample too — stay a lower bound,
+        # but extrapolate from the cap instead of the (meaningless) set size
+        d_hat = max(d_s, int(d_s * extrap))
+        if d_s <= _VAL_ACD_MAX and not info["capped"]:
+            plan = _ColPlan(i, kind, "val")
+            plan.est_rows = max(int(min(d_hat, 1 << 31)), 1)
+            if kind == "string":
+                plan.need_tv = True
+                plan.latch_from_stream = True
+        else:
+            plan = _ColPlan(i, kind, "sketch")
+            plan.bloom_exact = d_hat <= _BLOOM_EXACT_MAX
+            plan.est_rows = (int(min(d_hat, 4 * _BLOOM_EXACT_MAX)) if plan.bloom_exact else 0) + 33 * (
+                1 << params.hll_lg_k
+            ) + 4096
+            c_keep = _EX_OVERSAMPLE * max(params.max_examples, 32)
+            d_eff = max(d_s, d_hat // _PROBE_EX_MARGIN)
+            if d_eff * 0.8 > c_keep:
+                plan.ex_t2 = int(2**63 * c_keep / (d_eff * 0.8))
+            m = 1 << params.hll_lg_k
+            plan.hll_r0 = max(1, math.ceil(math.log2(max(d_s, 2) / m)) - 4)
+            if kind == "string":
+                plan.fmt_in_stream = True  # per-value length guard inside the expr
+                plan.need_tv = True
+        plans[i] = plan
+    return plans
+
+
+def _bloom_rebuild(df: DataFrame, fixes: list[tuple[str, ColumnState]]) -> None:
+    """Post-scan repair: a probe-planned column was saturated but the truth
+    (exact acd / HLL estimate) says its distinct count fits the exact-bloom
+    gate — rebuild the filter from one column-pruned distinct-hash scan.
+    Rare by construction; bounded by _BLOOM_EXACT_MAX distinct hashes."""
+    for c, st in fixes:
+        col = quoted_col(c)
+        # hash exactly what the residue stream hashes (numerics are cast
+        # before xxhash64 — an int32 hashes differently from its long form)
+        hashed = col if st.kind == "string" else col.cast("long" if st.kind == "int" else "double")
+        hs = df.select(F.xxhash64(hashed).alias("h")).where(col.isNotNull()).distinct()
+        nb, nh = st.bloom.num_bits, st.bloom.num_hashes
+
+        def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            b = BloomSketch(num_bits=nb, num_hashes=nh)
+            any_rows = False
+            for batch in batches:
+                h = batch.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+                if len(h):
+                    any_rows = True
+                    b.update_hashes(h)
+            if any_rows:
+                yield pa.RecordBatch.from_pydict({"bits": pa.array([b.bits.tobytes()], pa.binary())})
+
+        st.bloom.bits[:] = 0
+        for row in hs.mapInArrow(gen, "bits binary").collect():
+            st.bloom.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+
+
+def _run_residue(
     df: DataFrame,
-    columns: list[str] | None = None,
-    group_by: list[str] | None = None,
-    params: EngineParams = DEFAULT_PARAMS,
-    with_bloom: bool = True,
-    metric_set: str = "all",
-) -> ProfileResult:
-    """Full profile with zero per-row Python: one pure-Catalyst exact
-    aggregate + one Expand-based sketch-stream aggregation (+ rare
-    sample-triggered verification aggregates) — see the engine notes above.
-    Produces the same ColumnState monoid as the Arrow fold; low-cardinality
-    string sketch state is byte-identical across engines (both hash with
-    JVM xxhash64)."""
-    group_by = list(group_by or [])
-    kinds_map = dict(df.dtypes)
-    if columns is None:
-        columns = [c for c, t in df.dtypes if c not in group_by and _kind_of(t) != "other"]
-    kinds = [_kind_of(kinds_map[c]) for c in columns]
-    name_map = {g: f"__g{i}" for i, g in enumerate(group_by)}
-
-    exprs = _exact_agg_exprs(columns, kinds, metric_set, params)
-    if group_by:
-        # wide-row collect + per-group follow-up expression lists are only
-        # sane for a bounded group count: cap the collect (limit keeps the
-        # driver safe even when the agg output is huge) and fall back to
-        # the Arrow keyed fold beyond the cap — state stays distributed
-        # per group there, so high-cardinality group_by degrades to one
-        # extra (wasted) aggregate, never a driver OOM.
-        cap = params.catalyst_max_groups
-        agg_df = df.groupBy(*[quoted_col(g).alias(name_map[g]) for g in group_by]).agg(*exprs)
-        agg_rows = agg_df.limit(cap + 1).collect()
-        if len(agg_rows) > cap:
-            return _profile_arrow(df, columns, group_by, params, with_bloom, metric_set)
-    else:
-        agg_rows = df.agg(*exprs).collect()
-
-    plans = _build_plans(agg_rows, columns, kinds, metric_set, params, with_bloom)
-
+    columns: list[str],
+    kinds: list[str],
+    group_by: list[str],
+    params: EngineParams,
+    metric_set: str,
+    name_map: dict[str, str],
+    plans: dict[int, _ColPlan],
+    with_bloom: bool,
+    total_rows: int,
+    n_groups: int,
+    fused_cols: list[int] | None = None,
+) -> dict[tuple[str, str], ColumnState]:
+    """Chunk the columns, run each chunk's residue stream and fold, and
+    merge the partials into per-(group-json, column) states. When
+    ``fused_cols`` is given, each chunk's stream also carries the fused
+    exact aggregates for its columns (plus, on the first chunk, the
+    columns that have no grouping set of their own)."""
     # column chunks bounded by the 64-bit grouping_id bitmap
     weights = {"val": 4, "sketch": 7, "ts": 1, "arr": 1, "none": 0}
     chunks: list[list[int]] = [[]]
@@ -2078,17 +2656,25 @@ def profile_catalyst(
         chunks[-1].append(i)
         used += w
 
-    total_rows = sum(int(r["__total"] or 0) for r in agg_rows)
+    setless = [i for i in range(len(columns)) if plans[i].mode == "none"] if fused_cols is not None else []
     residue: dict[tuple[str, str], ColumnState] = {}
+    first = True
     for chunk in chunks:
         if not chunk:
             continue
+        fused = None
+        if fused_cols is not None:
+            idx = [i for i in chunk if i in fused_cols]
+            if first:
+                idx += [i for i in setless if i in fused_cols]
+            fused = _FusedMeta(col_idx=idx)
+        first = False
         stream = _residue_stream(
-            df, columns, kinds, group_by, params, metric_set, name_map, plans, with_bloom, chunk
+            df, columns, kinds, group_by, params, metric_set, name_map, plans, with_bloom, chunk, fused
         )
         if stream is None:
             continue
-        gen = _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, plans)
+        gen = _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, plans, fused)
         # fan-in sized to the PLANNED stream: ~64K pre-aggregated rows per
         # task (the fold is vectorized, so tasks stay sub-second), floor 8,
         # capped at the cluster's parallelism. A fixed coalesce(8) would
@@ -2099,7 +2685,7 @@ def profile_catalyst(
         # it is bounded by the group's row count.
         width = _residue_fanin(plans, chunk, total_rows, df.sparkSession.sparkContext.defaultParallelism)
         folded = stream.coalesce(width).mapInArrow(gen, PARTIAL_SCHEMA)
-        if len(agg_rows) * len(chunk) * width <= 16_000:
+        if n_groups * len(chunk) * width <= 16_000:
             # few (group, column) states: skip the distributed merge stage
             # (a full extra shuffle of Bloom-sized partials) and fold the
             # width-per-state partials on the driver
@@ -2111,6 +2697,161 @@ def profile_catalyst(
             merged = folded.groupBy("g", "column").applyInPandas(_merge_partials, PARTIAL_SCHEMA).collect()
             for mrow in merged:
                 residue[(mrow["g"], mrow["column"])] = pickle.loads(mrow["state"])
+    return residue
+
+
+def profile_fused(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    params: EngineParams = DEFAULT_PARAMS,
+    with_bloom: bool = True,
+    metric_set: str = "all",
+) -> ProfileResult:
+    """Single-scan profile: probe-planned grouping sets with job 1's exact
+    aggregates riding the same aggregation (see the section comment). The
+    fold fills the states completely — counts/nulls/bounds/moments come
+    from the carrier set's fused columns, everything else from the residue
+    rows — so no driver-side wide-row fill pass exists. Global (ungrouped)
+    and metric_set='all'/'simple' only; other shapes take profile_catalyst.
+
+    100 TB story: ONE pass over the table (vs the two-job engine's two),
+    with the same bounded shuffle (sketch key spaces + low-card values +
+    one small carrier overlay). Reference parity anchor: the same
+    single-pass monoid fold as discovery/DiscoverSchema.scala:94-103."""
+    kinds_map = dict(df.dtypes)
+    if columns is None:
+        columns = [c for c, t in df.dtypes if _kind_of(t) != "other"]
+    kinds = [_kind_of(kinds_map[c]) for c in columns]
+
+    probe = _sample_probe(df, columns, kinds, params)
+    plans = _build_plans_from_probe(probe, columns, kinds, metric_set, params, with_bloom)
+    if not columns or all(plans[i].mode == "none" for i in range(len(columns))):
+        # no grouping set to carry the fused metrics (e.g. an all-bool
+        # table): the two-job engine degenerates to ONE plain aggregate
+        # there anyway — same scan count, no fused machinery needed
+        return profile_catalyst(df, columns, [], params, with_bloom, metric_set)
+    total_est = max(int(probe["rows"] * probe["extrap"]), 1)
+
+    residue = _run_residue(
+        df,
+        columns,
+        kinds,
+        [],
+        params,
+        metric_set,
+        {},
+        plans,
+        with_bloom,
+        total_est,
+        n_groups=1,
+        fused_cols=list(range(len(columns))),
+    )
+
+    cols: dict[str, ColumnState] = {}
+    fixes: list[tuple[str, ColumnState]] = []
+    for i, (c, kind) in enumerate(zip(columns, kinds)):
+        st = residue.get(("[]", c))
+        if st is None:
+            # empty input (no stream rows at all): zero states, like job 1's
+            # single all-zero aggregate row
+            st = ColumnState(c, kind, params, with_bloom=with_bloom, metric_set=metric_set)
+            st.hash_space = "xxhash64"
+        _fused_finalize(st, plans[i], with_bloom, metric_set)
+        if (
+            plans[i].mode == "sketch"
+            and not plans[i].bloom_exact
+            and with_bloom
+            and st.with_bloom
+            and metric_set == "all"
+            and st.count
+        ):
+            est = st.hll.estimate()
+            if est is not None and est <= _BLOOM_EXACT_MAX:
+                fixes.append((c, st))
+        cols[c] = st
+    if fixes:
+        _bloom_rebuild(df, fixes)
+    states = {(): cols}
+    result = ProfileResult((), states)
+    if metric_set != "min" and any(p.mode == "sketch" for p in plans.values()):
+        _followup_sketch_numeric(df, [], columns, kinds, plans, states)
+        _followup_suffix(df, [], columns, kinds, plans, states)
+        _followup_prefix(df, [], columns, kinds, plans, states)
+    return result
+
+
+def profile_catalyst(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    params: EngineParams = DEFAULT_PARAMS,
+    with_bloom: bool = True,
+    metric_set: str = "all",
+    plan: str = "exact",
+) -> ProfileResult:
+    """Full profile with zero per-row Python: one pure-Catalyst exact
+    aggregate + one Expand-based sketch-stream aggregation (+ rare
+    sample-triggered verification aggregates) — see the engine notes above.
+    Produces the same ColumnState monoid as the Arrow fold; low-cardinality
+    string sketch state is byte-identical across engines (both hash with
+    JVM xxhash64).
+
+    ``plan`` picks the job-2 planner: 'exact' (default) derives grouping-set
+    modes from job 1's collected aggregate, serializing the two jobs;
+    'probe' derives them from the bounded head sample (see the probe-planner
+    section comment) so job 1 and the residue stream run as CONCURRENT
+    Spark jobs — exact results either way (fill still reads job 1's values;
+    the one post-hoc repair is the bloom exact-vs-saturate call). 'probe'
+    is global-only; grouped or metric_set='min' calls fall back to 'exact'."""
+    group_by = list(group_by or [])
+    kinds_map = dict(df.dtypes)
+    if columns is None:
+        columns = [c for c, t in df.dtypes if c not in group_by and _kind_of(t) != "other"]
+    kinds = [_kind_of(kinds_map[c]) for c in columns]
+    name_map = {g: f"__g{i}" for i, g in enumerate(group_by)}
+    if plan == "probe" and (group_by or metric_set == "min"):
+        plan = "exact"
+
+    exprs = _exact_agg_exprs(columns, kinds, metric_set, params)
+    if group_by:
+        # wide-row collect + per-group follow-up expression lists are only
+        # sane for a bounded group count: cap the collect (limit keeps the
+        # driver safe even when the agg output is huge) and fall back to
+        # the Arrow keyed fold beyond the cap — state stays distributed
+        # per group there, so high-cardinality group_by degrades to one
+        # extra (wasted) aggregate, never a driver OOM.
+        cap = params.catalyst_max_groups
+        agg_df = df.groupBy(*[quoted_col(g).alias(name_map[g]) for g in group_by]).agg(*exprs)
+        agg_rows = agg_df.limit(cap + 1).collect()
+        if len(agg_rows) > cap:
+            return _profile_arrow(df, columns, group_by, params, with_bloom, metric_set)
+        plans = _build_plans(agg_rows, columns, kinds, metric_set, params, with_bloom)
+        total_rows = sum(int(r["__total"] or 0) for r in agg_rows)
+        residue = _run_residue(
+            df, columns, kinds, group_by, params, metric_set, name_map, plans, with_bloom,
+            total_rows, n_groups=len(agg_rows),
+        )
+    elif plan == "probe":
+        probe = _sample_probe(df, columns, kinds, params)
+        plans = _build_plans_from_probe(probe, columns, kinds, metric_set, params, with_bloom)
+        total_est = max(int(probe["rows"] * probe["extrap"]), 1)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as pool:
+            f_agg = pool.submit(lambda: df.agg(*exprs).collect())
+            residue = _run_residue(
+                df, columns, kinds, [], params, metric_set, name_map, plans, with_bloom,
+                total_est, n_groups=1,
+            )
+            agg_rows = f_agg.result()
+    else:
+        agg_rows = df.agg(*exprs).collect()
+        plans = _build_plans(agg_rows, columns, kinds, metric_set, params, with_bloom)
+        total_rows = sum(int(r["__total"] or 0) for r in agg_rows)
+        residue = _run_residue(
+            df, columns, kinds, [], params, metric_set, name_map, plans, with_bloom,
+            total_rows, n_groups=1,
+        )
 
     states: dict[tuple, dict[str, ColumnState]] = {}
     for row in agg_rows:
@@ -2128,6 +2869,23 @@ def profile_catalyst(
             _fill_from_agg(st, row, i, kind, row["__total"], metric_set, params, plans[i], with_bloom)
             cols[c] = st
         states[gkey] = cols
+
+    if plan == "probe" and with_bloom and metric_set == "all":
+        # the probe's one two-sided call, repaired against job 1's exact
+        # acd: a filter saturated on an extrapolation overestimate is
+        # rebuilt from a column-pruned distinct-hash scan
+        fixes = []
+        row = agg_rows[0]
+        for i, c in enumerate(columns):
+            pl = plans[i]
+            if pl.mode != "sketch" or pl.bloom_exact or kinds[i] not in ("string", "int", "float"):
+                continue
+            acd = row[f"c{i}__acd"]
+            st = states[()][c]
+            if acd is not None and acd <= _BLOOM_EXACT_MAX and st.count and st.with_bloom:
+                fixes.append((c, st))
+        if fixes:
+            _bloom_rebuild(df, fixes)
 
     if metric_set != "min" and any(p.mode == "sketch" for p in plans.values()):
         _followup_sketch_numeric(df, group_by, columns, kinds, plans, states)

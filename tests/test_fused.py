@@ -1,0 +1,229 @@
+"""Round-5 probe-planned profile engines: the single-scan fused engine and
+the concurrent probe-planned catalyst variant.
+
+Parity contract: fused/probe results equal the Arrow fold everywhere the
+catalyst engine does, and equal catalyst-exact on its documented divergences
+(256-char string caps, naive session-tz timestamps). The probe's planning
+rules only ever degrade performance (see the profile.py section comment);
+these tests pin the exactness claims, the deception worst case, and the
+bloom repair path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import importlib
+
+P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+from jsonoid_discovery_spark.operators.profile import profile
+
+
+def _match(x, y, name, sketch_exact=True):
+    """Field-level parity assert (superset of test_round4's helper: adds
+    min/max values, histogram, and the observable prefix/pattern)."""
+    for fl in (
+        "count",
+        "nulls",
+        "min_len",
+        "max_len",
+        "suffix",
+        "formats",
+        "cat_counts",
+        "cat_overflow",
+        "all_numeric_strings",
+        "num_gcd",
+        "gcd",
+        "all_integral",
+        "true_count",
+        "min_items",
+        "max_items",
+        "all_unique",
+        "min_v",
+        "max_v",
+    ):
+        assert getattr(x, fl) == getattr(y, fl), f"{name}.{fl}: {getattr(x, fl)!r} vs {getattr(y, fl)!r}"
+    if x.kind == "string":
+        assert x.common_prefix() == y.common_prefix(), name
+        assert x.pattern() == y.pattern(), name
+    assert x.moments.n == y.moments.n, name
+    if x.moments.n:
+        assert x.moments.mean == pytest.approx(y.moments.mean, rel=1e-9), name
+        assert x.moments.m2 == pytest.approx(y.moments.m2, rel=1e-6, abs=1e-6), name
+    assert x.hist.bins == y.hist.bins and x.hist.total == y.hist.total, name
+    assert x.hist.zero_count == y.hist.zero_count, name
+    if x.kind == "string" and sketch_exact:
+        assert np.array_equal(x.hll.registers, y.hll.registers), name
+        assert np.array_equal(x.bloom.bits, y.bloom.bits), name
+        assert x.examples.values() == y.examples.values(), name
+
+
+def _check(df, oracle="arrow", cols=None, sketch_exact=True):
+    a = profile(df, columns=cols, engine=oracle)
+    f = profile(df, columns=cols, engine="fused")
+    p = profile(df, columns=cols, engine="catalyst-probe")
+    base = a.states.get((), {})
+    for col in base:
+        _match(a.state(col), f.state(col), f"fused:{col}", sketch_exact)
+        _match(a.state(col), p.state(col), f"probe:{col}", sketch_exact)
+    return a, f
+
+
+class TestFusedParity:
+    def test_documents_fixture(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        _check(docs)
+
+    def test_formats_categories_numeric_strings(self, spark):
+        df = spark.range(3000).select(
+            F.concat(
+                F.lit("2021-"), F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0"), F.lit("-15")
+            ).alias("d"),
+            F.concat(F.lit("u"), (F.col("id") % 7).cast("string"), F.lit("@ex.com")).alias("em"),
+            ((F.col("id") % 40) * 6).cast("string").alias("numstr"),
+            F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise((F.col("id") % 3).cast("string")).alias("cat"),
+        )
+        a, f = _check(df)
+        assert f.state("d").detected_format() == "date"
+        assert f.state("numstr").all_numeric_strings and f.state("numstr").num_gcd == 6
+
+    def test_high_cardinality_sketch_strings(self, spark):
+        """>16K distinct: probe plans sketch mode from the sample lower
+        bound; examples/HLL/suffix AND the ladder-resolved common prefix
+        must equal the fold exactly."""
+        df = spark.range(60000).select(
+            F.concat(F.lit("item_"), F.sha2(F.col("id").cast("string"), 256), F.lit(".html")).alias("s")
+        )
+        a = profile(df, engine="arrow").state("s")
+        f = profile(df, engine="fused").state("s")
+        assert a.count == f.count
+        assert a.examples.values() == f.examples.values()
+        assert f.hll.estimate() == pytest.approx(a.hll.estimate(), rel=0.1)
+        assert a.suffix == f.suffix == ".html"
+        assert f.common_prefix() == a.common_prefix() == "item_"
+        assert a.formats == f.formats
+        assert f.cat_overflow
+
+    def test_high_cardinality_numeric_sketch(self, spark):
+        df = spark.range(60000).select((F.col("id") * 6 + 12).cast("double").alias("v"))
+        a = profile(df, engine="arrow").state("v")
+        f = profile(df, engine="fused").state("v")
+        assert a.count == f.count
+        assert (a.gcd, a.all_integral) == (f.gcd, f.all_integral) == (6, True)
+        assert a.hist.bins == f.hist.bins and a.hist.total == f.hist.total
+        assert a.min_v == f.min_v and a.max_v == f.max_v
+        assert f.moments.mean == pytest.approx(a.moments.mean)
+        assert f.moments.m2 == pytest.approx(a.moments.m2, rel=1e-9)
+
+    def test_long_and_unicode_strings_vs_catalyst(self, spark):
+        """>256-char values and multi-byte suffixes: fused matches
+        catalyst-exact (the engines' documented 256-char cap divergence
+        from the Arrow fold is shared, not widened)."""
+        df = spark.range(2000).select(
+            F.concat(F.lit("x" * 300), (F.col("id") % 50).cast("string")).alias("long"),
+            F.concat((F.col("id") % 97).cast("string"), F.lit("日本語суффикс")).alias("uni"),
+        )
+        _check(df, oracle="catalyst")
+
+    def test_mixed_kinds_vs_catalyst(self, spark):
+        df = spark.range(5000).select(
+            (F.col("id") % 3 == 0).alias("b"),
+            F.timestamp_seconds(F.col("id") * 1000).alias("ts"),
+            F.array(F.col("id") % 5, F.col("id") % 7, F.lit(None)).alias("arr"),
+            F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(F.col("id") % 100).alias("i"),
+        )
+        a, f = _check(df, oracle="catalyst")
+        c = profile(df, engine="catalyst")
+        assert f.state("ts").min_v == c.state("ts").min_v
+        assert f.state("b").true_count == c.state("b").true_count
+
+    def test_clustered_deception_stays_exact(self, spark):
+        """A sorted layout fools the head sample into val mode for a high-
+        cardinality column — the engine must stay EXACT (just slower)."""
+        df = (
+            spark.range(50000)
+            .select((F.col("id") / 2).cast("long").alias("v"))
+            .sortWithinPartitions("v")
+        )
+        _check(df)
+
+    def test_empty_and_all_null(self, spark):
+        df = spark.range(0).select(F.col("id").cast("string").alias("s"), F.col("id").alias("n"))
+        _check(df, oracle="catalyst")
+        df = spark.range(100).select(F.lit(None).cast("string").alias("s"), F.col("id").alias("n"))
+        _check(df)
+
+    def test_all_bool_degenerate(self, spark):
+        """No grouping set exists — fused must delegate to the plain
+        single-aggregate path, not return zero counts."""
+        df = spark.range(100).select((F.col("id") % 2 == 0).alias("b1"), (F.col("id") % 3 == 0).alias("b2"))
+        f = profile(df, engine="fused")
+        assert f.state("b1").true_count == 50 and f.state("b1").count == 100
+
+    def test_grouped_falls_back(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        g = profile(docs, columns=["text"], group_by=["lang"], engine="fused")
+        c = profile(docs, columns=["text"], group_by=["lang"], engine="catalyst")
+        assert set(g.states) == set(c.states)
+
+
+class TestProbePlanner:
+    def test_probe_lower_bound_rules(self, spark):
+        """The planner's safe directions: val iff sample distinct fits the
+        gate; r0 from the lower bound; capped sample forces sketch."""
+        df = spark.range(100000).select(
+            (F.col("id") % 100).cast("string").alias("low"),
+            F.sha2(F.col("id").cast("string"), 256).alias("high"),
+        )
+        probe = P._sample_probe(df, ["low", "high"], ["string", "string"], P.DEFAULT_PARAMS)
+        plans = P._build_plans_from_probe(probe, ["low", "high"], ["string", "string"], "all", P.DEFAULT_PARAMS, True)
+        assert plans[0].mode == "val"
+        assert plans[1].mode == "sketch"
+        # r0 keyed to the SAMPLE distinct lower bound: never above the
+        # exact planner's r0 for the same column (superset of register rows)
+        exact_r0 = max(1, int(np.ceil(np.log2(max(100000, 2) / (1 << P.DEFAULT_PARAMS.hll_lg_k)))) - 4)
+        assert plans[1].hll_r0 <= exact_r0
+        # val strings ship tails + in-stream latch unconditionally
+        assert plans[0].need_tv and plans[0].latch_from_stream
+
+    def test_bloom_repair_fires_and_matches(self, spark, monkeypatch):
+        """Force a saturate plan on a 20K-distinct column: the post-scan
+        repair must rebuild the exact bloom — bit-for-bit the catalyst
+        engine's filter."""
+        df = spark.range(20000).select(F.sha2(F.col("id").cast("string"), 256).alias("s"))
+        real = P._build_plans_from_probe
+
+        def forced(*a, **k):
+            plans = real(*a, **k)
+            for pl in plans.values():
+                if pl.mode == "sketch":
+                    pl.bloom_exact = False
+            return plans
+
+        calls = []
+        real_rebuild = P._bloom_rebuild
+        monkeypatch.setattr(P, "_build_plans_from_probe", forced)
+        monkeypatch.setattr(P, "_bloom_rebuild", lambda d, fx: calls.append(len(fx)) or real_rebuild(d, fx))
+        f = profile(df, engine="fused")
+        assert calls == [1]
+        c = profile(df, engine="catalyst")
+        assert np.array_equal(f.state("s").bloom.bits, c.state("s").bloom.bits)
+        assert not np.all(f.state("s").bloom.bits == 0xFF)
+
+    def test_fused_stream_is_hash_aggregated(self, spark):
+        """Plan audit: the fused aggregation must stay HashAggregate — a
+        string min/max buffer would demote it to SortAggregate and sort the
+        whole Expand output."""
+        df = spark.range(1000).select(
+            F.col("id").cast("string").alias("s"), (F.col("id") % 7).cast("double").alias("v")
+        )
+        cols, kinds = ["s", "v"], ["string", "float"]
+        probe = P._sample_probe(df, cols, kinds, P.DEFAULT_PARAMS)
+        plans = P._build_plans_from_probe(probe, cols, kinds, "all", P.DEFAULT_PARAMS, True)
+        fused = P._FusedMeta(col_idx=[0, 1])
+        stream = P._residue_stream(df, cols, kinds, [], P.DEFAULT_PARAMS, "all", {}, plans, True, [0, 1], fused)
+        plan_str = stream._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan_str
+        assert "Expand" in plan_str
