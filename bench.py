@@ -48,7 +48,10 @@ BENCH_CONF = {"spark.sql.files.maxPartitionBytes": "8m"}
 # mixing when the job changes). Rows without the field are the pre-round-4
 # Arrow-fold engine.
 ENGINE_TAG = "catalyst-r5"  # round 5: dynamic residue fan-in + rho-filter
-# fix changed the profile job's plan, so r5 runs get their own median pool
+# fix changed the profile job's plan, so r5 runs get their own median pool.
+# NOTE: the flagship PERSISTS its input, so the storage-aware auto-gate
+# keeps the two-job catalyst engine here (the single-scan fused engine is
+# the UNCACHED path — bench it with --profile-engines).
 
 
 def _bench_data_path(rows: int) -> str:
@@ -561,8 +564,38 @@ verdict groups={r8['n_verdict_groups']}.
     )
 
 
+def run_profile_engines() -> None:
+    """A/B the profile engines on an UNCACHED scan of the scaling table —
+    the shape where the single-scan fused engine's one-less-pass matters
+    (the suite flagship persists its input, where the catalyst engine wins
+    back its fixed costs, so this comparison gets its own mode). Prints one
+    JSON line with best-of-3 per engine at local[8] and local[32]."""
+    from jsonoid_discovery_spark import get_spark
+    from jsonoid_discovery_spark.operators.profile import profile
+
+    data = _ensure_bench_data(SCALING_ROWS)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    out: dict = {"metric": "profile_engines_uncached", "rows": SCALING_ROWS, "unit": "sec"}
+    for master in ("local[8]", f"local[{CPUS}]"):
+        spark = get_spark(master, app_name=f"bench-engines-{master}", extra_conf=BENCH_CONF)
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.read.parquet(data)
+        for eng in ("catalyst", "fused"):
+            profile(df, columns=cols, engine=eng)  # warm-up
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                profile(df, columns=cols, engine=eng)
+                best = min(best, time.perf_counter() - t0)
+            out[f"{eng}_{master}"] = round(best, 2)
+        spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--profile-engines" in sys.argv:
+        run_profile_engines()
+    elif "--scaling" in sys.argv:
         run_scaling(report_only="--report" in sys.argv)
     elif "--job" in sys.argv:
         master = sys.argv[sys.argv.index("--job") + 1]

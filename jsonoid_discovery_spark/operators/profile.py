@@ -976,7 +976,20 @@ def profile(
     group_by = list(group_by or [])
     if engine == "auto":
         est = _plan_size_estimate(df)
-        engine = "arrow" if est is not None and est < params.catalyst_min_bytes else "catalyst"
+        cached = df.storageLevel.useMemory or df.storageLevel.useDisk
+        if est is not None and est < params.catalyst_min_bytes:
+            engine = "arrow"
+        elif not group_by and metric_set in ("all", "simple") and not cached:
+            # large UNCACHED global profile: the single-scan fused engine —
+            # it saves a full input pass (measured 25.1 -> 16.7s at 8M
+            # local[8]; at 100 TB a second scan is the whole game). A
+            # persisted input flips the trade: re-scans read the cache, so
+            # the two-job engine's exact planner wins back its ~3-4s of
+            # probe + prefix-ladder fixed cost (measured 12.3 vs 13.9s at
+            # 16M local[32] cached).
+            engine = "fused"
+        else:
+            engine = "catalyst"
     if engine == "fused":
         if group_by or metric_set == "min":
             return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
@@ -1403,11 +1416,13 @@ def _residue_stream(
     fused_aggs: list = []
     fused_names: list[str] = []
     if fused is not None:
-        # pre-project the raw columns the fused aggregates consume (Expand
-        # replicates plain references; derived exprs evaluate at agg-update
-        # time) and record which set is the carrier
+        # pre-project the SCALAR inputs the fused aggregates consume (see
+        # _fused_src_cols: Expand copies non-grouping projection columns
+        # into every expanded row, so these must be 8-byte reductions, never
+        # raw strings) and record which set is the carrier
         for i in fused.col_idx:
-            proj.append(quoted_col(columns[i]).alias(f"__f{i}src"))
+            for n, e in _fused_src_cols(i, quoted_col(columns[i]), kinds[i], metric_set).items():
+                proj.append(e.alias(n))
         fused_aggs, fused_names = _fused_agg_exprs(fused.col_idx, columns, kinds, metric_set)
 
         def _carrier_score(cid: int, tag: int) -> int:
@@ -2260,12 +2275,43 @@ class _FusedMeta:
     carrier: tuple[int, int] | None = None
 
 
+def _fused_src_cols(i: int, col, kind: str, metric_set: str) -> dict[str, "F.Column"]:
+    """Pre-projected SCALAR inputs for the fused aggregates. Expand copies
+    every non-grouping projection column into every expanded row (rows x
+    sets), so a raw wide column here (a 4 KB content string) would memcpy
+    rows x sets x width — measured catastrophic at 16M x 6 sets. Strings
+    therefore reduce to their LENGTH (count/min/max of length is all the
+    fused aggregates need), arrays to (size, uniqueItems flag), numerics/
+    bools/timestamps to their 8-byte values."""
+    p = f"__f{i}"
+    if kind == "string":
+        return {p + "l": F.length(col).cast("long")}
+    if kind in ("int", "float"):
+        return {p + "v": col.cast("long" if kind == "int" else "double")}
+    if kind == "bool":
+        return {p + "v": col.cast("long")}
+    if kind == "timestamp":
+        return {p + "v": col}
+    if kind == "array":
+        nn = F.filter(col, lambda x: x.isNotNull())
+        return {
+            p + "z": F.size(col).cast("long"),
+            p + "u": F.when(col.isNotNull(), (F.size(F.array_distinct(nn)) == F.size(nn)).cast("int")),
+        }
+    return {}
+
+
 def _fused_agg_exprs(col_idx: list[int], columns: list[str], kinds: list[str], metric_set: str):
     """Job-1's exact aggregates (mirrors _exact_agg_exprs minus the planner-
-    only approx_count_distinct), expressed over the pre-projected raw
-    columns so they can ride the residue stream's groupingSets aggregation.
-    Computed per expanded-agg group; exact global values are recovered by
-    folding them over any ONE set's rows (each set partitions the input)."""
+    only approx_count_distinct), expressed over the pre-reduced scalar
+    columns (_fused_src_cols) so they can ride the residue stream's
+    groupingSets aggregation. Computed per expanded-agg group; exact global
+    values are recovered by folding them over any ONE set's rows (each set
+    partitions the input). NO string min/max here: a StringType aggregation
+    buffer is not hash-aggregable and would demote the WHOLE aggregation to
+    SortAggregate. min_s/max_s are recovered instead from the stream's
+    value prefixes (val mode, exact) or a sampled-candidate LCP +
+    startswith ladder (_followup_prefix, sketch mode, exact)."""
     aggs: list = []
     names: list[str] = []
 
@@ -2275,40 +2321,42 @@ def _fused_agg_exprs(col_idx: list[int], columns: list[str], kinds: list[str], m
 
     for i in col_idx:
         kind = kinds[i]
-        src = F.col(f"__f{i}src")
         p = f"f{i}"
-        add(F.count(src), p + "n")
         if kind == "string" and metric_set != "min":
-            # NO string min/max here: a StringType aggregation buffer is not
-            # hash-aggregable and would demote the WHOLE groupingSets
-            # aggregation to SortAggregate — a sort of the full Expand
-            # output (rows x sets x row width), measured catastrophic.
-            # min_s/max_s are recovered instead from the stream's value
-            # prefixes (val mode, exact) or a sampled-candidate LCP +
-            # startswith ladder (_followup_prefix, sketch mode, exact).
-            add(F.min(F.length(src)), p + "minl")
-            add(F.max(F.length(src)), p + "maxl")
-        elif kind in ("int", "float") and metric_set != "min":
-            add(F.min(src), p + "minv")
-            add(F.max(src), p + "maxv")
-            if metric_set == "all":
-                add(F.sum(src.cast("double")), p + "sum")
-                add(F.avg(src), p + "mean")
-                add(F.stddev_samp(src), p + "sd")
-                add(F.skewness(src), p + "sk")
-                add(F.kurtosis(src), p + "ku")
+            src = F.col(f"__f{i}l")
+            add(F.count(src), p + "n")
+            add(F.min(src), p + "minl")
+            add(F.max(src), p + "maxl")
+        elif kind in ("int", "float"):
+            src = F.col(f"__f{i}v")
+            add(F.count(src), p + "n")
+            if metric_set != "min":
+                add(F.min(src), p + "minv")
+                add(F.max(src), p + "maxv")
+                if metric_set == "all":
+                    add(F.sum(src.cast("double")), p + "sum")
+                    add(F.avg(src), p + "mean")
+                    add(F.stddev_samp(src), p + "sd")
+                    add(F.skewness(src), p + "sk")
+                    add(F.kurtosis(src), p + "ku")
         elif kind == "bool":
-            add(F.sum(src.cast("long")), p + "tc")
+            src = F.col(f"__f{i}v")
+            add(F.count(src), p + "n")
+            add(F.sum(src), p + "tc")
         elif kind == "timestamp":
+            src = F.col(f"__f{i}v")
+            add(F.count(src), p + "n")
             add(F.min(src), p + "minv")
             add(F.max(src), p + "maxv")
         elif kind == "array":
-            # uniqueItems ignores null elements (Arrow-fold parity — same
-            # expression as _exact_agg_exprs)
-            nn = F.filter(src, lambda x: x.isNotNull())
-            add(F.min(F.size(src)), p + "mini")
-            add(F.max(F.size(src)), p + "maxi")
-            add(F.min((F.size(F.array_distinct(nn)) == F.size(nn)).cast("int")), p + "uniq")
+            sz = F.col(f"__f{i}z")
+            add(F.count(sz), p + "n")
+            add(F.min(sz), p + "mini")
+            add(F.max(sz), p + "maxi")
+            add(F.min(F.col(f"__f{i}u")), p + "uniq")
+        else:
+            src = F.col(f"__f{i}l")
+            add(F.count(src), p + "n")
     return aggs, names
 
 

@@ -106,7 +106,36 @@ class TestEngineAutoGate:
         P.profile(small)  # tiny input -> arrow
         assert calls == ["arrow"]
 
-    def test_auto_picks_catalyst_above_threshold(self, spark, monkeypatch):
+    def test_auto_picks_fused_above_threshold(self, spark, monkeypatch):
+        import dataclasses
+
+        import importlib
+        P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+        from jsonoid_discovery_spark.config import DEFAULT_PARAMS
+
+        calls = []
+        real_fused = P.profile_fused
+        monkeypatch.setattr(P, "profile_fused", lambda *a, **k: calls.append("fused") or real_fused(*a, **k))
+        params = dataclasses.replace(DEFAULT_PARAMS, catalyst_min_bytes=1)
+        small = spark.range(100).selectExpr("concat('v', id) as s")
+        P.profile(small, params=params)
+        assert calls == ["fused"]
+
+    def test_auto_unknown_size_defaults_fused(self, spark, monkeypatch):
+        import importlib
+        P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+
+        calls = []
+        real_fused = P.profile_fused
+        monkeypatch.setattr(P, "_plan_size_estimate", lambda df: None)
+        monkeypatch.setattr(P, "profile_fused", lambda *a, **k: calls.append("fused") or real_fused(*a, **k))
+        small = spark.range(100).selectExpr("concat('v', id) as s")
+        P.profile(small)
+        assert calls == ["fused"]
+
+    def test_auto_cached_above_threshold_keeps_catalyst(self, spark, monkeypatch):
+        """A persisted input flips the fused gate: re-scans read the cache,
+        so the exact two-job planner wins back its fixed costs."""
         import dataclasses
 
         import importlib
@@ -117,20 +146,26 @@ class TestEngineAutoGate:
         real_cat = P.profile_catalyst
         monkeypatch.setattr(P, "profile_catalyst", lambda *a, **k: calls.append("catalyst") or real_cat(*a, **k))
         params = dataclasses.replace(DEFAULT_PARAMS, catalyst_min_bytes=1)
-        small = spark.range(100).selectExpr("concat('v', id) as s")
-        P.profile(small, params=params)
+        small = spark.range(100).selectExpr("concat('v', id) as s").persist()
+        try:
+            P.profile(small, params=params)
+        finally:
+            small.unpersist()
         assert calls == ["catalyst"]
 
-    def test_auto_unknown_size_defaults_catalyst(self, spark, monkeypatch):
+    def test_auto_grouped_above_threshold_keeps_catalyst(self, spark, monkeypatch):
+        import dataclasses
+
         import importlib
         P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+        from jsonoid_discovery_spark.config import DEFAULT_PARAMS
 
         calls = []
         real_cat = P.profile_catalyst
-        monkeypatch.setattr(P, "_plan_size_estimate", lambda df: None)
         monkeypatch.setattr(P, "profile_catalyst", lambda *a, **k: calls.append("catalyst") or real_cat(*a, **k))
-        small = spark.range(100).selectExpr("concat('v', id) as s")
-        P.profile(small)
+        params = dataclasses.replace(DEFAULT_PARAMS, catalyst_min_bytes=1)
+        small = spark.range(100).selectExpr("concat('v', id) as s", "id % 2 as g")
+        P.profile(small, columns=["s"], group_by=["g"], params=params)
         assert calls == ["catalyst"]
 
 
