@@ -379,6 +379,44 @@ def _split_discover_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _profile_fused_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact metrics off the single-scan fused profile engine
+    (profile(engine='fused'), round 5): count/null bookkeeping, numeric
+    bounds and string length bounds must match plain SQL exactly even
+    though they ride the Expand/groupingSets sketch stream's aggregation.
+    Pins the fused engine (the 100 TB uncached-scan path) through the
+    DuckDB hash gate, same anchors as string_bounds/value_bounds.
+    Reference analog: schemas/StringSchema.scala min/maxLength,
+    schemas/NumberSchema.scala:218-469 min/max."""
+    from jsonoid_discovery_spark.operators.profile import profile
+
+    res = profile(
+        _t(spark, sf, "documents"),
+        columns=["lang", "source", "n_chars", "text"],
+        engine="fused",
+    )
+    st = res.states[()]
+    row = (
+        int(st["text"].count),
+        int(st["text"].nulls),
+        int(st["text"].min_len),
+        int(st["text"].max_len),
+        int(st["lang"].count),
+        str(st["lang"].min_s),
+        str(st["lang"].max_s),
+        int(st["source"].count),
+        float(st["n_chars"].min_v),
+        float(st["n_chars"].max_v),
+        int(st["n_chars"].count),
+    )
+    return spark.createDataFrame(
+        [row],
+        "text_count long, text_nulls long, text_min_len long, text_max_len long, "
+        "lang_count long, lang_min_s string, lang_max_s string, "
+        "source_count long, n_chars_min double, n_chars_max double, n_chars_count long",
+    )
+
+
 def _value_table_documents(spark: SparkSession, sf: str) -> DataFrame:
     """ValueTableGenerator analog (rows-only: deterministic hash-ranked
     examples have no SQL equivalent)."""
@@ -616,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_uniqueness_stats_documents": _pk_uniqueness_stats_documents,
         "pk_candidates_documents": _pk_candidates_documents,
         "split_discover_documents": _split_discover_documents,
+        "profile_fused_documents": _profile_fused_documents,
         "value_table_documents": _value_table_documents,
         "events_hourly_counts": _events_hourly_counts,
         "array_stats_embeddings": _array_stats_embeddings,
@@ -738,6 +777,20 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS present_value,
                    count(props) AS present_props
             FROM events
+        """,
+        "profile_fused_documents": """
+            SELECT count(text) AS text_count,
+                   count(*) - count(text) AS text_nulls,
+                   min(length(text)) AS text_min_len,
+                   max(length(text)) AS text_max_len,
+                   count(lang) AS lang_count,
+                   min(lang) AS lang_min_s,
+                   max(lang) AS lang_max_s,
+                   count(source) AS source_count,
+                   CAST(min(n_chars) AS DOUBLE) AS n_chars_min,
+                   CAST(max(n_chars) AS DOUBLE) AS n_chars_max,
+                   count(n_chars) AS n_chars_count
+            FROM documents
         """,
         "moments_documents": """
             SELECT count(n_chars) AS n,

@@ -589,6 +589,9 @@ def run_profile_engines() -> None:
                 best = min(best, time.perf_counter() - t0)
             out[f"{eng}_{master}"] = round(best, 2)
         spark.stop()
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/probes.jsonl", "a") as f:
+        f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
 
 
