@@ -514,6 +514,8 @@ verdict groups={r8['n_verdict_groups']}.
             probes = [json.loads(line) for line in f]
         by_n: dict = {}
         for pr in probes:
+            if "n_files" not in pr:  # engine-A/B records have their own section
+                continue
             by_n.setdefault((pr["n_files"], pr.get("engine", "arrow-r3")), {})[pr["master"]] = pr
         lines = [
             "",
@@ -546,6 +548,31 @@ verdict groups={r8['n_verdict_groups']}.
             "throughput across engines.",
         ]
         md += "\n".join(lines) + "\n"
+        ab = [pr for pr in probes if pr.get("metric") == "profile_engines_uncached"]
+        if ab:
+            a = ab[-1]
+            c8, f8 = a["catalyst_local[8]"], a["fused_local[8]"]
+            c32, f32 = a[f"catalyst_local[{CPUS}]"], a[f"fused_local[{CPUS}]"]
+            md += f"""
+### Profile engine A/B on an UNCACHED scan ({a['rows']} rows, best-of-3)
+
+The flagship above persists its input (downstream checks re-scan it), so
+its profile phase takes the two-job catalyst engine. At 100 TB the input
+is NOT cached and every extra pass is a full read — the shape the
+single-scan fused engine exists for (`bench.py --profile-engines`):
+
+| engine | local[8] s | local[32] s |
+|---|---|---|
+| catalyst (two jobs, two scans) | {c8} | {c32} |
+| fused (one scan) | {f8} | {f32} |
+
+Fused saves {c8 - f8:.1f}s ({c8 / f8:.2f}x) at local[8] and
+{c32 - f32:.1f}s ({c32 / f32:.2f}x) at local[32]; the win is the avoided
+second scan, so it grows with input size and shrinking cache hit rates.
+`profile(engine='auto')` applies exactly this rule: fused for large
+uncached global profiles, catalyst when the input is persisted, the
+Arrow fold under the small-input crossover.
+"""
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(md)
