@@ -374,11 +374,20 @@ def run_scaling(report_only: bool = False) -> None:
         with open(log_path) as f:
             recs = [json.loads(line) for line in f]
         n_latest = recs[-1]["local[8]"]["n_files"]
-        results = next(r for r in reversed(recs) if r["local[8]"]["n_files"] == n_latest)
+        results = next(
+            r
+            for r in reversed(recs)
+            if r["local[8]"]["n_files"] == n_latest and not r.get("polluted")
+        )
     else:
         data = _ensure_bench_data(SCALING_ROWS)
         results = {"engine": ENGINE_TAG}
         for master in ("local[2]", "local[8]", "local[32]"):
+            # contention pre-burn: nothing local runs between configs, so a
+            # single-threaded burn measures EXTERNAL load (the box is known
+            # to flap to load-10+ with no local process — see BASELINE.md).
+            # The report excludes runs whose pre-burn shows contention.
+            results.setdefault("preburn_s", {})[master] = round(min(_burn(0) for _ in range(3)), 4)
             r = subprocess.run(
                 [sys.executable, __file__, "--job", master, "--data", data],
                 capture_output=True,
@@ -396,31 +405,43 @@ def run_scaling(report_only: bool = False) -> None:
     n_now = results["local[8]"]["n_files"]
     eng_now = results.get("engine")
     med = lambda r: r.get("files_per_sec_median", r["files_per_sec"])  # noqa: E731
-    e28_best, e28_med, e832_best, e832_med = [], [], [], []
     with open(log_path) as f:
-        for line in f:
-            rr = json.loads(line)
-            if rr["local[8]"]["n_files"] != n_now or rr.get("engine") != eng_now:
-                continue
-            e28_best.append(rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"] / 4.0)
-            e28_med.append(med(rr["local[8]"]) / med(rr["local[2]"]) / 4.0)
-            e832_best.append(rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0)
-            e832_med.append(med(rr["local[32]"]) / med(rr["local[8]"]) / 4.0)
+        all_recs = [json.loads(line) for line in f]
+    pool = [rr for rr in all_recs if rr["local[8]"]["n_files"] == n_now and rr.get("engine") == eng_now]
+    # contention exclusion: a run is polluted if it says so (manual
+    # annotation with the evidence) or its pre-burns show external load
+    # >30% over the cross-run floor. Excluded runs stay in the log and are
+    # counted in the report — no silent drops.
+    burn_floor = min(
+        (min(rr["preburn_s"].values()) for rr in pool if rr.get("preburn_s")),
+        default=None,
+    )
+
+    def _polluted(rr) -> bool:
+        if rr.get("polluted"):
+            return True
+        pb = rr.get("preburn_s")
+        return bool(pb and burn_floor and max(pb.values()) > 1.3 * burn_floor)
+
+    n_excluded = sum(1 for rr in pool if _polluted(rr))
+    pool = [rr for rr in pool if not _polluted(rr)]
+    e28_best, e28_med, e832_best, e832_med = [], [], [], []
+    for rr in pool:
+        e28_best.append(rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"] / 4.0)
+        e28_med.append(med(rr["local[8]"]) / med(rr["local[2]"]) / 4.0)
+        e832_best.append(rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0)
+        e832_med.append(med(rr["local[32]"]) / med(rr["local[8]"]) / 4.0)
     n_runs = len(e28_best)
     # per-phase 8->32 efficiencies (cross-run medians, same pool): phase
     # timings are best-of-3 per run, so the ratio matches the headline's
     # best-of-3 basis. Attributes the scaling gap to a phase instead of
     # leaving the total as a black box.
     p832_prof, p832_down, p28_prof, p28_down = [], [], [], []
-    with open(log_path) as f:
-        for line in f:
-            rr = json.loads(line)
-            if rr["local[8]"]["n_files"] != n_now or rr.get("engine") != eng_now:
-                continue
-            p832_prof.append(rr["local[8]"]["profile_sec"] / rr["local[32]"]["profile_sec"] / 4.0)
-            p832_down.append(_phase2(rr["local[8]"]) / _phase2(rr["local[32]"]) / 4.0)
-            p28_prof.append(rr["local[2]"]["profile_sec"] / rr["local[8]"]["profile_sec"] / 4.0)
-            p28_down.append(_phase2(rr["local[2]"]) / _phase2(rr["local[8]"]) / 4.0)
+    for rr in pool:
+        p832_prof.append(rr["local[8]"]["profile_sec"] / rr["local[32]"]["profile_sec"] / 4.0)
+        p832_down.append(_phase2(rr["local[8]"]) / _phase2(rr["local[32]"]) / 4.0)
+        p28_prof.append(rr["local[2]"]["profile_sec"] / rr["local[8]"]["profile_sec"] / 4.0)
+        p28_down.append(_phase2(rr["local[2]"]) / _phase2(rr["local[8]"]) / 4.0)
     r2, r8, r32 = results["local[2]"], results["local[8]"], results["local[32]"]
     eff_2_8 = _median(e28_best)
     eff_8_32 = _median(e832_best)
@@ -448,7 +469,11 @@ shows the LATEST run (best-of-3 timings per phase — noisy neighbors only
 ever slow a run; min = machine capability — plus per-pass medians). The
 efficiency lines are CROSS-RUN MEDIANS over all {n_runs} logged runs at this
 input size (BENCH/scaling_runs.jsonl keeps every run, per-pass totals
-included) — no best-run cherry-picking. Phase 2 ("downstream") runs the
+included) — no best-run cherry-picking. {n_excluded} logged run(s) were
+EXCLUDED as contention-polluted — flagged either by an in-log annotation
+carrying the evidence or by the per-config single-thread pre-burn
+exceeding 1.3x the cross-run floor (this box flaps to load-10+ from
+outside the sandbox; excluded runs stay in the log). Phase 2 ("downstream") runs the
 validation pass, per-partition verdicts, uniqueness, and referential
 integrity as four CONCURRENT jobs: the check jobs are mostly fixed
 scheduling latency at high core counts, and overlapping them under the big

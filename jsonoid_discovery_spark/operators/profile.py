@@ -2298,7 +2298,10 @@ def _fused_src_cols(i: int, col, kind: str, metric_set: str) -> dict[str, "F.Col
             p + "z": F.size(col).cast("long"),
             p + "u": F.when(col.isNotNull(), (F.size(F.array_distinct(nn)) == F.size(nn)).cast("int")),
         }
-    return {}
+    # 'other' kinds (map/struct/binary): count/nulls only, via a presence
+    # indicator — the raw column must never ride the Expand (width), and
+    # _fused_agg_exprs' fallback branch counts __f{i}l
+    return {p + "l": F.when(col.isNotNull(), F.lit(1)).cast("long")}
 
 
 def _fused_agg_exprs(col_idx: list[int], columns: list[str], kinds: list[str], metric_set: str):

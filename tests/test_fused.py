@@ -227,3 +227,20 @@ class TestProbePlanner:
         plan_str = stream._jdf.queryExecution().executedPlan().toString()
         assert "SortAggregate" not in plan_str
         assert "Expand" in plan_str
+
+
+class TestOtherKindColumns:
+    def test_fused_profiles_map_column_counts(self, spark):
+        """An explicitly-requested 'other'-kind column (map/struct) must not
+        crash the fused engine: it gets count/nulls via a presence scalar
+        (the raw column must never ride the Expand), matching catalyst."""
+        df = spark.range(500).select(
+            F.col("id").cast("string").alias("s"),
+            F.when(F.col("id") % 5 != 0, F.create_map(F.lit("k"), F.col("id"))).alias("m"),
+        )
+        f = profile(df, columns=["s", "m"], engine="fused")
+        c = profile(df, columns=["s", "m"], engine="catalyst")
+        for eng in (f, c):
+            assert eng.state("m").count == 400
+            assert eng.state("m").nulls == 100
+        _match(f.state("s"), c.state("s"), "fused-vs-catalyst:s")
