@@ -295,26 +295,32 @@ def run_queries() -> None:
     if os.path.exists(log_path):
         with open(log_path) as f:
             recs = [json.loads(line) for line in f]
+        # contention-polluted runs are excluded (same rule as the report)
+        recs = [rr for rr in recs if not rr.get("polluted")]
         # prefer runs of the CURRENT engine/job structure (no history mixing)
         cur = [rr for rr in recs if rr.get("engine") == ENGINE_TAG]
         if cur:
-            recs = cur
-        n_max = max(rr["local[8]"]["n_files"] for rr in recs)
-        e28 = [
-            rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"] / 4.0
-            for rr in recs
-            if rr["local[8]"]["n_files"] == n_max
-        ]
-        e832 = [
-            rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0
-            for rr in recs
-            if rr["local[8]"]["n_files"] == n_max
-        ]
-        if e28:
+            n_max = max(rr["local[8]"]["n_files"] for rr in cur)
+            sub = [rr for rr in cur if rr["local[8]"]["n_files"] == n_max]
+            e28 = [rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"] / 4.0 for rr in sub]
+            e832 = [rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0 for rr in sub]
             out["scaling_efficiency_2_to_8"] = round(_median(e28), 3)
             out["scaling_efficiency_8_to_32"] = round(_median(e832), 3)
             out["scaling_rows"] = n_max
             out["scaling_runs"] = len(e28)
+        # the uncached pool (the 100 TB shape) rides along for the record
+        unc = [rr for rr in recs if rr.get("engine") == ENGINE_TAG_UNCACHED]
+        if unc:
+            n_max_u = max(rr["local[8]"]["n_files"] for rr in unc)
+            sub = [rr for rr in unc if rr["local[8]"]["n_files"] == n_max_u]
+            out["uncached_files_per_sec_32"] = max(rr["local[32]"]["files_per_sec"] for rr in sub)
+            out["uncached_scaling_2_to_8"] = round(
+                _median([rr["local[8]"]["files_per_sec"] / rr["local[2]"]["files_per_sec"] / 4.0 for rr in sub]), 3
+            )
+            out["uncached_scaling_8_to_32"] = round(
+                _median([rr["local[32]"]["files_per_sec"] / rr["local[8]"]["files_per_sec"] / 4.0 for rr in sub]), 3
+            )
+            out["uncached_scaling_runs"] = len(sub)
     # full result object -> file (the driver's tail capture truncated the
     # ~4KB line in round 3, losing the per-query medians; the printed line
     # keeps the contract keys + headline numbers and points at the file).
