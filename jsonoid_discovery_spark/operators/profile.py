@@ -1264,9 +1264,19 @@ def _build_plans(
             if acd_min * 0.8 > c_keep:
                 plan.ex_t2 = int(2**63 * c_keep / (acd_min * 0.8))
             # r0 keyed to DISTINCT count: expected distinct survivors per
-            # register = 2^5, so P[register misses its true max] ~ e^-32
+            # register = 2^5, so P[register misses its true max] ~ e^-32.
+            # Sized from the SMALLEST live group's acd, not the sum: one
+            # shared stream expression serves every group, and a group with
+            # acd far below the sum would have most of its registers
+            # filtered to zero — the estimator then falls into linear
+            # counting over artificial zeros and silently undercounts
+            # (measured 124 vs true 2000 under a sum-sized filter). For a
+            # global profile acd_min == acd_sum, so nothing changes there;
+            # for skewed groups a smaller r0 only admits more pre-agg rows
+            # (register codes stay bounded by m*64 per group) — the safe
+            # direction.
             m = 1 << params.hll_lg_k
-            plan.hll_r0 = max(1, math.ceil(math.log2(max(acd_sum, 2) / m)) - 4)
+            plan.hll_r0 = max(1, math.ceil(math.log2(max(acd_min, 2) / m)) - 4)
             if kind == "string":
                 min_len = min((r[p + "min_len"] for r in live), default=0)
                 plan.fmt_in_stream = min_len <= _FMT_MAX_LEN

@@ -33,6 +33,31 @@ class TestHllRhoFilterBand:
         assert c.hll.estimate() == pytest.approx(a.hll.estimate(), rel=1e-9)
         assert c.hll.registers.tobytes() == a.hll.registers.tobytes()
 
+    def test_grouped_skewed_cardinality_parity(self, spark):
+        # the rho filter is one shared stream expression across groups: if
+        # r0 were sized from the acd SUM, a group whose distinct count is
+        # far below the sum would lose most of its registers to the filter
+        # and the estimator's linear-counting branch would silently
+        # undercount (measured 124 vs true 2000). r0 must be sized from the
+        # smallest live group's acd.
+        import pyspark.sql.functions as F
+
+        df = (
+            spark.range(0, 400_000)
+            .select(F.lit("A").alias("g"), F.concat(F.lit("va_"), F.col("id")).alias("s"))
+            .unionAll(
+                spark.range(0, 200_000).select(
+                    F.lit("B").alias("g"), F.concat(F.lit("vb_"), F.col("id") % 2000).alias("s")
+                )
+            )
+        )
+        a = profile(df, ["s"], group_by=["g"], engine="arrow")
+        c = profile(df, ["s"], group_by=["g"], engine="catalyst")
+        for gk in (("A",), ("B",)):
+            sa, sc = a.states[gk]["s"], c.states[gk]["s"]
+            assert sc.hll.registers.tobytes() == sa.hll.registers.tobytes()
+        assert c.states[("B",)]["s"].hll.estimate() == pytest.approx(2016.0, rel=0.1)
+
 
 class TestGroupedNullableIntKeys:
     def test_grouped_nullable_int_group_keys(self, spark):
