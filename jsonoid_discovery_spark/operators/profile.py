@@ -968,8 +968,8 @@ def profile(
         calls silently take the serial planner).
       * 'fused' — the single-scan engine (profile_fused): job 1's exact
         aggregates ride the residue stream's aggregation; one pass over
-        the table. Global + 'all'/'simple' only; other shapes delegate
-        to 'catalyst'.
+        the table, grouped or global ('min' delegates to 'catalyst', and
+        grouped calls beyond the group-cardinality cap delegate back too).
       * 'arrow' — the mapInArrow per-batch fold; kept for streaming
         partials, high-group-cardinality inputs, and as the cross-engine
         parity oracle."""
@@ -986,14 +986,23 @@ def profile(
             # persisted input flips the trade: re-scans read the cache, so
             # the two-job engine's exact planner wins back its ~3-4s of
             # probe + prefix-ladder fixed cost (measured 12.3 vs 13.9s at
-            # 16M local[32] cached).
+            # 16M local[32] cached). GROUPED profiles stay on the two-job
+            # engine by default even uncached: a strong per-group rho
+            # filter needs per-group distinct counts only job 1's exact
+            # aggregate can provide (a head sample cannot SEE 500K+
+            # distinct per group), and the weak sample-bound filter costs
+            # more in aggregation cache pressure than the saved scan
+            # returns on a page-cache-hot store (measured 56 vs 79s at 8M
+            # x 11 groups local[8]). On genuinely IO-bound storage the
+            # saved pass wins — grouped fused stays the exact opt-in via
+            # engine='fused'.
             engine = "fused"
         else:
             engine = "catalyst"
     if engine == "fused":
-        if group_by or metric_set == "min":
+        if metric_set == "min":
             return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
-        return profile_fused(df, columns, params, with_bloom, metric_set)
+        return profile_fused(df, columns, group_by, params, with_bloom, metric_set)
     if engine in ("catalyst", "catalyst-probe"):
         return profile_catalyst(
             df, columns, group_by, params, with_bloom, metric_set,
@@ -1217,6 +1226,22 @@ class _ColPlan:
     # the scan) then decides at fill time whether the latch/suffix derived
     # from prefixes is valid (<= 256-char values: prefixes ARE the values)
     latch_from_stream: bool = False
+    # grouped fused engine: per-group examples keep-thresholds [(gjson, t2)]
+    # — a group's distinct count can sit far below the global extrapolation,
+    # so a single global threshold would keep too few of its hashes and
+    # starve its top-K. Sized from sampled per-group distinct/row-share
+    # lower bounds (erring toward keeping more — the safe direction);
+    # groups unseen by the probe fall to the keep-all CASE default, and the
+    # post-scan starvation repair backstops both. None -> scalar ex_t2.
+    ex_t2_cases: "list[tuple[str, int]] | None" = None
+    # grouped fused engine: per-group rho thresholds [(gjson, r0)] — one
+    # shared r0 sized from the GLOBAL sample would filter most registers of
+    # a small-distinct group to zero (the acd_min lesson), while r0=1
+    # everywhere computes the register code for every row (measured +26s at
+    # 8M x 11 groups). Per-group r0 from each SEEN group's own sampled
+    # distinct lower bound keeps the filter safe AND cheap; unseen groups
+    # take the filter-off CASE default. None -> scalar hll_r0.
+    hll_r0_cases: "list[tuple[str, int]] | None" = None
 
 
 def _build_plans(
@@ -1285,15 +1310,54 @@ def _build_plans(
     return plans
 
 
-def _sql_hllenc(h, lg_k: int, r0: int) -> "F.Column":
+def _sql_clz(w) -> "F.Column":
+    """Exact count-leading-zeros of a signed-64 column as a balanced
+    when-tree of long compares (6 deep): clz >= mid is equivalent to
+    unsigned(w) <= 2^(64-mid) - 1, and for mid >= 1 that bound fits a
+    signed long. Replaces length(bin(w)) — bin() allocates a <=64-char
+    string per row, measured as the sketch stream's dominant per-row cost
+    when the rho filter is weak — with pure codegen compares; exact where
+    a float log2 would round. The caller handles w == 0."""
+
+    def rec(lo: int, hi: int):
+        if hi - lo == 1:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        thr = (1 << (64 - mid)) - 1
+        cond = (w >= 0) & (w <= F.lit(thr))
+        return F.when(cond, rec(mid, hi)).otherwise(rec(lo, mid))
+
+    return rec(0, 64)
+
+
+def _sql_hllenc(
+    h,
+    lg_k: int,
+    r0: int,
+    r0_cases: "list[tuple[str, int]] | None" = None,
+    group_by: "list[str] | None" = None,
+) -> "F.Column":
     """(bucket << 6 | rho) + 1 of a 64-bit hash, or 0 when rho < r0 — the
     rho-filtered HLL register code, bit-for-bit the numpy
-    HllSketch.update_hashes math. clz comes from length(bin(w)) (bin()
-    prints without leading zeros; negative longs print all 64 bits), which
-    is exact where a float log2 would round; the filter test is a cheap
-    shift so bin() only runs for the ~2^-(r0-1) survivors."""
+    HllSketch.update_hashes math. clz comes from a compare-tree (_sql_clz),
+    exact where a float log2 would round; the filter test is a cheap
+    compare so the clz tree only runs for the ~2^-(r0-1) survivors.
+
+    With ``r0_cases`` (grouped fused) the survival threshold is a per-group
+    CASE: rho >= r0 is equivalent to unsigned(w) <= 2^(64-r0+1) - 1, and
+    for r0 >= 2 that bound fits a signed long, so survival is (w >= 0 AND
+    w <= thr) with thr chosen per group; a NULL thr (r0 <= 1, or a group
+    the probe never saw) keeps every hash."""
     w = F.shiftleft(h, lg_k)
-    if r0 <= 1:
+    if r0_cases is not None:
+        thr = None
+        for gj, r0g in r0_cases:
+            gm = _group_match(list(group_by or []), tuple(json.loads(gj)))
+            val = F.lit(None).cast("long") if r0g <= 1 else F.lit((1 << (64 - r0g + 1)) - 1).cast("long")
+            thr = F.when(gm, val) if thr is None else thr.when(gm, val)
+        thr = thr.otherwise(F.lit(None).cast("long"))
+        surv = thr.isNull() | ((w >= 0) & (w <= thr))
+    elif r0 <= 1:
         # rho >= 1 holds for every hash; the shift form would compute
         # shiftrightunsigned(w, 64), which the JVM masks to a shift by 0
         # and would wrongly reject every nonzero w.
@@ -1301,7 +1365,7 @@ def _sql_hllenc(h, lg_k: int, r0: int) -> "F.Column":
     else:
         surv = F.shiftrightunsigned(w, 64 - r0 + 1) == 0  # rho >= r0 (incl. w == 0)
     bucket = F.shiftrightunsigned(h, 64 - lg_k)
-    clz = F.when(w == 0, F.lit(64)).otherwise(F.lit(64) - F.length(F.bin(w)))
+    clz = F.when(w == 0, F.lit(64)).otherwise(_sql_clz(w))
     rho = F.least(clz + F.lit(1), F.lit(64 - lg_k + 1))
     return F.when(surv, bucket * F.lit(64) + rho + F.lit(1)).otherwise(F.lit(0)).cast("long")
 
@@ -1315,6 +1379,21 @@ def _sql_histbin(dv, gamma: float) -> "F.Column":
     bin_ = F.ceil(F.log(ab) / F.lit(lg)).cast("long")
     code = F.when(dv > 0, bin_ + F.lit(_HISTBIN_OFFSET)).otherwise(-(bin_ + F.lit(_HISTBIN_OFFSET)))
     return F.when(F.isnan(dv), F.lit(None).cast("long")).when(dv == 0, F.lit(0)).otherwise(code)
+
+
+def _ex_t2_expr(plan: "_ColPlan", group_by: list[str]) -> "F.Column":
+    """Examples keep-threshold as a column expression: the scalar plan value
+    normally, a per-group CASE for grouped fused plans. Groups unseen by the
+    probe take the keep-all default — nothing is known about their distinct
+    count, and a too-small threshold would starve their top-K (the safe
+    direction costs stream rows, never correctness)."""
+    if not plan.ex_t2_cases:
+        return F.lit(plan.ex_t2)
+    e = None
+    for gj, t2 in plan.ex_t2_cases:
+        gm = _group_match(group_by, tuple(json.loads(gj)))
+        e = F.when(gm, F.lit(t2)) if e is None else e.when(gm, F.lit(t2))
+    return e.otherwise(F.lit(2**63 - 1))
 
 
 def _residue_stream(
@@ -1390,11 +1469,11 @@ def _residue_stream(
             else:
                 core: dict = {}
                 if metric_set == "all":
-                    core[f"v{i}e"] = guard(_sql_hllenc(h, params.hll_lg_k, plan.hll_r0))
+                    core[f"v{i}e"] = guard(_sql_hllenc(h, params.hll_lg_k, plan.hll_r0, plan.hll_r0_cases, group_by))
                     core[f"v{i}l"] = F.length(col).cast("long")
                 if plan.fmt_in_stream:
                     core[f"v{i}f"] = guard(_format_index_expr(col, format_patterns(params)).cast("long"))
-                exh = F.when(nn & (F.shiftrightunsigned(h, 1) <= F.lit(plan.ex_t2)), h)
+                exh = F.when(nn & (F.shiftrightunsigned(h, 1) <= _ex_t2_expr(plan, group_by)), h)
                 core[f"v{i}xh"] = exh
                 core[f"v{i}xs"] = F.when(exh.isNotNull(), F.substring(col, 1, _SV_LEN))
                 core[f"v{i}xt"] = F.when(exh.isNotNull(), F.substring(col.cast("binary"), -_SV_LEN, _SV_LEN))
@@ -1411,9 +1490,9 @@ def _residue_stream(
             else:
                 core = {}
                 if metric_set == "all":
-                    core[f"v{i}e"] = guard(_sql_hllenc(h, params.hll_lg_k, plan.hll_r0))
+                    core[f"v{i}e"] = guard(_sql_hllenc(h, params.hll_lg_k, plan.hll_r0, plan.hll_r0_cases, group_by))
                     core[f"v{i}k"] = guard(_sql_histbin(vd, params.histogram_gamma))
-                exh = F.when(nn & (F.shiftrightunsigned(h, 1) <= F.lit(plan.ex_t2)), h)
+                exh = F.when(nn & (F.shiftrightunsigned(h, 1) <= _ex_t2_expr(plan, group_by)), h)
                 core[f"v{i}xh"] = exh
                 core[f"v{i}xn"] = F.when(exh.isNotNull(), vl)
                 core[f"v{i}xd"] = F.when(exh.isNotNull(), vd)
@@ -1772,13 +1851,6 @@ def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, 
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             pdf = tbl.to_pandas(types_mapper=_int_map)
-            if fused is not None and fused.carrier is not None:
-                ccid, ctag = fused.carrier
-                cmask = (pdf["cid"] == ccid) & (pdf["tag"] == ctag)
-                if cmask.any():
-                    _fused_update(
-                        acc, pdf[cmask], fused, columns, kinds, params, with_bloom, metric_set
-                    )
             if n_g:
                 # groupby only PARTITIONS the rows; key values are read back
                 # from the arrow arrays (exact python ints / None /
@@ -1806,7 +1878,18 @@ def _residue_fold_gen(columns, kinds, group_by, params, with_bloom, metric_set, 
                     st = ColumnState(columns[cid], kinds[cid], params, with_bloom=with_bloom, metric_set=metric_set)
                     st.hash_space = "xxhash64"
                     acc[(gjson, cid)] = st
-                _residue_update(st, kinds[cid], plans[cid], pdf.iloc[np.asarray(idx)], fused_mode=fused is not None)
+                sub = pdf.iloc[idx]
+                if fused is not None and fused.carrier is not None and cid == fused.carrier[0]:
+                    # this (group, cid) slice holds the carrier set's rows:
+                    # deliver the group's fused exact metrics before the
+                    # regular residue fold (which also consumes these rows)
+                    cm = sub["tag"].to_numpy(dtype=np.int64) == fused.carrier[1]
+                    if cm.any():
+                        _fused_update(
+                            acc, sub[cm], fused, columns, kinds, params, with_bloom, metric_set, gjson=gjson
+                        )
+                        st = acc[(gjson, cid)]  # _fused_update may have created it
+                _residue_update(st, kinds[cid], plans[cid], sub, fused_mode=fused is not None)
         if acc:
             out_g, out_c, out_s = [], [], []
             for (gjson, cid), st in acc.items():
@@ -2272,7 +2355,11 @@ def _residue_fanin(plans: dict[int, _ColPlan], chunk: list[int], total_rows: int
 
 _PROBE_EX_MARGIN = 32  # ex_t2 oversample slack vs the extrapolated distinct
 _PROBE_UNKNOWN_EXTRAP = 1024.0  # unknown input size: assume huge (repairable)
-_PROBE_SCHEMA = "cid long, nrows long, nbytes long, nnull long, minl long, maxl long, capped boolean, hashes binary"
+_PROBE_SCHEMA = (
+    "cid long, gkey string, nrows long, nbytes long, nnull long, minl long, maxl long, capped boolean, hashes binary"
+)
+_PROBE_GROUP_CAP = 4096  # per-task sampled-group cap (beyond it: groups_capped)
+_EX_T2_CASE_MAX = 64  # per-group ex_t2 CASE branches (beyond it: scalar + repair)
 
 
 @dataclass
@@ -2391,14 +2478,17 @@ def _fused_update(
     params: EngineParams,
     with_bloom: bool,
     metric_set: str,
+    gjson: str = "[]",
 ) -> None:
     """Fold the carrier rows' fused exact metrics into the per-column
-    states. The carrier set's groups partition the input rows, so summing
-    counts / min-maxing bounds / Chan-merging the per-group moments over
-    its rows reproduces job 1's plain-aggregate values exactly."""
+    states. The carrier set's (group x set-key) cells partition the input
+    rows, so summing counts / min-maxing bounds / Chan-merging the
+    per-cell moments over its rows reproduces job 1's plain-aggregate
+    values exactly — per group when ``gjson`` names one (grouped fused:
+    every grouping set also keys on the group columns, so the caller
+    passes each group's carrier slice separately)."""
     if not len(pdf):
         return
-    gjson = "[]"  # fused v1 is global-only (asserted in profile_fused)
     total = int(pdf["cnt"].sum())
     for i in fused.col_idx:
         kind = kinds[i]
@@ -2473,7 +2563,13 @@ def _fused_finalize(st: ColumnState, plan: _ColPlan, with_bloom: bool, metric_se
             st.bloom.bits[:] = 0xFF
 
 
-def _sample_probe(df: DataFrame, columns: list[str], kinds: list[str], params: EngineParams) -> dict:
+def _sample_probe(
+    df: DataFrame,
+    columns: list[str],
+    kinds: list[str],
+    params: EngineParams,
+    group_cols: list[str] | None = None,
+) -> dict:
     """Bounded head-sample column statistics for the probe planner.
 
     One coalesced scan slice per probe task; each task consumes Arrow
@@ -2482,74 +2578,131 @@ def _sample_probe(df: DataFrame, columns: list[str], kinds: list[str], params: E
     value hashes. The driver unions the hash sets into a sample-distinct
     LOWER bound (distinct of a subset never exceeds distinct of the whole)
     and derives a byte-ratio extrapolation factor for the upper-ish calls
-    (bloom gating, stream-size estimates)."""
+    (bloom gating, stream-size estimates).
+
+    With ``group_cols`` (grouped fused engine) each task also counts sample
+    rows per group key (canonical gjson form — the same encoding the fold
+    uses), giving the planner a sampled group census: the group-cardinality
+    gate, per-group row shares for example-threshold sizing, and the
+    n_groups estimate. Row counting only — no per-group value hashing — so
+    the group pass adds no memory beyond the (capped) key set."""
     import pyarrow.compute as pc
 
     idxs = [i for i, k in enumerate(kinds) if k in ("string", "int", "float")]
-    out: dict = {"rows": 0, "bytes": 0, "extrap": 1.0, "cols": {}}
-    if not idxs:
+    out: dict = {
+        "rows": 0,
+        "bytes": 0,
+        "extrap": 1.0,
+        "cols": {},
+        "groups": {},
+        "groups_capped": False,
+        "gcols": {},
+    }
+    if not idxs and not group_cols:
         return out
     # a few task waves at most: the probe's floor is worker round trips,
     # not rows (each task reads one head batch of its first scan split)
     tasks = min(params.probe_tasks, 4 * df.sparkSession.sparkContext.defaultParallelism)
-    sel = df.select(*[quoted_col(columns[i]).alias(f"c{i}") for i in idxs]).coalesce(tasks)
+    gcols = list(group_cols or [])
+    proj = [quoted_col(g).alias(f"g{j}") for j, g in enumerate(gcols)]
+    proj += [quoted_col(columns[i]).alias(f"c{i}") for i in idxs]
+    sel = df.select(*proj).coalesce(tasks)
     rows_cap = params.probe_rows_per_task
     hash_cap = params.probe_hash_cap
     col_kinds = {i: kinds[i] for i in idxs}
     col_ids = list(idxs)
+    n_g = len(gcols)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         seen = 0
         nbytes = 0
         stats = {i: {"nn": 0, "minl": None, "maxl": None, "hs": [], "nh": 0, "capped": False} for i in col_ids}
+        grows: dict[str, int] = {}
+        gstats: dict[tuple[str, int], dict] = {}  # (gjson, cid) -> {"hs", "nn"}
+        gbudget = {i: 0 for i in col_ids}  # per-column hash budget shared across groups
+        gcapped = False
+
+        def _hashes(v, use_proxy: bool) -> np.ndarray:
+            if use_proxy:
+                # long strings: hash the (length, head-64, tail-64) triple
+                # instead of full values — a distinctness PROXY that can
+                # only UNDERcount (collisions merge values), which is the
+                # planner's safe direction, at a fraction of the hashing
+                # bytes
+                proxy = pd.DataFrame(
+                    {
+                        "l": pc.utf8_length(v).to_numpy(zero_copy_only=False),
+                        "a": pc.utf8_slice_codeunits(v, 0, 64).to_pandas(),
+                        "b": pc.utf8_slice_codeunits(v, -64).to_pandas(),
+                    }
+                )
+                return np.unique(pd.util.hash_pandas_object(proxy, index=False).to_numpy(dtype=np.uint64))
+            return np.unique(pd.util.hash_pandas_object(v.to_pandas(), index=False).to_numpy(dtype=np.uint64))
+
         for b in batches:
             if b.num_rows > rows_cap - seen:
                 b = b.slice(0, rows_cap - seen)
             nbytes += b.nbytes
+            gidx: dict[str, np.ndarray] = {}
+            if n_g and not gcapped:
+                key_lists = [b.column(j).to_pylist() for j in range(n_g)]
+                gjs = [
+                    json.dumps(
+                        [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gvals]
+                    )
+                    for gvals in zip(*key_lists)
+                ]
+                for gj, idx in pd.Series(range(len(gjs))).groupby(pd.Series(gjs), sort=False).indices.items():
+                    if gj not in grows and len(grows) >= _PROBE_GROUP_CAP:
+                        gcapped = True
+                        continue
+                    grows[gj] = grows.get(gj, 0) + len(idx)
+                    gidx[gj] = np.asarray(idx)
             for j, i in enumerate(col_ids):
-                v = b.column(j).drop_null()
+                arr = b.column(n_g + j)
+                v = arr.drop_null()
                 s = stats[i]
                 s["nn"] += len(v)
                 if not len(v):
                     continue
+                use_proxy = False
                 if col_kinds[i] == "string":
                     ln = pc.utf8_length(v)
                     mm = pc.min_max(ln)
                     mn, mx = mm["min"].as_py(), mm["max"].as_py()
                     s["minl"] = mn if s["minl"] is None else min(s["minl"], mn)
                     s["maxl"] = mx if s["maxl"] is None else max(s["maxl"], mx)
+                    use_proxy = (mx or 0) > 128
                 if not s["capped"]:
-                    if col_kinds[i] == "string" and (mx or 0) > 128:
-                        # long strings: hash the (length, head-64, tail-64)
-                        # triple instead of full values — a distinctness
-                        # PROXY that can only UNDERcount (collisions merge
-                        # values), which is the planner's safe direction,
-                        # at a fraction of the hashing bytes
-                        proxy = pd.DataFrame(
-                            {
-                                "l": ln.to_numpy(zero_copy_only=False),
-                                "a": pc.utf8_slice_codeunits(v, 0, 64).to_pandas(),
-                                "b": pc.utf8_slice_codeunits(v, -64).to_pandas(),
-                            }
-                        )
-                        h = np.unique(pd.util.hash_pandas_object(proxy, index=False).to_numpy(dtype=np.uint64))
-                    else:
-                        h = np.unique(
-                            pd.util.hash_pandas_object(v.to_pandas(), index=False).to_numpy(dtype=np.uint64)
-                        )
+                    h = _hashes(v, use_proxy)
                     s["hs"].append(h)
                     s["nh"] += len(h)
                     if s["nh"] >= hash_cap:
                         s["capped"] = True
+                # per-(group, column) sample distinct: sizes the grouped
+                # fused engine's per-group rho filter / examples threshold
+                # (lower bounds — the planner's safe direction). Shares the
+                # column's hash budget; re-hashes the bounded sample only.
+                if gidx and gbudget[i] < hash_cap:
+                    for gj, idx in gidx.items():
+                        sub = arr.take(idx).drop_null()
+                        if not len(sub):
+                            continue
+                        gs = gstats.setdefault((gj, i), {"hs": [], "nn": 0})
+                        gs["nn"] += len(sub)
+                        gh = _hashes(sub, use_proxy)
+                        gs["hs"].append(gh)
+                        gbudget[i] += len(gh)
             seen += b.num_rows
             if seen >= rows_cap:
                 break
         if not seen:
             return
-        rows = {k: [] for k in ("cid", "nrows", "nbytes", "nnull", "minl", "maxl", "capped", "hashes")}
+        rows = {k: [] for k in ("cid", "gkey", "nrows", "nbytes", "nnull", "minl", "maxl", "capped", "hashes")}
         for i in col_ids:
             s = stats[i]
             rows["cid"].append(i)
+            rows["gkey"].append(None)
             rows["nrows"].append(seen)
             rows["nbytes"].append(nbytes)
             rows["nnull"].append(seen - s["nn"])
@@ -2558,9 +2711,31 @@ def _sample_probe(df: DataFrame, columns: list[str], kinds: list[str], params: E
             rows["capped"].append(s["capped"])
             hs = np.unique(np.concatenate(s["hs"])) if s["hs"] else np.empty(0, dtype=np.uint64)
             rows["hashes"].append(hs[: hash_cap].tobytes())
+        for gj, n in grows.items():
+            rows["cid"].append(-1)
+            rows["gkey"].append(gj)
+            rows["nrows"].append(n)
+            rows["nbytes"].append(0)
+            rows["nnull"].append(0)
+            rows["minl"].append(None)
+            rows["maxl"].append(None)
+            rows["capped"].append(gcapped)
+            rows["hashes"].append(b"")
+        for (gj, i), gs in gstats.items():
+            rows["cid"].append(i)
+            rows["gkey"].append(gj)
+            rows["nrows"].append(gs["nn"])
+            rows["nbytes"].append(0)
+            rows["nnull"].append(0)
+            rows["minl"].append(None)
+            rows["maxl"].append(None)
+            rows["capped"].append(gbudget[i] >= hash_cap)
+            hs = np.unique(np.concatenate(gs["hs"])) if gs["hs"] else np.empty(0, dtype=np.uint64)
+            rows["hashes"].append(hs[:hash_cap].tobytes())
         yield pa.RecordBatch.from_pydict(
             {
                 "cid": pa.array(rows["cid"], pa.int64()),
+                "gkey": pa.array(rows["gkey"], pa.string()),
                 "nrows": pa.array(rows["nrows"], pa.int64()),
                 "nbytes": pa.array(rows["nbytes"], pa.int64()),
                 "nnull": pa.array(rows["nnull"], pa.int64()),
@@ -2573,9 +2748,25 @@ def _sample_probe(df: DataFrame, columns: list[str], kinds: list[str], params: E
 
     probe_rows = sel.mapInArrow(gen, _PROBE_SCHEMA).collect()
     by_cid: dict[int, list] = {}
+    by_gcol: dict[tuple[str, int], list] = {}
     for r in probe_rows:
+        if r["cid"] == -1:  # sampled group census row
+            out["groups"][r["gkey"]] = out["groups"].get(r["gkey"], 0) + r["nrows"]
+            out["groups_capped"] = out["groups_capped"] or bool(r["capped"])
+            continue
+        if r["gkey"] is not None:  # per-(group, column) sample-distinct row
+            by_gcol.setdefault((r["gkey"], r["cid"]), []).append(r)
+            continue
         by_cid.setdefault(r["cid"], []).append(r)
-    first = by_cid.get(col_ids[0], [])
+    out["gcols"] = {}
+    for (gj, i), rs in by_gcol.items():
+        hs = [np.frombuffer(r["hashes"], dtype=np.uint64) for r in rs]
+        out["gcols"][(gj, i)] = {
+            "d": int(len(np.unique(np.concatenate(hs)))) if hs else 0,
+            "capped": any(r["capped"] for r in rs),
+            "nn": sum(r["nrows"] for r in rs),
+        }
+    first = by_cid.get(col_ids[0], []) if col_ids else []
     out["rows"] = sum(r["nrows"] for r in first)
     out["bytes"] = sum(r["nbytes"] for r in first)
     est = _plan_size_estimate(df)
@@ -2655,17 +2846,22 @@ def _build_plans_from_probe(
     return plans
 
 
-def _bloom_rebuild(df: DataFrame, fixes: list[tuple[str, ColumnState]]) -> None:
+def _bloom_rebuild(df: DataFrame, fixes: list[tuple]) -> None:
     """Post-scan repair: a probe-planned column was saturated but the truth
     (exact acd / HLL estimate) says its distinct count fits the exact-bloom
     gate — rebuild the filter from one column-pruned distinct-hash scan.
-    Rare by construction; bounded by _BLOOM_EXACT_MAX distinct hashes."""
-    for c, st in fixes:
+    Rare by construction; bounded by _BLOOM_EXACT_MAX distinct hashes.
+    Fix entries are (column, state) or (column, state, group-predicate) —
+    grouped fused repairs scope the scan to the affected group's rows."""
+    for fix in fixes:
+        c, st = fix[0], fix[1]
+        pred = fix[2] if len(fix) > 2 else None
         col = quoted_col(c)
         # hash exactly what the residue stream hashes (numerics are cast
         # before xxhash64 — an int32 hashes differently from its long form)
         hashed = col if st.kind == "string" else col.cast("long" if st.kind == "int" else "double")
-        hs = df.select(F.xxhash64(hashed).alias("h")).where(col.isNotNull()).distinct()
+        keep = col.isNotNull() if pred is None else (pred & col.isNotNull())
+        hs = df.where(keep).select(F.xxhash64(hashed).alias("h")).distinct()
         nb, nh = st.bloom.num_bits, st.bloom.num_hashes
 
         def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -2682,6 +2878,130 @@ def _bloom_rebuild(df: DataFrame, fixes: list[tuple[str, ColumnState]]) -> None:
         st.bloom.bits[:] = 0
         for row in hs.mapInArrow(gen, "bits binary").collect():
             st.bloom.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+
+
+def _examples_repair(
+    df: DataFrame,
+    group_by: list[str],
+    columns: list[str],
+    kinds: list[str],
+    plans: dict[int, _ColPlan],
+    states: dict[tuple, dict[str, ColumnState]],
+    params: EngineParams,
+    metric_set: str,
+) -> None:
+    """Post-scan repair for starved example sets on sketch-mode columns.
+
+    The stream keeps a value's (hash, prefix, tail) only when its hash
+    clears the planned keep-threshold. The threshold is sized from
+    extrapolated distinct proxies, so a (group, column) whose true distinct
+    count sits far below the proxy keeps fewer than max_examples candidates
+    even though more values exist — top-K examples, the prefix/suffix
+    candidates, and the numeric-latch sample all starve. Detection is
+    sound: the kept set is exactly {h : h>>1 <= t2}, so the true top-K is
+    covered iff >= K hashes survived OR the group's whole distinct set did
+    (kept == distinct, witnessed by the HLL within its error).
+
+    Repair = ONE bounded job for all starved pairs of a column: group-scope
+    the scan, pre-filter on an HLL-informed raised threshold when one is
+    available ('all' mode), dedup per (group, hash), and rank-window to the
+    oversampled candidate count. Ranking by h>>1 covers the unsigned-hash
+    top-K exactly (the two orders differ only inside {2j, 2j+1} twin pairs,
+    and c_keep oversamples K by 8x). Runs BEFORE the prefix/suffix/latch
+    follow-ups so their ladders close the refreshed candidates exactly."""
+    from pyspark.sql.window import Window
+
+    k = params.max_examples
+    c_keep = _EX_OVERSAMPLE * max(k, 32)
+
+    def _starved(st: ColumnState) -> bool:
+        n_ex = len(st.examples.items)
+        if not st.count or n_ex >= k:
+            return False
+        if metric_set == "all":
+            # the HLL registers are whp identical to the unfiltered fold
+            # (per-group r0 comes from each group's own sampled lower
+            # bound; unseen groups run filter-off), so the estimate is
+            # trustworthy: repair only when it says more distinct values
+            # exist than the kept set holds
+            return st.hll.estimate() > n_ex * 1.1 + 2
+        return True  # 'simple': no HLL to consult — repair defensively
+
+    by_col: dict[int, list[tuple[tuple, ColumnState]]] = {}
+    for g, cols in states.items():
+        for i, c in enumerate(columns):
+            st = cols.get(c)
+            if st is None or plans[i].mode != "sketch" or kinds[i] not in ("string", "int", "float"):
+                continue
+            if _starved(st):
+                by_col.setdefault(i, []).append((g, st))
+    if not by_col:
+        return
+
+    gcols = [quoted_col(g) for g in group_by]
+    for i, tasks in by_col.items():
+        c, kind = columns[i], kinds[i]
+        col = quoted_col(c)
+        pred = None
+        for g, st in tasks:
+            gm = _group_match(group_by, g)
+            if metric_set == "all":
+                # raised threshold: keep ~2x the oversampled candidate set
+                est = max(st.hll.estimate(), float(len(st.examples.items) + 1))
+                t2 = min(2**63 - 1, int(2**63 * 2.0 * c_keep / (0.8 * est)))
+            else:
+                t2 = 2**63 - 1
+            gm = gm & (F.shiftrightunsigned(F.xxhash64(_stream_hash_src(col, kind)), 1) <= F.lit(t2))
+            pred = gm if pred is None else (pred | gm)
+        h = F.xxhash64(_stream_hash_src(col, kind))
+        sel = [*gcols, h.alias("__h")]
+        if kind == "string":
+            sel += [
+                F.substring(col, 1, _SV_LEN).alias("__sv"),
+                F.substring(col.cast("binary"), -_SV_LEN, _SV_LEN).alias("__tv"),
+            ]
+        else:
+            sel.append(col.cast("long" if kind == "int" else "double").alias("__sv"))
+        base = df.where(col.isNotNull() & pred).select(*sel)
+        aggs = [F.min("__sv").alias("__sv")] + ([F.min("__tv").alias("__tv")] if kind == "string" else [])
+        ded = base.groupBy(*[quoted_col(g) for g in group_by], F.col("__h")).agg(*aggs)
+        w = Window.partitionBy(*[quoted_col(g) for g in group_by]).orderBy(
+            F.shiftrightunsigned(F.col("__h"), 1)
+        )
+        rows = ded.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= c_keep).collect()
+
+        by_g: dict[str, list] = {}
+        for r in rows:
+            gvals = [r[g] for g in group_by]
+            gj = json.dumps(
+                [None if (v is None or (isinstance(v, float) and pd.isna(v))) else _jsonable(v) for v in gvals]
+            )
+            by_g.setdefault(gj, []).append(r)
+        for g, st in tasks:
+            gj = json.dumps(list(g))
+            sub = by_g.get(gj, [])
+            if not sub:
+                continue
+            hs = np.array([r["__h"] for r in sub], dtype=np.int64).astype(np.uint64)
+            vals = np.array([r["__sv"] for r in sub], dtype=object)
+            st.examples.update_hashed(vals, hs)
+            if kind == "string":
+                svs = [r["__sv"] for r in sub if r["__sv"] is not None]
+                if svs:
+                    mns, mxs = min(svs), max(svs)
+                    st.min_s = mns if st.min_s is None else min(st.min_s, mns)
+                    st.max_s = mxs if st.max_s is None else max(st.max_s, mxs)
+                tvs = [bytes(r["__tv"]) for r in sub if r["__tv"] is not None]
+                if tvs:
+                    st.suffix = _lcs_fold(st.suffix, tvs)
+
+
+def _stream_hash_src(col, kind: str):
+    """The exact expression the residue stream hashes (numerics cast first
+    — an int32 hashes differently from its long form)."""
+    if kind == "string":
+        return col
+    return col.cast("long" if kind == "int" else "double")
 
 
 def _run_residue(
@@ -2764,6 +3084,7 @@ def _run_residue(
 def profile_fused(
     df: DataFrame,
     columns: list[str] | None = None,
+    group_by: list[str] | None = None,
     params: EngineParams = DEFAULT_PARAMS,
     with_bloom: bool = True,
     metric_set: str = "all",
@@ -2772,72 +3093,159 @@ def profile_fused(
     aggregates riding the same aggregation (see the section comment). The
     fold fills the states completely — counts/nulls/bounds/moments come
     from the carrier set's fused columns, everything else from the residue
-    rows — so no driver-side wide-row fill pass exists. Global (ungrouped)
-    and metric_set='all'/'simple' only; other shapes take profile_catalyst.
+    rows — so no driver-side wide-row fill pass exists.
+
+    Grouped profiles ride the same single scan: every grouping set already
+    keys on the group columns, so the carrier delivers per-group exact
+    metrics and the residue keys per (group, column). Three grouped-only
+    planning adjustments (each errs toward performance, never correctness):
+    the HLL rho filter is pinned off (no per-group distinct lower bound
+    exists to size it — a sum-sized filter collapses small groups' register
+    sets), the examples keep-threshold becomes a per-group CASE from
+    sampled row shares (unseen groups keep all), and the post-scan
+    _examples_repair closes any starved top-K exactly. Group cardinality
+    is gated twice: the sampled census (pre-scan, delegates to the two-job
+    engine's exact cap) and the true group count (post-scan, degrades to
+    the keyed Arrow fold like the catalyst cap does). metric_set='min'
+    takes profile_catalyst via the dispatcher.
 
     100 TB story: ONE pass over the table (vs the two-job engine's two),
     with the same bounded shuffle (sketch key spaces + low-card values +
     one small carrier overlay). Reference parity anchor: the same
     single-pass monoid fold as discovery/DiscoverSchema.scala:94-103."""
+    group_by = list(group_by or [])
     kinds_map = dict(df.dtypes)
     if columns is None:
-        columns = [c for c, t in df.dtypes if _kind_of(t) != "other"]
+        columns = [c for c, t in df.dtypes if c not in group_by and _kind_of(t) != "other"]
     kinds = [_kind_of(kinds_map[c]) for c in columns]
+    name_map = {g: f"__g{i}" for i, g in enumerate(group_by)}
 
-    probe = _sample_probe(df, columns, kinds, params)
+    probe = _sample_probe(df, columns, kinds, params, group_cols=group_by or None)
+    if group_by and (probe["groups_capped"] or len(probe["groups"]) > params.catalyst_max_groups):
+        # sampled group census beyond the grouped budget: let the two-job
+        # engine's EXACT job-1 cap decide (it falls to the keyed Arrow fold
+        # beyond the cap)
+        return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
     plans = _build_plans_from_probe(probe, columns, kinds, metric_set, params, with_bloom)
     if not columns or all(plans[i].mode == "none" for i in range(len(columns))):
         # no grouping set to carry the fused metrics (e.g. an all-bool
         # table): the two-job engine degenerates to ONE plain aggregate
         # there anyway — same scan count, no fused machinery needed
-        return profile_catalyst(df, columns, [], params, with_bloom, metric_set)
+        return profile_catalyst(df, columns, group_by, params, with_bloom, metric_set)
     total_est = max(int(probe["rows"] * probe["extrap"]), 1)
+    n_groups = max(1, len(probe["groups"])) if group_by else 1
+    if group_by:
+        extrap = probe.get("extrap", _PROBE_UNKNOWN_EXTRAP)
+        c_keep = _EX_OVERSAMPLE * max(params.max_examples, 32)
+        for i, p in plans.items():
+            if p.mode == "val":
+                # per-group distinct sets sum: bounded by rows and by
+                # n_groups copies of the global distinct estimate
+                p.est_rows = min(total_est, p.est_rows * n_groups)
+                continue
+            if p.mode != "sketch":
+                continue
+            # (a) per-group rho thresholds: the scalar r0 was sized from
+            # the GLOBAL sample distinct — a group with far fewer distinct
+            # values would lose most of its registers to that filter and
+            # its estimate would collapse into linear counting over
+            # artificial zeros (the acd_min lesson), while r0=1 everywhere
+            # pays bin() for every row (measured +26s at 8M x 11 groups).
+            # Each SEEN group gets r0 from its own sampled-distinct LOWER
+            # bound (registers stay byte-identical to the unfiltered fold
+            # whp — a smaller-than-exact r0 only admits more rows); unseen
+            # groups take the filter-off CASE default. Falls back to
+            # filter-off when the CASE budget is exceeded.
+            m = 1 << params.hll_lg_k
+            if len(probe["groups"]) <= _EX_T2_CASE_MAX:
+                r0_cases = []
+                for gj in probe["groups"]:
+                    d_sg = int((probe["gcols"].get((gj, i)) or {"d": 0})["d"])
+                    r0_g = max(1, math.ceil(math.log2(max(d_sg, 2) / m)) - 4)
+                    r0_cases.append((gj, r0_g))
+                p.hll_r0_cases = r0_cases
+            p.hll_r0 = 1
+            # (b) per-group examples keep-thresholds: a single global
+            # threshold starves small groups' top-K. The per-group proxy is
+            # min(global d_eff, extrapolated group distinct, extrapolated
+            # group rows) — rows >= distinct and the sample distinct is a
+            # lower bound, so every term errs toward keeping more (see
+            # _ColPlan.ex_t2_cases). Beyond the CASE budget the scalar
+            # global threshold stands; _examples_repair backstops both.
+            info = probe["cols"].get(i) or {"d": 0, "capped": False}
+            d_s = int(info["d"])
+            d_hat = max(d_s, int(d_s * extrap))
+            d_eff_c = max(d_s, d_hat // _PROBE_EX_MARGIN)
+            if len(probe["groups"]) <= _EX_T2_CASE_MAX:
+                cases = []
+                for gj, rows_g in probe["groups"].items():
+                    d_sg = int((probe["gcols"].get((gj, i)) or {"d": 0})["d"])
+                    d_g_hat = max(d_sg, int(d_sg * extrap)) if d_sg else int(rows_g * extrap)
+                    d_proxy = max(1, min(d_eff_c, d_g_hat, int(rows_g * extrap)))
+                    t2 = int(2**63 * c_keep / (d_proxy * 0.8)) if d_proxy * 0.8 > c_keep else 2**63 - 1
+                    cases.append((gj, min(t2, 2**63 - 1)))
+                p.ex_t2_cases = cases
+            p.est_rows = p.est_rows + 33 * (1 << params.hll_lg_k) * max(0, n_groups - 1)
 
     residue = _run_residue(
         df,
         columns,
         kinds,
-        [],
+        group_by,
         params,
         metric_set,
-        {},
+        name_map,
         plans,
         with_bloom,
         total_est,
-        n_groups=1,
+        n_groups=n_groups,
         fused_cols=list(range(len(columns))),
     )
 
-    cols: dict[str, ColumnState] = {}
-    fixes: list[tuple[str, ColumnState]] = []
-    for i, (c, kind) in enumerate(zip(columns, kinds)):
-        st = residue.get(("[]", c))
-        if st is None:
-            # empty input (no stream rows at all): zero states, like job 1's
-            # single all-zero aggregate row
-            st = ColumnState(c, kind, params, with_bloom=with_bloom, metric_set=metric_set)
-            st.hash_space = "xxhash64"
-        _fused_finalize(st, plans[i], with_bloom, metric_set)
-        if (
-            plans[i].mode == "sketch"
-            and not plans[i].bloom_exact
-            and with_bloom
-            and st.with_bloom
-            and metric_set == "all"
-            and st.count
-        ):
-            est = st.hll.estimate()
-            if est is not None and est <= _BLOOM_EXACT_MAX:
-                fixes.append((c, st))
-        cols[c] = st
+    # every group with >= 1 input row yields carrier rows (group columns
+    # key every grouping set), so the residue keys are a complete census
+    gjsons = sorted({g for (g, _c) in residue}) if group_by else ["[]"]
+    if group_by and len(gjsons) > params.catalyst_max_groups:
+        # deceived sample (clustered layout hid the group cardinality): the
+        # scan is sunk cost — degrade to the keyed Arrow fold, the same
+        # floor the catalyst cap uses, rather than build unbounded
+        # per-group follow-up expression lists
+        return _profile_arrow(df, columns, group_by, params, with_bloom, metric_set)
+
+    states: dict[tuple, dict[str, ColumnState]] = {}
+    fixes: list[tuple] = []
+    for gjson in gjsons:
+        gkey = tuple(json.loads(gjson))
+        cols: dict[str, ColumnState] = {}
+        for i, (c, kind) in enumerate(zip(columns, kinds)):
+            st = residue.get((gjson, c))
+            if st is None:
+                # empty input (no stream rows at all): zero states, like
+                # job 1's single all-zero aggregate row
+                st = ColumnState(c, kind, params, with_bloom=with_bloom, metric_set=metric_set)
+                st.hash_space = "xxhash64"
+            _fused_finalize(st, plans[i], with_bloom, metric_set)
+            if (
+                plans[i].mode == "sketch"
+                and not plans[i].bloom_exact
+                and with_bloom
+                and st.with_bloom
+                and metric_set == "all"
+                and st.count
+            ):
+                est = st.hll.estimate()
+                if est is not None and est <= _BLOOM_EXACT_MAX:
+                    fixes.append((c, st, _group_match(group_by, gkey) if group_by else None))
+            cols[c] = st
+        states[gkey] = cols
     if fixes:
         _bloom_rebuild(df, fixes)
-    states = {(): cols}
-    result = ProfileResult((), states)
+    result = ProfileResult(tuple(group_by), states)
     if metric_set != "min" and any(p.mode == "sketch" for p in plans.values()):
-        _followup_sketch_numeric(df, [], columns, kinds, plans, states)
-        _followup_suffix(df, [], columns, kinds, plans, states)
-        _followup_prefix(df, [], columns, kinds, plans, states)
+        _examples_repair(df, group_by, columns, kinds, plans, states, params, metric_set)
+        _followup_sketch_numeric(df, group_by, columns, kinds, plans, states)
+        _followup_suffix(df, group_by, columns, kinds, plans, states)
+        _followup_prefix(df, group_by, columns, kinds, plans, states)
     return result
 
 

@@ -162,11 +162,133 @@ class TestFusedParity:
         f = profile(df, engine="fused")
         assert f.state("b1").true_count == 50 and f.state("b1").count == 100
 
-    def test_grouped_falls_back(self, spark):
+def _check_grouped(df, group_by, cols=None, oracle="arrow", sketch_exact=True):
+    a = profile(df, columns=cols, group_by=group_by, engine=oracle)
+    f = profile(df, columns=cols, group_by=group_by, engine="fused")
+    assert set(a.states) == set(f.states)
+    for g in a.states:
+        for col in a.states[g]:
+            _match(a.states[g][col], f.states[g][col], f"fused:{g}:{col}", sketch_exact)
+    return a, f
+
+
+class TestGroupedFused:
+    """The grouped single-scan engine: per-group exact metrics ride the
+    carrier, per-group examples thresholds from sampled row shares, the
+    rho filter pinned off, and the starvation repair closing any top-K the
+    thresholds starved. Parity vs the Arrow fold per (group, column)."""
+
+    def test_documents_by_lang(self, spark):
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        g = profile(docs, columns=["text"], group_by=["lang"], engine="fused")
-        c = profile(docs, columns=["text"], group_by=["lang"], engine="catalyst")
-        assert set(g.states) == set(c.states)
+        _check_grouped(docs, ["lang"])
+
+    def test_skewed_group_cardinality(self, spark):
+        # big group 300K distinct vs small group 300 distinct sharing one
+        # sketch-mode column: the small group's HLL registers and top-K
+        # must match the unfiltered Arrow fold exactly
+        df = (
+            spark.range(0, 300_000)
+            .select(F.lit("big").alias("g"), F.concat(F.lit("a_"), F.col("id")).alias("s"))
+            .unionAll(
+                spark.range(0, 3000).select(
+                    F.lit("small").alias("g"), F.concat(F.lit("b_"), F.col("id") % 300).alias("s")
+                )
+            )
+        )
+        _check_grouped(df, ["g"], cols=["s"])
+
+    def test_dup_heavy_group_parity(self, spark):
+        """200K rows but 500 distinct in group B: the per-group sampled
+        distinct keeps its examples threshold honest (no starvation) and
+        every metric matches the Arrow fold."""
+        df = (
+            spark.range(0, 300_000)
+            .select(F.lit("A").alias("g"), F.concat(F.lit("u_"), F.col("id")).alias("s"))
+            .unionAll(
+                spark.range(0, 200_000).select(
+                    F.lit("B").alias("g"), F.concat(F.lit("d_"), F.col("id") % 500).alias("s")
+                )
+            )
+        )
+        _check_grouped(df, ["g"], cols=["s"])
+
+    def test_starved_thresholds_repaired_exactly(self, spark, monkeypatch):
+        """Force over-tight examples thresholds (the over-extrapolation
+        shape a 100TB probe can produce): the post-scan starvation repair
+        must fire and close the top-K + prefix/suffix candidates exactly."""
+        fired = []
+        real_repair = P._examples_repair
+
+        def spy(df, group_by, columns, kinds, plans, states, params, metric_set):
+            before = {(g, c): len(st.examples.items) for g, cols_ in states.items() for c, st in cols_.items()}
+            real_repair(df, group_by, columns, kinds, plans, states, params, metric_set)
+            for key, n0 in before.items():
+                n1 = len(states[key[0]][key[1]].examples.items)
+                if n1 != n0:
+                    fired.append((key, n0, n1))
+
+        real_rr = P._run_residue
+
+        def tight_rr(df, columns, kinds, group_by, params, metric_set, name_map, plans, with_bloom,
+                     total_rows, n_groups, fused_cols=None):
+            for pl in plans.values():
+                if pl.mode == "sketch":
+                    # keep ~1/2^9 of hashes: far fewer than max_examples
+                    pl.ex_t2 = 2**63 // 512
+                    pl.ex_t2_cases = [(gj, 2**63 // 512) for gj, _t2 in (pl.ex_t2_cases or [])] or None
+            return real_rr(df, columns, kinds, group_by, params, metric_set, name_map, plans, with_bloom,
+                           total_rows, n_groups, fused_cols)
+
+        monkeypatch.setattr(P, "_examples_repair", spy)
+        monkeypatch.setattr(P, "_run_residue", tight_rr)
+        df = (
+            spark.range(0, 60_000)
+            .select(F.lit("A").alias("g"), F.concat(F.lit("u_"), F.col("id")).alias("s"))
+            .unionAll(
+                spark.range(0, 40_000).select(
+                    F.lit("B").alias("g"), F.concat(F.lit("d_"), F.col("id") % 20000).alias("s")
+                )
+            )
+        )
+        a, f = _check_grouped(df, ["g"], cols=["s"])
+        assert fired, "starvation repair did not fire under forced tight thresholds"
+        for g in (("A",), ("B",)):
+            assert len(f.states[g]["s"].examples.items) == P.DEFAULT_PARAMS.max_examples
+
+    def test_nullable_int_group_keys(self, spark):
+        rows = [(i % 3 if i % 7 else None, f"val_{i % 50}", float(i), i * 6) for i in range(30000)]
+        df = spark.createDataFrame(rows, "grp int, s string, x double, y long")
+        a, f = _check_grouped(df, ["grp"])
+        assert set(f.states) == {(0,), (1,), (2,), (None,)}
+
+    def test_clustered_unseen_group_stays_exact(self, spark):
+        """A group living only in the scan's tail is invisible to the head
+        probe: its examples threshold falls to the keep-all CASE default
+        and every metric stays exact (just more stream rows)."""
+        df = (
+            spark.range(0, 400_000)
+            .select(
+                F.when(F.col("id") < 360_000, F.lit("aa")).otherwise(F.lit("zz")).alias("g"),
+                F.concat(F.lit("v_"), F.col("id")).alias("s"),
+            )
+            .coalesce(1)
+            .sortWithinPartitions("id")
+        )
+        _check_grouped(df, ["g"], cols=["s"])
+
+    def test_group_cap_delegates_to_catalyst(self, spark, monkeypatch):
+        import dataclasses
+
+        calls = []
+        real_cat = P.profile_catalyst
+        monkeypatch.setattr(P, "profile_catalyst", lambda *a, **k: calls.append("catalyst") or real_cat(*a, **k))
+        params = dataclasses.replace(P.DEFAULT_PARAMS, catalyst_max_groups=8)
+        many = spark.range(0, 5000).select(
+            (F.col("id") % 100).alias("g"), F.concat(F.lit("v"), F.col("id")).alias("s")
+        )
+        res = P.profile_fused(many, ["s"], ["g"], params)
+        assert calls == ["catalyst"]
+        assert len(res.states) == 100
 
 
 class TestProbePlanner:

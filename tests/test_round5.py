@@ -179,6 +179,10 @@ class TestEngineAutoGate:
         assert calls == ["catalyst"]
 
     def test_auto_grouped_above_threshold_keeps_catalyst(self, spark, monkeypatch):
+        """Grouped profiles stay on the two-job engine by default even
+        uncached: a strong per-group rho filter needs job 1's exact
+        per-group distinct counts (measured trade in profile()); grouped
+        fused is the exact opt-in via engine='fused'."""
         import dataclasses
 
         import importlib
@@ -192,6 +196,15 @@ class TestEngineAutoGate:
         small = spark.range(100).selectExpr("concat('v', id) as s", "id % 2 as g")
         P.profile(small, columns=["s"], group_by=["g"], params=params)
         assert calls == ["catalyst"]
+
+    def test_grouped_fused_opt_in_works(self, spark):
+        import importlib
+        P = importlib.import_module("jsonoid_discovery_spark.operators.profile")
+
+        small = spark.range(200).selectExpr("concat('v', id % 40) as s", "id % 2 as g")
+        res = P.profile(small, columns=["s"], group_by=["g"], engine="fused")
+        assert set(res.states) == {(0,), (1,)}
+        assert all(cols["s"].count == 100 for cols in res.states.values())
 
 
 class TestGroupCardinalityCap:
