@@ -305,8 +305,10 @@ def _dedup_groups_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_lsh_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup candidate pairs (rows-only check: xxhash64 has no DuckDB
-    equivalent; exactness is covered by pytest with a python oracle)."""
+    """Near-dup candidate pairs. DuckDB-oracled since round 5: the oracle
+    replays the whole pipeline (shingles -> 32 chained xxhash64 signatures
+    -> band-hash of the signature string -> capped bucket self-join) with
+    XXH64 generated as pure SQL (functions/xxh64_sql.py)."""
     from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(_t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8)
@@ -1038,12 +1040,99 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drift_lang_documents": _drift_oracle_sql(),
         "pk_candidates_documents": _pk_candidates_oracle_sql(),
-        # minhash_lsh_pairs_documents, simhash_documents,
-        # split_discover_documents, value_table_documents: intentionally no
-        # oracle (xxhash64 / sketch state / seeded randomSplit are not
-        # SQL-expressible in DuckDB) -> the driver records rows-only checks;
-        # pytest covers their exactness with python oracles.
+        # round 5: simhash + minhash converted from rows-only to full hash
+        # checks — XXH64 itself is generated as DuckDB SQL (HUGEINT mod-2^64
+        # arithmetic, staged CTEs; functions/xxh64_sql.py), so the oracles
+        # replay Spark's xxhash64-keyed pipelines bit-for-bit.
+        "simhash_documents": _simhash_oracle_sql(),
+        "minhash_lsh_pairs_documents": _minhash_oracle_sql(),
+        # split_discover_documents, value_table_documents,
+        # json_schema_diff_orders, json_discovery_sketches_orders,
+        # split_discover_json_events: intentionally no oracle (seeded
+        # randomSplit / pandas-hash example ranks / recursive schema walks /
+        # sketch byte state are not SQL-expressible in DuckDB) -> the driver
+        # records rows-only checks; pytest covers their exactness with
+        # python oracles.
     }
+
+
+def _shingle_ctes_sql(k: int) -> str:
+    """DuckDB CTEs mirroring dedup.shingle_rows (distinct word k-shingles,
+    whole-doc fallback for docs shorter than k words; null text drops —
+    Spark's posexplode of a null array emits no rows)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return f"""
+            words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT doc_id, CASE WHEN len(w) >= {k}
+                THEN list_distinct(list_transform(generate_series(1, len(w) - {k - 1}),
+                     i -> {gram}))
+                ELSE [array_to_string(w, ' ')] END AS g
+              FROM words
+            ),
+            sh AS (SELECT DISTINCT doc_id, unnest(g) AS s FROM grams)
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB oracle for simhash_documents: word-2-shingles, XXH64(seed 42)
+    per shingle via generated SQL, then the per-bit majority vote exactly as
+    dedup.with_simhash (bit i set when 2*count(h & mask_i != 0) > n; the
+    sign bit's mask is the negative 2^63 in two's complement). Mask terms
+    are summed ascending so the partial sums stay in BIGINT range."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_str_ctes, with_clause
+
+    stages, fin = xxh64_str_ctes("sh", "s", "h")
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    terms = " + ".join(
+        f"CASE WHEN 2*count(CASE WHEN (h & CAST({m} AS BIGINT)) != 0 THEN 1 END) > count(*) "
+        f"THEN CAST({m} AS BIGINT) ELSE 0 END"
+        for m in masks
+    )
+    return (
+        "WITH " + _shingle_ctes_sql(2) + ", " + with_clause(stages)
+        + f" SELECT doc_id, {terms} AS simhash FROM {fin} GROUP BY doc_id"
+    )
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8, k: int = 3, cap: int = 500) -> str:
+    """DuckDB oracle for minhash_lsh_pairs_documents, replaying
+    dedup.lsh_candidate_pairs end to end: per-shingle base hash XXH64(s, 42)
+    computed once, the 32 per-seed hashes via Spark's chained
+    ``xxhash64(s, lit(i))`` = hashInt(i, base), per-seed minima as the
+    signature, band buckets as XXH64 of the signature slice rendered the way
+    Spark casts array<bigint> to string ('[a, b, c, d]'), the
+    bucket-size cap as a QUALIFY window, then the distinct id_a < id_b
+    self-join."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import (
+        xxh64_int_ctes,
+        xxh64_str_ctes,
+        with_clause,
+    )
+
+    rpb = num_hashes // bands
+    s1, f1 = xxh64_str_ctes("sh", "s", "hbase", prefix="xa", keep_unsigned=True)
+    s2, f2 = xxh64_int_ctes("crossed", "i", "xa_u", "hi", prefix="xb")
+    s3, f3 = xxh64_str_ctes("bandstr", "bstr", "bucket", prefix="xc")
+    return (
+        "WITH " + _shingle_ctes_sql(k) + ", " + with_clause(s1)
+        + f", seeds AS (SELECT unnest(range(0, {num_hashes})) AS i)"
+        + f", crossed AS (SELECT doc_id, xa_u, i FROM {f1} CROSS JOIN seeds), "
+        + with_clause(s2)
+        + f", sig AS (SELECT doc_id, i, min(hi) AS m FROM {f2} GROUP BY doc_id, i)"
+        + f", bandstr AS (SELECT doc_id, i // {rpb} AS band, "
+        + "'[' || string_agg(m::VARCHAR, ', ' ORDER BY i) || ']' AS bstr "
+        + f"FROM sig GROUP BY doc_id, i // {rpb}), "
+        + with_clause(s3)
+        + f", capped AS (SELECT doc_id, band, bucket FROM {f3} "
+        + f"QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {cap}) "
+        + "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        + "FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket "
+        + "AND a.doc_id < b.doc_id"
+    )
 
 
 def _pk_candidates_oracle_sql() -> str:

@@ -1,0 +1,338 @@
+"""XXH64 as pure DuckDB SQL — cross-engine oracle support for hash-keyed ops.
+
+Several operators key their output on Spark's ``xxhash64`` (SimHash
+fingerprints, MinHash signatures, LSH band buckets). Their driver-contract
+entries were "rows-only" checks because DuckDB has no xxhash64 builtin —
+this module closes that gap by GENERATING DuckDB SQL that computes the very
+same hash, so the oracle can replay the whole pipeline bit-for-bit.
+
+XXH64 is a public algorithm (xxHash, Yann Collet, BSD-2 —
+https://github.com/Cyan4973/xxHash); Spark re-implements it for Catalyst in
+``org.apache.spark.sql.catalyst.expressions.XXH64`` and evaluates strings
+over their UTF-8 bytes with seed 42 (little-endian lane reads). Reference
+parity for the jsonoid analog: the reference engine also hashes feature
+strings with a 64-bit seeded hash for its sketch keys
+(``/root/reference/src/main/scala/.../utils/HyperLogLog.scala`` uses a
+64-bit hash of the serialized value); matching Spark's hash exactly is what
+lets the DuckDB oracle verify those outputs value-for-value.
+
+Implementation notes (the interesting constraints are DuckDB's, not the
+algorithm's):
+
+* DuckDB BIGINT/UBIGINT arithmetic is overflow-CHECKED — there is no
+  wrapping 64-bit multiply. All hash state therefore lives in HUGEINT
+  (int128) in the range [0, 2^64): a 64x64 wrapping multiply splits the
+  left operand into 32-bit halves so no intermediate exceeds 2^97.
+* Bytes come from ``hex(encode(s))``: two hex chars per byte, parsed with
+  ``strpos`` — works for arbitrary UTF-8 (verified against non-ASCII), no
+  blob indexing needed (DuckDB blobs aren't subscriptable).
+* The hash is emitted as a CHAIN OF CTE STAGES, one algorithm step per
+  stage, each referencing only short column names from the previous stage.
+  Inlining everything into one expression would blow up exponentially (a
+  wrapping multiply references its operand twice, fmix is five such steps
+  deep), while per-stage columns keep the generated SQL linear and let
+  DuckDB vectorize each step.
+
+Generated SQL is used by ``__spark_entry__.oracle_sql()`` for
+``simhash_documents`` and ``minhash_lsh_pairs_documents``; exactness is
+pinned by tests/test_xxh64_sql.py (DuckDB vs the python reference below on
+adversarial lengths/content, and the python reference vs Spark's xxhash64
+in the engine-parity battery).
+"""
+
+from __future__ import annotations
+
+M = 1 << 64
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+# ------------------------------------------------------------------ python
+# Reference implementation (tests + documentation of the exact semantics).
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & (M - 1)
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * P2) & (M - 1)
+    h ^= h >> 29
+    h = (h * P3) & (M - 1)
+    h ^= h >> 32
+    return h
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` — equals Spark's ``xxhash64(string_col)`` (which
+    hashes the UTF-8 bytes with seed 42) when called on ``s.encode()``.
+    Returns the UNSIGNED value; see :func:`signed` for Spark's BIGINT."""
+    mask = M - 1
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [
+            (seed + P1 + P2) & mask,
+            (seed + P2) & mask,
+            seed & mask,
+            (seed - P1) & mask,
+        ]
+        while i <= n - 32:
+            for j in range(4):
+                w = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v[j] = (_rotl((v[j] + w * P2) & mask, 31) * P1) & mask
+            i += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & mask
+        for vj in v:
+            h ^= (_rotl((vj * P2) & mask, 31) * P1) & mask
+            h = ((h * P1) + P4) & mask
+    else:
+        h = (seed + P5) & mask
+    h = (h + n) & mask
+    while i <= n - 8:
+        w = int.from_bytes(data[i : i + 8], "little")
+        k = (_rotl((w * P2) & mask, 31) * P1) & mask
+        h = ((_rotl(h ^ k, 27) * P1) + P4) & mask
+        i += 8
+    if i <= n - 4:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h = ((_rotl(h ^ ((w * P1) & mask), 23) * P2) + P3) & mask
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * P5) & mask), 11) * P1) & mask
+        i += 1
+    return _fmix(h)
+
+
+def xxh64_int(value: int, seed: int) -> int:
+    """XXH64 of one 4-byte int under ``seed`` — Spark's
+    ``xxhash64(col, lit(i))`` chains as ``xxh64_int(i, xxh64(col_bytes))``
+    (an IntegerType literal takes the hashInt path)."""
+    mask = M - 1
+    h = (seed + P5 + 4) & mask
+    h ^= ((value & 0xFFFFFFFF) * P1) & mask
+    h = ((_rotl(h, 23) * P2) + P3) & mask
+    return _fmix(h)
+
+
+def signed(h: int) -> int:
+    """Unsigned 64-bit hash -> Spark's signed BIGINT representation."""
+    return h - M if h >= (1 << 63) else h
+
+
+# --------------------------------------------------------------------- sql
+# Expression fragments. Every fragment keeps values in [0, 2^64) HUGEINT.
+
+
+def _sql_mul(a: str, b) -> str:
+    # 64x64 wrapping multiply: split a into 32-bit halves; all
+    # intermediates < 2^97 (HUGEINT max is 2^127-1).
+    return (
+        f"(((({a}) % 4294967296) * ({b}) + "
+        f"(((({a}) // 4294967296) * ({b})) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616)"
+    )
+
+
+def _sql_rotl(x: str, r: int) -> str:
+    lo = 1 << (64 - r)
+    return f"((({x}) % {lo}) * {1 << r} + (({x}) // {lo}))"
+
+
+def _sql_addm(*xs: str) -> str:
+    return f"(({' + '.join(str(x) for x in xs)}) % 18446744073709551616)"
+
+
+def _sql_xor(a: str, b: str) -> str:
+    return f"xor({a}, {b})"
+
+
+def _sql_round(v: str, w: str) -> str:
+    # XXH64 accumulator round: rotl31(v + w*P2) * P1
+    return _sql_mul(_sql_rotl(_sql_addm(v, _sql_mul(w, P2)), 31), P1)
+
+
+def _fmix_stages(p: str, prev: str, prev_col: str, out_col: str) -> list[tuple[str, str]]:
+    """Five fmix steps as five stages (each multiply doubles the text of
+    its operand, so staging keeps the SQL linear)."""
+    s = []
+    s.append((f"{p}_f1", f"SELECT *, {_sql_xor(prev_col, f'({prev_col} >> 33)')} AS {p}_g1 FROM {prev}"))
+    s.append((f"{p}_f2", f"SELECT *, {_sql_mul(f'{p}_g1', P2)} AS {p}_g2 FROM {p}_f1"))
+    s.append((f"{p}_f3", f"SELECT *, {_sql_xor(f'{p}_g2', f'({p}_g2 >> 29)')} AS {p}_g3 FROM {p}_f2"))
+    s.append((f"{p}_f4", f"SELECT *, {_sql_mul(f'{p}_g3', P3)} AS {p}_g4 FROM {p}_f3"))
+    s.append(
+        (
+            f"{p}_f5",
+            f"SELECT * EXCLUDE ({p}_g1, {p}_g2, {p}_g3, {p}_g4), "
+            f"{_sql_xor(f'{p}_g4', f'({p}_g4 >> 32)')} AS {out_col} FROM {p}_f4",
+        )
+    )
+    return s
+
+
+def _signed_stage(p: str, prev: str, u_col: str, out: str, keep_unsigned: bool) -> tuple[str, str]:
+    drop = "" if keep_unsigned else f" EXCLUDE ({u_col})"
+    return (
+        f"{p}_sg",
+        f"SELECT *{drop}, CAST(CASE WHEN {u_col} >= 9223372036854775808 "
+        f"THEN {u_col} - 18446744073709551616 ELSE {u_col} END AS BIGINT) AS {out} FROM {prev}",
+    )
+
+
+def xxh64_str_ctes(
+    src: str,
+    str_col: str,
+    out: str,
+    *,
+    seed: int = 42,
+    prefix: str = "xx",
+    keep_unsigned: bool = False,
+) -> tuple[list[tuple[str, str]], str]:
+    """CTE stages computing ``xxhash64(str_col)`` (seed 42 = Spark default)
+    for every row of CTE/table ``src``. Returns ``(stages, final_name)``
+    where stages are ``(cte_name, select_sql)`` pairs to splice into a
+    WITH clause; the final stage carries all of ``src``'s columns plus
+    ``out`` (signed BIGINT, Spark's value) and — with ``keep_unsigned`` —
+    ``{prefix}_u`` (HUGEINT in [0, 2^64), the seed for chained hashes)."""
+    p = prefix
+    hexd = "0123456789ABCDEF"
+    byte_at = (
+        f"CAST((strpos('{hexd}', substr({p}_hx, 2*(i)+1, 1))-1)*16 "
+        f"+ (strpos('{hexd}', substr({p}_hx, 2*(i)+2, 1))-1) AS HUGEINT)"
+    )
+    lane8 = " + ".join(f"{p}_bs[8*j+{m + 1}] * {1 << (8 * m)}" for m in range(8))
+    v_init = [
+        (seed + P1 + P2) % M,
+        (seed + P2) % M,
+        seed % M,
+        (seed - P1) % M,
+    ]
+    v_init_list = "[" + ", ".join(f"CAST({v} AS HUGEINT)" for v in v_init) + "]"
+    stripe_quad = "[" + ", ".join(f"{p}_ls[4*q+{j + 1}]" for j in range(4)) + "]"
+    round4 = "[" + ", ".join(_sql_round(f"a[{j + 1}]", f"w[{j + 1}]") for j in range(4)) + "]"
+    rotl_sum = _sql_addm(
+        _sql_rotl(f"{p}_vs[1]", 1),
+        _sql_rotl(f"{p}_vs[2]", 7),
+        _sql_rotl(f"{p}_vs[3]", 12),
+        _sql_rotl(f"{p}_vs[4]", 18),
+    )
+    word_step = _sql_addm(
+        _sql_mul(_sql_rotl(_sql_xor("h", _sql_mul(_sql_rotl(_sql_mul("w", P2), 31), P1)), 27), P1), P4
+    )
+    w4_off = f"({p}_ln // 8) * 8"
+    w4 = " + ".join(f"{p}_bs[{w4_off} + {m + 1}] * {1 << (8 * m)}" for m in range(4))
+    bt_start = f"(({p}_ln // 8) * 8 + CASE WHEN {p}_ln % 8 >= 4 THEN 4 ELSE 0 END)"
+    byte_step = _sql_mul(_sql_rotl(_sql_xor("h", _sql_mul("b", P5)), 11), P1)
+
+    stages: list[tuple[str, str]] = [
+        (
+            f"{p}_a",
+            f"SELECT *, hex(encode({str_col})) AS {p}_hx, "
+            f"octet_length(encode({str_col})) AS {p}_ln FROM {src}",
+        ),
+        (
+            f"{p}_b",
+            f"SELECT * EXCLUDE ({p}_hx), "
+            f"list_transform(range(0, {p}_ln), i -> {byte_at}) AS {p}_bs FROM {p}_a",
+        ),
+        (
+            f"{p}_c",
+            f"SELECT *, list_transform(range(0, {p}_ln // 8), j -> {lane8}) AS {p}_ls FROM {p}_b",
+        ),
+        (
+            f"{p}_d",
+            f"SELECT *, CASE WHEN {p}_ln >= 32 THEN list_reduce(list_prepend({v_init_list}, "
+            f"list_transform(range(0, {p}_ln // 32), q -> {stripe_quad})), "
+            f"(a, w) -> {round4}) ELSE NULL END AS {p}_vs FROM {p}_c",
+        ),
+        (
+            f"{p}_e",
+            f"SELECT *, CASE WHEN {p}_ln >= 32 THEN {rotl_sum} "
+            f"ELSE CAST({(seed + P5) % M} AS HUGEINT) END AS {p}_h0 FROM {p}_d",
+        ),
+    ]
+    prev_h = f"{p}_h0"
+    for k in range(4):
+        merge = _sql_addm(
+            _sql_mul(
+                _sql_xor(prev_h, _sql_mul(_sql_rotl(_sql_mul(f"{p}_vs[{k + 1}]", P2), 31), P1)), P1
+            ),
+            P4,
+        )
+        drop = f" EXCLUDE ({prev_h}" + (f", {p}_vs)" if k == 3 else ")")
+        stages.append(
+            (
+                f"{p}_m{k + 1}",
+                f"SELECT *{drop}, CASE WHEN {p}_ln >= 32 THEN {merge} "
+                f"ELSE {prev_h} END AS {p}_h{k + 1} FROM {stages[-1][0]}",
+            )
+        )
+        prev_h = f"{p}_h{k + 1}"
+    last = stages[-1][0]
+    stages += [
+        (
+            f"{p}_hl",
+            f"SELECT * EXCLUDE ({prev_h}), {_sql_addm(prev_h, f'{p}_ln')} AS {p}_hn FROM {last}",
+        ),
+        (
+            f"{p}_wt",
+            f"SELECT * EXCLUDE ({p}_hn, {p}_ls), CASE WHEN ({p}_ln // 8) > ({p}_ln // 32) * 4 "
+            f"THEN list_reduce(list_prepend({p}_hn, {p}_ls[({p}_ln // 32) * 4 + 1 : {p}_ln // 8]), "
+            f"(h, w) -> {word_step}) ELSE {p}_hn END AS {p}_hw FROM {p}_hl",
+        ),
+        (
+            f"{p}_w4",
+            f"SELECT * EXCLUDE ({p}_hw), CASE WHEN {p}_ln % 8 >= 4 "
+            f"THEN {_sql_addm(_sql_mul(_sql_rotl(_sql_xor(f'{p}_hw', _sql_mul(f'({w4})', P1)), 23), P2), P3)} "
+            f"ELSE {p}_hw END AS {p}_h4b FROM {p}_wt",
+        ),
+        (
+            f"{p}_bt",
+            f"SELECT * EXCLUDE ({p}_h4b, {p}_bs, {p}_ln), CASE WHEN {p}_ln > {bt_start} "
+            f"THEN list_reduce(list_prepend({p}_h4b, {p}_bs[{bt_start} + 1 : {p}_ln]), "
+            f"(h, b) -> {byte_step}) ELSE {p}_h4b END AS {p}_hb FROM {p}_w4",
+        ),
+    ]
+    stages += _fmix_stages(p, f"{p}_bt", f"{p}_hb", f"{p}_u")
+    # drop the pre-fmix column carried by SELECT *
+    stages.append((f"{p}_cl", f"SELECT * EXCLUDE ({p}_hb) FROM {p}_f5"))
+    stages.append(_signed_stage(p, f"{p}_cl", f"{p}_u", out, keep_unsigned))
+    return stages, stages[-1][0]
+
+
+def xxh64_int_ctes(
+    src: str,
+    int_col: str,
+    seed_col: str,
+    out: str,
+    *,
+    prefix: str = "xi",
+    keep_unsigned: bool = False,
+) -> tuple[list[tuple[str, str]], str]:
+    """CTE stages computing Spark's ``xxhash64(str_col, lit(i))`` given the
+    UNSIGNED base hash in ``seed_col`` (from :func:`xxh64_str_ctes` with
+    ``keep_unsigned=True``) and the IntegerType value in ``int_col`` — the
+    hashInt chaining step: ``fmix(rotl23(((seed+P5+4) ^ i*P1)) * P2 + P3)``."""
+    p = prefix
+    h0 = _sql_addm(seed_col, P5 + 4)
+    ik = _sql_mul(f"CAST({int_col} AS HUGEINT)", P1)
+    stages = [
+        (f"{p}_x", f"SELECT *, {_sql_xor(h0, ik)} AS {p}_hx FROM {src}"),
+        (
+            f"{p}_r",
+            f"SELECT * EXCLUDE ({p}_hx), "
+            f"{_sql_addm(_sql_mul(_sql_rotl(f'{p}_hx', 23), P2), P3)} AS {p}_hr FROM {p}_x",
+        ),
+    ]
+    stages += _fmix_stages(p, f"{p}_r", f"{p}_hr", f"{p}_u")
+    stages.append((f"{p}_cl", f"SELECT * EXCLUDE ({p}_hr) FROM {p}_f5"))
+    stages.append(_signed_stage(p, f"{p}_cl", f"{p}_u", out, keep_unsigned))
+    return stages, stages[-1][0]
+
+
+def with_clause(stages: list[tuple[str, str]]) -> str:
+    """Render stages as the body of a WITH clause (no leading WITH)."""
+    return ",\n".join(f"{name} AS ({sql})" for name, sql in stages)
