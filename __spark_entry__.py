@@ -420,8 +420,9 @@ def _profile_fused_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _value_table_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """ValueTableGenerator analog (rows-only: deterministic hash-ranked
-    examples have no SQL equivalent)."""
+    """ValueTableGenerator analog. DuckDB-oracled since round 5: the
+    hash-ranked top-K examples replay exactly because the rank hash is
+    Spark's xxhash64, generated as SQL (functions/xxh64_sql.py)."""
     from jsonoid_discovery_spark.operators.analyses import value_table
     from jsonoid_discovery_spark.operators.profile import profile
 
@@ -1046,14 +1047,41 @@ def oracle_sql() -> dict[str, str]:
         # replay Spark's xxhash64-keyed pipelines bit-for-bit.
         "simhash_documents": _simhash_oracle_sql(),
         "minhash_lsh_pairs_documents": _minhash_oracle_sql(),
-        # split_discover_documents, value_table_documents,
-        # json_schema_diff_orders, json_discovery_sketches_orders,
-        # split_discover_json_events: intentionally no oracle (seeded
-        # randomSplit / pandas-hash example ranks / recursive schema walks /
-        # sketch byte state are not SQL-expressible in DuckDB) -> the driver
-        # records rows-only checks; pytest covers their exactness with
-        # python oracles.
+        "value_table_documents": _value_table_oracle_sql(),
+        # split_discover_documents, split_discover_json_events,
+        # json_schema_diff_orders, json_discovery_sketches_orders:
+        # intentionally no oracle (seeded randomSplit / recursive schema
+        # walks / sketch byte state are not SQL-expressible in DuckDB) ->
+        # the driver records rows-only checks; pytest covers their
+        # exactness with python oracles.
     }
+
+
+def _value_table_oracle_sql(k: int = 100, max_len: int = 100) -> str:
+    """DuckDB oracle for value_table_documents: the profile's examples are
+    the K distinct values with the SMALLEST UNSIGNED xxhash64 (the arrow
+    fold ranks string examples by the JVM-computed hash,
+    profile.py update_hashed_arrow; ties are whp-impossible on distinct
+    values), truncated to ``max_len`` AFTER ranking, laid out as a
+    rectangular NULL-padded table with columns sorted by name."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_str_ctes, with_clause
+
+    stages, fin = xxh64_str_ctes("dv", "s", "h", prefix="xv", keep_unsigned=True)
+    return (
+        "WITH vals AS ("
+        " SELECT 'lang' AS col, lang AS s FROM documents WHERE lang IS NOT NULL"
+        " UNION ALL"
+        " SELECT 'source', source FROM documents WHERE source IS NOT NULL"
+        "), dv AS (SELECT DISTINCT col, s FROM vals), "
+        + with_clause(stages)
+        + f", ranked AS (SELECT col, s, row_number() OVER (PARTITION BY col ORDER BY xv_u) AS rn FROM {fin})"
+        + f", kept AS (SELECT col, CASE WHEN length(s) > {max_len} THEN substr(s, 1, {max_len}) ELSE s END AS s, rn"
+        + f" FROM ranked WHERE rn <= {k})"
+        + ", idx AS (SELECT unnest(range(1, (SELECT max(cnt) + 1 FROM (SELECT count(*) AS cnt FROM kept GROUP BY col)))) AS rn)"
+        + " SELECT l.s AS lang, src.s AS source FROM idx"
+        + " LEFT JOIN (SELECT rn, s FROM kept WHERE col = 'lang') l USING (rn)"
+        + " LEFT JOIN (SELECT rn, s FROM kept WHERE col = 'source') src USING (rn)"
+    )
 
 
 def _shingle_ctes_sql(k: int) -> str:

@@ -125,3 +125,23 @@ def test_minhash_oracle_matches_operator(spark, docs, _duck_docs):
     want = sorted(map(tuple, _duck_docs.execute(_minhash_oracle_sql()).fetchall()))
     assert got == want
     assert len(got) > 0  # the sf0.001 fixture does contain near-dups
+
+
+def test_value_table_oracle_matches_operator(spark, docs, _duck_docs):
+    from __spark_entry__ import _value_table_oracle_sql
+    from jsonoid_discovery_spark.operators.analyses import value_table
+    from jsonoid_discovery_spark.operators.profile import profile
+
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731 — NULL pads
+    got = sorted(
+        (
+            (r["lang"], r["source"])
+            for r in value_table(profile(docs, columns=["lang", "source"])).collect()
+        ),
+        key=key,
+    )
+    want = sorted(
+        map(tuple, _duck_docs.execute(_value_table_oracle_sql()).fetchall()), key=key
+    )
+    assert got == want
+    assert len(got) > 1
