@@ -429,6 +429,76 @@ def _value_table_documents(spark: SparkSession, sf: str) -> DataFrame:
     return value_table(profile(_t(spark, sf, "documents"), columns=["lang", "source"]))
 
 
+def _decontam_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination (curation.decontaminate): training docs
+    (doc_id % 5 != 0) sharing word 8-grams with the held-out 20%
+    (doc_id % 5 = 0). Exact string n-grams; the eval gram set is broadcast,
+    so the train side never shuffles — the 100 TB shape."""
+    from jsonoid_discovery_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf, "documents")
+    return decontaminate(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+        n=8,
+    )
+
+
+def _gopher_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule features + keep verdict (curation.with_gopher;
+    Rae et al. 2021 appendix A1.1) — all codegen'd array/regex expressions,
+    oracle replays them in DuckDB list/regex functions."""
+    from jsonoid_discovery_spark.operators.curation import with_gopher
+
+    return with_gopher(_t(spark, sf, "documents"), "text").select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "dup_line_frac", "gopher_keep",
+    )
+
+
+def _pii_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scan + redaction (curation.with_pii) over text AUGMENTED with
+    deterministic fixture-derived PII (the raw fixture contains none, which
+    would make the parity check vacuous): per-category counts plus the
+    redacted length. Patterns live in the Java-regex/RE2 shared subset so
+    the oracle runs the identical strings."""
+    from jsonoid_discovery_spark.operators.curation import with_pii
+
+    d = _t(spark, sf, "documents").withColumn(
+        "aug",
+        F.concat(
+            F.lit("contact "), F.col("lang"), F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1 call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 ref "), F.col("text"),
+        ),
+    )
+    return with_pii(d, "aug", redact=True).select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone",
+        F.length("aug_redacted").alias("redacted_len"),
+    )
+
+
+def _sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-stratified sampling (curation.stratified_sample):
+    keep iff pmod(xxhash64(doc_id), 1e6) < per-lang threshold. Unlike
+    DataFrame.sample, the verdict is partition-independent — the oracle
+    replays the keep rule via generated XXH64 SQL (hashLong path)."""
+    from jsonoid_discovery_spark.operators.curation import stratified_sample
+
+    return (
+        stratified_sample(
+            _t(spark, sf, "documents"), "lang", {"en": 0.5, "de": 0.25},
+            "doc_id", default_fraction=0.1,
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_ids"))
+    )
+
+
 def _events_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling event-time window rollup (the batch shape of the streaming
     windowed aggregation; Structured Streaming uses the same expression)."""
@@ -659,6 +729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_discover_documents": _split_discover_documents,
         "profile_fused_documents": _profile_fused_documents,
         "value_table_documents": _value_table_documents,
+        "decontam_documents": _decontam_documents,
+        "gopher_documents": _gopher_documents,
+        "pii_documents": _pii_documents,
+        "sample_documents": _sample_documents,
         "events_hourly_counts": _events_hourly_counts,
         "array_stats_embeddings": _array_stats_embeddings,
         "json_field_stats_events": _json_field_stats_events,
@@ -1048,6 +1122,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _simhash_oracle_sql(),
         "minhash_lsh_pairs_documents": _minhash_oracle_sql(),
         "value_table_documents": _value_table_oracle_sql(),
+        "decontam_documents": _decontam_oracle_sql(),
+        "gopher_documents": _GOPHER_ORACLE_SQL,
+        "pii_documents": _pii_oracle_sql(),
+        "sample_documents": _sample_oracle_sql(),
         # split_discover_documents, split_discover_json_events,
         # json_schema_diff_orders, json_discovery_sketches_orders:
         # intentionally no oracle (seeded randomSplit / recursive schema
@@ -1055,6 +1133,134 @@ def oracle_sql() -> dict[str, str]:
         # the driver records rows-only checks; pytest covers their
         # exactness with python oracles.
     }
+
+
+def _grams_ctes_sql(alias: str, where: str, n: int) -> str:
+    """DuckDB CTEs producing the distinct word n-grams of a documents
+    subset (shingle_rows semantics: whole-doc fallback under n words)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"""
+            {alias}_w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL AND ({where})
+            ),
+            {alias}_g0 AS (
+              SELECT doc_id, CASE WHEN len(w) >= {n}
+                THEN list_distinct(list_transform(generate_series(1, len(w) - {n - 1}), i -> {gram}))
+                ELSE [array_to_string(w, ' ')] END AS g
+              FROM {alias}_w
+            ),
+            {alias} AS (SELECT DISTINCT doc_id, unnest(g) AS s FROM {alias}_g0)
+    """
+
+
+def _decontam_oracle_sql(n: int = 8) -> str:
+    """DuckDB oracle for decontam_documents: the same exact-string n-gram
+    overlap between the %5 train/eval halves, counted per training doc."""
+    return (
+        "WITH " + _grams_ctes_sql("tg", "doc_id % 5 != 0", n)
+        + ", " + _grams_ctes_sql("eg", "doc_id % 5 = 0", n)
+        + """,
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+            hits AS (SELECT tg.doc_id, count(*) AS n_hits
+                     FROM tg JOIN (SELECT DISTINCT s FROM eg) e USING (s)
+                     GROUP BY tg.doc_id)
+            SELECT h.doc_id, n_grams, n_hits,
+                   n_hits::DOUBLE / n_grams AS hit_ratio
+            FROM hits h JOIN sizes USING (doc_id)
+        """
+    )
+
+
+_GOPHER_ORACLE_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        len(w)::BIGINT AS n_words,
+        list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mean_word_len,
+        len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE / len(w) AS symbol_word_ratio,
+        len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE / len(lines) AS bullet_line_frac,
+        len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE / len(lines) AS ellipsis_line_frac,
+        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w) AS alpha_word_frac,
+        (list_contains(list_transform(w, x -> lower(x)), 'the')::BIGINT
+         + list_contains(list_transform(w, x -> lower(x)), 'be')::BIGINT
+         + list_contains(list_transform(w, x -> lower(x)), 'to')::BIGINT
+         + list_contains(list_transform(w, x -> lower(x)), 'of')::BIGINT
+         + list_contains(list_transform(w, x -> lower(x)), 'and')::BIGINT
+         + list_contains(list_transform(w, x -> lower(x)), 'that')::BIGINT
+         + list_contains(list_transform(w, x -> lower(x)), 'have')::BIGINT
+         + list_contains(list_transform(w, x -> lower(x)), 'with')::BIGINT) AS stopword_hits,
+        1.0 - len(list_distinct(lines))::DOUBLE / len(lines) AS dup_line_frac
+      FROM base
+    )
+    SELECT *, (n_words >= 50 AND n_words <= 100000
+      AND mean_word_len >= 3 AND mean_word_len <= 10
+      AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+      AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+      AND stopword_hits >= 2 AND dup_line_frac < 0.3) AS gopher_keep
+    FROM feat
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB oracle for pii_documents: identical augmentation, identical
+    patterns (curation.PII_PATTERNS — the Java/RE2 shared subset), counts
+    via regexp_extract_all and redaction via chained global
+    regexp_replace in the same category order."""
+    from jsonoid_discovery_spark.operators.curation import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    red = "aug"
+    for name, pat in pats.items():
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(aug, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in pats.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+            'contact ' || lang || '@example.com or 192.168.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.1 call +1 (555) 010-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || ' ssn 123-45-6789 ref ' || text AS aug
+          FROM documents
+        )
+        SELECT doc_id, {counts}, length({red}) AS redacted_len FROM base
+    """
+
+
+def _sample_oracle_sql() -> str:
+    """DuckDB oracle for sample_documents: replay the deterministic keep
+    rule pmod(xxhash64(doc_id), 1e6) < threshold(lang) with XXH64's
+    hashLong path generated as SQL, then the same per-lang aggregate."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+    from jsonoid_discovery_spark.operators.curation import SAMPLE_BUCKETS
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h")
+    thr_en = int(0.5 * SAMPLE_BUCKETS)
+    thr_de = int(0.25 * SAMPLE_BUCKETS)
+    thr_def = int(0.1 * SAMPLE_BUCKETS)
+    return (
+        "WITH " + with_clause(stages)
+        + f""",
+            kept AS (
+              SELECT lang, doc_id,
+                ((h % {SAMPLE_BUCKETS}) + {SAMPLE_BUCKETS}) % {SAMPLE_BUCKETS} AS bucket,
+                CASE WHEN lang = 'en' THEN {thr_en}
+                     WHEN lang = 'de' THEN {thr_de}
+                     ELSE {thr_def} END AS thr
+              FROM {fin}
+            )
+            SELECT lang, count(*) AS n_kept, sum(doc_id) AS sum_ids
+            FROM kept WHERE bucket < thr GROUP BY lang
+        """
+    )
 
 
 def _value_table_oracle_sql(k: int = 100, max_len: int = 100) -> str:

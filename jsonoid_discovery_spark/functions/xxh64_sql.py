@@ -118,6 +118,17 @@ def xxh64_int(value: int, seed: int) -> int:
     return _fmix(h)
 
 
+def xxh64_long(value: int, seed: int = 42) -> int:
+    """XXH64 of one 8-byte long — Spark's ``xxhash64(bigint_col)`` (the
+    hashLong path: one word round on seed+P5+8, then fmix)."""
+    mask = M - 1
+    h = (seed + P5 + 8) & mask
+    k = (_rotl(((value & mask) * P2) & mask, 31) * P1) & mask
+    h ^= k
+    h = ((_rotl(h, 27) * P1) + P4) & mask
+    return _fmix(h)
+
+
 def signed(h: int) -> int:
     """Unsigned 64-bit hash -> Spark's signed BIGINT representation."""
     return h - M if h >= (1 << 63) else h
@@ -325,6 +336,36 @@ def xxh64_int_ctes(
             f"{p}_r",
             f"SELECT * EXCLUDE ({p}_hx), "
             f"{_sql_addm(_sql_mul(_sql_rotl(f'{p}_hx', 23), P2), P3)} AS {p}_hr FROM {p}_x",
+        ),
+    ]
+    stages += _fmix_stages(p, f"{p}_r", f"{p}_hr", f"{p}_u")
+    stages.append((f"{p}_cl", f"SELECT * EXCLUDE ({p}_hr) FROM {p}_f5"))
+    stages.append(_signed_stage(p, f"{p}_cl", f"{p}_u", out, keep_unsigned))
+    return stages, stages[-1][0]
+
+
+def xxh64_long_ctes(
+    src: str,
+    long_col: str,
+    out: str,
+    *,
+    seed: int = 42,
+    prefix: str = "xl",
+    keep_unsigned: bool = False,
+) -> tuple[list[tuple[str, str]], str]:
+    """CTE stages computing Spark's ``xxhash64(bigint_col)`` — the hashLong
+    path (one word round, then fmix). ``long_col`` is a signed BIGINT; its
+    two's-complement 64-bit pattern is recovered with a mod-2^64 wrap."""
+    p = prefix
+    u = f"((CAST({long_col} AS HUGEINT) % 18446744073709551616 + 18446744073709551616) % 18446744073709551616)"
+    h0 = _sql_addm(str((seed + P5 + 8) % M))
+    k = _sql_mul(_sql_rotl(_sql_mul(f"{p}_w", P2), 31), P1)
+    stages = [
+        (f"{p}_a", f"SELECT *, {u} AS {p}_w FROM {src}"),
+        (
+            f"{p}_r",
+            f"SELECT * EXCLUDE ({p}_w), "
+            f"{_sql_addm(_sql_mul(_sql_rotl(_sql_xor(h0, k), 27), P1), P4)} AS {p}_hr FROM {p}_a",
         ),
     ]
     stages += _fmix_stages(p, f"{p}_r", f"{p}_hr", f"{p}_u")

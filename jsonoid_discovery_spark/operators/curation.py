@@ -1,0 +1,218 @@
+"""Corpus-curation operators for training-data pipelines: eval-set
+decontamination, Gopher-rule quality gating, PII scan/redaction, and
+deterministic stratified sampling.
+
+These are the standard curation stages between raw crawl and tokenizer
+(complementing dedup.py's near-dup stack and text.py's lang-ID/quality
+features). Everything is pure Spark SQL expressions or a broadcast
+semi-join — no Python in the row path — and each has an exact DuckDB
+oracle in the driver contract:
+
+* **decontaminate** — flag training documents sharing word n-grams with an
+  evaluation set (the standard benchmark-decontamination step, n=13 after
+  GPT-3 appendix C / PaLM; exact string n-grams, not hashes). The eval side
+  of the join is broadcast: eval sets are KBs-to-MBs while the train side
+  is the 100 TB table, so the overlap check is a map-side semi-join — no
+  shuffle of the big side.
+* **gopher_features / gopher_keep** — the published Gopher quality rules
+  (Rae et al. 2021, "Scaling Language Models", appendix A1.1): word-count
+  and mean-word-length windows, symbol-to-word ratio, bullet/ellipsis line
+  fractions, alphabetic-word fraction, required-stopword count, duplicate-
+  line fraction. All codegen'd array/regex expressions.
+* **pii_scan / pii_redact** — regex detectors for emails, IPv4s, SSNs and
+  phone-like digit runs, kept inside the regex subset Java and RE2 share
+  (character classes, bounded quantifiers, ``\\b`` — no lookaround), so the
+  DuckDB oracle runs the IDENTICAL patterns.
+* **stratified_sample** — deterministic per-stratum Bernoulli sampling by
+  hash: keep iff ``pmod(xxhash64(key), 1e6) < fraction * 1e6``. Unlike
+  ``DataFrame.sample``/``randomSplit`` (whose per-partition RNG changes
+  with the partition layout, so results move under AQE/repartition), the
+  verdict is a pure row function — stable across cluster sizes, re-runs
+  and engines, which is what makes train/eval splits reproducible at
+  100 TB. The same keep-rule replays in DuckDB via functions/xxh64_sql.py.
+
+Reference parity: the reference engine has no curation stage (it is a
+schema-discovery tool); these operators extend the engine toward the
+training-data pipelines the SURVEY scopes, reusing its shingle machinery
+(dedup.shingle_rows — DiscoverSchema-adjacent text handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.dedup import shingle_rows
+
+# --------------------------------------------------------------- decontam
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    col: str,
+    id_col: str,
+    eval_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """DataFrame[id, n_grams, n_hits, hit_ratio] for every training document
+    sharing at least one word ``n``-gram with the evaluation corpus.
+
+    Exact string n-grams on both sides (no hashing — a hash collision must
+    never taint a decontamination verdict). Documents shorter than ``n``
+    words contribute their whole text as one gram (shingle_rows semantics),
+    so a short eval prompt still matches verbatim copies. The eval gram set
+    is broadcast — the train side is never shuffled."""
+    eval_col = eval_col or col
+    eval_id = id_col if id_col in eval_df.columns else eval_df.columns[0]
+    tg = shingle_rows(train, col, id_col, n)
+    eg = shingle_rows(eval_df, eval_col, eval_id, n).select("s").distinct()
+    sizes = tg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(eg), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_grams")).alias("hit_ratio"),
+        )
+    )
+
+
+# ----------------------------------------------------------- gopher rules
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_features(col: str | Column) -> dict[str, Column]:
+    """The Gopher quality-filter features (Rae et al. 2021, appendix A1.1),
+    as codegen'd expressions over one words-array and one lines-array."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    low = F.transform(words, lambda w: F.lower(w))
+    return {
+        "n_words": n_words,
+        "mean_word_len": (
+            F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)) / n_words
+        ),
+        "symbol_word_ratio": F.regexp_count(c, F.lit(r"#|\.\.\.|…")).cast("long") / n_words,
+        "bullet_line_frac": F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines,
+        "ellipsis_line_frac": F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ) / n_lines,
+        "alpha_word_frac": F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+        "stopword_hits": sum(
+            F.array_contains(low, w).cast("long") for w in GOPHER_STOPWORDS
+        ),
+        "dup_line_frac": F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
+    }
+
+
+def gopher_keep(col: str | Column) -> Column:
+    """The Gopher keep verdict: every rule within its published threshold."""
+    f = gopher_features(col)
+    return (
+        (f["n_words"] >= 50)
+        & (f["n_words"] <= 100_000)
+        & (f["mean_word_len"] >= 3)
+        & (f["mean_word_len"] <= 10)
+        & (f["symbol_word_ratio"] < 0.1)
+        & (f["bullet_line_frac"] < 0.9)
+        & (f["ellipsis_line_frac"] < 0.3)
+        & (f["alpha_word_frac"] > 0.8)
+        & (f["stopword_hits"] >= 2)
+        & (f["dup_line_frac"] < 0.3)
+    ).alias("gopher_keep")
+
+
+def with_gopher(df: DataFrame, col: str) -> DataFrame:
+    """df plus every Gopher feature column and the keep verdict."""
+    feats = gopher_features(col)
+    out = df
+    for name, expr in feats.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("gopher_keep", gopher_keep(col))
+
+
+# ------------------------------------------------------------------- PII
+
+# Kept inside the Java-regex/RE2 shared subset (no lookaround, ASCII \d)
+# so the DuckDB oracle runs these very strings.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+[0-9][0-9()\-. ]{6,}[0-9]",
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-category PII match counts for one document."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(col: str | Column) -> Column:
+    """Replace every PII match with a typed placeholder ([EMAIL], [IPV4],
+    [SSN], [PHONE]); categories apply in the fixed PII_PATTERNS order so
+    the output is deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
+def with_pii(df: DataFrame, col: str, redact: bool = False) -> DataFrame:
+    out = df
+    for name, expr in pii_counts(col).items():
+        out = out.withColumn(name, expr)
+    if redact:
+        out = out.withColumn(f"{col}_redacted", pii_redact(col))
+    return out
+
+
+# ------------------------------------------------------- stratified sample
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: a row survives iff
+    ``pmod(xxhash64(key), 1e6) < fraction(stratum) * 1e6``.
+
+    The verdict depends only on the row (not on partitioning, task order or
+    RNG state), so the sample is identical across cluster sizes, retries
+    and engines — the property ``DataFrame.sample`` cannot give — and the
+    DuckDB oracle replays it exactly (functions/xxh64_sql.py). Fractions
+    quantize to 1/1e6 — the integer thresholds are fixed HERE, in python,
+    so the keep rule is a pure integer comparison in every engine (a
+    runtime ``double * 1e6 -> long`` would truncate in Spark but round in
+    DuckDB). Keys should be unique per row (a duplicated key is all-in or
+    all-out, which is usually what dedup'd corpora want)."""
+    thresholds = {k: int(float(v) * SAMPLE_BUCKETS) for k, v in fractions.items()}
+    thr_col = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == F.lit(k), F.lit(t))
+            for k, t in thresholds.items()
+        ],
+        F.lit(int(float(default_fraction) * SAMPLE_BUCKETS)),
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(SAMPLE_BUCKETS))
+    return df.where(bucket < thr_col)

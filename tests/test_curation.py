@@ -1,0 +1,158 @@
+"""Curation operators (operators/curation.py): decontamination, Gopher
+rules, PII, stratified sampling — semantics, plan shape, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.curation import (
+    PII_PATTERNS,
+    decontaminate,
+    gopher_features,
+    pii_redact,
+    stratified_sample,
+    with_gopher,
+    with_pii,
+)
+
+
+def _df(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------------------ decontam
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    train = _df(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),  # shares the eval 8-gram window
+            (2, "totally different words here without any overlap at all"),
+        ],
+    )
+    ev = _df(spark, [(100, "a b c d e f g h")], "eid long, text string")
+    out = decontaminate(train, ev, "text", "doc_id", n=8).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["n_grams"] == 3 and r["n_hits"] == 1
+    assert abs(r["hit_ratio"] - 1 / 3) < 1e-12
+
+
+def test_decontaminate_short_doc_whole_gram(spark):
+    # an eval prompt shorter than n words matches only verbatim copies
+    train = _df(spark, [(1, "short prompt"), (2, "short prompt extended")])
+    ev = _df(spark, [(9, "short prompt")], "eid long, text string")
+    out = decontaminate(train, ev, "text", "doc_id", n=8).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in out] == [(1, 1)]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    train = _df(spark, [(1, "a b c d e f g h i j")])
+    ev = _df(spark, [(9, "a b c d e f g h")], "eid long, text string")
+    plan = decontaminate(train, ev, "text", "doc_id", n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------- gopher rules
+
+
+def test_gopher_features_exact(spark):
+    text = "- bullet line\nThe cat and the dog sat...\nplain line\nplain line"
+    df = _df(spark, [(1, text)])
+    r = with_gopher(df, "text").collect()[0]
+    # 4 lines: 1 bullet, 1 ellipsis-ending, 'plain line' duplicated once
+    assert r["bullet_line_frac"] == 0.25
+    assert r["ellipsis_line_frac"] == 0.25
+    assert r["dup_line_frac"] == 0.25
+    # words: 13 whitespace tokens, all alphabetic or bullet/dots
+    assert r["n_words"] == 13
+    # stopwords present: the, and -> 2 hits
+    assert r["stopword_hits"] == 2
+    assert r["gopher_keep"] is False  # n_words < 50
+
+
+def test_gopher_keep_accepts_good_document(spark):
+    good = ("the quick brown fox jumps over that lazy dog and then runs off "
+            "to have some rest with friends of note ") * 3
+    df = _df(spark, [(1, good)])
+    r = with_gopher(df, "text").collect()[0]
+    assert r["n_words"] >= 50 and r["gopher_keep"] is True
+
+
+def test_gopher_symbol_and_alpha_rules(spark):
+    hashy = " ".join(["#tag"] * 60)
+    numeric = " ".join(["12345"] * 60)
+    rows = with_gopher(_df(spark, [(1, hashy), (2, numeric)]), "text").collect()
+    by = {r["doc_id"]: r for r in rows}
+    assert by[1]["symbol_word_ratio"] == 1.0 and by[1]["gopher_keep"] is False
+    assert by[2]["alpha_word_frac"] == 0.0 and by[2]["gopher_keep"] is False
+
+
+# ------------------------------------------------------------------ PII
+
+
+def test_pii_counts_and_redaction(spark):
+    text = ("mail a.b+c@ex-ample.org and root@h.io, ip 10.0.0.1, "
+            "ssn 123-45-6789, call +1 (650) 555-0100 now")
+    df = _df(spark, [(1, text)])
+    r = with_pii(df, "text", redact=True).collect()[0]
+    assert r["n_email"] == 2 and r["n_ipv4"] == 1
+    assert r["n_ssn"] == 1 and r["n_phone"] == 1
+    red = r["text_redacted"]
+    assert "[EMAIL]" in red and "[IPV4]" in red and "[SSN]" in red and "[PHONE]" in red
+    assert "123-45-6789" not in red and "@" not in red
+
+
+def test_pii_redact_is_noop_without_pii(spark):
+    df = _df(spark, [(1, "perfectly clean text with words only")])
+    r = df.select(pii_redact("text").alias("red")).collect()[0]
+    assert r["red"] == "perfectly clean text with words only"
+
+
+def test_pii_patterns_are_re2_safe():
+    # the oracle runs these in DuckDB's RE2 — no lookaround, no backrefs
+    for pat in PII_PATTERNS.values():
+        assert "(?=" not in pat and "(?<" not in pat and "\\1" not in pat
+
+
+# ------------------------------------------------- stratified sampling
+
+
+def test_stratified_sample_partition_invariant(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(2000)]
+    df = _df(spark, rows, "doc_id long, lang string")
+    kept1 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(1), "lang", {"en": 0.5, "de": 0.25}, "doc_id").collect()
+    )
+    kept8 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(8), "lang", {"en": 0.5, "de": 0.25}, "doc_id").collect()
+    )
+    assert kept1 == kept8 and len(kept1) > 0
+
+
+def test_stratified_sample_fractions_and_default(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(6000)]
+    df = _df(spark, rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.25}, "doc_id", default_fraction=0.0)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "fr" not in per  # default 0 -> dropped stratum
+    assert abs(per["en"] / 2000 - 0.5) < 0.08
+    assert abs(per["de"] / 2000 - 0.25) < 0.08
+
+
+def test_stratified_sample_matches_python_hash_rule(spark):
+    from jsonoid_discovery_spark.functions.xxh64_sql import signed, xxh64_long
+
+    rows = [(i, "en") for i in range(500)]
+    df = _df(spark, rows, "doc_id long, lang string")
+    kept = sorted(
+        r["doc_id"] for r in stratified_sample(df, "lang", {"en": 0.3}, "doc_id").collect()
+    )
+    thr = int(0.3 * 1_000_000)
+    # pmod over the SIGNED hash (python % is already non-negative): the
+    # unsigned residue differs because 2^64 % 1e6 != 0
+    want = sorted(i for i in range(500) if signed(xxh64_long(i, 42)) % 1_000_000 < thr)
+    assert kept == want

@@ -58,6 +58,15 @@ def test_python_ref_matches_spark_xxhash64(spark):
         assert r["hm3"] == signed(xxh64_int(-3, base)), repr(r["s"])
 
 
+def test_python_long_ref_matches_spark_xxhash64(spark):
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long
+
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789012345, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert r["h"] == signed(xxh64_long(r["v"], 42)), r["v"]
+
+
 def test_duckdb_sql_matches_python_ref():
     con = duckdb.connect()
     con.execute(
