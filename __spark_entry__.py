@@ -499,6 +499,35 @@ def _sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking (packing.chunk_by_tokens, max 32 / stride 8):
+    pure expressions, no shuffle — chunk text compared by md5 so the
+    contract rows stay small."""
+    from jsonoid_discovery_spark.operators.packing import chunk_by_tokens
+
+    ch = chunk_by_tokens(_t(spark, sf, "documents"), "text", "doc_id", max_tokens=32, stride=8)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def _pack_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing (packing.pack_greedy, 256-token budget,
+    4 hash shards): the order-stateful fold runs per shard in
+    applyInPandas; the oracle replays the identical greedy walk with a
+    recursive CTE over the same xxhash64 shard assignment."""
+    from jsonoid_discovery_spark.operators.packing import pack_greedy
+    from jsonoid_discovery_spark.operators.text import token_count
+
+    d = _t(spark, sf, "documents").withColumn("tok", token_count("text"))
+    return pack_greedy(d, "doc_id", "tok", max_tokens=256, shards=4).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "seq_id"
+    )
+
+
 def _events_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling event-time window rollup (the batch shape of the streaming
     windowed aggregation; Structured Streaming uses the same expression)."""
@@ -733,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_documents": _gopher_documents,
         "pii_documents": _pii_documents,
         "sample_documents": _sample_documents,
+        "chunk_documents": _chunk_documents,
+        "pack_documents": _pack_documents,
         "events_hourly_counts": _events_hourly_counts,
         "array_stats_embeddings": _array_stats_embeddings,
         "json_field_stats_events": _json_field_stats_events,
@@ -1126,6 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_documents": _GOPHER_ORACLE_SQL,
         "pii_documents": _pii_oracle_sql(),
         "sample_documents": _sample_oracle_sql(),
+        "chunk_documents": _chunk_oracle_sql(),
+        "pack_documents": _pack_oracle_sql(),
         # split_discover_documents, split_discover_json_events,
         # json_schema_diff_orders, json_discovery_sketches_orders:
         # intentionally no oracle (seeded randomSplit / recursive schema
@@ -1259,6 +1292,74 @@ def _sample_oracle_sql() -> str:
             )
             SELECT lang, count(*) AS n_kept, sum(doc_id) AS sum_ids
             FROM kept WHERE bucket < thr GROUP BY lang
+        """
+    )
+
+
+def _chunk_oracle_sql(max_tokens: int = 32, stride: int = 8) -> str:
+    """DuckDB oracle for chunk_documents: the same window arithmetic
+    (floor of IEEE int/int division — identical in both engines, unlike
+    long casts) over the same whitespace split, chunk text md5-compared."""
+    step = max_tokens - stride
+    return f"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        nch AS (
+          SELECT doc_id, w,
+                 CASE WHEN len(w) <= {max_tokens} THEN 1
+                      ELSE floor((len(w) - {max_tokens} + {step} - 1) / {step})::INT + 1
+                 END AS k
+          FROM base
+        ),
+        ex AS (
+          SELECT doc_id, unnest(generate_series(0, k - 1)) AS chunk_idx, w
+          FROM nch
+        )
+        SELECT doc_id,
+               chunk_idx::BIGINT AS chunk_idx,
+               len(w[chunk_idx * {step} + 1 : chunk_idx * {step} + {max_tokens}])::BIGINT AS n_chunk_tokens,
+               md5(array_to_string(w[chunk_idx * {step} + 1 : chunk_idx * {step} + {max_tokens}], ' ')) AS chunk_md5
+        FROM ex
+    """
+
+
+def _pack_oracle_sql(max_tokens: int = 256, shards: int = 4) -> str:
+    """DuckDB oracle for pack_documents: the greedy first-fit walk is
+    order-stateful (capped cumulative sum with reset — no window function
+    expresses it), so the oracle replays it as a recursive CTE advancing
+    one ordered row per shard per step, over the same xxhash64 shard
+    assignment (generated hashLong SQL)."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h")
+    return (
+        "WITH RECURSIVE " + with_clause(stages)
+        + f""",
+            src AS (
+              SELECT doc_id,
+                     (((h % {shards}) + {shards}) % {shards})::BIGINT AS shard,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS tok
+              FROM {fin}
+            ),
+            ordered AS (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              FROM src
+            ),
+            walk AS (
+              SELECT shard, doc_id, tok, rn, tok AS acc, 0::BIGINT AS seq_id
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.doc_id, o.tok, o.rn,
+                     CASE WHEN w.acc > 0 AND w.acc + o.tok > {max_tokens}
+                          THEN o.tok ELSE w.acc + o.tok END,
+                     CASE WHEN w.acc > 0 AND w.acc + o.tok > {max_tokens}
+                          THEN w.seq_id + 1 ELSE w.seq_id END
+              FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+            )
+            SELECT doc_id, shard, seq_id FROM walk
         """
     )
 

@@ -45,7 +45,12 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # None-safe sort key (value_table pads with NULLs): values stay exact
+    # for the equality check, only the ordering key is stringified
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 def _all_pairs():

@@ -1,0 +1,114 @@
+"""Chunking + greedy sequence packing (operators/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.functions.xxh64_sql import signed, xxh64_long
+from jsonoid_discovery_spark.operators.packing import chunk_by_tokens, pack_greedy
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_exact(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = _docs(spark, [(1, " ".join(words))])
+    out = sorted(
+        (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_by_tokens(df, "text", "doc_id", max_tokens=4, stride=0).collect()
+    )
+    assert out == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w4 w5 w6 w7"),
+        (2, 2, "w8 w9"),
+    ]
+
+
+def test_chunk_stride_overlap(spark):
+    words = [f"w{i}" for i in range(8)]
+    df = _docs(spark, [(1, " ".join(words))])
+    out = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_by_tokens(df, "text", "doc_id", max_tokens=4, stride=2).collect()
+    )
+    # step 2: windows [0:4], [2:6], [4:8] — ceil((8-4)/2)+1 = 3 chunks
+    assert out == [
+        (0, "w0 w1 w2 w3"),
+        (1, "w2 w3 w4 w5"),
+        (2, "w4 w5 w6 w7"),
+    ]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, "only three words"), (2, "")])
+    out = {r["doc_id"]: r for r in chunk_by_tokens(df, "text", "doc_id", max_tokens=8).collect()}
+    assert out[1]["chunk_idx"] == 0 and out[1]["chunk_text"] == "only three words"
+    assert out[2]["n_chunk_tokens"] == 1 and out[2]["chunk_text"] == ""
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = chunk_by_tokens(df, "text", "doc_id", 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def _py_pack(items, max_tokens):
+    seq, acc, out = 0, 0, {}
+    for i, t in items:
+        if acc > 0 and acc + t > max_tokens:
+            seq += 1
+            acc = 0
+        acc += t
+        out[i] = seq
+    return out
+
+
+def test_pack_matches_python_greedy(spark):
+    rows = [(i, "x " * ((i * 37) % 90 + 1)) for i in range(300)]
+    df = _docs(spark, rows).withColumn("tok", F.size(F.split(F.trim("text"), r"\s+")))
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"])
+        for r in pack_greedy(df, "doc_id", "tok", max_tokens=128, shards=4).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for i in range(300):
+        tok = (i * 37) % 90 + 1
+        by_shard.setdefault(signed(xxh64_long(i, 42)) % 4, []).append((i, tok))
+    want = {}
+    for sh, items in by_shard.items():
+        for i, seq in _py_pack(sorted(items), 128).items():
+            want[i] = (sh, seq)
+    assert got == want
+
+
+def test_pack_partition_invariant(spark):
+    rows = [(i, "w " * (i % 50 + 1)) for i in range(500)]
+    df = _docs(spark, rows).withColumn("tok", F.size(F.split(F.trim("text"), r"\s+")))
+    a = sorted(map(tuple, pack_greedy(df.repartition(1), "doc_id", "tok", 64, shards=8).collect()))
+    b = sorted(map(tuple, pack_greedy(df.repartition(16), "doc_id", "tok", 64, shards=8).collect()))
+    assert a == b
+
+
+def test_pack_respects_budget_and_oversized(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000), (3, 100)], "doc_id long, tok long"
+    )
+    out = pack_greedy(df, "doc_id", "tok", max_tokens=256, shards=1).collect()
+    seqs = {r["doc_id"]: r["seq_id"] for r in out}
+    # oversized doc 2 sits alone; 1 and 3 are separated by it in id order
+    assert seqs[1] != seqs[2] and seqs[2] != seqs[3]
+
+
+def test_pack_sequences_fit_budget(spark):
+    rows = [(i, "t " * (i % 40 + 1)) for i in range(400)]
+    df = _docs(spark, rows).withColumn("tok", F.size(F.split(F.trim("text"), r"\s+")))
+    packed = pack_greedy(df, "doc_id", "tok", max_tokens=100, shards=4)
+    totals = (
+        packed.join(df.select("doc_id", "tok"), "doc_id")
+        .groupBy("shard", "seq_id")
+        .agg(F.sum("tok").alias("total"))
+        .collect()
+    )
+    assert all(r["total"] <= 100 for r in totals)  # no doc exceeds 40 tokens
