@@ -236,3 +236,46 @@ class TestIvf:
         # centroids deterministic across invocations
         cents2 = train_ivf_centroids(embeddings, "embedding", n_cells=8)
         assert cents == cents2
+
+
+class TestShingleRows:
+    """Round-5 zero-shuffle shingle build: semantics pinned against the
+    old window-``lead`` behavior (the contract every consumer relies on)."""
+
+    def test_semantics_battery(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import shingle_rows
+
+        df = spark.createDataFrame(
+            [
+                (1, None),                # null text -> no rows
+                (2, ""),                  # empty -> one '' gram
+                (3, "one"),               # short -> whole-doc gram
+                (4, "one two"),           # short at k=3
+                (5, "a b a b a b"),       # duplicate grams collapse
+                (6, "  pad   ded  doc "), # whitespace runs + padding
+                (7, "v w x y z"),         # full grams
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(map(tuple, shingle_rows(df, "text", "doc_id", 3).collect()))
+        assert got == sorted(
+            [
+                (2, ""),
+                (3, "one"),
+                (4, "one two"),
+                (5, "a b a"), (5, "b a b"),
+                (6, "pad ded doc"),
+                (7, "v w x"), (7, "w x y"), (7, "x y z"),
+            ]
+        )
+
+    def test_build_is_shuffle_free(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import shingle_rows
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = shingle_rows(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+        # the Generate barrier keeps the split out of the gram projection
+        # AND the per-doc array_distinct removes the global distinct: the
+        # whole build is a projection — no exchange at any corpus size
+        assert "Exchange" not in plan
+        assert plan.count("split(") == 1

@@ -149,9 +149,11 @@ class TestAggregationShapes:
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = _plan(with_simhash(docs, "text", id_col="doc_id"))
-        # shingle window (exchange on id) + shingle distinct — the 64 bit
-        # votes all ride the same aggregation, never one shuffle per bit
-        assert _op_count(plan, "Exchange") <= 2
+        # round 5: the shingle build is shuffle-free (Generate barrier, no
+        # global distinct), so the ONLY exchange is the map-side-combined
+        # per-id aggregation — the 64 bit votes all ride it, never one
+        # shuffle per bit
+        assert _op_count(plan, "Exchange") == 1
 
     def test_partition_verdicts_single_shuffle(self, spark):
         from jsonoid_discovery_spark.operators.constraints import (
