@@ -370,14 +370,33 @@ def _pk_candidates_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _split_discover_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """splitDiscover round trip (rows-only: seeded randomSplit is
-    Spark-specific): widened train profile must accept the test split."""
+    """splitDiscover round trip, DuckDB-oracled since round 5: the
+    deterministic hash split (split='hash' — partition-independent, unlike
+    randomSplit) lets the oracle replay the WHOLE chain: the xxhash64
+    split, both halves' exact profiles, the reference's iterative
+    expandTo/contractTo widening walks (as a recursive CTE stepping the
+    same power-of-2 / power-of-10 rules), and the incompatibility count."""
     from jsonoid_discovery_spark.operators.analyses import split_discover
 
-    out = split_discover(_t(spark, sf, "documents"), columns=["text", "n_chars"], seed=7)
+    out = split_discover(
+        _t(spark, sf, "documents"), columns=["text", "n_chars"],
+        split="hash", split_key="doc_id",
+    )
+    # the row carries the WIDENED train bounds, not just the verdict: in
+    # non-oblivious mode expandTo either covers the test bound or drops it,
+    # so the verdict alone would never exercise the walk arithmetic — with
+    # the bounds in the hash compare, every step of the recursive widening
+    # is load-bearing
+    tr = out["train"].states[()]
+    t, nc = tr["text"], tr["n_chars"]
+    as_d = lambda v: None if v is None else float(v)  # noqa: E731
     return spark.createDataFrame(
-        [(bool(out["is_subset"]), len(out["incompatibilities"]))],
-        "is_subset boolean, n_incompatibilities int",
+        [(
+            bool(out["is_subset"]), len(out["incompatibilities"]),
+            as_d(t.min_len), as_d(t.max_len), as_d(nc.min_v), as_d(nc.max_v),
+        )],
+        "is_subset boolean, n_incompatibilities int, w_min_len double, "
+        "w_max_len double, w_min_nc double, w_max_nc double",
     )
 
 
@@ -1159,13 +1178,133 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": _sample_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
         "pack_documents": _pack_oracle_sql(),
-        # split_discover_documents, split_discover_json_events,
-        # json_schema_diff_orders, json_discovery_sketches_orders:
-        # intentionally no oracle (seeded randomSplit / recursive schema
-        # walks / sketch byte state are not SQL-expressible in DuckDB) ->
-        # the driver records rows-only checks; pytest covers their
-        # exactness with python oracles.
+        "split_discover_documents": _split_discover_oracle_sql(),
+        # split_discover_json_events, json_schema_diff_orders,
+        # json_discovery_sketches_orders: intentionally no oracle (the
+        # JSON-discovery subset check is a recursive walk over SchemaNode
+        # trees; sketch byte state has no SQL form) -> the driver records
+        # rows-only checks; pytest covers their exactness with python
+        # oracles.
     }
+
+
+def _expand_step_sql(cur: str = "cur") -> str:
+    """One expand_max_to step (constraints.py / reference
+    Helpers.expandInt) as SQL — integer-exact: bit-length via bin(),
+    power-of-10 granularity via decimal string length, both mirroring the
+    python's int.bit_length()/len(str(c))."""
+    c = f"CAST({cur} AS BIGINT)"
+    p2f = f"(CAST(1 AS BIGINT) << length(bin({c})))"
+    next2 = f"(CASE WHEN {p2f} - 1 > {c} THEN {p2f} - 1 ELSE {p2f} END)"
+    pow10 = f"CAST(power(10, length(CAST({c} AS VARCHAR)) - 2) AS BIGINT)"
+    next10 = f"({c} + {pow10} - ({c} % {pow10}))"
+    return (
+        f"CASE WHEN {cur} < 0 THEN 0.0 WHEN {cur} < 10 THEN {cur} + 1 "
+        f"ELSE (CASE WHEN {next2} < {next10} AND {c} < {next2} THEN {next2} ELSE {next10} END)::DOUBLE END"
+    )
+
+
+def _contract_step_sql(cur: str = "cur") -> str:
+    """One contract_min_to step (reference Helpers.contractInt) as SQL;
+    the power-of-two test is the exact bit trick c & (c-1) = 0."""
+    c = f"CAST({cur} AS BIGINT)"
+    is_p2 = f"(({c} & ({c} - 1)) = 0)"
+    next2 = f"(CASE WHEN {is_p2} THEN {c} - 1 ELSE (CAST(1 AS BIGINT) << (length(bin({c})) - 1)) END)"
+    pow10 = f"CAST(power(10, length(CAST({c} AS VARCHAR)) - 2) AS BIGINT)"
+    next10 = f"(CASE WHEN {c} % {pow10} = 0 THEN {c} - {pow10} ELSE {c} - ({c} % {pow10}) END)"
+    return (
+        f"CASE WHEN {cur} < 0 THEN 0.0 WHEN {cur} < 10 THEN {cur} - 1 "
+        f"ELSE (CASE WHEN {next2} > {next10} THEN {next2} ELSE {next10} END)::DOUBLE END"
+    )
+
+
+def _split_discover_oracle_sql(train_fraction: float = 0.9) -> str:
+    """DuckDB oracle for split_discover_documents, replaying the whole
+    splitDiscover chain: xxhash64(doc_id) hash split, exact per-half
+    profiles of text (string kind) and n_chars (int kind), the iterative
+    expandTo/contractTo widening as a recursive CTE (<= MAX_EXPAND_ROUNDS
+    steps; success requires reaching the bound BEFORE the final step, like
+    the python loop which checks at iteration entry), a dropped bound on
+    give-up (NULL skips its check), and state_incompatibilities' rules:
+    presence short-circuit, length/value bounds, multipleOf (train gcd > 1
+    and test gcd not a multiple). The required-ness and bloom rules are
+    structurally disabled by split_discover itself (train nulls floored at
+    1, with_bloom cleared). agg/widened are MATERIALIZED: without it every
+    CTE reference re-inlines the 15-stage hash chain and the binder blows
+    up."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+    from jsonoid_discovery_spark.operators.constraints import MAX_EXPAND_ROUNDS
+
+    thr = int(float(train_fraction) * 1_000_000)
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h")
+    R = MAX_EXPAND_ROUNDS
+    return (
+        "WITH RECURSIVE " + with_clause(stages)
+        + f""",
+            halves AS (
+              SELECT *, (((h % 1000000) + 1000000) % 1000000) < {thr} AS is_train FROM {fin}
+            ),
+            agg AS MATERIALIZED (
+              SELECT is_train,
+                count(text) AS cnt_text,
+                min(length(text))::DOUBLE AS min_len, max(length(text))::DOUBLE AS max_len,
+                count(n_chars) AS cnt_nc,
+                min(n_chars)::DOUBLE AS min_nc, max(n_chars)::DOUBLE AS max_nc,
+                list_reduce(list(abs(n_chars)), (a, b) -> gcd(a, b)) AS gcd_nc
+              FROM halves GROUP BY is_train
+            ),
+            tr AS (SELECT * FROM agg WHERE is_train),
+            te AS (SELECT * FROM agg WHERE NOT is_train),
+            walks AS (
+              SELECT 'text_min' AS wk, tr.min_len AS cur, te.min_len AS lim, 'contract' AS dirn FROM tr, te
+              UNION ALL SELECT 'text_max', tr.max_len, te.max_len, 'expand' FROM tr, te
+              UNION ALL SELECT 'nc_min', tr.min_nc, te.min_nc, 'contract' FROM tr, te
+              UNION ALL SELECT 'nc_max', tr.max_nc, te.max_nc, 'expand' FROM tr, te
+            ),
+            walk AS (
+              SELECT wk, cur, lim, dirn, 0 AS r FROM walks
+              UNION ALL
+              SELECT wk, CASE WHEN dirn = 'expand' THEN {_expand_step_sql()} ELSE {_contract_step_sql()} END,
+                     lim, dirn, r + 1
+              FROM walk
+              WHERE ((dirn = 'expand' AND cur < lim) OR (dirn = 'contract' AND cur > lim)) AND r < {R}
+            ),
+            widened AS MATERIALIZED (
+              SELECT wk,
+                CASE WHEN ((dirn = 'expand' AND cur >= lim) OR (dirn = 'contract' AND cur <= lim))
+                          AND r < {R}
+                     THEN cur ELSE NULL END AS v
+              FROM (SELECT *, row_number() OVER (PARTITION BY wk ORDER BY r DESC) AS rn FROM walk)
+              WHERE rn = 1
+            ),
+            w AS (
+              SELECT
+                (SELECT v FROM widened WHERE wk = 'text_min') AS w_text_min,
+                (SELECT v FROM widened WHERE wk = 'text_max') AS w_text_max,
+                (SELECT v FROM widened WHERE wk = 'nc_min') AS w_nc_min,
+                (SELECT v FROM widened WHERE wk = 'nc_max') AS w_nc_max
+            ),
+            inc AS (
+              SELECT
+                CASE WHEN te.cnt_text > 0 AND tr.cnt_text = 0 THEN 1 ELSE
+                  (CASE WHEN te.min_len < w.w_text_min THEN 1 ELSE 0 END)
+                  + (CASE WHEN te.max_len > w.w_text_max THEN 1 ELSE 0 END)
+                END
+                +
+                CASE WHEN te.cnt_nc > 0 AND tr.cnt_nc = 0 THEN 1 ELSE
+                  (CASE WHEN te.min_nc < w.w_nc_min THEN 1 ELSE 0 END)
+                  + (CASE WHEN te.max_nc > w.w_nc_max THEN 1 ELSE 0 END)
+                  + (CASE WHEN coalesce(tr.gcd_nc, 1) > 1
+                            AND coalesce(te.gcd_nc, 1) % coalesce(tr.gcd_nc, 1) != 0 THEN 1 ELSE 0 END)
+                END AS n
+              FROM tr, te, w
+            )
+            SELECT (n = 0) AS is_subset, n::INT AS n_incompatibilities,
+                   w.w_text_min AS w_min_len, w.w_text_max AS w_max_len,
+                   w.w_nc_min AS w_min_nc, w.w_nc_max AS w_max_nc
+            FROM inc, w
+        """
+    )
 
 
 def _grams_ctes_sql(alias: str, where: str, n: int) -> str:

@@ -222,6 +222,8 @@ def split_discover(
     seed: int = 42,
     params: EngineParams = DEFAULT_PARAMS,
     oblivious: bool = False,
+    split: str = "random",
+    split_key: str | None = None,
 ) -> dict:
     """Seeded split -> profile both halves -> check the test profile against
     the expandTo-WIDENED train profile (DiscoverSchema.scala:428-472).
@@ -231,7 +233,16 @@ def split_discover(
     (Helpers.expandInt/contractInt — power-of-2 boundaries and power-of-10
     round-ups, Helpers.scala:75-235), dropping the bound after 10 rounds.
     ``oblivious=True`` (--oblivious-expansion): blind one-shot widening to
-    powers of 2, never looking at the test profile."""
+    powers of 2, never looking at the test profile.
+
+    ``split`` picks the splitter: ``'random'`` (the reference's seeded
+    RNG split — but NOTE Spark's randomSplit draws per-partition, so the
+    halves move when the partition layout changes under AQE/repartition)
+    or ``'hash'`` (round 5): a row is train iff
+    ``pmod(xxhash64(split_key), 1e6) < int(train_fraction * 1e6)`` — a pure
+    row function, identical across cluster sizes, retries and engines
+    (same rule as curation.stratified_sample), and replayable by the
+    DuckDB oracle via the generated XXH64 SQL."""
     from jsonoid_discovery_spark.operators.constraints import (
         contract_min_to,
         expand_max_to,
@@ -239,7 +250,16 @@ def split_discover(
         widen_min,
     )
 
-    train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    if split == "hash":
+        if split_key is None:
+            raise ValueError("split='hash' requires split_key")
+        thr = int(float(train_fraction) * 1_000_000)
+        bucket = F.pmod(F.xxhash64(F.col(split_key)), F.lit(1_000_000))
+        train, test = df.where(bucket < thr), df.where(bucket >= thr)
+    elif split == "random":
+        train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    else:
+        raise ValueError(f"unknown split {split!r} (expected 'random' or 'hash')")
     p_train = profile(train, columns=columns, params=params)
     p_test = profile(test, columns=columns, params=params)
 

@@ -1,0 +1,121 @@
+"""split_discover hash-split mode + its DuckDB oracle (round 5).
+
+The oracle replays the python expandTo/contractTo walks as a recursive
+CTE, so the step rules get their own adversarial battery here, plus
+whole-pipeline parity on the real fixture at fractions that produce BOTH
+subset and non-subset outcomes (a parity test that can only ever see
+(true, 0) would be vacuous)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from jsonoid_discovery_spark.operators.constraints import (
+    MAX_EXPAND_ROUNDS,
+    contract_min_to,
+    expand_max_to,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _walk_sql(step: str, cont: str, ok: str) -> str:
+    return f"""
+    WITH RECURSIVE walk AS (
+      SELECT i, cur, lim, 0 AS r FROM p
+      UNION ALL
+      SELECT i, {step}, lim, r + 1 FROM walk WHERE {cont} AND r < {MAX_EXPAND_ROUNDS}
+    )
+    SELECT i, CASE WHEN ({ok}) AND r < {MAX_EXPAND_ROUNDS} THEN cur ELSE NULL END AS res
+    FROM (SELECT *, row_number() OVER (PARTITION BY i ORDER BY r DESC) AS rn FROM walk)
+    WHERE rn = 1
+    """
+
+
+def test_expand_contract_sql_battery():
+    from __spark_entry__ import _contract_step_sql, _expand_step_sql
+
+    rng = random.Random(3)
+    pairs = []
+    for _ in range(400):
+        cur = rng.choice(
+            [rng.randint(-50, 2000), rng.randint(0, 10), 2 ** rng.randint(1, 16),
+             10 ** rng.randint(1, 5), 255, 65535, 99, 100, 110, 12, 10]
+        )
+        lim = rng.choice([cur + rng.randint(0, 5000), cur - rng.randint(0, 5000), cur, 0, -10, 13])
+        pairs.append((float(cur), float(lim)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(i INT, cur DOUBLE, lim DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", [(i, c, l) for i, (c, l) in enumerate(pairs)])
+
+    got = dict(con.execute(_walk_sql(_expand_step_sql(), "cur < lim", "cur >= lim")).fetchall())
+    for i, (c, l) in enumerate(pairs):
+        want = expand_max_to(c, l)
+        assert got[i] == (None if want == float("inf") else want), (c, l)
+
+    got = dict(con.execute(_walk_sql(_contract_step_sql(), "cur > lim", "cur <= lim")).fetchall())
+    for i, (c, l) in enumerate(pairs):
+        want = contract_min_to(c, l)
+        assert got[i] == (None if want == float("-inf") else want), (c, l)
+
+
+@pytest.mark.parametrize("fraction", [0.9, 0.5, 0.05])
+def test_split_discover_oracle_parity(spark, docs, fraction):
+    from __spark_entry__ import _split_discover_oracle_sql
+    from jsonoid_discovery_spark.operators.analyses import split_discover
+
+    out = split_discover(
+        docs, columns=["text", "n_chars"], split="hash", split_key="doc_id",
+        train_fraction=fraction,
+    )
+    tr = out["train"].states[()]
+    as_d = lambda v: None if v is None else float(v)  # noqa: E731
+    got = (
+        bool(out["is_subset"]), len(out["incompatibilities"]),
+        as_d(tr["text"].min_len), as_d(tr["text"].max_len),
+        as_d(tr["n_chars"].min_v), as_d(tr["n_chars"].max_v),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'")
+    w = con.execute(_split_discover_oracle_sql(train_fraction=fraction)).fetchall()[0]
+    assert got == (bool(w[0]), int(w[1]), w[2], w[3], w[4], w[5]), fraction
+
+
+def test_widening_actually_moved_a_bound(spark, docs):
+    # the parity check above carries the widened bounds; this pins that
+    # they DIFFER from the raw train aggregates (i.e. the walks executed
+    # and the hash compare is not vacuously echoing min/max)
+    from pyspark.sql import functions as F
+
+    from jsonoid_discovery_spark.operators.analyses import split_discover
+
+    out = split_discover(
+        docs, columns=["text", "n_chars"], split="hash", split_key="doc_id",
+        train_fraction=0.5,
+    )
+    thr = int(0.5 * 1_000_000)
+    raw = (
+        docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000)) < thr)
+        .agg(F.min(F.length("text")), F.max(F.length("text")))
+        .collect()[0]
+    )
+    tr = out["train"].states[()]["text"]
+    assert (tr.min_len, tr.max_len) != (raw[0], raw[1])
+
+
+def test_hash_split_partition_invariant(spark, docs):
+    from jsonoid_discovery_spark.operators.analyses import split_discover
+
+    a = split_discover(docs.repartition(1), columns=["n_chars"], split="hash", split_key="doc_id")
+    b = split_discover(docs.repartition(16), columns=["n_chars"], split="hash", split_key="doc_id")
+    sa, sb = a["train"].states[()]["n_chars"], b["train"].states[()]["n_chars"]
+    assert (sa.count, sa.min_v, sa.max_v) == (sb.count, sb.min_v, sb.max_v)
+
+
+def test_hash_split_requires_key(spark, docs):
+    from jsonoid_discovery_spark.operators.analyses import split_discover
+
+    with pytest.raises(ValueError):
+        split_discover(docs, columns=["n_chars"], split="hash")
