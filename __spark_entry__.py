@@ -661,9 +661,10 @@ def _json_schema_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
     groups) diffed against each group — one row per (status, json-path,
     property) where the global tree is not a subset (the global enum /
     bounds span all statuses, each group's are tighter). Deterministic:
-    bounds, enums, and presence are exact. Rows-only: the recursive
-    per-path walk has no ANSI-SQL expression; exactness is covered by
-    tests/test_treediff.py (spec-parity cases + the subset invariant)."""
+    bounds, enums, and presence are exact. DuckDB-oracled since round 5:
+    the walk's rules are replayed arm-by-arm over per-status aggregates
+    (_schema_diff_oracle_sql); tests/test_treediff.py keeps the spec-parity
+    + subset-invariant coverage."""
     from jsonoid_discovery_spark.operators.discovery import discover_by
     from jsonoid_discovery_spark.operators.treediff import find_incompatibilities
 
@@ -690,12 +691,21 @@ def _split_discover_json_events(spark: SparkSession, sf: str) -> DataFrame:
     """splitDiscover over a JSON column (DiscoverSchema.scala:428-472): one
     scan discovers both halves (the split flag is the discover_by group),
     the train tree expandTo-widens toward the test tree, and the per-path
-    walk yields the verdict. Rows-only: seeded rand() split + tree walk are
-    Spark/engine-specific; pytest covers expandTo and the walk exactly."""
+    walk yields the verdict. DuckDB-oracled since round 5: the
+    deterministic hash split (split='hash' — partition-independent, unlike
+    randomSplit) lets the oracle replay the xxhash64 split, both halves'
+    JSON-path aggregates, the tree-level expand_node_to widening
+    (recursive-CTE step rules + the multipleOf prime-strip loop) and the
+    walk's rule fires. The row carries the WIDENED $.k bounds so every
+    widening step is load-bearing, not just the verdict."""
     from jsonoid_discovery_spark.operators.treediff import split_discover_json
 
     ev = _t(spark, sf, "events").where(F.col("props").isNotNull())
-    out = split_discover_json(ev, "props", train_fraction=0.9, seed=7)
+    out = split_discover_json(
+        ev, "props", train_fraction=0.9, split="hash", split_key="event_id"
+    )
+    k = out["expanded"].fields.get("k")
+    as_d = lambda v: None if v is None else float(v)  # noqa: E731
     return spark.createDataFrame(
         [
             (
@@ -703,9 +713,12 @@ def _split_discover_json_events(spark: SparkSession, sf: str) -> DataFrame:
                 out["test"].docs,
                 len(out["incompatibilities"]),
                 bool(out["is_subset"]),
+                as_d(None if k is None else k.min_v),
+                as_d(None if k is None else k.max_v),
             )
         ],
-        "docs_train long, docs_test long, n_incompatibilities int, is_subset boolean",
+        "docs_train long, docs_test long, n_incompatibilities int, "
+        "is_subset boolean, w_min_k double, w_max_k double",
     )
 
 
@@ -713,9 +726,10 @@ def _json_discovery_sketches_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Per-path sketches inside JSON discovery (StringHyperLogLogProperty /
     StringExamplesProperty analogs, schemas/StringSchema.scala:362-488):
     per top-level key of orders-as-JSON, the HLL distinct estimate and the
-    deterministic hash-rank example count. Rows-only: HLL estimates and
-    pandas-hash example ranking have no DuckDB expression; merge laws and
-    parity are pytest-covered (test_round3.TestDiscoverySketches)."""
+    deterministic hash-rank example count. DuckDB-oracled since round 5:
+    pandas' sketch hash is generated as DuckDB SQL (siphash_sql.py) and the
+    oracle replays HLL registers + the estimate formula value-for-value;
+    merge laws stay pytest-covered (test_round3.TestDiscoverySketches)."""
     from jsonoid_discovery_spark.config import EngineParams
     from jsonoid_discovery_spark.operators.discovery import discover
 
@@ -1179,12 +1193,15 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_oracle_sql(),
         "pack_documents": _pack_oracle_sql(),
         "split_discover_documents": _split_discover_oracle_sql(),
-        # split_discover_json_events, json_schema_diff_orders,
-        # json_discovery_sketches_orders: intentionally no oracle (the
-        # JSON-discovery subset check is a recursive walk over SchemaNode
-        # trees; sketch byte state has no SQL form) -> the driver records
-        # rows-only checks; pytest covers their exactness with python
-        # oracles.
+        # round-5 continuation: the last three rows-only entries converted
+        # to full DuckDB hash checks — pandas' sketch hash (SipHash-2-4 +
+        # splitmix mix) generated as DuckDB SQL closes the sketch replay
+        # (functions/siphash_sql.py); the JSON splitDiscover and the
+        # tree-diff walks are replayed rule-for-rule over per-half /
+        # per-group aggregates (recursive-CTE widening + prime-strip loop).
+        "split_discover_json_events": _split_discover_json_oracle_sql(),
+        "json_schema_diff_orders": _schema_diff_oracle_sql(),
+        "json_discovery_sketches_orders": _sketches_oracle_sql(),
     }
 
 
@@ -1305,6 +1322,217 @@ def _split_discover_oracle_sql(train_fraction: float = 0.9) -> str:
             FROM inc, w
         """
     )
+
+
+def _sketches_oracle_sql() -> str:
+    """DuckDB oracle for json_discovery_sketches_orders, replaying the
+    per-path discovery sketches value-for-value: pandas' string hash
+    (SipHash-2-4 + splitmix mix, functions/siphash_sql.py) generated as
+    DuckDB SQL, HLL registers (top-10-bit index, rho of the shifted
+    remainder) and the rounded HllSketch.estimate() with its
+    linear-counting branch, and the example count = min(K, distinct
+    hashes) per TopKExamples. Numeric sketch keys are repr(float(v))
+    (discovery._sketch_numbers' canonical form) — DuckDB's shortest
+    round-trip double rendering matches python repr in this value range
+    (pinned over the full sf0.01 table in tests/test_siphash_sql.py)."""
+    from jsonoid_discovery_spark.functions.siphash_sql import (
+        hll_estimate_sql,
+        pandas_hash_ctes,
+    )
+    from jsonoid_discovery_spark.functions.xxh64_sql import with_clause
+
+    keys = [
+        ("o_orderkey", "numeric", "CAST(CAST(o_orderkey AS DOUBLE) AS VARCHAR)"),
+        ("o_orderpriority", "string", "o_orderpriority"),
+        ("o_orderstatus", "string", "o_orderstatus"),
+        ("o_totalprice", "numeric", "CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR)"),
+    ]
+    parts, ctes = [], []
+    for i, (key, kind, expr) in enumerate(keys):
+        p = f"sk{i}"
+        ctes.append(f"{p}_v AS (SELECT DISTINCT {expr} AS s FROM orders WHERE {key} IS NOT NULL)")
+        stages, fin = pandas_hash_ctes(f"{p}_v", "s", "h", prefix=p)
+        ctes.append(with_clause(stages))
+        parts.append(
+            f"SELECT '{key}' AS key, '{kind}' AS kind, "
+            f"({hll_estimate_sql(fin, 'h')}) AS distinct_estimate, "
+            f"(SELECT least(100, count(DISTINCT h))::INT FROM {fin}) AS n_examples"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(parts) + " ORDER BY key"
+
+
+def _split_discover_json_oracle_sql(train_fraction: float = 0.9) -> str:
+    """DuckDB oracle for split_discover_json_events, replaying the whole
+    JSON splitDiscover chain: the xxhash64(event_id) hash split, per-half
+    JSON-path aggregates of $.k (count / bounds / gcd / presence), the
+    tree-level expand_node_to widening of the train bounds toward the test
+    bounds (same recursive-CTE step rules as split_discover_documents),
+    the multipleOf prime-strip loop (IntegerSchema.scala:705-734 — <=10
+    rounds removing smallest prime factors, replayed with a second
+    recursive CTE whose smallest-prime-factor comes from a bounded
+    list_filter scan), and the walk's rule fires (MinValue / MaxValue /
+    MultipleOf / Required). Shape assumptions, verified by the aggregates
+    themselves: events.props documents are flat objects with a single
+    integer key `k` (no string/array/bool children, so those rule families
+    are vacuous), matching TESTDATA.md's generator."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+    from jsonoid_discovery_spark.operators.constraints import MAX_EXPAND_ROUNDS
+
+    thr = int(float(train_fraction) * 1_000_000)
+    stages, fin = xxh64_long_ctes(
+        "(SELECT event_id, props FROM events WHERE props IS NOT NULL)", "event_id", "h"
+    )
+    R = MAX_EXPAND_ROUNDS
+    spf = "list_min(list_filter(range(2, m + 1), p -> m % p = 0))"
+    nm = f"(CASE WHEN m <= 1 THEN 0 ELSE m // {spf} END)"
+    return (
+        "WITH RECURSIVE " + with_clause(stages)
+        + f""",
+            halves AS (
+              SELECT (((h % 1000000) + 1000000) % 1000000) < {thr} AS is_train,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                     (json_extract(props, '$.k') IS NOT NULL) AS has_k
+              FROM {fin}
+            ),
+            agg AS MATERIALIZED (
+              SELECT is_train, count(*) AS docs,
+                min(k)::DOUBLE AS min_k, max(k)::DOUBLE AS max_k,
+                CASE WHEN count(k) > 0
+                     THEN list_reduce(list(abs(k)), (a, b) -> gcd(a, b)) END AS g,
+                bool_and(has_k) AS req
+              FROM halves GROUP BY is_train
+            ),
+            tr AS (SELECT * FROM agg WHERE is_train),
+            te AS (SELECT * FROM agg WHERE NOT is_train),
+            walks AS (
+              SELECT 'k_min' AS wk, tr.min_k AS cur, te.min_k AS lim, 'contract' AS dirn FROM tr, te
+              UNION ALL SELECT 'k_max', tr.max_k, te.max_k, 'expand' FROM tr, te
+            ),
+            walk AS (
+              SELECT wk, cur, lim, dirn, 0 AS r FROM walks
+              UNION ALL
+              SELECT wk, CASE WHEN dirn = 'expand' THEN {_expand_step_sql()} ELSE {_contract_step_sql()} END,
+                     lim, dirn, r + 1
+              FROM walk
+              WHERE ((dirn = 'expand' AND cur < lim) OR (dirn = 'contract' AND cur > lim)) AND r < {R}
+            ),
+            widened AS MATERIALIZED (
+              SELECT wk,
+                CASE WHEN ((dirn = 'expand' AND cur >= lim) OR (dirn = 'contract' AND cur <= lim))
+                          AND r < {R}
+                     THEN cur ELSE NULL END AS v
+              FROM (SELECT *, row_number() OVER (PARTITION BY wk ORDER BY r DESC) AS rn FROM walk)
+              WHERE rn = 1
+            ),
+            w AS (
+              SELECT (SELECT v FROM widened WHERE wk = 'k_min') AS w_min_k,
+                     (SELECT v FROM widened WHERE wk = 'k_max') AS w_max_k
+            ),
+            gg AS (SELECT tr.g AS g_t, te.g AS g_s FROM tr, te),
+            strip AS (
+              SELECT g_t AS m, 0 AS r, false AS stop FROM gg
+              WHERE g_t IS NOT NULL AND g_t >= 2 AND g_s IS NOT NULL AND g_s % g_t != 0
+              UNION ALL
+              SELECT {nm}, r + 1,
+                CASE WHEN m <= 1 THEN true
+                     ELSE ({nm} != 1 AND (SELECT g_s FROM gg) % (CASE WHEN {nm} = 0 THEN 1 ELSE {nm} END) = 0) END
+              FROM strip WHERE NOT stop AND r < 10
+            ),
+            stripped AS (
+              SELECT m FROM (SELECT m, row_number() OVER (ORDER BY r DESC) AS rn FROM strip) WHERE rn = 1
+            ),
+            mult AS (
+              SELECT CASE
+                WHEN g_s IS NULL OR g_t IS NULL THEN NULL
+                WHEN g_t >= 2 AND g_s % g_t != 0
+                  THEN (SELECT CASE WHEN m > 1 THEN m END FROM stripped)
+                ELSE g_t END AS m_final
+              FROM gg
+            ),
+            inc AS (
+              SELECT
+                (CASE WHEN te.min_k < w.w_min_k THEN 1 ELSE 0 END)
+                + (CASE WHEN te.max_k > w.w_max_k THEN 1 ELSE 0 END)
+                + (CASE WHEN mult.m_final IS NOT NULL AND mult.m_final > 1
+                         AND (gg.g_s IS NULL OR gg.g_s % mult.m_final != 0) THEN 1 ELSE 0 END)
+                + (CASE WHEN tr.req AND NOT te.req THEN 1 ELSE 0 END) AS n
+              FROM tr, te, w, mult, gg
+            )
+            SELECT tr.docs AS docs_train, te.docs AS docs_test,
+                   n::INT AS n_incompatibilities, (n = 0) AS is_subset,
+                   w.w_min_k, w.w_max_k
+            FROM tr, te, inc, w
+        """
+    )
+
+
+def _schema_diff_oracle_sql(enum_cap: int = 50) -> str:
+    """DuckDB oracle for json_schema_diff_orders: the gallal tree is the
+    union merge of the per-status trees, so every gallal property is an
+    aggregate of per-status aggregates; each incompatibility rule the walk
+    can fire on this document shape is replayed as a UNION ALL arm —
+    numeric Min/MaxValue, integer MultipleOf (group gcd > 1 not dividing
+    the gallal gcd), string Min/MaxLength, and the discovered string Enum
+    (gallal member set not within the group's, with both sides'
+    enum_max_values overflow guards). Rules that CANNOT fire on this shape
+    are omitted with the reason: Format (no status/priority string matches
+    any detected-format regex), Dependencies/ObjectTypes (same four keys in
+    every document — presence equality is itself checked by the Required
+    arm), Type/Boolean/array rules (no such children). Required IS
+    replayed from per-key counts."""
+    keys_str = [("o_orderstatus", "dv_st", "min_ls", "max_ls"), ("o_orderpriority", "dv_pr", "min_lp", "max_lp")]
+    arms = []
+    # numeric bounds + multipleOf
+    for key, lo, hi in (("o_orderkey", "min_ok", "max_ok"), ("o_totalprice", "min_tp", "max_tp")):
+        arms.append(f"SELECT g.st, '$.{key}' AS path, 'MinValue' AS property FROM g, gall WHERE gall.{lo} < g.{lo}")
+        arms.append(f"SELECT g.st, '$.{key}', 'MaxValue' FROM g, gall WHERE gall.{hi} > g.{hi}")
+    arms.append(
+        "SELECT g.st, '$.o_orderkey', 'MultipleOf' FROM g, gall "
+        "WHERE g.g_ok > 1 AND (gall.g_ok IS NULL OR gall.g_ok % g.g_ok != 0)"
+    )
+    for key, dv, lo, hi in keys_str:
+        arms.append(f"SELECT g.st, '$.{key}', 'MinLength' FROM g, gall WHERE gall.{lo} < g.{lo}")
+        arms.append(f"SELECT g.st, '$.{key}', 'MaxLength' FROM g, gall WHERE gall.{hi} > g.{hi}")
+        arms.append(
+            f"SELECT g.st, '$.{key}', 'Enum' FROM g, gall "
+            f"WHERE len(g.{dv}) <= {enum_cap} "
+            f"AND (len(gall.{dv}) > {enum_cap} OR NOT list_has_all(g.{dv}, gall.{dv}))"
+        )
+    arms.append(
+        "SELECT g.st, '$', 'Required' FROM g, gall WHERE "
+        "(g.c_ok = g.n AND gall.c_ok != gall.n) OR (g.c_st = g.n AND gall.c_st != gall.n) "
+        "OR (g.c_tp = g.n AND gall.c_tp != gall.n) OR (g.c_pr = g.n AND gall.c_pr != gall.n)"
+    )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT o_orderstatus AS st, count(*) AS n,
+            min(o_orderkey)::DOUBLE AS min_ok, max(o_orderkey)::DOUBLE AS max_ok,
+            list_reduce(list(abs(o_orderkey)), (a, b) -> gcd(a, b)) AS g_ok,
+            min(o_totalprice)::DOUBLE AS min_tp, max(o_totalprice)::DOUBLE AS max_tp,
+            min(length(o_orderstatus)) AS min_ls, max(length(o_orderstatus)) AS max_ls,
+            min(length(o_orderpriority)) AS min_lp, max(length(o_orderpriority)) AS max_lp,
+            list_distinct(list(o_orderstatus)) AS dv_st,
+            list_distinct(list(o_orderpriority)) AS dv_pr,
+            count(o_orderkey) AS c_ok, count(o_orderstatus) AS c_st,
+            count(o_totalprice) AS c_tp, count(o_orderpriority) AS c_pr
+          FROM orders GROUP BY o_orderstatus
+        ),
+        gall AS (
+          SELECT min(min_ok) AS min_ok, max(max_ok) AS max_ok,
+            list_reduce(list(g_ok), (a, b) -> gcd(a, b)) AS g_ok,
+            min(min_tp) AS min_tp, max(max_tp) AS max_tp,
+            min(min_ls) AS min_ls, max(max_ls) AS max_ls,
+            min(min_lp) AS min_lp, max(max_lp) AS max_lp,
+            list_distinct(flatten(list(dv_st))) AS dv_st,
+            list_distinct(flatten(list(dv_pr))) AS dv_pr,
+            sum(n) AS n, sum(c_ok) AS c_ok, sum(c_st) AS c_st,
+            sum(c_tp) AS c_tp, sum(c_pr) AS c_pr
+          FROM g
+        )
+        SELECT st AS o_orderstatus, path, property FROM ({union})
+        ORDER BY 1, 2, 3
+    """
 
 
 def _grams_ctes_sql(alias: str, where: str, n: int) -> str:

@@ -1,0 +1,299 @@
+"""pandas' deterministic string hash as pure DuckDB SQL.
+
+The discovery engine's per-path sketches (``SchemaNode._sketch_strings`` /
+``_sketch_numbers``) key HLL registers and example ranks on
+``pd.util.hash_pandas_object`` — chosen in round 1 because it is stable
+across processes and partitionings (reference analog: the 64-bit value
+hash feeding ``utils/HyperLogLog.scala``). That choice made
+``json_discovery_sketches_orders`` a rows-only contract entry: DuckDB has
+no pandas hash. This module closes the gap the same way
+``functions/xxh64_sql.py`` did for Spark's xxhash64 — by GENERATING DuckDB
+SQL that computes the identical hash, so the oracle can replay HLL
+registers and example ranks value-for-value.
+
+pandas' object-array hash is two public algorithms composed (verified
+against pandas 2.2 `hash_object_array` in tests/test_siphash_sql.py):
+
+1. SipHash-2-4 (Aumasson & Bernstein, public reference implementation)
+   of the UTF-8 bytes with the fixed key ``b"0123456789123456"``
+   (pandas' ``_default_hash_key``), and
+2. a splitmix64-style finalizer (``vals ^= vals >> 30; vals *= 0xBF58...``)
+   applied by ``pandas.core.util.hashing._hash_ndarray``.
+
+Implementation notes (same DuckDB constraints as xxh64_sql):
+
+* all hash state lives in HUGEINT within [0, 2^64) — wrapping 64x64
+  multiplies split the left operand into 32-bit halves;
+* bytes come from ``hex(encode(s))`` (arbitrary UTF-8 safe);
+* the variable-length word loop is ONE ``list_reduce`` whose lambda is the
+  full SipHash compression step (v3 ^= m, 2x SipRound, v0 ^= m) expanded
+  textually (~9 KB — acceptable, each row evaluates it vectorized);
+  the FIXED-count tail (final block + 4 finalization rounds + mix) is
+  emitted as one-step-per-CTE stages so the SQL stays linear.
+"""
+
+from __future__ import annotations
+
+from jsonoid_discovery_spark.functions.xxh64_sql import (
+    _sql_addm,
+    _sql_mul,
+    _sql_rotl,
+    _sql_xor,
+)
+
+M = 1 << 64
+_KEY = b"0123456789123456"
+_K0 = int.from_bytes(_KEY[:8], "little")
+_K1 = int.from_bytes(_KEY[8:], "little")
+_V0 = 0x736F6D6570736575 ^ _K0
+_V1 = 0x646F72616E646F6D ^ _K1
+_V2 = 0x6C7967656E657261 ^ _K0
+_V3 = 0x7465646279746573 ^ _K1
+_MIX1 = 0xBF58476D1CE4E5B9
+_MIX2 = 0x94D049BB133111EB
+
+# ------------------------------------------------------------------ python
+# Reference implementation (tests + documentation of the exact semantics).
+
+
+def _rotl(x: int, b: int) -> int:
+    return ((x << b) | (x >> (64 - b))) & (M - 1)
+
+
+def siphash24(data: bytes, key: bytes = _KEY) -> int:
+    """SipHash-2-4 of ``data`` — equals pandas'
+    ``_libs.hashing.hash_object_array`` raw value for a string's UTF-8
+    bytes with pandas' default key."""
+    k0 = int.from_bytes(key[:8], "little")
+    k1 = int.from_bytes(key[8:], "little")
+    v0, v1, v2, v3 = (
+        0x736F6D6570736575 ^ k0,
+        0x646F72616E646F6D ^ k1,
+        0x6C7967656E657261 ^ k0,
+        0x7465646279746573 ^ k1,
+    )
+
+    def rnd(v0, v1, v2, v3):
+        v0 = (v0 + v1) & (M - 1)
+        v1 = _rotl(v1, 13) ^ v0
+        v0 = _rotl(v0, 32)
+        v2 = (v2 + v3) & (M - 1)
+        v3 = _rotl(v3, 16) ^ v2
+        v0 = (v0 + v3) & (M - 1)
+        v3 = _rotl(v3, 21) ^ v0
+        v2 = (v2 + v1) & (M - 1)
+        v1 = _rotl(v1, 17) ^ v2
+        v2 = _rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    n = len(data)
+    end = n - (n % 8)
+    for off in range(0, end, 8):
+        m = int.from_bytes(data[off : off + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = rnd(v0, v1, v2, v3)
+        v0, v1, v2, v3 = rnd(v0, v1, v2, v3)
+        v0 ^= m
+    last = (n % 256) << 56
+    for i, c in enumerate(data[end:]):
+        last |= c << (8 * i)
+    v3 ^= last
+    v0, v1, v2, v3 = rnd(v0, v1, v2, v3)
+    v0, v1, v2, v3 = rnd(v0, v1, v2, v3)
+    v0 ^= last
+    v2 ^= 0xFF
+    for _ in range(4):
+        v0, v1, v2, v3 = rnd(v0, v1, v2, v3)
+    return (v0 ^ v1) ^ (v2 ^ v3)
+
+
+def _mix(v: int) -> int:
+    """pandas _hash_ndarray's final redistribution (splitmix64 finalizer)."""
+    v &= M - 1
+    v ^= v >> 30
+    v = (v * _MIX1) & (M - 1)
+    v ^= v >> 27
+    v = (v * _MIX2) & (M - 1)
+    v ^= v >> 31
+    return v
+
+
+def pandas_hash64(s: str) -> int:
+    """The exact unsigned value of
+    ``pd.util.hash_pandas_object(pd.Series([s], dtype=object), index=False,
+    categorize=False)`` — what ``functions.sketches.hash64_array`` feeds the
+    discovery sketches."""
+    return _mix(siphash24(s.encode("utf-8")))
+
+
+# --------------------------------------------------------------------- sql
+
+
+def _sipround_texts(v0: str, v1: str, v2: str, v3: str) -> tuple[str, str, str, str]:
+    """One SipRound as four output expressions over four input expressions
+    (pure textual dataflow; sizes stay manageable for <=2 nested rounds)."""
+    a0 = _sql_addm(v0, v1)
+    b1 = _sql_xor(_sql_rotl(v1, 13), a0)
+    c0 = _sql_rotl(a0, 32)
+    a2 = _sql_addm(v2, v3)
+    b3 = _sql_xor(_sql_rotl(v3, 16), a2)
+    d0 = _sql_addm(c0, b3)
+    e3 = _sql_xor(_sql_rotl(b3, 21), d0)
+    d2 = _sql_addm(a2, b1)
+    e1 = _sql_xor(_sql_rotl(b1, 17), d2)
+    f2 = _sql_rotl(d2, 32)
+    return d0, e1, f2, e3
+
+
+def _compress_lambda() -> str:
+    """The ``list_reduce`` lambda for one message word: state list ``s``
+    (4 HUGEINTs), word carried as the singleton list ``m`` (list_prepend
+    needs uniform element types, so words ride as 1-lists next to the
+    4-list initial state) -> new state list. v3 ^= m, two SipRounds,
+    v0 ^= m."""
+    v = ("s[1]", "s[2]", "s[3]", "(xor(s[4], m[1]))")
+    v = _sipround_texts(*v)
+    v = _sipround_texts(*v)
+    return f"(s, m) -> [{_sql_xor(v[0], 'm[1]')}, {v[1]}, {v[2]}, {v[3]}]"
+
+
+def _round_stages(p: str, tag: str, prev: str, cols: tuple[str, str, str, str]) -> tuple[list[tuple[str, str]], tuple[str, str, str, str]]:
+    """One SipRound over four state COLUMNS as two CTE stages (intermediates
+    then outputs) — linear SQL for the fixed-count finalization rounds."""
+    c0, c1, c2, c3 = cols
+    i = f"{p}_{tag}i"
+    o = (f"{p}_{tag}0", f"{p}_{tag}1", f"{p}_{tag}2", f"{p}_{tag}3")
+    stages = [
+        (
+            i,
+            f"SELECT * , {_sql_addm(c0, c1)} AS {p}_a0, {_sql_addm(c2, c3)} AS {p}_a2, "
+            f"{_sql_xor(_sql_rotl(c1, 13), _sql_addm(c0, c1))} AS {p}_b1, "
+            f"{_sql_xor(_sql_rotl(c3, 16), _sql_addm(c2, c3))} AS {p}_b3 FROM {prev}",
+        ),
+        (
+            f"{p}_{tag}o",
+            f"SELECT * EXCLUDE ({c0}, {c1}, {c2}, {c3}, {p}_a0, {p}_a2, {p}_b1, {p}_b3), "
+            f"{_sql_addm(_sql_rotl(f'{p}_a0', 32), f'{p}_b3')} AS {o[0]}, "
+            f"{_sql_xor(_sql_rotl(f'{p}_b1', 17), _sql_addm(f'{p}_a2', f'{p}_b1'))} AS {o[1]}, "
+            f"{_sql_rotl(_sql_addm(f'{p}_a2', f'{p}_b1'), 32)} AS {o[2]}, "
+            f"{_sql_xor(_sql_rotl(f'{p}_b3', 21), _sql_addm(_sql_rotl(f'{p}_a0', 32), f'{p}_b3'))} AS {o[3]} "
+            f"FROM {i}",
+        ),
+    ]
+    return stages, o
+
+
+def pandas_hash_ctes(
+    src: str,
+    str_col: str,
+    out: str,
+    *,
+    prefix: str = "sp",
+) -> tuple[list[tuple[str, str]], str]:
+    """CTE stages computing ``pandas_hash64(str_col)`` (UNSIGNED HUGEINT in
+    [0, 2^64)) for every row of CTE/table ``src`` — the exact hash behind
+    the discovery sketches. Returns ``(stages, final_name)``; the final
+    stage carries all of ``src``'s columns plus ``out``."""
+    p = prefix
+    hexd = "0123456789ABCDEF"
+    byte_at = (
+        f"CAST((strpos('{hexd}', substr({p}_hx, 2*(i)+1, 1))-1)*16 "
+        f"+ (strpos('{hexd}', substr({p}_hx, 2*(i)+2, 1))-1) AS HUGEINT)"
+    )
+    lane8 = " + ".join(f"{p}_bs[8*j+{m + 1}] * {1 << (8 * m)}" for m in range(8))
+    init_list = (
+        f"[CAST({_V0} AS HUGEINT), CAST({_V1} AS HUGEINT), "
+        f"CAST({_V2} AS HUGEINT), CAST({_V3} AS HUGEINT)]"
+    )
+    # last block: (len % 256) << 56 | trailing bytes little-endian
+    tail_terms = " + ".join(
+        f"(CASE WHEN {p}_ln % 8 > {i} THEN {p}_bs[({p}_ln // 8) * 8 + {i + 1}] * {1 << (8 * i)} ELSE 0 END)"
+        for i in range(7)
+    )
+    last_block = f"(CAST({p}_ln % 256 AS HUGEINT) * {1 << 56} + {tail_terms})"
+
+    stages: list[tuple[str, str]] = [
+        (
+            f"{p}_a",
+            f"SELECT *, hex(encode({str_col})) AS {p}_hx, "
+            f"octet_length(encode({str_col})) AS {p}_ln FROM {src}",
+        ),
+        (
+            f"{p}_b",
+            f"SELECT * EXCLUDE ({p}_hx), "
+            f"list_transform(range(0, {p}_ln), i -> {byte_at}) AS {p}_bs FROM {p}_a",
+        ),
+        (
+            f"{p}_c",
+            f"SELECT *, CASE WHEN {p}_ln >= 8 THEN list_reduce(list_prepend({init_list}, "
+            f"list_transform(range(0, {p}_ln // 8), j -> [{lane8}])), {_compress_lambda()}) "
+            f"ELSE {init_list} END AS {p}_st FROM {p}_b",
+        ),
+        (
+            f"{p}_d",
+            f"SELECT * EXCLUDE ({p}_st), {p}_st[1] AS {p}_s0, "
+            f"{_sql_xor(f'{p}_st[4]', last_block)} AS {p}_s3, "
+            f"{p}_st[2] AS {p}_s1, {p}_st[3] AS {p}_s2, {last_block} AS {p}_lb FROM {p}_c",
+        ),
+    ]
+    cols = (f"{p}_s0", f"{p}_s1", f"{p}_s2", f"{p}_s3")
+    for tag in ("p", "q"):  # two compression rounds of the final block
+        rs, cols = _round_stages(p, tag, stages[-1][0], cols)
+        stages += rs
+    stages.append(
+        (
+            f"{p}_e",
+            f"SELECT * EXCLUDE ({cols[0]}, {cols[2]}, {p}_bs, {p}_ln), "
+            f"{_sql_xor(cols[0], f'{p}_lb')} AS {p}_e0, "
+            f"{_sql_xor(cols[2], str(0xFF))} AS {p}_e2 FROM {stages[-1][0]}",
+        )
+    )
+    cols = (f"{p}_e0", cols[1], f"{p}_e2", cols[3])
+    for tag in ("r", "s", "t", "u"):  # four finalization rounds
+        rs, cols = _round_stages(p, tag, stages[-1][0], cols)
+        stages += rs
+    stages.append(
+        (
+            f"{p}_h",
+            f"SELECT * EXCLUDE ({cols[0]}, {cols[1]}, {cols[2]}, {cols[3]}, {p}_lb), "
+            f"{_sql_xor(_sql_xor(cols[0], cols[1]), _sql_xor(cols[2], cols[3]))} AS {p}_g0 FROM {stages[-1][0]}",
+        )
+    )
+    # pandas' splitmix-style redistribution, one step per stage
+    mix = [
+        (f"{p}_m1", f"SELECT *, {_sql_xor(f'{p}_g0', f'({p}_g0 >> 30)')} AS {p}_g1 FROM {p}_h"),
+        (f"{p}_m2", f"SELECT *, {_sql_mul(f'{p}_g1', _MIX1)} AS {p}_g2 FROM {p}_m1"),
+        (f"{p}_m3", f"SELECT *, {_sql_xor(f'{p}_g2', f'({p}_g2 >> 27)')} AS {p}_g3 FROM {p}_m2"),
+        (f"{p}_m4", f"SELECT *, {_sql_mul(f'{p}_g3', _MIX2)} AS {p}_g4 FROM {p}_m3"),
+        (
+            f"{p}_m5",
+            f"SELECT * EXCLUDE ({p}_g0, {p}_g1, {p}_g2, {p}_g3, {p}_g4), "
+            f"{_sql_xor(f'{p}_g4', f'({p}_g4 >> 31)')} AS {out} FROM {p}_m4",
+        ),
+    ]
+    stages += mix
+    return stages, stages[-1][0]
+
+
+def hll_estimate_sql(hash_cte: str, h_col: str, lg_k: int = 10) -> str:
+    """SQL expression fragments replaying ``sketches.HllSketch`` exactly:
+    given a CTE of UNSIGNED hashes, a SELECT returning the rounded distinct
+    estimate (``int(round(HllSketch.estimate()))``). Registers: idx = top
+    lg_k bits, rho = min(clz64(h << lg_k) + 1, 64 - lg_k + 1); estimate =
+    alpha m^2 / sum(2^-reg) with the small-range linear-counting branch."""
+    m = 1 << lg_k
+    rho_cap = 64 - lg_k + 1
+    w = f"(({h_col} * {1 << lg_k}) % {M})"
+    clz = f"(64 - length(bin({w})))"
+    rho = f"(CASE WHEN {w} = 0 THEN {rho_cap} ELSE least({clz} + 1, {rho_cap}) END)"
+    return f"""
+        SELECT CAST(round(CASE WHEN est <= 2.5 * {m} AND zeros > 0
+                          THEN {m} * ln({m} / zeros) ELSE est END) AS BIGINT) AS e
+        FROM (
+          SELECT (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                 / (sum(pow(2.0, -reg)) + ({m} - count(*)) * 1.0) AS est,
+                 {m} - count(*) AS zeros
+          FROM (SELECT ({h_col} // {1 << (64 - lg_k)}) AS idx, max({rho}) AS reg
+                FROM {hash_cte} GROUP BY idx)
+        )
+    """

@@ -730,14 +730,33 @@ def split_discover_json(
     train_fraction: float = 0.9,
     seed: int = 42,
     params: EngineParams = DEFAULT_PARAMS,
+    split: str = "random",
+    split_key: str | None = None,
 ) -> dict:
     """Seeded split -> discover BOTH halves in ONE scan (the split flag is a
     grouping column through ``discover_by``) -> expand the train tree toward
     the test tree -> per-path incompatibility walk of test vs expanded train
     (DiscoverSchema.scala:428-472 splitDiscover, with the tree-level
     expandTo/subset machinery above). Returns train/test trees, the expanded
-    tree, the (path, property) incompatibilities, and the subset verdict."""
-    flagged = df.withColumn("__train", F.rand(seed=seed) < F.lit(train_fraction))
+    tree, the (path, property) incompatibilities, and the subset verdict.
+
+    ``split='hash'`` (round 5, same rule as analyses.split_discover): a row
+    is train iff ``pmod(xxhash64(split_key), 1e6) < int(train_fraction *
+    1e6)`` — a pure row function, identical across partition layouts and
+    cluster sizes where ``randomSplit`` draws per-partition (its halves
+    MOVE under AQE/repartition), and replayable by the DuckDB oracle via
+    the generated XXH64 SQL."""
+    if split == "hash":
+        if split_key is None:
+            raise ValueError("split='hash' requires split_key")
+        thr = int(float(train_fraction) * 1_000_000)
+        flagged = df.withColumn(
+            "__train", F.pmod(F.xxhash64(F.col(split_key)), F.lit(1_000_000)) < thr
+        )
+    elif split == "random":
+        flagged = df.withColumn("__train", F.rand(seed=seed) < F.lit(train_fraction))
+    else:
+        raise ValueError(f"unknown split {split!r} (expected 'random' or 'hash')")
     by_flag = discover_by(flagged, col, "__train", params=params)
     train = by_flag.get(True) or by_flag.get("true")
     test = by_flag.get(False) or by_flag.get("false")

@@ -1,0 +1,164 @@
+"""Parity battery for functions/siphash_sql.py — pandas' sketch hash as
+DuckDB SQL (the round-5 conversion of json_discovery_sketches_orders from
+rows-only to a full hash check).
+
+Three layers, mirroring tests/test_xxh64_sql.py:
+1. python reference == pandas (`hash64_array`'s exact values),
+2. generated DuckDB SQL == python reference on adversarial strings,
+3. the HLL-replay SELECT == HllSketch.estimate() across cardinality bands
+   (including the linear-counting branch), plus the repr(float) key parity
+   the orders oracle depends on.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from jsonoid_discovery_spark.functions.siphash_sql import (
+    hll_estimate_sql,
+    pandas_hash64,
+    pandas_hash_ctes,
+)
+from jsonoid_discovery_spark.functions.sketches import HllSketch, hash64_array
+from jsonoid_discovery_spark.functions.xxh64_sql import with_clause
+
+ADVERSARIAL = [
+    "",
+    "a",
+    "ab",
+    "abcdefg",  # 7: tail-only
+    "abcdefgh",  # 8: one block, empty tail
+    "abcdefghi",  # 9: block + 1 tail byte
+    "0123456789abcde",  # 15
+    "0123456789abcdef",  # 16: two blocks
+    "x" * 31,
+    "x" * 32,
+    "x" * 33,
+    "x" * 255,
+    "x" * 256,  # length byte wraps mod 256
+    "x" * 257,
+    "héllo wörld",  # 2-byte utf8
+    "日本語テキスト",  # 3-byte utf8
+    "emoji 🎉 tail",  # 4-byte utf8
+    "\n\t\x00 ctrl",
+    "1-URGENT",
+    "123456.78",
+    "60000.0",
+]
+
+
+def _rand_strings(n: int, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    pool = string.printable + "äöüßéπ🎉日本"
+    return list(
+        dict.fromkeys(
+            "".join(rng.choice(pool) for _ in range(rng.randint(0, 120))) for _ in range(n)
+        )
+    )
+
+
+class TestPythonReference:
+    def test_matches_pandas_adversarial(self):
+        vals = ADVERSARIAL + _rand_strings(200)
+        got = [pandas_hash64(v) for v in vals]
+        exp = hash64_array(pd.Series(vals, dtype=object))
+        assert [int(x) for x in exp] == got
+
+
+class TestDuckdbSql:
+    def _sql_hashes(self, vals: list[str]) -> dict[str, int]:
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"s": vals}))
+        stages, fin = pandas_hash_ctes("t", "s", "h")
+        sql = "WITH " + with_clause(stages) + f" SELECT s, h FROM {fin}"
+        return {k: int(v) for k, v in con.execute(sql).fetchall()}
+
+    def test_matches_python_adversarial(self):
+        vals = list(dict.fromkeys(ADVERSARIAL)) + _rand_strings(150, seed=11)
+        got = self._sql_hashes(vals)
+        for v in vals:
+            assert got[v] == pandas_hash64(v), repr(v)
+
+
+class TestHllReplay:
+    @pytest.mark.parametrize("n", [3, 20, 500, 20000])
+    def test_estimate_matches_sketch(self, n):
+        # 20000 crosses the 2.5m linear-counting boundary for lg_k=10;
+        # 3/20 exercise the linear-counting branch itself
+        vals = [f"value-{i}-{i * i}" for i in range(n)]
+        sk = HllSketch(10)
+        sk.update(pd.Series(vals, dtype=object))
+        exp = int(round(sk.estimate()))
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"s": vals}))
+        stages, fin = pandas_hash_ctes("t", "s", "h")
+        sql = "WITH " + with_clause(stages) + " " + hll_estimate_sql(fin, "h")
+        got = con.execute(sql).fetchone()[0]
+        assert got == exp
+
+    def test_examples_count_rule(self):
+        # TopKExamples keeps min(K, distinct-hash) items — the oracle's
+        # least(100, count(DISTINCT h)) arm
+        from jsonoid_discovery_spark.functions.sketches import TopKExamples
+
+        vals = np.asarray([f"v{i}" for i in range(137)], dtype=object)
+        h = hash64_array(pd.Series(list(vals), dtype=object))
+        ex = TopKExamples(100, 100)
+        ex.update_hashed(vals, h)
+        assert len(ex.items) == min(100, len(set(h.tolist())))
+
+
+class TestNumericKeyParity:
+    def test_repr_matches_duckdb_varchar_on_orders(self):
+        """discovery._sketch_numbers hashes repr(float(v)); the orders
+        oracle renders the same key with CAST(... AS VARCHAR). Pin the two
+        renderings equal over every distinct sf0.01 value (both are
+        shortest-round-trip; this guards the formatting conventions)."""
+        from tests.conftest import SF_ORACLE
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT DISTINCT o_totalprice, CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR),
+                       o_orderkey, CAST(CAST(o_orderkey AS DOUBLE) AS VARCHAR)
+                FROM read_parquet('{SF_ORACLE}/orders.parquet')"""
+        ).fetchall()
+        assert rows
+        for tp, tps, ok, oks in rows:
+            assert repr(float(tp)) == tps
+            assert repr(float(ok)) == oks
+
+
+class TestJsonSplitHashMode:
+    def test_hash_split_requires_key(self, spark):
+        from jsonoid_discovery_spark.operators.treediff import split_discover_json
+
+        df = spark.createDataFrame([("{}",)], "doc string")
+        with pytest.raises(ValueError, match="split_key"):
+            split_discover_json(df, "doc", split="hash")
+
+    def test_hash_split_partition_invariant(self, spark):
+        """The hash split is a pure row function: the halves (and therefore
+        the whole verdict row) must not move under repartitioning — the
+        property randomSplit lacks and the reason the contract entry
+        switched."""
+        from jsonoid_discovery_spark.operators.treediff import split_discover_json
+
+        rows = [(i, '{"k": %d}' % (i % 23)) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, doc string")
+        outs = []
+        for parts in (1, 7):
+            out = split_discover_json(
+                df.repartition(parts), "doc", split="hash", split_key="id"
+            )
+            outs.append(
+                (out["train"].docs, out["test"].docs, len(out["incompatibilities"]))
+            )
+        assert outs[0] == outs[1]
+        assert outs[0][0] + outs[0][1] == 400
