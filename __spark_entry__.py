@@ -262,6 +262,29 @@ def _ann_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 9).alias("cosine"))
 
 
+def _semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ann.semantic_dup_flags, public recipe
+    arXiv:2303.09540): bucket-budgeted hyperplane blocking (n_planes=None →
+    floor(log2(n/8)) planes, floor 6 — ~8 expected rows/bucket at any
+    corpus size; resolves to 6 planes on sf0.01's 500 rows, which is what
+    the oracle bakes in) + keep-first-by-id at round-9 cosine >= 0.35; per
+    label the total, the survivor count and the survivor id sum. The DuckDB
+    oracle replays the signature bits and the sequential-fold cosine with
+    the plane literals baked in (_semantic_dedup_oracle_sql)."""
+    from jsonoid_discovery_spark.operators.ann import semantic_dup_flags
+
+    emb = _t(spark, sf, "embeddings")
+    flagged = semantic_dup_flags(
+        emb, "embedding", "vec_id", threshold=0.35, n_planes=None, seed=42
+    )
+    keep = ~F.col("is_semantic_dup")
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("vec_id")).otherwise(F.lit(0))).alias("sum_kept_ids"),
+    )
+
+
 def _lang_id_documents(spark: SparkSession, sf: str) -> DataFrame:
     from jsonoid_discovery_spark.operators.text import lang_id
 
@@ -778,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_discovery_bounds_lineitem": _typed_discovery_bounds_lineitem,
         "json_discovery_jvm_events": _json_discovery_jvm_events,
         "ann_topk_embeddings": _ann_topk_embeddings,
+        "semantic_dedup_embeddings": _semantic_dedup_embeddings,
         "lang_id_documents": _lang_id_documents,
         "quality_documents": _quality_documents,
         "bpe_token_counts_documents": _bpe_token_counts_documents,
@@ -1202,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "split_discover_json_events": _split_discover_json_oracle_sql(),
         "json_schema_diff_orders": _schema_diff_oracle_sql(),
         "json_discovery_sketches_orders": _sketches_oracle_sql(),
+        "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
     }
 
 
@@ -1322,6 +1347,59 @@ def _split_discover_oracle_sql(train_fraction: float = 0.9) -> str:
             FROM inc, w
         """
     )
+
+
+def _semantic_dedup_oracle_sql(
+    threshold: float = 0.35, n_planes: int = 6, seed: int = 42, dim: int = 64
+) -> str:
+    """DuckDB oracle for semantic_dedup_embeddings, replaying the whole rule
+    value-for-value: the hyperplane signature (plane literals from the same
+    seeded make_planes), dot products and norms as SEQUENTIAL list_reduce
+    folds (bit-identical to Spark's F.aggregate left fold — 0.0+p1 == p1 in
+    IEEE, so seeding the fold with the first product is the same addition
+    sequence), the round-9 cosine threshold, the keep-first-by-id dup join,
+    and the per-label survivor aggregates. Null/empty vectors: CASE WHEN
+    NULL >= 0 falls to ELSE in both engines (signature 0) and a NULL cosine
+    never passes the threshold — no special-casing needed."""
+    from jsonoid_discovery_spark.operators.ann import make_planes
+
+    planes = make_planes(dim, n_planes, seed)
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ",".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, e) -> acc + e)"
+        )
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN {dot('v', lit(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    sq = "sqrt(list_reduce(list_transform(v, x -> x::DOUBLE * x::DOUBLE), (acc, e) -> acc + e))"
+    return f"""
+        WITH v AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id, label, v, {sq} AS nrm, {sig_terms} AS s FROM v
+        ),
+        dups AS (
+          SELECT DISTINCT a.vec_id
+          FROM sig a JOIN sig b ON a.s = b.s AND b.vec_id < a.vec_id
+          WHERE round({dot('a.v', 'b.v')} / (a.nrm * b.nrm), 9) >= {threshold!r}
+        )
+        SELECT s.label,
+               count(*)::BIGINT AS n_total,
+               sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN d.vec_id IS NULL THEN s.vec_id ELSE 0 END)::BIGINT AS sum_kept_ids
+        FROM sig s LEFT JOIN dups d ON s.vec_id = d.vec_id
+        GROUP BY 1
+    """
 
 
 def _sketches_oracle_sql() -> str:

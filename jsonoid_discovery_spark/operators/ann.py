@@ -289,3 +289,93 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dup_flags(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int | None = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate flags (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster embeddings, drop all-but-one of each
+    intra-cluster near-identical group). Spark-first restatement:
+
+    * blocking = the deterministic random-hyperplane signature above (the
+      published k-means clustering is replaced by sign-pattern buckets so
+      the whole rule is a pure row function of (vector, seed) — replayable
+      by the DuckDB oracle and stable across partition layouts, which a
+      sampled k-means is not);
+    * a row is a duplicate iff some bucket-mate with a SMALLER id scores
+      ``round(cosine, 9) >= threshold``. Keep-first-by-id makes survivorship
+      a single anti-join — no iterative connected components — and the
+      round-9 comparison pins the float boundary for the oracle replay.
+
+    100 TB shape: the only corpus-sized shuffle is the self-join on the
+    signature key; pair work is bounded per bucket, so size buckets with
+    ``n_planes`` (expected bucket share 2^-n_planes of the corpus; at a
+    trillion rows use 24-32 planes the way the published recipe uses ~100K
+    clusters). ``n_planes=None`` budgets automatically: floor(log2(n/8))
+    planes (floor 6), i.e. ~8 expected rows per bucket at ANY corpus size —
+    one metadata-cheap count() job, deterministic given the data, so the
+    oracle replay stays exact. The dup-id set is tiny and broadcast back
+    (AQE picks the broadcast side). Null/empty vectors never match the
+    cosine predicate, so they are never dropped — same null algebra in
+    both engines.
+
+    Returns ``df`` + boolean ``is_semantic_dup``."""
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(6, int(math.floor(math.log2(max(n / 8.0, 1.0)))))
+    dim = _vector_dim(df, vec_col)
+    planes = make_planes(dim, n_planes, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sigged = (
+        df.withColumn("_sig", hyperplane_signature(vec_col, planes))
+        # norms once per ROW here, not twice per PAIR below — the pair stage
+        # is the O(bucket^2) part and higher-order folds are interpreted;
+        # _norm(a)*_norm(b) == _nrm_a*_nrm_b bitwise (same expression tree)
+        .withColumn("_nrm", _norm(vd))
+    )
+    a = sigged.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"), F.col("_sig"),
+    )
+    b = sigged.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"), F.col("_sig"),
+    )
+    pair_dot = _dot(
+        F.transform(F.col("_va"), lambda x: x.cast("double")),
+        F.transform(F.col("_vb"), lambda x: x.cast("double")),
+    )
+    dups = (
+        a.join(b, "_sig")
+        .where(F.col("_idb") < F.col("_ida"))
+        .where(
+            F.round(pair_dot / (F.col("_na") * F.col("_nb")), 9) >= F.lit(threshold)
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+        .withColumn("is_semantic_dup", F.lit(True))
+    )
+    return (
+        df.join(dups, id_col, "left")
+        .withColumn("is_semantic_dup", F.coalesce(F.col("is_semantic_dup"), F.lit(False)))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int | None = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Survivors of :func:`semantic_dup_flags` with the flag dropped —
+    the corpus after SemDeDup-style semantic deduplication."""
+    flagged = semantic_dup_flags(df, vec_col, id_col, threshold, n_planes, seed)
+    return flagged.where(~F.col("is_semantic_dup")).drop("is_semantic_dup")

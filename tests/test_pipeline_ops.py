@@ -197,6 +197,53 @@ class TestEmbeddingNearDup:
         assert all(b - a == 100000 for a, b in got - expected) or got == expected
 
 
+class TestSemanticDedup:
+    def _numpy_survivors(self, rows, threshold, n_planes, seed):
+        """Python oracle of the keep-first-by-id rule over (id, vec) rows."""
+        ids = np.array([r[0] for r in rows])
+        x = np.array([r[1] for r in rows], dtype=np.float64)
+        planes = np.array(ann.make_planes(x.shape[1], n_planes, seed))
+        sig = ((x @ planes.T) >= 0) @ (1 << np.arange(n_planes))
+        order = np.argsort(ids)
+        ids, x, sig = ids[order], x[order], sig[order]
+        nrm = np.linalg.norm(x, axis=1)
+        removed = set()
+        for i in range(len(ids)):
+            for j in range(i):
+                if sig[i] == sig[j]:
+                    c = round(float(x[i] @ x[j] / (nrm[i] * nrm[j])), 9)
+                    if c >= threshold:
+                        removed.add(int(ids[i]))
+                        break
+        return {int(v) for v in ids} - removed
+
+    def test_numpy_oracle_parity(self, spark, embeddings):
+        rows = [(r["vec_id"], list(r["embedding"])) for r in embeddings.collect()]
+        expect = self._numpy_survivors(rows, threshold=0.35, n_planes=4, seed=42)
+        out = ann.semantic_dedup(embeddings, "embedding", "vec_id", threshold=0.35, n_planes=4)
+        got = {r["vec_id"] for r in out.select("vec_id").collect()}
+        assert got == expect
+        assert len(got) < embeddings.count()  # the rule actually fires here
+
+    def test_partition_invariance(self, spark, embeddings):
+        base = ann.semantic_dedup(embeddings, "embedding", "vec_id", threshold=0.35, n_planes=4)
+        shuffled = ann.semantic_dedup(
+            embeddings.repartition(7), "embedding", "vec_id", threshold=0.35, n_planes=4
+        )
+        assert {r["vec_id"] for r in base.collect()} == {r["vec_id"] for r in shuffled.collect()}
+
+    def test_clones_removed_originals_kept(self, spark, embeddings):
+        base = embeddings.limit(30)
+        clones = base.selectExpr("vec_id + 100000 AS vec_id", "embedding", "label")
+        flagged = ann.semantic_dup_flags(
+            base.unionByName(clones), "embedding", "vec_id", threshold=0.999, n_planes=8
+        )
+        dup = {r["vec_id"]: r["is_semantic_dup"] for r in flagged.collect()}
+        for r in base.select("vec_id").collect():
+            assert dup[r["vec_id"]] is False  # smaller id survives
+            assert dup[r["vec_id"] + 100000] is True  # its clone is dropped
+
+
 class TestFrameSampling:
     def test_one_to_n_expansion(self, spark):
         from jsonoid_discovery_spark.operators import multimodal as mm
