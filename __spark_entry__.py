@@ -262,6 +262,31 @@ def _ann_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 9).alias("cosine"))
 
 
+def _span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-span removal (dedup.span_dedup; Lee et al. 2021
+    ExactSubstr restated relationally): every word 4-gram that occurred
+    earlier in the corpus (ordered by (doc_id, pos)) marks its 4 token
+    positions for deletion; documents rebuild from surviving tokens. Per
+    source: docs, token totals, removed tokens, and the rebuilt-text length
+    sum (the length sum pins the reassembly order, not just the counts).
+    The DuckDB oracle replays tokenization, gram keys, the min-(id,pos)
+    first-occurrence rule, span-position coverage and the ordered rebuild."""
+    from jsonoid_discovery_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf, "documents")
+    out = span_dedup(docs, "text", "doc_id", n=4)
+    return (
+        out.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens_total").alias("sum_tokens"),
+            F.sum("tokens_removed").alias("sum_removed"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("long").alias("sum_new_len"),
+        )
+    )
+
+
 def _semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup (ann.semantic_dup_flags, public recipe
     arXiv:2303.09540): bucket-budgeted hyperplane blocking (n_planes=None →
@@ -802,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_discovery_jvm_events": _json_discovery_jvm_events,
         "ann_topk_embeddings": _ann_topk_embeddings,
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
+        "span_dedup_documents": _span_dedup_documents,
         "lang_id_documents": _lang_id_documents,
         "quality_documents": _quality_documents,
         "bpe_token_counts_documents": _bpe_token_counts_documents,
@@ -1227,6 +1253,61 @@ def oracle_sql() -> dict[str, str]:
         "json_schema_diff_orders": _schema_diff_oracle_sql(),
         "json_discovery_sketches_orders": _sketches_oracle_sql(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
+        "span_dedup_documents": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT doc_id, i AS pos,
+                     list_aggregate(t[i+1:i+4], 'string_agg', ' ') AS g
+              FROM toks, unnest(range(len(t) - 3)) AS u(i)
+            ),
+            dup_occ AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                FROM grams
+              ) WHERE rn > 1
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, c AS pos
+              FROM dup_occ, unnest(range(pos, pos + 4)) AS u(c)
+            ),
+            tokens AS (
+              SELECT doc_id, j AS pos, t[j+1] AS tok
+              FROM toks, unnest(range(len(t))) AS u(j)
+            ),
+            survivors AS (
+              SELECT tk.doc_id, tk.pos, tk.tok
+              FROM tokens tk LEFT JOIN covered c
+                ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+              WHERE c.doc_id IS NULL
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text,
+                     count(*) AS n_kept
+              FROM survivors GROUP BY doc_id
+            ),
+            totals AS (SELECT doc_id, len(t) AS tokens_total FROM toks),
+            per_doc AS (
+              SELECT d.doc_id, d.source,
+                     coalesce(tt.tokens_total, 0) AS tokens_total,
+                     coalesce(tt.tokens_total, 0) - coalesce(r.n_kept, 0) AS tokens_removed,
+                     CASE WHEN d.text IS NULL THEN NULL
+                          ELSE coalesce(r.new_text, '') END AS new_text
+              FROM documents d
+              LEFT JOIN totals tt USING (doc_id)
+              LEFT JOIN rebuilt r USING (doc_id)
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(tokens_total)::BIGINT AS sum_tokens,
+                   sum(tokens_removed)::BIGINT AS sum_removed,
+                   sum(coalesce(length(new_text), 0))::BIGINT AS sum_new_len
+            FROM per_doc GROUP BY 1
+        """,
     }
 
 

@@ -398,3 +398,95 @@ def with_simhash(
             F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(mask)).otherwise(F.lit(0)).cast("long")
         )
     return agg.select(F.col("id").alias(id_col), acc.alias(out))
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 50,
+) -> DataFrame:
+    """Exact duplicate-span removal (Lee et al. 2021, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better" — ExactSubstr:
+    delete any >= N-token span that also occurs elsewhere in the corpus).
+    Spark-first restatement of the suffix-array pass as relational ops:
+
+    * tokenize by whitespace; every word ``n``-gram is an occurrence keyed
+      by its joined text;
+    * the FIRST occurrence corpus-wide (ordered by (id, position) — a pure
+      row function, partition-layout invariant) survives; every later
+      occurrence marks its ``n`` covered token positions for removal;
+    * a token is removed iff ANY duplicate occurrence covers it (span
+      union via explode->distinct, no interval logic); the document text is
+      rebuilt from surviving tokens in order.
+
+    100 TB shape: the dup decision is ONE groupBy on the gram text with a
+    map-side-combined min(struct(id, pos)) — no window over a skewed key,
+    so a million-occurrence hot gram partial-aggregates on every mapper
+    before the shuffle; covered positions re-key by (id, pos), which is
+    uniformly distributed by construction. The explode multiplies only
+    DUPLICATE occurrences by n, never the corpus.
+
+    Returns one row per input row: id, tokens_total, tokens_removed, and
+    the rebuilt ``text`` (null text stays null; fully-deleted docs rebuild
+    to the empty string)."""
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    toks = d.where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    ).select("id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+
+    # guard: F.sequence DESCENDS when stop < start, so a doc shorter than n
+    # tokens must yield an empty gram list, not negative positions
+    gram_positions = F.when(
+        F.size("t") >= F.lit(n), F.sequence(F.lit(0), F.size("t") - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                gram_positions,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(F.col("t"), i + 1, n), " ").alias("g"),
+                ),
+            )
+        ).alias("o"),
+    ).select("id", F.col("o.pos").alias("pos"), F.col("o.g").alias("g"))
+
+    firsts = grams.groupBy("g").agg(F.min(F.struct("id", "pos")).alias("m"))
+    dup_occ = (
+        grams.join(firsts, "g")
+        .where(F.struct("id", "pos") != F.col("m"))
+        .select("id", "pos")
+    )
+    covered = dup_occ.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("pos")
+    ).distinct()
+
+    tokens = toks.select("id", F.posexplode("t").alias("pos", "tok"))
+    survivors = tokens.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = survivors.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+            ),
+            " ",
+        ).alias("new_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+    totals = toks.select("id", F.size("t").alias("tokens_total"))
+    return (
+        d.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("tokens_total", F.lit(0)).cast("long").alias("tokens_total"),
+            (
+                F.coalesce("tokens_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("tokens_removed"),
+            F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("new_text", F.lit("")))
+            .alias(text_col),
+        )
+    )

@@ -197,6 +197,59 @@ class TestEmbeddingNearDup:
         assert all(b - a == 100000 for a, b in got - expected) or got == expected
 
 
+class TestSpanDedup:
+    def _numpy_replay(self, rows, n):
+        """Python oracle of the ExactSubstr keep-first rule."""
+        toks = {i: t.strip().split() for i, t in rows if t is not None and t.strip()}
+        first, dup = {}, []
+        for i in sorted(toks):
+            t = toks[i]
+            for p in range(len(t) - n + 1):
+                g = " ".join(t[p : p + n])
+                if g in first:
+                    dup.append((i, p))
+                else:
+                    first[g] = (i, p)
+        covered = {(i, c) for i, p in dup for c in range(p, p + n)}
+        out = {}
+        for i, t in rows:
+            tk = toks.get(i, [])
+            kept = [w for p, w in enumerate(tk) if (i, p) not in covered]
+            out[i] = (len(tk), len(tk) - len(kept), None if t is None else " ".join(kept))
+        return out
+
+    def test_crafted_semantics(self, spark):
+        rows = [
+            (1, "a b c d e f"),
+            (2, "x y a b c d z"),
+            (3, "short doc"),
+            (4, None),
+            (5, "a b c d e f"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["tokens_total"], r["tokens_removed"], r["text"])
+            for r in dedup.span_dedup(df, "text", "doc_id", n=4).collect()
+        }
+        assert got[2] == (7, 4, "x y z")  # only the dup span goes
+        assert got[5] == (6, 6, "")  # full duplicate erased
+        assert got[3] == (2, 0, "short doc")  # shorter than n: untouched
+        assert got[4] == (0, 0, None)  # null stays null
+        assert got == self._numpy_replay(rows, 4)
+
+    def test_real_corpus_python_parity_and_invariance(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+        expect = self._numpy_replay(rows, 3)
+        for d in (docs, docs.repartition(7)):
+            got = {
+                r["doc_id"]: (r["tokens_total"], r["tokens_removed"], r["text"])
+                for r in dedup.span_dedup(d, "text", "doc_id", n=3).collect()
+            }
+            assert got == expect
+        assert any(v[1] > 0 for v in expect.values())  # the rule fires here
+
+
 class TestSemanticDedup:
     def _numpy_survivors(self, rows, threshold, n_planes, seed):
         """Python oracle of the keep-first-by-id rule over (id, vec) rows."""
