@@ -262,6 +262,34 @@ def _ann_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 9).alias("cosine"))
 
 
+def _dedup_stream_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch shape of streaming exact dedup (streaming/dedup.StreamingDeduper):
+    rows assigned to 3 deterministic 'micro-batches' by pmod(xxhash64(id), 3);
+    a row is accepted iff it is the first occurrence of its content hash in
+    (batch, id) order — exactly the cross-batch keep-first rule the streaming
+    operator implements inside foreachBatch (pytest proves the real
+    readStream run matches this shape). Per batch: rows, accepted rows, and
+    the accepted-id sum. The DuckDB oracle replays the XXH64 hashLong batch
+    assignment (functions/xxh64_sql.py) and the same window rule."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    hashed = docs.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(3)).alias("batch"),
+        F.sha2("text", 256).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("batch", "doc_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_accepted"),
+        F.sum(F.when(F.col("rn") == 1, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sum_accepted_ids"),
+    )
+
+
 def _span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate-span removal (dedup.span_dedup; Lee et al. 2021
     ExactSubstr restated relationally): every word 4-gram that occurred
@@ -828,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": _ann_topk_embeddings,
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
         "span_dedup_documents": _span_dedup_documents,
+        "dedup_stream_documents": _dedup_stream_documents,
         "lang_id_documents": _lang_id_documents,
         "quality_documents": _quality_documents,
         "bpe_token_counts_documents": _bpe_token_counts_documents,
@@ -1253,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         "json_schema_diff_orders": _schema_diff_oracle_sql(),
         "json_discovery_sketches_orders": _sketches_oracle_sql(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
+        "dedup_stream_documents": _dedup_stream_oracle_sql(),
         "span_dedup_documents": """
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -1481,6 +1511,34 @@ def _semantic_dedup_oracle_sql(
         FROM sig s LEFT JOIN dups d ON s.vec_id = d.vec_id
         GROUP BY 1
     """
+
+
+def _dedup_stream_oracle_sql() -> str:
+    """DuckDB oracle for dedup_stream_documents: XXH64 hashLong batch
+    assignment (same double-pmod sign handling as the sampling oracle) +
+    the keep-first window over the content hash in (batch, id) order."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h")
+    return (
+        "WITH " + with_clause(stages)
+        + f""",
+            assigned AS (
+              SELECT doc_id, ((h % 3) + 3) % 3 AS batch, sha256(text) AS ch
+              FROM {fin} WHERE text IS NOT NULL
+            ),
+            ranked AS (
+              SELECT batch, doc_id,
+                     row_number() OVER (PARTITION BY ch ORDER BY batch, doc_id) AS rn
+              FROM assigned
+            )
+            SELECT batch,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_accepted,
+                   sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END)::BIGINT AS sum_accepted_ids
+            FROM ranked GROUP BY 1
+        """
+    )
 
 
 def _sketches_oracle_sql() -> str:
@@ -1816,7 +1874,7 @@ def _sample_oracle_sql() -> str:
                      ELSE {thr_def} END AS thr
               FROM {fin}
             )
-            SELECT lang, count(*) AS n_kept, sum(doc_id) AS sum_ids
+            SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids
             FROM kept WHERE bucket < thr GROUP BY lang
         """
     )

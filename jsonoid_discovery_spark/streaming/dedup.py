@@ -1,0 +1,139 @@
+"""Structured Streaming exact deduplication — the incremental-crawl shape.
+
+A 100 TB training corpus is not ingested once: new crawl increments arrive
+continuously and must dedup against everything already accepted. Spark's
+built-in ``dropDuplicates`` on a stream keeps its state inside the streaming
+state store (unbounded without a watermark, opaque to other jobs); this
+operator keeps the seen-hash state as a PLAIN PARQUET TABLE instead —
+queryable, compactable, shareable with the batch engine — and runs the
+per-batch work as ordinary DataFrame ops inside ``foreachBatch``
+(same design as streaming/incremental.py's StreamingProfiler).
+
+Per micro-batch N:
+  1. within-batch survivor per content hash = min id (deterministic,
+     partition-invariant — same keep-first rule as dedup.exact_deduplicate);
+  2. anti-join those survivors against the union of batches < N's accepted
+     hashes (a shuffle join on the hash; at scale, bucket the state table
+     by hash so the join co-locates without a shuffle);
+  3. OVERWRITE ``kept/batch_id=N`` (accepted rows) and ``new/batch_id=N``
+     (their hashes). Idempotent by construction: a replayed batch reads
+     only state < N (unchanged by its own crash) and rewrites the same
+     directories, so no row is ever double-accepted.
+
+State growth: reading the union of all prior batch directories is
+O(batches) listings per batch; ``compact_every`` folds them into a single
+``compact/upto=N`` directory so steady-state reads stay flat.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class StreamingDeduper:
+    """Exact streaming dedup via foreachBatch over a parquet hash state.
+
+    ``state_dir`` belongs to ONE stream lifetime (same caveat as
+    StreamingProfiler: resetting the Spark checkpoint restarts batch ids,
+    so pair every checkpoint reset with a fresh state_dir)."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        text_col: str,
+        id_col: str,
+        compact_every: int = 16,
+    ) -> None:
+        self.state_dir = state_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.compact_every = compact_every
+
+    # -- state ---------------------------------------------------------------
+    def _seen_before(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """Hashes accepted by batches strictly before ``batch_id``: the
+        newest compact snapshot plus the per-batch increments after it."""
+        base = None
+        upto = -1
+        cdir = os.path.join(self.state_dir, "compact")
+        if os.path.isdir(cdir):
+            snaps = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(cdir)
+                if d.startswith("upto=") and int(d.split("=", 1)[1]) < batch_id
+            )
+            if snaps:
+                upto = snaps[-1]
+                base = spark.read.parquet(os.path.join(cdir, f"upto={upto}"))
+        inc_dir = os.path.join(self.state_dir, "new")
+        incs = []
+        if os.path.isdir(inc_dir):
+            incs = [
+                os.path.join(inc_dir, d)
+                for d in os.listdir(inc_dir)
+                if d.startswith("batch_id=") and upto < int(d.split("=", 1)[1]) < batch_id
+            ]
+        if incs:
+            inc = spark.read.parquet(*incs).select("h")
+            base = inc if base is None else base.unionByName(inc)
+        if base is None:
+            return spark.createDataFrame([], "h string")
+        return base
+
+    # -- plumbing ------------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = F.sha2(F.col(self.text_col), 256)
+        hashed = batch_df.where(F.col(self.text_col).isNotNull()).withColumn("h", h)
+        w = Window.partitionBy("h").orderBy(F.col(self.id_col))
+        survivors = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        seen = self._seen_before(spark, batch_id)
+        # shuffle anti-join on the hash; AQE broadcasts small seen-states
+        accepted = survivors.join(seen, "h", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "kept", f"batch_id={batch_id}")
+        )
+        accepted.select("h").write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "new", f"batch_id={batch_id}")
+        )
+        if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
+            snap = self._seen_before(spark, batch_id + 1)
+            snap.distinct().write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "compact", f"upto={batch_id}")
+            )
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        trigger_once: bool = True,
+        spark_checkpoint: str | None = None,
+    ):
+        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation",
+            spark_checkpoint or os.path.join(self.state_dir, "_spark_checkpoint"),
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- results -------------------------------------------------------------
+    def accepted(self, spark: SparkSession) -> DataFrame:
+        """Every row accepted so far (the deduplicated stream), with its
+        ``batch_id`` partition column."""
+        return spark.read.parquet(os.path.join(self.state_dir, "kept"))
+
+    def report(self, spark: SparkSession) -> DataFrame:
+        """Per-batch acceptance counts."""
+        return (
+            self.accepted(spark)
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n_accepted"))
+            .orderBy("batch_id")
+        )

@@ -182,6 +182,58 @@ class TestStreaming:
         assert a.examples.values() == b.examples.values()
 
 
+class TestStreamingDedup:
+    def test_stream_matches_batch_keep_first(self, spark, tmp_path):
+        """Real readStream over multi-file source: the union of accepted rows
+        must equal the batch keep-first rule over (batch order, id) — and the
+        duplicated content planted ACROSS files must be accepted exactly once."""
+        from jsonoid_discovery_spark.streaming.dedup import StreamingDeduper
+
+        rows = [(i, f"doc {i % 25}") for i in range(100)]  # 4x duplication
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "stream_src")
+        # one file per repartition slice -> deterministic multi-batch stream
+        df.repartition(8).write.parquet(src)
+        dd = StreamingDeduper(str(tmp_path / "state"), "text", "doc_id")
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        q = dd.start(stream)
+        q.awaitTermination(120)
+        acc = dd.accepted(spark).collect()
+        # exactly one accepted row per distinct content, nothing lost
+        assert len(acc) == 25
+        assert sorted({r["text"] for r in acc}) == sorted({t for _, t in rows})
+        # each accepted row really carries that content's hash-first id for
+        # its batch: within a batch the min id survives, across batches the
+        # earliest batch wins — so no accepted id can share content with an
+        # accepted row from an earlier batch
+        seen = {}
+        for r in sorted(acc, key=lambda r: (r["batch_id"], r["doc_id"])):
+            assert r["text"] not in seen
+            seen[r["text"]] = r["batch_id"]
+    def test_compaction_and_replay_idempotency(self, spark, tmp_path):
+        from jsonoid_discovery_spark.streaming.dedup import StreamingDeduper
+
+        dd = StreamingDeduper(str(tmp_path / "state"), "text", "doc_id", compact_every=2)
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+        b1 = mk([(3, "a"), (4, "c")])
+        dd.process_batch(mk([(1, "a"), (2, "b")]), 0)
+        dd.process_batch(b1, 1)
+        dd.process_batch(mk([(5, "b"), (6, "d")]), 2)  # triggers compaction
+        dd.process_batch(mk([(7, "c"), (8, "e")]), 3)  # reads via snapshot
+        expect = {(1, "a"), (2, "b"), (4, "c"), (6, "d"), (8, "e")}
+        got = {(r["doc_id"], r["text"]) for r in dd.accepted(spark).collect()}
+        assert got == expect
+        # crash-replay of an already-processed batch: rewrites its own
+        # directories from unchanged earlier state — accepted set unchanged
+        dd.process_batch(b1, 1)
+        got = {(r["doc_id"], r["text"]) for r in dd.accepted(spark).collect()}
+        assert got == expect
+
+
 class TestEmbeddingNearDup:
     def test_finds_duplicated_vectors(self, spark, embeddings):
         from jsonoid_discovery_spark.operators.ann import embedding_near_dups
