@@ -390,6 +390,25 @@ def _minhash_lsh_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_candidate_pairs(_t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8)
 
 
+def _dedup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate CLUSTERS from the MinHash candidate pairs: alternating
+    large-star/small-star connected components (cluster.connected_components,
+    Kiveris et al. SoCC 2014) labels every paired doc with its component's
+    minimum id; the summary rolls up membership per cluster. The DuckDB
+    oracle reuses the full minhash pair replay as a materialized CTE and
+    closes it transitively with a recursive reachability CTE + min label."""
+    from jsonoid_discovery_spark.operators.cluster import (
+        cluster_summary,
+        connected_components,
+    )
+    from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8
+    )
+    return cluster_summary(connected_components(pairs))
+
+
 def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
     from jsonoid_discovery_spark.operators.dedup import with_simhash
 
@@ -863,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "dedup_groups_documents": _dedup_groups_documents,
         "minhash_lsh_pairs_documents": _minhash_lsh_pairs_documents,
+        "dedup_clusters_documents": _dedup_clusters_documents,
         "simhash_documents": _simhash_documents,
         "drift_lang_documents": _drift_lang_documents,
         "pk_uniqueness_stats_documents": _pk_uniqueness_stats_documents,
@@ -1264,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         # replay Spark's xxhash64-keyed pipelines bit-for-bit.
         "simhash_documents": _simhash_oracle_sql(),
         "minhash_lsh_pairs_documents": _minhash_oracle_sql(),
+        "dedup_clusters_documents": _dedup_clusters_oracle_sql(),
         "value_table_documents": _value_table_oracle_sql(),
         "decontam_documents": _decontam_oracle_sql(),
         "gopher_documents": _GOPHER_ORACLE_SQL,
@@ -2052,6 +2073,34 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8, k: int = 3, cap: i
         + "FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket "
         + "AND a.doc_id < b.doc_id"
     )
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """DuckDB oracle for dedup_clusters_documents: the full minhash pair
+    replay (materialized once — its 15-stage hash chain must not re-inline
+    per reference) closed transitively by a recursive reachability CTE;
+    component = min reachable id, exactly the large-star/small-star
+    fixpoint label."""
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+            {_minhash_oracle_sql()}
+        ),
+        sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach AS (
+            SELECT u AS node, u AS r FROM sym
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT component::BIGINT AS component,
+               count(*)::BIGINT AS n_members,
+               sum(node)::BIGINT AS sum_ids
+        FROM comp GROUP BY component
+    """
 
 
 def _pk_candidates_oracle_sql() -> str:

@@ -1,0 +1,166 @@
+"""Duplicate clustering: candidate pairs -> connected components -> survivors.
+
+MinHash/LSH (dedup.lsh_candidate_pairs) emits candidate PAIRS; a corpus
+dedup needs transitive CLUSTERS (a~b and b~c must collapse to one kept
+document even when a~c was never emitted). This module closes that gap with
+the alternating large-star/small-star algorithm (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii, "Connected Components in MapReduce and Beyond",
+SoCC 2014): each iteration is plain DataFrame groupBy/join work that
+converges in O(log^2 n) rounds regardless of component diameter — the
+property that matters at 100 TB, where a naive min-label propagation walks
+O(diameter) rounds and a driver-side union-find does not exist at all.
+
+Scale shape per iteration: ONE hash shuffle keyed on the node id (the
+groupBy(min) and the join that follows share the partitioning, so Spark
+reuses the exchange), map-side-combined minima, and `.distinct()` to stop
+edge-set growth. Lineage is truncated every round with an eager
+localCheckpoint — on a real cluster swap in `df.checkpoint()` against
+reliable storage (the loop is restart-safe from any round's edge set).
+Convergence is detected from a two-value aggregate fingerprint
+(count + sum of xxhash64(u, v)) — a KB-sized driver action per round,
+never a row collect.
+
+The fixpoint labels every node with the MINIMUM node id of its component,
+so survivorship ("keep the smallest id per duplicate cluster") falls out of
+the component id itself — the same deterministic keep-first rule as
+dedup.exact_deduplicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Order/partition-independent edge-set fingerprint: (count, sum of
+    per-edge xxhash64). Sums of 64-bit hashes may overflow long — wrap via
+    sum over DECIMAL(38,0) so the fingerprint stays exact."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, min(Gamma(u) u {u})) for every neighbor v > u, over the
+    symmetrized edge set. Strictly decreases large labels; never loses
+    connectivity (Kiveris et al., Lemma 1)."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point every edge at the smaller endpoint, then re-attach each node's
+    smaller-neighborhood (plus itself) to that neighborhood's minimum."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    joined = d.join(mins, "u")
+    re_attached = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        re_attached.union(self_edge)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Resolve an undirected edge list to components.
+
+    Returns one row per node that appears in ``pairs``:
+    ``(node bigint, component bigint)`` where ``component`` is the minimum
+    node id reachable from ``node``. Nodes with no pair are absent (they
+    are their own singleton cluster — ``near_dedup`` coalesces them).
+    """
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    spark = pairs.sparkSession
+    if not edges.take(1):
+        return spark.createDataFrame([], "node long, component long")
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    # at the fixpoint every edge points node -> component-minimum (a star);
+    # the roots themselves appear only on the v side.
+    nodes = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(
+        F.col("v").alias("node"), F.col("v").alias("component")
+    ).distinct()
+    return nodes.union(roots).distinct()
+
+
+def cluster_summary(components: DataFrame) -> DataFrame:
+    """Per-cluster membership rollup (the contract-entry shape)."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").alias("sum_ids"),
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    pairs: DataFrame | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: LSH candidate pairs ->
+    connected components -> keep the minimum-id row of every cluster.
+
+    ``pairs`` overrides the built-in MinHash stage (pass exact
+    ``jaccard_pairs`` output, ``embedding_near_dups``, or any verified
+    pair set — the clustering is pair-source-agnostic). Rows outside every
+    cluster keep themselves (left join + coalesce, no second scan)."""
+    if pairs is None:
+        from jsonoid_discovery_spark.operators.dedup import lsh_candidate_pairs
+
+        pairs = lsh_candidate_pairs(
+            df, col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        )
+    comp = connected_components(pairs)
+    idc = F.col(id_col).cast("long")
+    tagged = df.join(comp, idc == F.col("node"), "left").withColumn(
+        "__comp", F.coalesce(F.col("component"), idc)
+    )
+    # deterministic survivor: smallest id per component. The component id
+    # IS that minimum for clustered rows, so the filter is a pure row
+    # predicate — no window, no second aggregation. The left join's build
+    # side is only the DUPLICATE population; AQE broadcasts it when small
+    # and falls back to a shuffle join when the corpus is dup-heavy.
+    return (
+        tagged.where(F.col("__comp") == idc)
+        .drop("node", "component", "__comp")
+    )

@@ -1,0 +1,139 @@
+"""Connected-components duplicate clustering (operators/cluster.py).
+
+Python oracle: a plain union-find over the same edge list — the
+large-star/small-star loop must agree with it on every graph shape,
+including long paths (which force multiple alternation rounds) and
+randomized graphs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.cluster import (
+    cluster_summary,
+    connected_components,
+    near_dedup,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    rows = out.collect()
+    got = {r["node"]: r["component"] for r in rows}
+    assert len(rows) == len(got), "one row per node"
+    return got
+
+
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        got = _run(spark, [(1, 2), (2, 3), (5, 6)])
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    def test_long_path_forces_alternation(self, spark):
+        # a 40-node path has diameter 39: min-label propagation would need
+        # ~39 rounds; star alternation must still converge (O(log^2 n))
+        # and label everything with the path's minimum.
+        edges = [(i, i + 1) for i in range(40)]
+        random.Random(7).shuffle(edges)
+        got = _run(spark, edges)
+        assert got == {i: 0 for i in range(41)}
+
+    def test_random_graphs_match_union_find(self, spark):
+        rng = random.Random(42)
+        for trial in range(3):
+            nodes = list(range(trial * 1000, trial * 1000 + 200))
+            edges = [
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            assert _run(spark, edges) == _uf_components(edges)
+
+    def test_partition_invariance(self, spark):
+        edges = [(i, i + 1) for i in range(0, 60, 2)] + [(0, 58)]
+        a = _run(spark, edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(13)
+        b = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert a == b
+
+    def test_empty_pairs(self, spark):
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        out = connected_components(df)
+        assert out.columns == ["node", "component"]
+        assert out.count() == 0
+
+    def test_summary_shape(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 3), (9, 8)], "id_a long, id_b long")
+        rows = {
+            r["component"]: (r["n_members"], r["sum_ids"])
+            for r in cluster_summary(connected_components(df)).collect()
+        }
+        assert rows == {1: (3, 6), 8: (2, 17)}
+
+
+class TestNearDedup:
+    def test_clone_groups_keep_min_id(self, spark):
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "completely different content about spark catalyst optimizers",
+            "a third unique document mentioning minhash shingle bands",
+        ]
+        rows = []
+        for i in range(30):
+            rows.append((i, base[i % 3] + (" tail" if i >= 27 else "")))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = near_dedup(df, "text", "doc_id", num_hashes=32, bands=16, shingle_k=2)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        # clones of base[0..2] collapse to ids 0,1,2; the three ' tail'
+        # variants are near-dups of their base under 2-shingles + 16 bands
+        assert ids[:3] == [0, 1, 2]
+        assert len(ids) <= 6
+        assert kept.columns == df.columns
+
+    def test_rows_without_pairs_survive(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"unique text number {i} with enough words {i*7}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        kept = near_dedup(df, "text", "doc_id", pairs=pairs)
+        assert kept.count() == 12
+
+    def test_explicit_pairs_override(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+        kept = near_dedup(df, "text", "doc_id", pairs=pairs)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4]
+
+    def test_no_python_rows_in_cc_plan(self, spark):
+        # the component loop must stay JVM-side: no BatchEvalPython /
+        # ArrowEvalPython nodes in any iteration's plan
+        df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        out = connected_components(df, checkpoint=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert int(out.where(F.col("component") != 1).count()) == 0
