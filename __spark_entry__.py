@@ -573,6 +573,39 @@ def _gopher_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Appended to every doc_id % 7 == 0 document so the duplicated-n-gram rules
+# (n=5..10) actually fire on the fixture (its raw texts repeat almost no
+# long grams, which would make that half of the parity check vacuous).
+_REP_TAIL = " spark rows shuffle partition broadcast join codegen stage scan" * 3
+
+
+def _repetition_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher repetition-rule features + keep verdict
+    (curation.repetition_features; Rae et al. 2021 appendix A1.1, the
+    top-n-gram / duplicated-n-gram character-fraction half of the filter).
+    One explode of tagged (n, gram) rows, one map-side-combined groupBy,
+    a literal-n pivot, a left join back — no Python, no window. Fractions
+    are exact integer ratios cast to double, so the DuckDB replay is
+    bit-identical with no rounding."""
+    from jsonoid_discovery_spark.operators.curation import repetition_features
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_REP_TAIL))
+        )
+        .otherwise(F.col("text"))
+        .alias("aug"),
+    )
+    return repetition_features(d, "aug", "doc_id").select(
+        "doc_id",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
+        "rep_keep",
+    )
+
+
 def _pii_documents(spark: SparkSession, sf: str) -> DataFrame:
     """PII scan + redaction (curation.with_pii) over text AUGMENTED with
     deterministic fixture-derived PII (the raw fixture contains none, which
@@ -892,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_table_documents": _value_table_documents,
         "decontam_documents": _decontam_documents,
         "gopher_documents": _gopher_documents,
+        "repetition_documents": _repetition_documents,
         "pii_documents": _pii_documents,
         "sample_documents": _sample_documents,
         "chunk_documents": _chunk_documents,
@@ -1288,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "value_table_documents": _value_table_oracle_sql(),
         "decontam_documents": _decontam_oracle_sql(),
         "gopher_documents": _GOPHER_ORACLE_SQL,
+        "repetition_documents": _repetition_oracle_sql(),
         "pii_documents": _pii_oracle_sql(),
         "sample_documents": _sample_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
@@ -1842,6 +1877,85 @@ _GOPHER_ORACLE_SQL = r"""
       AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
       AND stopword_hits >= 2 AND dup_line_frac < 0.3) AS gopher_keep
     FROM feat
+"""
+
+
+def _repetition_oracle_sql() -> str:
+    """DuckDB replay of the Gopher repetition rules: the same augmentation,
+    the same single-space gram join, counts via GROUP BY, the top gram by
+    lexicographic (count, gram-chars) struct max — the gram string itself
+    cannot affect the fraction once (count, chars) is fixed — and exact
+    integer-ratio doubles, so no rounding is needed anywhere."""
+    from jsonoid_discovery_spark.operators.curation import REP_DUP_MAX, REP_TOP_MAX
+
+    ns = sorted(REP_TOP_MAX) + sorted(REP_DUP_MAX)
+    values = ", ".join(f"({n})" for n in ns)
+    top_cols = ",\n        ".join(
+        f"max(CASE WHEN n = {n} THEN (topc * topg)::DOUBLE / chars END)"
+        f" AS top_{n}gram_char_frac"
+        for n in sorted(REP_TOP_MAX)
+    )
+    dup_cols = ",\n        ".join(
+        f"max(CASE WHEN n = {n} THEN dupchars::DOUBLE / chars END)"
+        f" AS dup_{n}gram_char_frac"
+        for n in sorted(REP_DUP_MAX)
+    )
+    out_cols = ",\n      ".join(
+        f"coalesce(f.top_{n}gram_char_frac, 0.0) AS top_{n}gram_char_frac"
+        for n in sorted(REP_TOP_MAX)
+    ) + ",\n      " + ",\n      ".join(
+        f"coalesce(f.dup_{n}gram_char_frac, 0.0) AS dup_{n}gram_char_frac"
+        for n in sorted(REP_DUP_MAX)
+    )
+    keep = " AND ".join(
+        [
+            f"coalesce(f.top_{n}gram_char_frac, 0.0) < {mx}"
+            for n, mx in sorted(REP_TOP_MAX.items())
+        ]
+        + [
+            f"coalesce(f.dup_{n}gram_char_frac, 0.0) < {mx}"
+            for n, mx in sorted(REP_DUP_MAX.items())
+        ]
+    )
+    tail = _REP_TAIL.replace("'", "''")
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || '{tail}' ELSE text END AS aug
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, length(aug) AS chars,
+             string_split_regex(trim(aug), '\s+') AS words
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, chars, ns.n,
+             array_to_string(words[t.i : t.i + ns.n - 1], ' ') AS gram
+      FROM w,
+           (VALUES {values}) ns(n),
+           unnest(range(1, len(words) - ns.n + 2)) t(i)
+    ),
+    cnt AS (
+      SELECT doc_id, chars, n, gram, count(*) AS c FROM grams GROUP BY ALL
+    ),
+    per_n AS (
+      SELECT doc_id, chars, n,
+        (max({{'c': c, 'g': length(gram)}})).c AS topc,
+        (max({{'c': c, 'g': length(gram)}})).g AS topg,
+        coalesce(sum(CASE WHEN c > 1 THEN c * length(gram) END), 0) AS dupchars
+      FROM cnt GROUP BY ALL
+    ),
+    feats AS (
+      SELECT doc_id,
+        {top_cols},
+        {dup_cols}
+      FROM per_n GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      {out_cols},
+      ({keep}) AS rep_keep
+    FROM documents d LEFT JOIN feats f USING (doc_id)
 """
 
 

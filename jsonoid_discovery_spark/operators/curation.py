@@ -216,3 +216,122 @@ def stratified_sample(
     )
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(SAMPLE_BUCKETS))
     return df.where(bucket < thr_col)
+
+
+# ------------------------------------------------- gopher repetition rules
+
+# Published thresholds (Rae et al. 2021, appendix A1.1, table A1): the
+# "fraction of characters in the most frequent word n-gram" caps for small n
+# and the "fraction of characters inside duplicated word n-grams" caps for
+# large n. These are the repetition half of the Gopher filter; the quality
+# half lives in gopher_features above.
+REP_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gram_structs(words: Column, n: int) -> Column:
+    """array<struct<n,gram>> of the word ``n``-grams of one document, each
+    gram joined with single spaces (its character length is therefore
+    well-defined independent of the original whitespace)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(words, i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+
+def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """``df`` plus the Gopher repetition features and ``rep_keep`` verdict.
+
+    Definitions (stated exactly, since published prose leaves overlap
+    handling open — the DuckDB oracle and every engine replay THESE rules):
+
+    * ``top_{n}gram_char_frac`` (n=2,3,4): occurrences x char-length of the
+      single most frequent word n-gram, over the document's char count.
+      Ties break deterministically to the (count, gram-length, gram)-max.
+    * ``dup_{n}gram_char_frac`` (n=5..10): sum over n-grams occurring more
+      than once of occurrences x char-length, over the document's char
+      count. Overlapping occurrences all count (may exceed 1 on extreme
+      loops — the verdict only needs the threshold side).
+
+    Scale shape: ONE explode of tagged (n, gram) rows (~9x the word count),
+    ONE map-side-combined groupBy on (id, n, gram), a per-(id, n) rollup,
+    a conditional-aggregation pivot over the 9 literal n values, and a left
+    join back on the id (AQE picks broadcast when the feature side is
+    small). No window, no driver collect, no Python in the row path.
+    Documents too short to form a gram keep 0.0 fractions via the join's
+    coalesce, matching the reference filter's pass-through for short docs.
+    """
+    c = F.col(col)
+    idc = F.col(id_col)
+    all_ns = sorted(REP_TOP_MAX) + sorted(REP_DUP_MAX)
+    # Generate barrier (same trick as dedup.shingle_rows): materialize the
+    # split ONCE per row. A higher-order-function lambda re-evaluates its
+    # captured argument per array element, so referencing the raw split
+    # expression inside the per-position slice would re-split the document
+    # O(words) times per n — measured 40 s vs 3 s on the sf0.1 fixture.
+    # explode(array(split)) emits exactly one row and, being a Generate,
+    # blocks CollapseProject from re-inlining the split downstream.
+    pre = df.select(
+        idc.alias("__rid"),
+        F.length(c).alias("__chars"),
+        F.explode(F.array(F.split(F.trim(c), r"\s+"))).alias("__ws"),
+    )
+    words = F.col("__ws")
+    grams = F.flatten(F.array(*[_gram_structs(words, n) for n in all_ns]))
+    base = pre.select("__rid", "__chars", F.explode(grams).alias("g"))
+    cnt = base.groupBy(
+        "__rid", "__chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_n = cnt.groupBy("__rid", "__chars", "n").agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("c"),
+                F.length("gram").alias("glen"),
+                F.col("gram").alias("g"),
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram").cast("long"))
+        ).alias("dupchars"),
+    )
+    feats = per_n.select(
+        "__rid",
+        "n",
+        (
+            (F.col("top.c") * F.col("top.glen")).cast("double") / F.col("__chars")
+        ).alias("top_frac"),
+        (
+            F.coalesce(F.col("dupchars"), F.lit(0)).cast("double") / F.col("__chars")
+        ).alias("dup_frac"),
+    )
+    wide = feats.groupBy("__rid").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_frac"))).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in sorted(REP_TOP_MAX)
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_frac"))).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in sorted(REP_DUP_MAX)
+        ],
+    )
+    out = df.join(wide, idc == F.col("__rid"), "left").drop("__rid")
+    keep = F.lit(True)
+    for n, mx in sorted(REP_TOP_MAX.items()):
+        name = f"top_{n}gram_char_frac"
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0.0)))
+        keep = keep & (F.col(name) < mx)
+    for n, mx in sorted(REP_DUP_MAX.items()):
+        name = f"dup_{n}gram_char_frac"
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0.0)))
+        keep = keep & (F.col(name) < mx)
+    return out.withColumn("rep_keep", keep)

@@ -156,3 +156,67 @@ def test_stratified_sample_matches_python_hash_rule(spark):
     # unsigned residue differs because 2^64 % 1e6 != 0
     want = sorted(i for i in range(500) if signed(xxh64_long(i, 42)) % 1_000_000 < thr)
     assert kept == want
+
+# ------------------------------------------------- gopher repetition rules
+
+
+def test_repetition_features_exact(spark):
+    """Hand-computed fractions on a crafted doc: 'a b a b a b' (11 chars).
+    top 2-gram 'a b' occurs 3x, len 3 -> 9/11; dup 5-grams: 'a b a b a'
+    and 'b a b a b' each once -> 0.0 at n=5."""
+    from jsonoid_discovery_spark.operators.curation import repetition_features
+
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    r = repetition_features(df, "text", "doc_id").collect()[0]
+    assert r["top_2gram_char_frac"] == 9 / 11
+    # 3-grams: 'a b a' x2 (len 5) vs 'b a b' x2 (len 5) -> 10/11 either way
+    assert r["top_3gram_char_frac"] == 10 / 11
+    assert r["dup_5gram_char_frac"] == 0.0
+    assert r["rep_keep"] is False  # top-2 frac 0.818 >= 0.20
+
+
+def test_repetition_dup_ngrams_fire(spark):
+    """A 6-word phrase repeated 3x duplicates every 5- and 6-gram inside
+    the loop; fractions must exceed the published caps."""
+    from jsonoid_discovery_spark.operators.curation import repetition_features
+
+    text = ("alpha beta gamma delta epsilon zeta " * 3).strip()
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = repetition_features(df, "text", "doc_id").collect()[0]
+    assert r["dup_5gram_char_frac"] > 0.15
+    assert r["dup_6gram_char_frac"] > 0.14
+    assert r["rep_keep"] is False
+
+
+def test_repetition_short_and_clean_docs(spark):
+    """Docs too short for any gram keep all-zero fractions (left-join
+    coalesce path) and pass; a no-repeat doc passes every rule."""
+    from jsonoid_discovery_spark.operators.curation import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "single"),
+            (2, ""),
+            # long enough that no single 2-gram covers 20% of the chars
+            # (the published caps assume real documents: on a 10-word doc a
+            # lone 16-char 2-gram already "fails" the 0.20 top-2 rule)
+            (3, " ".join(f"w{i}token" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df, "text", "doc_id").collect()}
+    assert out[1]["top_2gram_char_frac"] == 0.0 and out[1]["rep_keep"] is True
+    assert out[2]["dup_10gram_char_frac"] == 0.0 and out[2]["rep_keep"] is True
+    assert out[3]["rep_keep"] is True
+    assert out[3]["top_2gram_char_frac"] > 0.0  # some 2-gram exists
+
+
+def test_repetition_plan_is_jvm_only(spark):
+    """No Python in the row path: the plan must contain no BatchEvalPython /
+    ArrowEvalPython / mapInPandas nodes."""
+    from jsonoid_discovery_spark.operators.curation import repetition_features
+
+    df = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
+    plan = repetition_features(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow", "MapInPandas"):
+        assert marker not in plan
