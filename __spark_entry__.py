@@ -354,6 +354,16 @@ def _quality_documents(spark: SparkSession, sf: str) -> DataFrame:
     return _t(spark, sf, "documents").select("doc_id", quality_score("text").alias("q"))
 
 
+def _tfidf_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF (text.tfidf_top_terms).
+    The score is rounded to 6 decimals BEFORE ranking in both engines, so
+    the top-k set and the tie order (term ascending) are identical; ln()
+    agrees between the JVM and DuckDB well inside the rounding margin."""
+    from jsonoid_discovery_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), "text", "doc_id", k=3)
+
+
 def _bpe_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
     from jsonoid_discovery_spark.operators.text import bpe_ish_token_count
 
@@ -911,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_documents": _dedup_stream_documents,
         "lang_id_documents": _lang_id_documents,
         "quality_documents": _quality_documents,
+        "tfidf_documents": _tfidf_documents,
         "bpe_token_counts_documents": _bpe_token_counts_documents,
         "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "dedup_groups_documents": _dedup_groups_documents,
@@ -1168,6 +1179,30 @@ def oracle_sql() -> dict[str, str]:
               + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
                       THEN 1.0 ELSE 0.5 END) * 0.2 AS q
             FROM f
+        """,
+        "tfidf_documents": r"""
+            WITH base AS (
+              SELECT doc_id AS doc,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents
+              WHERE text IS NOT NULL
+            ),
+            tf AS (
+              SELECT doc, term, count(*) AS tf
+              FROM base WHERE term <> '' GROUP BY ALL
+            ),
+            dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL)
+            SELECT doc,
+                   row_number() OVER (
+                     PARTITION BY doc
+                     ORDER BY round(tf * (ln((1.0 + n_docs) / (1.0 + df_t)) + 1.0), 6) DESC,
+                              term ASC
+                   ) AS rank,
+                   term, tf, df_t,
+                   round(tf * (ln((1.0 + n_docs) / (1.0 + df_t)) + 1.0), 6) AS score
+            FROM tf JOIN dfreq USING (term), n
+            QUALIFY rank <= 3
         """,
         "bpe_token_counts_documents": """
             SELECT source,

@@ -120,3 +120,62 @@ def fingerprint_md5(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# ------------------------------------------------------------------ tf-idf
+
+
+def tfidf_top_terms(
+    df: DataFrame, col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF.
+
+    ``DataFrame[doc, rank, term, tf, df_t, score]`` where ``score =
+    round(tf * (ln((1 + N) / (1 + df_t)) + 1), 6)`` (the scikit-learn
+    ``smooth_idf`` formula), ``N`` = documents with a non-null ``col`` and
+    ``df_t`` = documents containing the term. Terms are lowercased
+    whitespace tokens. The score is rounded to 6 decimals BEFORE ranking so
+    the ordering — and therefore the top-k set — is identical across
+    engines (ties after rounding break on the term string ascending).
+
+    Scale shape: one explode, ONE map-side-combined (doc, term) groupBy,
+    ONE term-keyed groupBy for document frequency (its output is
+    vocabulary-sized, far smaller than the corpus), a term-keyed join (AQE
+    broadcasts small vocabularies), a single-row broadcast for N, and one
+    per-doc top-k window. No Python in the row path, no driver collect.
+    """
+    c = F.lower(F.trim(F.col(col)))
+    base = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(c, r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = base.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = (
+        df.where(F.col(col).isNotNull()).agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df_t"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc", "rank", "term", "tf", "df_t", "score")
+    )

@@ -132,6 +132,59 @@ class TestText:
         overlap_ac = len(rows[1] & rows[3]) / len(rows[1] | rows[3])
         assert overlap_ab > 0.5 > overlap_ac
 
+    def test_tfidf_top_terms_matches_python_replay(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log the dog barked"),
+            (3, "cat dog cat dog unique"),
+            (4, None),
+            (5, "  SPACED   text  the  "),
+        ]
+        toks = {
+            i: Counter(w for w in re.split(r"\s+", t.strip().lower()) if w)
+            for i, t in docs
+            if t is not None
+        }
+        n = sum(1 for _, t in docs if t is not None)
+        dfreq = Counter(term for c in toks.values() for term in c)
+        exp = []
+        for i, c in toks.items():
+            scored = sorted(
+                (-round(tf * (math.log((1.0 + n) / (1.0 + dfreq[t])) + 1.0), 6), t, tf)
+                for t, tf in c.items()
+            )
+            for r, (neg, t, tf) in enumerate(scored[:3], 1):
+                exp.append((i, r, t, tf, dfreq[t], -neg))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            tuple(r) for r in text.tfidf_top_terms(df, "text", "doc_id", k=3).collect()
+        )
+        assert got == sorted(exp)
+
+    def test_tfidf_rank_is_deterministic_on_ties(self, spark):
+        # every term occurs once in one doc -> identical scores; rank must
+        # break ties on the term string ascending
+        df = spark.createDataFrame([(1, "zeta alpha mid")], "doc_id long, text string")
+        rows = text.tfidf_top_terms(df, "text", "doc_id", k=3).collect()
+        assert [r["term"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+            "alpha", "mid", "zeta",
+        ]
+
+    def test_tfidf_plan_is_jvm_only(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            text.tfidf_top_terms(df, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow"):
+            assert marker not in plan
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
