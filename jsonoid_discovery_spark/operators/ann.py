@@ -332,8 +332,13 @@ def semantic_dup_flags(
     dim = _vector_dim(df, vec_col)
     planes = make_planes(dim, n_planes, seed)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    # signatures + norms are per-row interpreted folds (n_planes x dim
+    # multiply-adds) and run before the signature-key shuffle — fan the
+    # raw rows out when the source has fewer splits than cores
     sigged = (
-        df.withColumn("_sig", hyperplane_signature(vec_col, planes))
+        fan_out_input(df).withColumn("_sig", hyperplane_signature(vec_col, planes))
         # norms once per ROW here, not twice per PAIR below — the pair stage
         # is the O(bucket^2) part and higher-order folds are interpreted;
         # _norm(a)*_norm(b) == _nrm_a*_nrm_b bitwise (same expression tree)

@@ -229,20 +229,63 @@ REP_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 REP_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _gram_structs(words: Column, n: int) -> Column:
-    """array<struct<n,gram>> of the word ``n``-grams of one document, each
-    gram joined with single spaces (its character length is therefore
-    well-defined independent of the original whitespace)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(" ", F.slice(words, i, n)).alias("gram"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+def _rep_fold(grams_sorted: Column, chars: Column) -> Column:
+    """struct<top_frac:double, dup_frac:double> of one document from its
+    SORTED gram array: a single linear run-length fold tracking the best
+    (count, gram-length, gram) run and the duplicated-character sum —
+    exactly the two aggregates the old (id, n, gram) groupBy computed, but
+    evaluated in-row so the operator needs no exchange at all."""
+    long0 = F.lit(0).cast("long")
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        long0.alias("run"),
+        F.struct(
+            long0.alias("c"), F.lit(0).cast("int").alias("glen"),
+            F.lit("").alias("g"),
+        ).alias("best"),
+        long0.alias("dup"),
+    )
+
+    def _close(acc):
+        """Fold the still-open run into (best, dup)."""
+        cand = F.struct(
+            acc["run"].alias("c"),
+            F.length(acc["prev"]).cast("int").alias("glen"),
+            acc["prev"].alias("g"),
+        )
+        best = F.when(
+            acc["prev"].isNotNull() & (cand > acc["best"]), cand
+        ).otherwise(acc["best"])
+        dup = acc["dup"] + F.when(
+            acc["prev"].isNotNull() & (acc["run"] > 1),
+            acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(long0)
+        return best, dup
+
+    def _step(acc, x):
+        best, dup = _close(acc)
+        extend = F.struct(
+            acc["prev"].alias("prev"), (acc["run"] + F.lit(1).cast("long")).alias("run"),
+            acc["best"].alias("best"), acc["dup"].alias("dup"),
+        )
+        open_new = F.struct(
+            x.alias("prev"), F.lit(1).cast("long").alias("run"),
+            best.alias("best"), dup.alias("dup"),
+        )
+        return F.when(acc["prev"].isNotNull() & (x == acc["prev"]), extend).otherwise(open_new)
+
+    def _finish(acc):
+        best, dup = _close(acc)
+        top_chars = best["c"] * best["glen"].cast("long")
+        ch = chars.cast("double")
+        return F.struct(
+            F.when(top_chars > 0, top_chars.cast("double") / ch)
+            .otherwise(F.lit(0.0)).alias("top_frac"),
+            F.when(dup > 0, dup.cast("double") / ch)
+            .otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+
+    return F.aggregate(grams_sorted, zero, _step, _finish)
 
 
 def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
@@ -259,79 +302,60 @@ def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
       count. Overlapping occurrences all count (may exceed 1 on extreme
       loops — the verdict only needs the threshold side).
 
-    Scale shape: ONE explode of tagged (n, gram) rows (~9x the word count),
-    ONE map-side-combined groupBy on (id, n, gram), a per-(id, n) rollup,
-    a conditional-aggregation pivot over the 9 literal n values, and a left
-    join back on the id (AQE picks broadcast when the feature side is
-    small). No window, no driver collect, no Python in the row path.
-    Documents too short to form a gram keep 0.0 fractions via the join's
-    coalesce, matching the reference filter's pass-through for short docs.
+    Scale shape: every feature is a function of ONE document, so the whole
+    operator is a projection — per n, sort the document's gram array and
+    run-length-fold it in-row (_rep_fold). ZERO exchanges at any corpus
+    size (plan-pinned), where the previous build exploded ~9x the corpus
+    word count into an (id, n, gram) groupBy — a corpus-sized shuffle of
+    gram strings at 100 TB — plus a rollup, a pivot and a join back. The
+    only non-codegen pieces are the interpreted higher-order lambdas, which
+    stay cheaper than the shuffle they replace at every scale. Input is
+    fanned out first (util.fan_out_input; no-op on real tables) so a
+    single-row-group fixture cannot serialize the per-row folds. Documents
+    too short to form a gram keep exact 0.0 fractions (empty gram array
+    folds to zero counts), matching the reference filter's pass-through
+    for short docs.
     """
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
     c = F.col(col)
-    idc = F.col(id_col)
     all_ns = sorted(REP_TOP_MAX) + sorted(REP_DUP_MAX)
     # Generate barrier (same trick as dedup.shingle_rows): materialize the
     # split ONCE per row. A higher-order-function lambda re-evaluates its
     # captured argument per array element, so referencing the raw split
     # expression inside the per-position slice would re-split the document
     # O(words) times per n — measured 40 s vs 3 s on the sf0.1 fixture.
-    # explode(array(split)) emits exactly one row and, being a Generate,
+    # explode(array(split)) emits exactly one row (null text included:
+    # array(null) explodes to one null element), and, being a Generate,
     # blocks CollapseProject from re-inlining the split downstream.
-    pre = df.select(
-        idc.alias("__rid"),
+    pre = fan_out_input(df).select(
+        "*",
         F.length(c).alias("__chars"),
         F.explode(F.array(F.split(F.trim(c), r"\s+"))).alias("__ws"),
     )
     words = F.col("__ws")
-    grams = F.flatten(F.array(*[_gram_structs(words, n) for n in all_ns]))
-    base = pre.select("__rid", "__chars", F.explode(grams).alias("g"))
-    cnt = base.groupBy(
-        "__rid", "__chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    per_n = cnt.groupBy("__rid", "__chars", "n").agg(
-        F.max(
-            F.struct(
-                F.col("cnt").alias("c"),
-                F.length("gram").alias("glen"),
-                F.col("gram").alias("g"),
-            )
-        ).alias("top"),
-        F.sum(
-            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram").cast("long"))
-        ).alias("dupchars"),
-    )
-    feats = per_n.select(
-        "__rid",
-        "n",
-        (
-            (F.col("top.c") * F.col("top.glen")).cast("double") / F.col("__chars")
-        ).alias("top_frac"),
-        (
-            F.coalesce(F.col("dupchars"), F.lit(0)).cast("double") / F.col("__chars")
-        ).alias("dup_frac"),
-    )
-    wide = feats.groupBy("__rid").agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("top_frac"))).alias(
-                f"top_{n}gram_char_frac"
-            )
-            for n in sorted(REP_TOP_MAX)
-        ],
-        *[
-            F.max(F.when(F.col("n") == n, F.col("dup_frac"))).alias(
-                f"dup_{n}gram_char_frac"
-            )
-            for n in sorted(REP_DUP_MAX)
-        ],
-    )
-    out = df.join(wide, idc == F.col("__rid"), "left").drop("__rid")
+
+    def _grams(n: int) -> Column:
+        return F.when(
+            F.size(words) >= n,
+            F.sort_array(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = pre.select(
+        "*", *[_rep_fold(_grams(n), F.col("__chars")).alias(f"__rep{n}") for n in all_ns]
+    ).drop("__chars", "__ws")
     keep = F.lit(True)
     for n, mx in sorted(REP_TOP_MAX.items()):
         name = f"top_{n}gram_char_frac"
-        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0.0)))
+        out = out.withColumn(name, F.col(f"__rep{n}.top_frac"))
         keep = keep & (F.col(name) < mx)
     for n, mx in sorted(REP_DUP_MAX.items()):
         name = f"dup_{n}gram_char_frac"
-        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0.0)))
+        out = out.withColumn(name, F.col(f"__rep{n}.dup_frac"))
         keep = keep & (F.col(name) < mx)
-    return out.withColumn("rep_keep", keep)
+    return out.withColumn("rep_keep", keep).drop(*[f"__rep{n}" for n in all_ns])

@@ -55,7 +55,9 @@ def exact_deduplicate(df: DataFrame, col: str, id_col: str) -> DataFrame:
 # shingling + MinHash + LSH
 
 
-def shingle_rows(df: DataFrame, col: str, id_col: str, k: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame, col: str, id_col: str, k: int = 3, fan_out: bool = True
+) -> DataFrame:
     """DataFrame[id, s] of DISTINCT word k-shingles with a ZERO-SHUFFLE
     plan (round 5; replaced the round-2 window-``lead`` build).
 
@@ -77,7 +79,18 @@ def shingle_rows(df: DataFrame, col: str, id_col: str, k: int = 3) -> DataFrame:
     build — invisible at suite scale, while the removed shuffle grows with
     the corpus. Parity with the old build is pinned by test_pipeline_ops'
     shingle battery (nulls dropped, whole-doc fallback under k words,
-    within-doc duplicate grams collapsed)."""
+    within-doc duplicate grams collapsed).
+
+    ``fan_out`` (default on) round-robins the RAW rows across the cluster
+    first when the source has fewer splits than cores (util.fan_out_input)
+    — a no-op on any real table, but without it a single-row-group file
+    serializes the whole gram build in one task. The projection itself
+    stays exchange-free (pinned by test_build_is_shuffle_free with
+    ``fan_out=False``)."""
+    if fan_out:
+        from jsonoid_discovery_spark.operators.util import fan_out_input
+
+        df = fan_out_input(df)
     words = df.where(F.col(col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode(F.array(F.split(F.trim(F.col(col)), r"\s+"))).alias("ws"),
@@ -430,7 +443,11 @@ def span_dedup(
     Returns one row per input row: id, tokens_total, tokens_removed, and
     the rebuilt ``text`` (null text stays null; fully-deleted docs rebuild
     to the empty string)."""
-    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    d = fan_out_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     toks = d.where(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     ).select("id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))

@@ -1,0 +1,32 @@
+"""Shared plan-shaping helpers for the operator package."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out_input(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin the input across the cluster when the source provides
+    fewer splits than cores — otherwise return ``df`` unchanged.
+
+    Exists for operators whose per-row map work (word-gram explosion,
+    per-row hyperplane projections) dominates their cost BEFORE the first
+    exchange: Spark parallelizes a scan by row-group splits, so a small
+    fixture written as one row group serializes that work in a single task
+    no matter how many cores the cluster has. On any real table (a 100 TB
+    source has millions of row groups) the partition count already exceeds
+    ``defaultParallelism`` and this is a pure no-op — the added exchange
+    only ever moves the RAW rows (bytes far below the op's own gram/pair
+    output), and only when the alternative is a single-threaded stage.
+
+    ``factor`` > 1 oversubscribes (factor x cores) for work with skewed
+    per-row cost, so one long document cannot straggle a whole task.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan not convertible; leave as-is
+        return df
+    if current < target:
+        return df.repartition(target)
+    return df

@@ -478,9 +478,31 @@ class TestShingleRows:
         from jsonoid_discovery_spark.operators.dedup import shingle_rows
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        plan = shingle_rows(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+        plan = (
+            shingle_rows(docs, "text", "doc_id", fan_out=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
         # the Generate barrier keeps the split out of the gram projection
         # AND the per-doc array_distinct removes the global distinct: the
         # whole build is a projection — no exchange at any corpus size
         assert "Exchange" not in plan
         assert plan.count("split(") == 1
+
+    def test_fan_out_widens_single_split_sources_only(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import shingle_rows
+        from jsonoid_discovery_spark.operators.util import fan_out_input
+
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert docs.rdd.getNumPartitions() < par  # single row group fixture
+        # default build fans the raw rows out to cluster parallelism ...
+        wide = shingle_rows(docs, "text", "doc_id")
+        assert wide.rdd.getNumPartitions() == par
+        # ... with identical rows to the shuffle-free build
+        narrow = shingle_rows(docs, "text", "doc_id", fan_out=False)
+        assert sorted(map(tuple, wide.collect())) == sorted(
+            map(tuple, narrow.collect())
+        )
+        # and a source already at cluster parallelism is left untouched
+        already = docs.repartition(par)
+        assert fan_out_input(already) is already
