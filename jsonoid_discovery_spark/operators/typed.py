@@ -792,7 +792,12 @@ def _fold_distributed(
             {"salt": [0], "state": [pickle.dumps((out, m, p), protocol=pickle.HIGHEST_PROTOCOL)]}
         )
 
-    partials = source.mapInArrow(gen, _PARTIAL_SCHEMA)
+    # a single-row-group source would run the whole Arrow fold in one task
+    # regardless of cluster size — fan the raw rows out first (no-op on any
+    # real table, where input splits already exceed defaultParallelism)
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    partials = fan_out_input(source).mapInArrow(gen, _PARTIAL_SCHEMA)
     level1 = partials.groupBy("salt").applyInPandas(merge_pdf, _PARTIAL_SCHEMA)
     node, explicit_total, poison = SchemaNode(params), 0, None
     for r in level1.collect():

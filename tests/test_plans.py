@@ -150,10 +150,13 @@ class TestAggregationShapes:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = _plan(with_simhash(docs, "text", id_col="doc_id"))
         # round 5: the shingle build is shuffle-free (Generate barrier, no
-        # global distinct), so the ONLY exchange is the map-side-combined
-        # per-id aggregation — the 64 bit votes all ride it, never one
-        # shuffle per bit
-        assert _op_count(plan, "Exchange") == 1
+        # global distinct), so the only KEYED exchange is the map-side-
+        # combined per-id aggregation — the 64 bit votes all ride it, never
+        # one shuffle per bit. The single-row-group fixture additionally
+        # gets the raw-row input fan-out (roundrobin; no-op on real tables).
+        fan_outs = plan.count("RoundRobinPartitioning")
+        assert _op_count(plan, "Exchange") - fan_outs == 1
+        assert fan_outs <= 1
 
     def test_partition_verdicts_single_shuffle(self, spark):
         from jsonoid_discovery_spark.operators.constraints import (
