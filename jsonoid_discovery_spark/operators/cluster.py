@@ -99,6 +99,12 @@ def connected_components(
         .distinct()
     )
     spark = pairs.sparkSession
+    # cut the candidate-pair lineage ONCE up front: without this the whole
+    # upstream pair pipeline (LSH bucketing over the corpus) recomputes for
+    # the emptiness probe AND again inside iteration 1 before that
+    # iteration's checkpoint lands — measured 2x the pair cost per run
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
     if not edges.take(1):
         return spark.createDataFrame([], "node long, component long")
 
