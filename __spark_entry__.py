@@ -892,6 +892,63 @@ def _json_discovery_sketches_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lm_score_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram LM bits-per-token (text.unigram_lm_score): the
+    model is fit distributedly on the same corpus; per-term nll quantizes
+    to DECIMAL(18,6) before the per-doc sum so the result is exact and
+    order-independent in both engines."""
+    from jsonoid_discovery_spark.operators.text import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _domain_cap_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain cap (curation.per_key_cap, cap=10 by xxhash64 rank): the
+    exact two-phase salted top-N — the hot key never sorts in one task.
+    The oracle replays the rank via generated XXH64 SQL and a single
+    QUALIFY window (exact, so the shapes agree)."""
+    from jsonoid_discovery_spark.operators.curation import per_key_cap
+
+    return per_key_cap(
+        _t(spark, sf, "documents"), "source", "doc_id", cap=10
+    ).select("source", "doc_id")
+
+
+def _skew_report_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter shuffle-key diagnostic (util.key_skew_report): top-10
+    o_custkey values with integer ppm shares — the pre-shuffle skew probe
+    the north rule's salted repartitioning is sized from."""
+    from jsonoid_discovery_spark.operators.util import key_skew_report
+
+    rep = key_skew_report(_t(spark, sf, "orders"), "o_custkey", top_n=10)
+    return rep.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("key").cast("long").alias("key"),
+        "n",
+        "share_ppm",
+    )
+
+
+def _skew_summary_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row skew summary (util.key_skew_summary) for l_orderkey:
+    integer-exact max/avg skew factor in ppm."""
+    from jsonoid_discovery_spark.operators.util import key_skew_summary
+
+    return key_skew_summary(_t(spark, sf, "lineitem"), "l_orderkey")
+
+
+def _percentiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (util.column_percentiles,
+    exact=True) of l_extendedprice — Spark `percentile` and DuckDB
+    `quantile_cont` share the interpolation rule bit-for-bit (probed); the
+    operator's default approx mode is the mergeable-sketch 100 TB path."""
+    from jsonoid_discovery_spark.operators.util import column_percentiles
+
+    return column_percentiles(
+        _t(spark, sf, "lineitem"), "l_extendedprice", exact=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -951,6 +1008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_type_counts_events": _json_type_counts_events,
         "jaccard_pairs_documents": _jaccard_pairs_documents,
         "json_field_profile_events": _json_field_profile_events,
+        "lm_score_documents": _lm_score_documents,
+        "domain_cap_documents": _domain_cap_documents,
+        "skew_report_orders": _skew_report_orders,
+        "skew_summary_lineitem": _skew_summary_lineitem,
+        "percentiles_lineitem": _percentiles_lineitem,
     }
 
 
@@ -1428,6 +1490,61 @@ def oracle_sql() -> dict[str, str]:
                    sum(tokens_removed)::BIGINT AS sum_removed,
                    sum(coalesce(length(new_text), 0))::BIGINT AS sum_new_len
             FROM per_doc GROUP BY 1
+        """,
+        # round-5 continuation 4: LM scoring, per-domain caps, skew
+        # diagnostics, exact percentiles.
+        "lm_score_documents": """
+            WITH base AS (
+              SELECT doc_id AS doc,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents
+            ),
+            b2 AS (SELECT doc, term FROM base WHERE term <> ''),
+            tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM b2 GROUP BY doc, term),
+            vocab AS (SELECT term, sum(tf)::BIGINT AS c_t FROM tf GROUP BY term),
+            tot AS (SELECT sum(c_t)::BIGINT AS t_total, count(*)::BIGINT AS v_size FROM vocab),
+            scored AS (
+              SELECT tf.doc, tf.tf,
+                round(-log2((c_t + 1.0) / (t_total + v_size)::DOUBLE), 6)::DECIMAL(18,6) AS nll
+              FROM tf JOIN vocab USING (term) CROSS JOIN tot
+            ),
+            per_doc AS (
+              SELECT doc, sum(tf)::BIGINT AS n_tok, sum(tf * nll) AS sum_nll
+              FROM scored GROUP BY doc
+            )
+            SELECT doc, n_tok, sum_nll::DOUBLE AS sum_nll,
+                   round(sum_nll::DOUBLE / n_tok, 6) AS bits_per_token
+            FROM per_doc
+        """,
+        "domain_cap_documents": _domain_cap_oracle_sql(),
+        "skew_report_orders": """
+            WITH counts AS (
+              SELECT o_custkey AS key, count(*)::BIGINT AS n
+              FROM orders GROUP BY o_custkey
+            ),
+            tot AS (SELECT count(*)::BIGINT AS total FROM orders)
+            SELECT row_number() OVER (ORDER BY n DESC, key ASC)::BIGINT AS rank,
+                   key::BIGINT AS key, n,
+                   ((n * 1000000) // total)::BIGINT AS share_ppm
+            FROM counts CROSS JOIN tot
+            QUALIFY rank <= 10
+        """,
+        "skew_summary_lineitem": """
+            WITH counts AS (
+              SELECT l_orderkey AS key, count(*)::BIGINT AS n
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_keys,
+                   max(n)::BIGINT AS max_n,
+                   ((sum(n)::BIGINT * 1000000) // count(*)::BIGINT)::BIGINT AS avg_n_ppm,
+                   ((max(n)::BIGINT * count(*)::BIGINT * 1000000) // sum(n)::BIGINT)::BIGINT AS skew_factor_ppm
+            FROM counts
+        """,
+        "percentiles_lineitem": """
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS prob,
+                   unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9, 0.99]))::DOUBLE AS value
+            FROM lineitem
         """,
     }
 
@@ -2046,6 +2163,29 @@ def _sample_oracle_sql() -> str:
             )
             SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids
             FROM kept WHERE bucket < thr GROUP BY lang
+        """
+    )
+
+
+def _domain_cap_oracle_sql(cap: int = 10) -> str:
+    """DuckDB oracle for domain_cap_documents: the two-phase salted top-N
+    is EXACT, so one QUALIFY window over the replayed xxhash64 rank
+    (generated hashLong SQL) selects the identical kept set."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h")
+    return (
+        "WITH " + with_clause(stages)
+        + f""",
+            ranked AS (
+              SELECT source, doc_id,
+                     ((h % 1000000) + 1000000) % 1000000 AS rk
+              FROM {fin}
+            )
+            SELECT source, doc_id FROM ranked
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY rk, doc_id
+            ) <= {cap}
         """
     )
 

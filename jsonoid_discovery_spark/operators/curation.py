@@ -348,3 +348,61 @@ def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
         out = out.withColumn(name, F.col(f"__rep{n}.dup_frac"))
         keep = keep & (F.col(name) < mx)
     return out.withColumn("rep_keep", keep).drop(*[f"__rep{n}" for n in all_ns])
+
+
+# ------------------------------------------------------- per-key caps
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    rank_col: str | None = None,
+    salt_shards: int = 32,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col``, deterministically — the
+    per-domain cap every crawl-curation pipeline applies so one mega-domain
+    cannot dominate the corpus (RefinedWeb / C4 style host caps).
+
+    Rank rule: ascending ``rank_col`` if given (e.g. a quality score where
+    lower = better), else the partition-independent hash order
+    ``pmod(xxhash64(id), 1e6)``; ties always break on ``id_col`` ascending,
+    so the kept set is a pure function of row values — identical across
+    cluster sizes, retries and engines.
+
+    Scale shape — the naive single window ``row_number() over (partition by
+    key)`` sorts EVERY row of the hottest key in one task, which is exactly
+    the skew the cap exists to fight. This runs the exact two-phase salted
+    top-N instead: phase 1 ranks within (key, salt) — the hot key spreads
+    over ``salt_shards`` tasks — and keeps ``cap`` per shard; phase 2 ranks
+    the ≤ ``salt_shards × cap`` survivors per key. Exact because any row in
+    a key's true top-``cap`` is also in its salt shard's top-``cap``. Both
+    shuffles carry bounded partitions; phase 2's input is cap-bounded per
+    key regardless of the key's raw row count.
+    """
+    from pyspark.sql.window import Window
+
+    rank = (
+        F.col(rank_col)
+        if rank_col
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(salt_shards))
+    d = df.withColumn("__pkc_rank", rank).withColumn("__pkc_salt", salt)
+    w1 = Window.partitionBy(key_col, "__pkc_salt").orderBy(
+        F.col("__pkc_rank").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        d.withColumn("__pkc_rn", F.row_number().over(w1))
+        .where(F.col("__pkc_rn") <= cap)
+        .drop("__pkc_rn", "__pkc_salt")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col("__pkc_rank").asc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("__pkc_rn", F.row_number().over(w2))
+        .where(F.col("__pkc_rn") <= cap)
+        .drop("__pkc_rn", "__pkc_rank")
+    )

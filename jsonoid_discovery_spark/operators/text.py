@@ -179,3 +179,63 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc", "rank", "term", "tf", "df_t", "score")
     )
+
+
+def unigram_lm_score(
+    df: DataFrame, col: str, id_col: str
+) -> DataFrame:
+    """Per-document unigram language-model score (CCNet-style quality
+    signal, Wenzek et al. 2020 — there a 5-gram KenLM; here the unigram
+    model the corpus itself supports): bits-per-token under a Laplace-
+    smoothed unigram model fit on the SAME corpus. Low = stereotypical
+    text, high = rare-token soup; both tails are the usual cut candidates.
+
+    ``DataFrame[doc, n_tok, sum_nll, bits_per_token]`` where each term's
+    negative log2-likelihood ``nll(t) = -log2((c_t + 1) / (T + V))`` is
+    rounded to 6 decimals and CAST TO DECIMAL(18,6) before the per-document
+    ``sum(tf * nll)`` — decimal sums are exact and order-independent, so
+    the result is bit-identical across partitionings and engines (a double
+    sum would drift with task order). ``bits_per_token`` divides in double
+    AFTER the exact decimal sum, rounded to 6.
+
+    Scale shape: one explode, one map-side-combined (doc, term) groupBy,
+    one vocabulary-sized term groupBy, a term-keyed join (AQE broadcasts
+    small vocabularies), one single-row broadcast for (T, V), one per-doc
+    aggregate. No Python in the row path; the model "fit" is itself the
+    distributed vocabulary aggregate — no driver-side state.
+    """
+    c = F.lower(F.trim(F.col(col)))
+    base = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(c, r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = base.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c_t"))
+    totals = vocab.agg(
+        F.sum("c_t").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            F.round(
+                -F.log2(
+                    (F.col("c_t") + F.lit(1.0))
+                    / (F.col("t_total") + F.col("v_size")).cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.sum("tf").alias("n_tok"),
+        F.sum(F.col("tf") * F.col("nll")).alias("sum_nll"),
+    )
+    return per_doc.select(
+        "doc",
+        "n_tok",
+        F.col("sum_nll").cast("double").alias("sum_nll"),
+        F.round(
+            F.col("sum_nll").cast("double") / F.col("n_tok"), 6
+        ).alias("bits_per_token"),
+    )

@@ -30,3 +30,103 @@ def fan_out_input(df: DataFrame, factor: int = 1) -> DataFrame:
     if current < target:
         return df.repartition(target)
     return df
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> "DataFrame":
+    """Top-``top_n`` heaviest keys with exact integer shares:
+    ``DataFrame[rank, key, n, share_ppm]`` ordered by (n desc, key asc).
+
+    The pre-shuffle diagnostic for every keyed operation in this engine —
+    joins, groupBys and the salted repartitioning the north rule calls for
+    are sized from exactly this distribution. ``share_ppm`` is integer
+    parts-per-million via ``div`` (no floating division, so the value is
+    bit-identical in any engine). One map-side-combined groupBy whose
+    output is keyspace-sized, a single-row broadcast for the total, and a
+    driver-bounded top-N — no raw-row collect at any scale.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.expr("n * 1000000L div total").alias("share_ppm"),
+        )
+    )
+
+
+def key_skew_summary(df: DataFrame, key_col: str) -> "DataFrame":
+    """One-row skew summary for a prospective shuffle key:
+    ``DataFrame[n_rows, n_keys, max_n, avg_n_ppm, skew_factor_ppm]`` where
+    ``avg_n_ppm = rows*1e6 div keys`` and ``skew_factor_ppm = max_n * keys
+    * 1e6 div rows`` — i.e. max/avg without ever materializing the lossy
+    intermediate average (1e6 = perfectly uniform; 32e6 = the hottest key
+    carries 32x its fair share and wants salting). Integer arithmetic
+    throughout so the report is engine-exact; two keyspace-sized
+    aggregates, no collect.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_n",
+        F.expr("n_rows * 1000000L div n_keys").alias("avg_n_ppm"),
+        F.expr("max_n * n_keys * 1000000L div n_rows").alias(
+            "skew_factor_ppm"
+        ),
+    )
+
+
+def column_percentiles(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> "DataFrame":
+    """Tidy percentiles for one numeric column: ``DataFrame[prob, value]``.
+
+    ``exact=False`` (the default, and the 100 TB path) uses Spark's
+    ``percentile_approx`` — a mergeable bounded-memory quantile sketch, one
+    map-side-combined aggregate regardless of cardinality. ``exact=True``
+    uses ``percentile`` (linear interpolation, the same rule as DuckDB /
+    PostgreSQL ``quantile_cont`` — probed bit-identical on this corpus),
+    whose aggregation buffer holds a per-distinct-value count map: exact
+    mode is for quantized or bounded-cardinality columns, not raw 100 TB
+    doubles. Both are single-pass aggregates with no raw-row collect.
+    """
+    from pyspark.sql import functions as F
+
+    plist = ",".join(repr(float(p)) + "D" for p in probs)
+    if exact:
+        arr = F.expr(f"percentile({col}, array({plist}))")
+    else:
+        arr = F.expr(f"percentile_approx({col}, array({plist}), {accuracy})")
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    return (
+        df.agg(arr.alias("vals"), probs_arr.alias("probs"))
+        .select(
+            F.explode(F.arrays_zip(F.col("probs"), F.col("vals"))).alias("z")
+        )
+        .select(
+            F.col("z.probs").alias("prob"), F.col("z.vals").alias("value")
+        )
+    )

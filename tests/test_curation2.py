@@ -1,0 +1,186 @@
+"""Round-5 continuation-4 operators: per-key caps, unigram LM scoring,
+skew diagnostics, percentiles. Semantics, exactness vs a python replay,
+partition invariance, and plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+# ------------------------------------------------------------ per_key_cap
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One mega-key (900 rows), one medium (60), several tiny ones."""
+    rows = (
+        [(i, "hot") for i in range(900)]
+        + [(1000 + i, "warm") for i in range(60)]
+        + [(2000 + i, f"cold{i % 5}") for i in range(15)]
+    )
+    return spark.createDataFrame(rows, "id long, key string").cache()
+
+
+def test_per_key_cap_matches_naive_window(spark, skewed):
+    from jsonoid_discovery_spark.operators.curation import per_key_cap
+    from pyspark.sql.window import Window
+
+    got = per_key_cap(skewed, "key", "id", cap=25, salt_shards=8)
+    rk = F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000))
+    naive = (
+        skewed.withColumn("rk", rk)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.col("rk"), F.col("id"))
+            ),
+        )
+        .where(F.col("rn") <= 25)
+        .select("id", "key")
+    )
+    assert set(map(tuple, got.select("id", "key").collect())) == set(
+        map(tuple, naive.collect())
+    )
+    # caps respected; sub-cap keys untouched
+    per_key = dict(
+        got.groupBy("key").count().rdd.map(lambda r: (r["key"], r["count"])).collect()
+    )
+    assert per_key["hot"] == 25 and per_key["warm"] == 25
+    assert all(per_key[f"cold{i}"] == 3 for i in range(5))
+
+
+def test_per_key_cap_partition_invariant(spark, skewed):
+    from jsonoid_discovery_spark.operators.curation import per_key_cap
+
+    a = per_key_cap(skewed.repartition(1), "key", "id", cap=7, salt_shards=4)
+    b = per_key_cap(skewed.repartition(16), "key", "id", cap=7, salt_shards=32)
+    assert set(r["id"] for r in a.collect()) == set(r["id"] for r in b.collect())
+
+
+def test_per_key_cap_rank_col(spark, skewed):
+    """Caller-supplied rank (e.g. quality asc): keeps the cap smallest."""
+    from jsonoid_discovery_spark.operators.curation import per_key_cap
+
+    d = skewed.withColumn("q", (F.col("id") % 13).cast("double"))
+    got = per_key_cap(d, "key", "id", cap=5, rank_col="q")
+    hot = sorted(
+        (r["q"], r["id"]) for r in got.where(F.col("key") == "hot").collect()
+    )
+    rows = sorted((float(i % 13), i) for i in range(900))[:5]
+    assert hot == rows
+
+
+def test_per_key_cap_schema_preserved(spark, skewed):
+    from jsonoid_discovery_spark.operators.curation import per_key_cap
+
+    got = per_key_cap(skewed, "key", "id", cap=3)
+    assert got.columns == skewed.columns
+
+
+# ------------------------------------------------------- unigram_lm_score
+
+
+def test_unigram_lm_python_replay(spark):
+    from jsonoid_discovery_spark.operators.text import unigram_lm_score
+    from collections import Counter
+    from decimal import Decimal
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, "a rare unicorn word"),
+        (3, None),
+        (4, "   "),
+        (5, "THE The the"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_tok"], r["sum_nll"], r["bits_per_token"])
+        for r in unigram_lm_score(df, "text", "doc_id").collect()
+    }
+    toks = {
+        i: [w for w in (t or "").lower().strip().split() if w]
+        for i, t in corpus
+    }
+    vocab = Counter(w for ws in toks.values() for w in ws)
+    t_total, v_size = sum(vocab.values()), len(vocab)
+    nll = {
+        w: Decimal(str(round(-math.log2((c + 1.0) / (t_total + v_size)), 6)))
+        for w, c in vocab.items()
+    }
+    for i, ws in toks.items():
+        if not ws:
+            assert i not in got  # empty/null docs produce no tokens
+            continue
+        s = sum(nll[w] for w in ws)
+        assert got[i][0] == len(ws)
+        assert got[i][1] == pytest.approx(float(s), abs=1e-9)
+        assert got[i][2] == round(float(s) / len(ws), 6)
+    # rare-token doc scores strictly worse (higher bits) than stereotypical
+    assert got[2][2] > got[0][2]
+
+
+def test_unigram_lm_partition_invariant(spark):
+    """The decimal per-term quantization makes the sum order-independent:
+    identical values (not just approx) across partitionings."""
+    from jsonoid_discovery_spark.operators.text import unigram_lm_score
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = unigram_lm_score(docs.repartition(1), "text", "doc_id").collect()
+    b = unigram_lm_score(docs.repartition(13), "text", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------- skew diagnostics
+
+
+def test_key_skew_report_and_summary(spark, skewed):
+    from jsonoid_discovery_spark.operators.util import (
+        key_skew_report,
+        key_skew_summary,
+    )
+
+    rep = key_skew_report(skewed, "key", top_n=3).collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in rep] == [
+        (1, "hot", 900),
+        (2, "warm", 60),
+        (3, "cold0", 3),
+    ]
+    total = 975
+    assert rep[0]["share_ppm"] == 900 * 1_000_000 // total
+
+    s = key_skew_summary(skewed, "key").collect()[0]
+    assert (s["n_rows"], s["n_keys"], s["max_n"]) == (975, 7, 900)
+    assert s["avg_n_ppm"] == 975 * 1_000_000 // 7
+    assert s["skew_factor_ppm"] == 900 * 7 * 1_000_000 // 975
+
+
+# ------------------------------------------------------------ percentiles
+
+
+def test_column_percentiles_exact_matches_numpy(spark):
+    import numpy as np
+    from jsonoid_discovery_spark.operators.util import column_percentiles
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {
+        r["prob"]: r["value"]
+        for r in column_percentiles(li, "l_quantity", exact=True).collect()
+    }
+    vals = np.array([r[0] for r in li.select("l_quantity").collect()], dtype=float)
+    for p, v in got.items():
+        assert v == pytest.approx(float(np.quantile(vals, p)), rel=1e-12)
+
+
+def test_column_percentiles_approx_shape(spark):
+    from jsonoid_discovery_spark.operators.util import column_percentiles
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rows = column_percentiles(li, "l_extendedprice", probs=(0.5,)).collect()
+    assert len(rows) == 1 and rows[0]["prob"] == 0.5
+    assert rows[0]["value"] is not None
