@@ -949,6 +949,33 @@ def _percentiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _line_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate removal (curation.line_dedup, per-source,
+    min_docs=20) over text AUGMENTED with a shared header plus an
+    even-doc-only footer (the raw fixture is single-line, which would make
+    the check vacuous): sources whose ids are even carry the footer in all
+    25 docs (removed); odd sources never see it. The boilerplate set is
+    broadcast; the only corpus-sized exchange is the id-keyed regroup."""
+    from jsonoid_discovery_spark.operators.curation import line_dedup
+
+    aug = _t(spark, sf, "documents").withColumn(
+        "aug",
+        F.concat_ws(
+            "\n",
+            F.lit("NEWSLETTER SIGNUP"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("footer "), F.col("source")),
+            ),
+        ),
+    )
+    return line_dedup(aug, "aug", "doc_id", key_col="source", min_docs=20).select(
+        "doc_id", "source", F.md5("new_text").alias("new_md5"),
+        "n_lines", "n_removed",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -1013,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_orders": _skew_report_orders,
         "skew_summary_lineitem": _skew_summary_lineitem,
         "percentiles_lineitem": _percentiles_lineitem,
+        "line_dedup_documents": _line_dedup_documents,
     }
 
 
@@ -1545,6 +1573,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS prob,
                    unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9, 0.99]))::DOUBLE AS value
             FROM lineitem
+        """,
+        "line_dedup_documents": """
+            WITH aug AS (
+              SELECT doc_id, source,
+                     concat_ws(chr(10), 'NEWSLETTER SIGNUP', text,
+                               CASE WHEN doc_id % 2 = 0 THEN 'footer ' || source END) AS t
+              FROM documents
+            ),
+            arrs AS (SELECT doc_id, source, string_split(t, chr(10)) AS arr FROM aug),
+            lines AS (
+              SELECT doc_id, source,
+                     unnest(generate_series(1, len(arr))) AS pos,
+                     unnest(arr) AS line
+              FROM arrs
+            ),
+            normed AS (SELECT doc_id, source, pos, line, trim(line) AS norm FROM lines),
+            counted AS (
+              SELECT source, norm, count(DISTINCT doc_id) AS docs
+              FROM normed WHERE norm <> '' GROUP BY source, norm
+            ),
+            boiler AS (SELECT source, norm FROM counted WHERE docs >= 20),
+            marked AS (
+              SELECT n.doc_id, n.source, n.pos, n.line,
+                     (b.norm IS NOT NULL) AS is_b
+              FROM normed n
+              LEFT JOIN boiler b ON n.source = b.source AND n.norm = b.norm
+            ),
+            rebuilt AS (
+              SELECT doc_id, source,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos)
+                              FILTER (WHERE NOT is_b), '') AS new_text,
+                     count(*)::BIGINT AS n_lines,
+                     count(*) FILTER (WHERE is_b)::BIGINT AS n_removed
+              FROM marked GROUP BY doc_id, source
+            )
+            SELECT doc_id, source, md5(new_text) AS new_md5, n_lines, n_removed
+            FROM rebuilt
         """,
     }
 

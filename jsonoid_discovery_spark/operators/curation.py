@@ -406,3 +406,88 @@ def per_key_cap(
         .where(F.col("__pkc_rn") <= cap)
         .drop("__pkc_rn", "__pkc_rank")
     )
+
+
+# --------------------------------------------------- line-level boilerplate
+
+
+def line_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    key_col: str | None = None,
+    min_docs: int = 16,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+    stage): a line whose trimmed text appears in at least ``min_docs``
+    DISTINCT documents — within the same ``key_col`` group (domain) when
+    given, else corpus-wide — is boilerplate (nav bars, cookie banners,
+    footers) and is removed from EVERY document. Empty lines are never
+    counted and never removed, so paragraph structure survives.
+
+    Returns ``DataFrame[id (+ key), new_text, n_lines, n_removed]`` with
+    surviving lines rejoined by ``\\n`` in original order; a null ``col``
+    stays null, and a document that was pure boilerplate becomes ``''``.
+
+    Scale shape: line frequencies come from ONE distinct + map-side-
+    combined count over (key, line, doc) — keyspace-sized output. The
+    boilerplate set (lines over the threshold) is small BY DEFINITION
+    (each entry repeats across ≥ ``min_docs`` docs), so the removal mark
+    is a BROADCAST anti-join against the exploded lines — the corpus-sized
+    side never shuffles for the lookup. The only corpus-sized exchange is
+    the per-document regroup that reassembles surviving lines, keyed on
+    the (unique) document id — skew-free.
+    """
+    keys = [key_col] if key_col else []
+    lines = df.select(
+        *([F.col(key_col)] if key_col else []),
+        F.col(id_col).alias("__ld_id"),
+        F.posexplode(F.split(F.col(col), "\n", -1)).alias("__ld_pos", "__ld_line"),
+    ).withColumn("__ld_norm", F.trim(F.col("__ld_line")))
+    counted = (
+        lines.where(F.col("__ld_norm") != "")
+        .select(*keys, "__ld_norm", "__ld_id")
+        .distinct()
+        .groupBy(*keys, "__ld_norm")
+        .agg(F.count(F.lit(1)).alias("__ld_docs"))
+    )
+    boiler = counted.where(F.col("__ld_docs") >= min_docs).drop("__ld_docs")
+    # ONE pass over the exploded lines: broadcast left join marks
+    # boilerplate, a single id-keyed regroup rebuilds text and counts both
+    # sides (an anti-join + semi-join pair would scan the corpus twice).
+    marked = lines.join(
+        F.broadcast(boiler.withColumn("__ld_b", F.lit(1))),
+        on=[*keys, "__ld_norm"],
+        how="left",
+    )
+    rebuilt = marked.groupBy(*keys, "__ld_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__ld_b").isNull(),
+                            F.struct("__ld_pos", "__ld_line"),
+                        )
+                    )
+                ),
+                lambda x: x["__ld_line"],
+            ),
+            "\n",
+        ).alias("new_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("__ld_b").alias("n_removed"),
+    )
+    base = df.select(*keys, F.col(id_col).alias("__ld_id"), F.col(col).alias("__ld_orig"))
+    return (
+        base.join(rebuilt, on=[*keys, "__ld_id"], how="left")
+        .select(
+            F.col("__ld_id").alias(id_col),
+            *keys,
+            F.when(F.col("__ld_orig").isNull(), F.lit(None)).otherwise(
+                F.coalesce(F.col("new_text"), F.lit(""))
+            ).alias("new_text"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -184,3 +184,62 @@ def test_column_percentiles_approx_shape(spark):
     rows = column_percentiles(li, "l_extendedprice", probs=(0.5,)).collect()
     assert len(rows) == 1 and rows[0]["prob"] == 0.5
     assert rows[0]["value"] is not None
+
+
+# -------------------------------------------------------------- line_dedup
+
+
+def test_line_dedup_semantics(spark):
+    from jsonoid_discovery_spark.operators.curation import line_dedup
+
+    rows = [
+        (1, "a", "COOKIES\nreal text one\nfooter"),
+        (2, "a", "COOKIES\nreal text two\nfooter"),
+        (3, "a", "  COOKIES  \nunique line"),       # trimmed match still removed
+        (4, "a", "COOKIES"),                         # pure boilerplate -> ''
+        (5, "a", None),                              # null stays null
+        (6, "b", "COOKIES\nother domain"),           # below threshold in b
+    ]
+    df = spark.createDataFrame(rows, "id long, dom string, txt string")
+    out = {
+        r["id"]: (r["new_text"], r["n_lines"], r["n_removed"])
+        for r in line_dedup(df, "txt", "id", key_col="dom", min_docs=3).collect()
+    }
+    assert out[1] == ("real text one\nfooter", 3, 1)  # footer only in 2 docs
+    assert out[2] == ("real text two\nfooter", 3, 1)
+    assert out[3] == ("unique line", 2, 1)
+    assert out[4] == ("", 1, 1)
+    assert out[5] == (None, 0, 0)
+    assert out[6] == ("COOKIES\nother domain", 2, 0)  # per-domain counting
+
+
+def test_line_dedup_global_and_empty_lines(spark):
+    from jsonoid_discovery_spark.operators.curation import line_dedup
+
+    rows = [(i, "x\n\nbody %d\n\nx" % i) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    out = {r["id"]: r for r in line_dedup(df, "txt", "id", min_docs=4).collect()}
+    # 'x' removed (4 docs, both occurrences); empty lines NEVER removed
+    assert out[0]["new_text"] == "\nbody 0\n"
+    assert out[0]["n_lines"] == 5 and out[0]["n_removed"] == 2
+
+
+def test_line_dedup_partition_invariant(spark):
+    from jsonoid_discovery_spark.operators.curation import line_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "aug", F.concat_ws("\n", F.lit("HDR"), F.col("text"))
+    )
+    a = line_dedup(docs.repartition(1), "aug", "doc_id", min_docs=10)
+    b = line_dedup(docs.repartition(16), "aug", "doc_id", min_docs=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_line_dedup_boiler_join_is_broadcast(spark):
+    from jsonoid_discovery_spark.operators.curation import line_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "aug", F.concat_ws("\n", F.lit("HDR"), F.col("text"))
+    )
+    plan = line_dedup(docs, "aug", "doc_id", min_docs=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
