@@ -570,6 +570,51 @@ def _decontam_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _decontam_fuzzy_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy decontamination (curation.decontaminate_fuzzy): training docs
+    (doc_id % 5 != 0) whose MinHash-estimated Jaccard vs some held-out doc
+    (doc_id % 5 = 0) is >= 0.5. Eval signatures broadcast; the train side's
+    only shuffle is its signature groupBy. The oracle replays the whole
+    pipeline (shingles -> 32 chained xxhash64 signatures -> band buckets ->
+    train x eval bucket join -> per-pair signature-agreement count) with
+    XXH64 generated as pure DuckDB SQL."""
+    from jsonoid_discovery_spark.operators.curation import decontaminate_fuzzy
+
+    d = _t(spark, sf, "documents")
+    return decontaminate_fuzzy(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        threshold=0.5,
+    )
+
+
+def _shuffle_order_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training order (curation.global_shuffle): the
+    scalable two-phase zipWithIndex (range-shuffle on (xxhash64(id), id),
+    per-partition counts -> driver prefix sums, Arrow mapInPandas offsets)
+    whose result equals ROW_NUMBER() OVER (ORDER BY xxhash64(id), id) - 1.
+    The oracle computes exactly that window over the generated XXH64 SQL."""
+    from jsonoid_discovery_spark.operators.curation import global_shuffle
+
+    d = _t(spark, sf, "documents")
+    return global_shuffle(d, "doc_id", num_partitions=8).select("doc_id", "rank")
+
+
+def _vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 corpus vocabulary with tf/df/rank/cumulative coverage
+    (text.vocabulary): one map-side-combined term aggregate, TakeOrdered
+    top-K, K-row coverage window. The (tf DESC, term ASC) total order makes
+    the cut and the running sum engine-independent."""
+    from jsonoid_discovery_spark.operators.text import vocabulary
+
+    return vocabulary(_t(spark, sf, "documents"), "text", "doc_id", top_k=100)
+
+
 def _gopher_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher quality-rule features + keep verdict (curation.with_gopher;
     Rae et al. 2021 appendix A1.1) — all codegen'd array/regex expressions,
@@ -1019,6 +1064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_fused_documents": _profile_fused_documents,
         "value_table_documents": _value_table_documents,
         "decontam_documents": _decontam_documents,
+        "decontam_fuzzy_documents": _decontam_fuzzy_documents,
+        "shuffle_order_documents": _shuffle_order_documents,
+        "vocabulary_documents": _vocabulary_documents,
         "gopher_documents": _gopher_documents,
         "repetition_documents": _repetition_documents,
         "pii_documents": _pii_documents,
@@ -1446,6 +1494,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_documents": _dedup_clusters_oracle_sql(),
         "value_table_documents": _value_table_oracle_sql(),
         "decontam_documents": _decontam_oracle_sql(),
+        "decontam_fuzzy_documents": _decontam_fuzzy_oracle_sql(),
+        "shuffle_order_documents": _shuffle_order_oracle_sql(),
+        "vocabulary_documents": _VOCABULARY_ORACLE_SQL,
         "gopher_documents": _GOPHER_ORACLE_SQL,
         "repetition_documents": _repetition_oracle_sql(),
         "pii_documents": _pii_oracle_sql(),
@@ -2059,6 +2110,87 @@ def _decontam_oracle_sql(n: int = 8) -> str:
                    n_hits::DOUBLE / n_grams AS hit_ratio
             FROM hits h JOIN sizes USING (doc_id)
         """
+    )
+
+
+def _shuffle_order_oracle_sql() -> str:
+    """DuckDB oracle for shuffle_order_documents: the single-window
+    definition of the deterministic corpus shuffle, over the generated
+    XXH64 hashLong SQL (functions/xxh64_sql.py, seed 42 = Spark's
+    xxhash64 default)."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h", prefix="so")
+    return (
+        "WITH " + with_clause(stages)
+        + ' SELECT doc_id, (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS "rank"'
+        + f" FROM {fin}"
+    )
+
+
+_VOCABULARY_ORACLE_SQL = r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    stats AS (
+      SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+      FROM words WHERE term != '' GROUP BY term
+    ),
+    total AS (SELECT sum(tf)::DOUBLE AS tot FROM stats),
+    top AS (SELECT term, tf, df FROM stats ORDER BY tf DESC, term ASC LIMIT 100)
+    SELECT term, tf, df,
+      (ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC))::BIGINT AS "rank",
+      (sum(tf) OVER (ORDER BY tf DESC, term ASC ROWS UNBOUNDED PRECEDING))::DOUBLE
+        / tot AS cum_coverage
+    FROM top, total
+"""
+
+
+def _decontam_fuzzy_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for decontam_fuzzy_documents: signatures exactly as in
+    _minhash_oracle_sql (per-shingle XXH64 base, hashInt chaining per seed,
+    per-seed minima, band-hash of Spark's array-cast string), then the
+    train(%5!=0) x eval(%5=0) bucket join, per-pair agreement count over the
+    seed positions, and the python-fixed integer threshold. ``sig`` and
+    ``bucketed`` are MATERIALIZED — each is referenced twice and re-inlining
+    the 15-stage hash chain would blow up the binder."""
+    import math
+
+    from jsonoid_discovery_spark.functions.xxh64_sql import (
+        xxh64_int_ctes,
+        xxh64_str_ctes,
+        with_clause,
+    )
+
+    rpb = num_hashes // bands
+    min_matches = int(math.ceil(threshold * num_hashes - 1e-9))
+    s1, f1 = xxh64_str_ctes("sh", "s", "hbase", prefix="fa", keep_unsigned=True)
+    s2, f2 = xxh64_int_ctes("crossed", "i", "fa_u", "hi", prefix="fb")
+    s3, f3 = xxh64_str_ctes("bandstr", "bstr", "bucket", prefix="fc")
+    return (
+        "WITH " + _shingle_ctes_sql(k) + ", " + with_clause(s1)
+        + f", seeds AS (SELECT unnest(range(0, {num_hashes})) AS i)"
+        + f", crossed AS (SELECT doc_id, fa_u, i FROM {f1} CROSS JOIN seeds), "
+        + with_clause(s2)
+        + f", sig AS MATERIALIZED (SELECT doc_id, i, min(hi) AS m FROM {f2} GROUP BY doc_id, i)"
+        + f", bandstr AS (SELECT doc_id, i // {rpb} AS band, "
+        + "'[' || string_agg(m::VARCHAR, ', ' ORDER BY i) || ']' AS bstr "
+        + f"FROM sig GROUP BY doc_id, i // {rpb}), "
+        + with_clause(s3)
+        + f", bucketed AS MATERIALIZED (SELECT doc_id, band, bucket FROM {f3})"
+        + ", pairs AS (SELECT DISTINCT t.doc_id AS id, e.doc_id AS eval_id"
+        + " FROM bucketed t JOIN bucketed e ON t.band = e.band AND t.bucket = e.bucket"
+        + " WHERE t.doc_id % 5 != 0 AND e.doc_id % 5 = 0)"
+        + ", scored AS (SELECT p.id, p.eval_id,"
+        + " sum(CASE WHEN st.m = se.m THEN 1 ELSE 0 END)::BIGINT AS n_matches"
+        + " FROM pairs p JOIN sig st ON st.doc_id = p.id"
+        + " JOIN sig se ON se.doc_id = p.eval_id AND se.i = st.i"
+        + " GROUP BY p.id, p.eval_id) "
+        + f"SELECT id AS doc_id, eval_id, n_matches, n_matches::DOUBLE / {num_hashes}"
+        + f" AS est_jaccard FROM scored WHERE n_matches >= {min_matches}"
     )
 
 

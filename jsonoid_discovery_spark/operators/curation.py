@@ -84,6 +84,95 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    col: str,
+    id_col: str,
+    eval_col: str | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DataFrame[id, eval_id, n_matches, est_jaccard] of training documents
+    whose MinHash-estimated Jaccard similarity against SOME eval document is
+    at least ``threshold`` — fuzzy decontamination (the approximate
+    complement of ``decontaminate``'s exact n-gram overlap; the near-dup
+    analog of GPT-3 appendix C's fuzzy benchmark filtering).
+
+    Shape at 100 TB: the eval side is KBs-to-MBs, so its banded signatures
+    broadcast and the train side joins map-side — the big table's only
+    shuffle is the map-side-combined ``groupBy(id)`` inside its MinHash
+    signature build. Candidate pairs (band-bucket collisions) are rare by
+    construction, so the final distinct/aggregate runs on a tiny frame.
+
+    Determinism contract: the match count is an integer (seed positions
+    where the two signatures agree) and the cut is an integer comparison
+    against a threshold fixed HERE in python (``ceil(threshold*num_hashes)``
+    — a runtime double comparison would round differently across engines);
+    ``est_jaccard = n_matches / num_hashes`` is an exact binary rational.
+    The whole pipeline replays in DuckDB via the generated XXH64 SQL
+    (functions/xxh64_sql.py), same as minhash_lsh_pairs."""
+    import math
+
+    from jsonoid_discovery_spark.operators.dedup import minhash_signatures
+
+    eval_col = eval_col or col
+    eval_id = id_col if id_col in eval_df.columns else eval_df.columns[0]
+    rpb = num_hashes // bands
+    min_matches = int(math.ceil(threshold * num_hashes - 1e-9))
+
+    def banded(df: DataFrame, c: str, ic: str) -> DataFrame:
+        sig = minhash_signatures(df, c, ic, num_hashes, shingle_k)
+        return sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.slice("sig", b * rpb + 1, rpb).cast("string")
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    t = banded(train, col, id_col)
+    e = banded(eval_df, eval_col, eval_id).select(
+        F.col("id").alias("eval_id"),
+        F.col("sig").alias("esig"),
+        "band",
+        "bucket",
+    )
+    # a pair can collide in several bands -> distinct before scoring; sigs
+    # are functionally dependent on the ids so row-distinct dedups exactly
+    cand = (
+        t.join(F.broadcast(e), ["band", "bucket"])
+        .select("id", "eval_id", "sig", "esig")
+        .distinct()
+    )
+    n_matches = F.size(
+        F.filter(F.zip_with("sig", "esig", lambda x, y: x == y), lambda b: b)
+    ).cast("long")
+    return (
+        cand.select(
+            F.col("id").alias(id_col),
+            "eval_id",
+            n_matches.alias("n_matches"),
+            (n_matches / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        .where(F.col("n_matches") >= min_matches)
+    )
+
+
 # ----------------------------------------------------------- gopher rules
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -216,6 +305,83 @@ def stratified_sample(
     )
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(SAMPLE_BUCKETS))
     return df.where(bucket < thr_col)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic global training order: every row gets its 0-based
+    position ``rank`` in the total order ``(xxhash64(id[, seed]), id)`` —
+    the reproducible corpus shuffle a training pipeline runs right before
+    sequence packing. Unlike ``df.orderBy(rand())`` the order is a pure row
+    function: identical across cluster sizes, retries, AQE re-plans and
+    engines, and replayable in SQL as ``ROW_NUMBER() OVER (ORDER BY h, id)``.
+
+    Scale shape (the classic two-phase zipWithIndex — a global window would
+    serialize 100 TB through one task):
+
+    1. range-repartition + in-partition sort on ``(h, id)`` — ONE shuffle,
+       partitions are globally ordered and internally sorted;
+    2. per-partition counts collect (bytes per partition) -> prefix-sum
+       offsets on the driver;
+    3. an Arrow ``mapInPandas`` adds ``offset[pid] + local position`` — no
+       second shuffle.
+
+    The shuffled frame is persisted between (2) and (3): range-partitioner
+    bounds come from a sample job, and re-running it could legally re-draw
+    different bounds — the cache freezes one assignment so the counted
+    offsets are the mapped offsets. Rows with a NULL id sort first (Spark
+    and SQL NULLS FIRST agree); ids should be unique for a total order."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    h = (
+        F.xxhash64(F.col(id_col))
+        if seed is None
+        else F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    )
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    d = (
+        df.withColumn("__h", h)
+        .repartitionByRange(n, F.col("__h"), F.col(id_col))
+        .sortWithinPartitions("__h", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        [f for f in d.schema.fields if f.name not in ("__h", "__pid")]
+        + [T.StructField(rank_col, T.LongType(), False)]
+    )
+    drop = ["__h", "__pid"]
+
+    def add_rank(batches):
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            off = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            out = pdf.drop(columns=drop)
+            out[rank_col] = range(off + local, off + local + len(pdf))
+            local += len(pdf)
+            yield out
+
+    return d.mapInPandas(add_rank, schema=out_schema)
 
 
 # ------------------------------------------------- gopher repetition rules

@@ -239,3 +239,50 @@ def unigram_lm_score(
             F.col("sum_nll").cast("double") / F.col("n_tok"), 6
         ).alias("bits_per_token"),
     )
+
+
+# -------------------------------------------------------------- vocabulary
+
+
+def vocabulary(
+    df: DataFrame, col: str, id_col: str, top_k: int = 100
+) -> DataFrame:
+    """DataFrame[term, tf, df, rank, cum_coverage] — the corpus-frequency
+    vocabulary feed for tokenizer training / coverage planning: the top-K
+    whitespace terms by total frequency with document frequency and the
+    cumulative fraction of all token occurrences the top ``rank`` terms
+    cover.
+
+    Scale shape: ONE map-side-combined ``groupBy(term)`` over the exploded
+    words computes tf and df together (count_distinct expands internally —
+    no second scan); the top-K is a TakeOrdered (per-partition heaps, no
+    global sort); the running-coverage window runs on K rows only, never on
+    the corpus. Total-order tie-break ``(tf DESC, term ASC)`` makes the cut
+    and ranks engine-independent; ``cum_coverage`` divides two exact
+    integers, so the double is bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    words = df.where(F.col(col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    stats = words.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("id").alias("df"),
+    )
+    total = stats.agg(F.sum("tf").alias("__tot"))
+    top = stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_k)
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.row_number().over(w).cast("long").alias("rank"),
+            (
+                F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("cum_coverage"),
+        )
+    )

@@ -243,3 +243,146 @@ def test_line_dedup_boiler_join_is_broadcast(spark):
     )
     plan = line_dedup(docs, "aug", "doc_id", min_docs=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------- decontaminate_fuzzy
+
+
+@pytest.fixture(scope="module")
+def fuzzy_corpus(spark):
+    """Train doc 1 is a near-clone of eval doc 100 (one word changed),
+    train doc 2 shares nothing with the eval set."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    train = spark.createDataFrame(
+        [(1, near), (2, "completely unrelated text about spark catalyst plans and shuffles here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, base), (101, "another benchmark prompt with its own distinct wording entirely")],
+        "doc_id long, text string",
+    )
+    return train, ev
+
+
+def test_decontam_fuzzy_flags_near_clone(spark, fuzzy_corpus):
+    from jsonoid_discovery_spark.operators.curation import decontaminate_fuzzy
+
+    train, ev = fuzzy_corpus
+    out = decontaminate_fuzzy(train, ev, "text", "doc_id", threshold=0.5).collect()
+    flagged = {(r.doc_id, r.eval_id) for r in out}
+    assert (1, 100) in flagged
+    assert all(r.doc_id != 2 for r in out)
+    row = next(r for r in out if r.doc_id == 1)
+    assert 0.5 <= row.est_jaccard <= 1.0
+    assert row.n_matches == round(row.est_jaccard * 32)
+
+
+def test_decontam_fuzzy_threshold_is_integer_cut(spark, fuzzy_corpus):
+    from jsonoid_discovery_spark.operators.curation import decontaminate_fuzzy
+
+    train, ev = fuzzy_corpus
+    # threshold 1.0 -> only signature-identical pairs survive (n_matches=32)
+    out = decontaminate_fuzzy(train, ev, "text", "doc_id", threshold=1.0).collect()
+    assert all(r.n_matches == 32 for r in out)
+    # threshold 0 keeps every band-colliding candidate
+    lo = decontaminate_fuzzy(train, ev, "text", "doc_id", threshold=0.0).collect()
+    assert {(r.doc_id, r.eval_id) for r in lo} >= {(1, 100)}
+
+
+def test_decontam_fuzzy_eval_side_is_broadcast(spark, fuzzy_corpus):
+    from jsonoid_discovery_spark.operators.curation import decontaminate_fuzzy
+
+    train, ev = fuzzy_corpus
+    plan = decontaminate_fuzzy(train, ev, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_decontam_fuzzy_partition_invariant(spark, fuzzy_corpus):
+    from jsonoid_discovery_spark.operators.curation import decontaminate_fuzzy
+
+    train, ev = fuzzy_corpus
+    a = decontaminate_fuzzy(train, ev, "text", "doc_id").collect()
+    b = decontaminate_fuzzy(train.repartition(7), ev.repartition(3), "text", "doc_id").collect()
+    key = lambda rows: sorted((r.doc_id, r.eval_id, r.n_matches) for r in rows)
+    assert key(a) == key(b)
+
+
+# --------------------------------------------------------- global_shuffle
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    from pyspark.sql.window import Window
+
+    from jsonoid_discovery_spark.operators.curation import global_shuffle
+
+    d = spark.createDataFrame([(i, f"d{i}") for i in range(523)], "id long, t string")
+    out = global_shuffle(d, "id", num_partitions=7).collect()
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(523))
+    ref = d.select(
+        "id",
+        (F.row_number().over(Window.orderBy(F.xxhash64(F.col("id")), F.col("id"))) - 1).alias("rank"),
+    ).collect()
+    assert sorted((r.id, r["rank"]) for r in out) == sorted((r.id, r["rank"]) for r in ref)
+
+
+def test_global_shuffle_partition_and_width_invariant(spark):
+    from jsonoid_discovery_spark.operators.curation import global_shuffle
+
+    d = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = global_shuffle(d, "id", num_partitions=3).collect()
+    b = global_shuffle(d.repartition(13), "id", num_partitions=11).collect()
+    assert sorted((r.id, r["rank"]) for r in a) == sorted((r.id, r["rank"]) for r in b)
+
+
+def test_global_shuffle_seed_changes_order(spark):
+    from jsonoid_discovery_spark.operators.curation import global_shuffle
+
+    d = spark.createDataFrame([(i,) for i in range(64)], "id long")
+    a = {r.id: r["rank"] for r in global_shuffle(d, "id", num_partitions=4).collect()}
+    b = {r.id: r["rank"] for r in global_shuffle(d, "id", seed=7, num_partitions=4).collect()}
+    assert a != b
+    assert sorted(b.values()) == list(range(64))
+
+
+# ------------------------------------------------------------- vocabulary
+
+
+def test_vocabulary_python_replay(spark):
+    from collections import Counter
+
+    from jsonoid_discovery_spark.operators.text import vocabulary
+
+    docs = [
+        (1, "a b b c c c"),
+        (2, "b c d"),
+        (3, "c e"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = vocabulary(d, "text", "doc_id", top_k=3).collect()
+    tf = Counter()
+    df_ = Counter()
+    for _, t in docs:
+        if t is None:
+            continue
+        ws = t.split()
+        tf.update(ws)
+        df_.update(set(ws))
+    total = sum(tf.values())
+    order = sorted(tf, key=lambda w: (-tf[w], w))[:3]
+    cum = 0
+    for rank, (row, term) in enumerate(zip(sorted(got, key=lambda r: r["rank"]), order), 1):
+        cum += tf[term]
+        assert row.term == term and row.tf == tf[term] and row.df == df_[term]
+        assert row["rank"] == rank
+        assert row.cum_coverage == cum / total
+
+
+def test_vocabulary_deterministic_tie_break(spark):
+    from jsonoid_discovery_spark.operators.text import vocabulary
+
+    d = spark.createDataFrame([(1, "z y x w")], "doc_id long, text string")
+    got = [r.term for r in sorted(vocabulary(d, "text", "doc_id", top_k=2).collect(), key=lambda r: r["rank"])]
+    assert got == ["w", "x"]  # equal tf -> term ascending
