@@ -605,6 +605,20 @@ def _shuffle_order_documents(spark: SparkSession, sf: str) -> DataFrame:
     return global_shuffle(d, "doc_id", num_partitions=8).select("doc_id", "rank")
 
 
+def _sample_budget_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sampling (curation.sample_to_token_budget): the
+    deterministic hash-ordered prefix of documents whose inclusive running
+    n_chars sum stays <= 100K — the data-mixture step that fills a training
+    budget. Two-phase plan (range shuffle + offsets + Arrow fold); the
+    oracle is the single-window definition over the generated XXH64 SQL."""
+    from jsonoid_discovery_spark.operators.curation import sample_to_token_budget
+
+    d = _t(spark, sf, "documents")
+    return sample_to_token_budget(
+        d, "n_chars", "doc_id", 100_000, num_partitions=8
+    ).select("doc_id", "n_chars", "cum_tokens")
+
+
 def _vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Top-100 corpus vocabulary with tf/df/rank/cumulative coverage
     (text.vocabulary): one map-side-combined term aggregate, TakeOrdered
@@ -1066,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_documents": _decontam_documents,
         "decontam_fuzzy_documents": _decontam_fuzzy_documents,
         "shuffle_order_documents": _shuffle_order_documents,
+        "sample_budget_documents": _sample_budget_documents,
         "vocabulary_documents": _vocabulary_documents,
         "gopher_documents": _gopher_documents,
         "repetition_documents": _repetition_documents,
@@ -1496,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_documents": _decontam_oracle_sql(),
         "decontam_fuzzy_documents": _decontam_fuzzy_oracle_sql(),
         "shuffle_order_documents": _shuffle_order_oracle_sql(),
+        "sample_budget_documents": _sample_budget_oracle_sql(),
         "vocabulary_documents": _VOCABULARY_ORACLE_SQL,
         "gopher_documents": _GOPHER_ORACLE_SQL,
         "repetition_documents": _repetition_oracle_sql(),
@@ -2125,6 +2141,20 @@ def _shuffle_order_oracle_sql() -> str:
         "WITH " + with_clause(stages)
         + ' SELECT doc_id, (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS "rank"'
         + f" FROM {fin}"
+    )
+
+
+def _sample_budget_oracle_sql(budget: int = 100_000) -> str:
+    """DuckDB oracle for sample_budget_documents: QUALIFY the inclusive
+    running sum over the (xxhash64(doc_id), doc_id) order."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h", prefix="tb")
+    return (
+        "WITH " + with_clause(stages)
+        + " SELECT doc_id, n_chars, sum(coalesce(n_chars, 0)) OVER "
+        + "(ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens"
+        + f" FROM {fin} QUALIFY cum_tokens <= {int(budget)}"
     )
 
 

@@ -307,6 +307,46 @@ def stratified_sample(
     return df.where(bucket < thr_col)
 
 
+def _hash_ordered(
+    df: DataFrame, id_col: str, seed: int | None, num_partitions: int | None
+) -> DataFrame:
+    """Range-repartition + in-partition sort on ``(xxhash64(id[, seed]),
+    id)`` with a frozen partition id — the shared phase 1 of the two-phase
+    global-order operators (global_shuffle, sample_to_token_budget). The
+    result is PERSISTED: range-partitioner bounds come from a sample job,
+    and re-running it could legally re-draw different bounds, so the cache
+    pins one assignment for the offsets pass and the map pass."""
+    spark = df.sparkSession
+    h = (
+        F.xxhash64(F.col(id_col))
+        if seed is None
+        else F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    )
+    n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return (
+        df.withColumn("__h", h)
+        .repartitionByRange(n, F.col("__h"), F.col(id_col))
+        .sortWithinPartitions("__h", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+
+
+def _partition_offsets(d: DataFrame, weight) -> dict[int, int]:
+    """Per-partition prefix sums of ``weight`` (bytes per partition on the
+    driver — the only thing collected): offsets[pid] = total weight of all
+    partitions before pid."""
+    sums = {
+        r["__pid"]: r["w"]
+        for r in d.groupBy("__pid").agg(F.sum(weight).alias("w")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    return offsets
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str,
@@ -331,38 +371,13 @@ def global_shuffle(
     3. an Arrow ``mapInPandas`` adds ``offset[pid] + local position`` — no
        second shuffle.
 
-    The shuffled frame is persisted between (2) and (3): range-partitioner
-    bounds come from a sample job, and re-running it could legally re-draw
-    different bounds — the cache freezes one assignment so the counted
-    offsets are the mapped offsets. Rows with a NULL id sort first (Spark
-    and SQL NULLS FIRST agree); ids should be unique for a total order."""
+    The shuffled frame is persisted between (2) and (3) — see
+    ``_hash_ordered``. Rows with a NULL id sort first (Spark and SQL NULLS
+    FIRST agree); ids should be unique for a total order."""
     from pyspark.sql import types as T
 
-    spark = df.sparkSession
-    h = (
-        F.xxhash64(F.col(id_col))
-        if seed is None
-        else F.xxhash64(F.col(id_col), F.lit(int(seed)))
-    )
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    d = (
-        df.withColumn("__h", h)
-        .repartitionByRange(n, F.col("__h"), F.col(id_col))
-        .sortWithinPartitions("__h", id_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    d = _hash_ordered(df, id_col, seed, num_partitions)
+    offsets = _partition_offsets(d, F.lit(1).cast("long"))
 
     out_schema = T.StructType(
         [f for f in d.schema.fields if f.name not in ("__h", "__pid")]
@@ -382,6 +397,67 @@ def global_shuffle(
             yield out
 
     return d.mapInPandas(add_rank, schema=out_schema)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Deterministic token-budget sampling — the data-mixture step that
+    fills a training budget: order rows by ``(xxhash64(id[, seed]), id)``
+    (an unbiased, reproducible shuffle) and keep the prefix whose INCLUSIVE
+    running token sum stays ``<= budget``. Equivalent single-window
+    definition (the DuckDB oracle): ``QUALIFY sum(tokens) OVER (ORDER BY h,
+    id ROWS UNBOUNDED PRECEDING) <= budget``.
+
+    Scale shape: same two-phase plan as ``global_shuffle`` — one range
+    shuffle, per-partition token sums to the driver, Arrow ``mapInPandas``
+    running sums. Partitions whose starting offset already exceeds the
+    budget are filtered OUT before the map pass, so a 100 TB corpus sampled
+    to a 1% budget only materializes ~1% of its partitions past the
+    shuffle. NULL token counts weigh 0. Per-domain budgets compose:
+    run per stratum (or pre-filter with stratified_sample) — the keep rule
+    is a pure row-prefix function either way."""
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+    from pyspark.sql import types as T
+
+    d = _hash_ordered(df, id_col, seed, num_partitions)
+    w = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    offsets = _partition_offsets(d, w)
+    # <= not <: a partition starting exactly AT the budget can still hold
+    # zero-weight rows whose inclusive cum equals the budget
+    live = [pid for pid, off in offsets.items() if off <= int(budget)]
+
+    out_schema = T.StructType(
+        [f for f in d.schema.fields if f.name not in ("__h", "__pid")]
+        + [T.StructField(cum_col, T.LongType(), False)]
+    )
+    drop = ["__h", "__pid"]
+    budget = int(budget)
+    tcol = token_col
+
+    def fold(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            cum = pdf[tcol].fillna(0).astype("int64").cumsum() + run
+            run = int(cum.iloc[-1])
+            keep = cum <= budget
+            if not keep.any():
+                return  # sorted prefix: once over budget, all later rows are too
+            out = pdf.loc[keep].drop(columns=drop)
+            out[cum_col] = cum[keep]
+            yield out
+
+    return d.where(F.col("__pid").isin(live)).mapInPandas(fold, schema=out_schema)
 
 
 # ------------------------------------------------- gopher repetition rules

@@ -386,3 +386,58 @@ def test_vocabulary_deterministic_tie_break(spark):
     d = spark.createDataFrame([(1, "z y x w")], "doc_id long, text string")
     got = [r.term for r in sorted(vocabulary(d, "text", "doc_id", top_k=2).collect(), key=lambda r: r["rank"])]
     assert got == ["w", "x"]  # equal tf -> term ascending
+
+
+# -------------------------------------------------- sample_to_token_budget
+
+
+def test_sample_budget_matches_window_definition(spark):
+    from pyspark.sql.window import Window
+
+    from jsonoid_discovery_spark.operators.curation import sample_to_token_budget
+
+    d = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(300)], "id long, tok int"
+    )
+    out = sample_to_token_budget(d, "tok", "id", 2000, num_partitions=6).collect()
+    ref = (
+        d.withColumn("h", F.xxhash64("id"))
+        .withColumn(
+            "cum",
+            F.sum(F.col("tok").cast("long")).over(
+                Window.orderBy("h", "id").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where(F.col("cum") <= 2000)
+        .collect()
+    )
+    assert sorted((r.id, r.cum_tokens) for r in out) == sorted((r.id, r.cum) for r in ref)
+    assert max(r.cum_tokens for r in out) <= 2000
+
+
+def test_sample_budget_null_tokens_weigh_zero(spark):
+    from jsonoid_discovery_spark.operators.curation import sample_to_token_budget
+
+    d = spark.createDataFrame([(1, None), (2, 5), (3, None)], "id long, tok int")
+    out = sample_to_token_budget(d, "tok", "id", 5, num_partitions=2).collect()
+    assert {r.id for r in out} == {1, 2, 3}  # nulls cost nothing, 5 fits
+
+
+def test_sample_budget_prunes_dead_partitions(spark):
+    """Partitions starting past the budget are filtered before the fold."""
+    from jsonoid_discovery_spark.operators.curation import sample_to_token_budget
+
+    d = spark.createDataFrame([(i, 100) for i in range(1000)], "id long, tok int")
+    out = sample_to_token_budget(d, "tok", "id", 500, num_partitions=16)
+    assert len(out.collect()) == 5
+    # the pid filter is in the plan (isin on the frozen partition id)
+    assert "__pid" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_budget_width_invariant(spark):
+    from jsonoid_discovery_spark.operators.curation import sample_to_token_budget
+
+    d = spark.createDataFrame([(i, 1 + i % 9) for i in range(400)], "id long, tok int")
+    a = sample_to_token_budget(d, "tok", "id", 800, num_partitions=4).collect()
+    b = sample_to_token_budget(d.repartition(19), "tok", "id", 800, num_partitions=13).collect()
+    assert sorted((r.id, r.cum_tokens) for r in a) == sorted((r.id, r.cum_tokens) for r in b)
