@@ -619,6 +619,26 @@ def _sample_budget_documents(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "n_chars", "cum_tokens")
 
 
+def _sample_mixture_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum token-budget mixture (curation.sample_mixture): within
+    each lang, the hash-ordered prefix whose running n_chars stays within
+    that lang's budget (en 30K / zh 10K / default 5K) — ONE range shuffle
+    for every stratum; the oracle is the per-stratum window + CASE budget
+    over the generated XXH64 SQL."""
+    from jsonoid_discovery_spark.operators.curation import sample_mixture
+
+    d = _t(spark, sf, "documents")
+    return sample_mixture(
+        d,
+        "lang",
+        {"en": 30_000, "zh": 10_000},
+        "n_chars",
+        "doc_id",
+        default_budget=5_000,
+        num_partitions=8,
+    ).select("doc_id", "lang", "n_chars", "cum_tokens")
+
+
 def _vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Top-100 corpus vocabulary with tf/df/rank/cumulative coverage
     (text.vocabulary): one map-side-combined term aggregate, TakeOrdered
@@ -1081,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy_documents": _decontam_fuzzy_documents,
         "shuffle_order_documents": _shuffle_order_documents,
         "sample_budget_documents": _sample_budget_documents,
+        "sample_mixture_documents": _sample_mixture_documents,
         "vocabulary_documents": _vocabulary_documents,
         "gopher_documents": _gopher_documents,
         "repetition_documents": _repetition_documents,
@@ -1512,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_fuzzy_documents": _decontam_fuzzy_oracle_sql(),
         "shuffle_order_documents": _shuffle_order_oracle_sql(),
         "sample_budget_documents": _sample_budget_oracle_sql(),
+        "sample_mixture_documents": _sample_mixture_oracle_sql(),
         "vocabulary_documents": _VOCABULARY_ORACLE_SQL,
         "gopher_documents": _GOPHER_ORACLE_SQL,
         "repetition_documents": _repetition_oracle_sql(),
@@ -2155,6 +2177,23 @@ def _sample_budget_oracle_sql(budget: int = 100_000) -> str:
         + " SELECT doc_id, n_chars, sum(coalesce(n_chars, 0)) OVER "
         + "(ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens"
         + f" FROM {fin} QUALIFY cum_tokens <= {int(budget)}"
+    )
+
+
+def _sample_mixture_oracle_sql() -> str:
+    """DuckDB oracle for sample_mixture_documents: per-stratum running-sum
+    window + CASE budgets, same XXH64 order as the Spark side."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h", prefix="mx")
+    return (
+        "WITH " + with_clause(stages)
+        + " SELECT doc_id, lang, n_chars, cum_tokens FROM ("
+        + "SELECT doc_id, lang, n_chars, h, sum(coalesce(n_chars, 0)) OVER "
+        + "(PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT"
+        + f" AS cum_tokens FROM {fin})"
+        + " WHERE cum_tokens <= CASE lang WHEN 'en' THEN 30000"
+        + " WHEN 'zh' THEN 10000 ELSE 5000 END"
     )
 
 

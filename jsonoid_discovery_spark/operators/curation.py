@@ -460,6 +460,100 @@ def sample_to_token_budget(
     return d.where(F.col("__pid").isin(live)).mapInPandas(fold, schema=out_schema)
 
 
+def sample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict,
+    token_col: str,
+    id_col: str,
+    default_budget: int = 0,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Per-stratum token-budget sampling in ONE pass — the data-mixture
+    recipe ("30B tokens of web, 10B of code, ...") as an operator: within
+    each stratum, keep the deterministic hash-ordered prefix whose inclusive
+    running token sum stays within that stratum's budget. Single-window
+    definition (the DuckDB oracle): ``sum(tokens) OVER (PARTITION BY stratum
+    ORDER BY h, id ROWS UNBOUNDED PRECEDING) <= budget(stratum)``.
+
+    Scale shape: the SAME one range shuffle as sample_to_token_budget — the
+    global (h, id) order induces the per-stratum order, so strata do NOT
+    need their own shuffles. Phase 2 collects per-(partition, stratum)
+    token sums (partitions x live strata rows — KBs for domain-like strata;
+    for million-stratum keys use per_key_cap-style salting instead) and
+    prefix-sums them per stratum; the Arrow fold keeps a per-stratum
+    running dict. Partitions where EVERY present stratum has already
+    exceeded its budget are pruned before the fold. Budgets are fixed
+    python-side; unlisted strata get ``default_budget`` (0 = drop)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    d = _hash_ordered(df, id_col, seed, num_partitions)
+    w = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    per = (
+        d.groupBy("__pid", strata_col)
+        .agg(F.sum(w).alias("w"))
+        .collect()
+    )
+    budgets = {k: int(v) for k, v in budgets.items()}
+    default_budget = int(default_budget)
+    # offsets[key][pid] = stratum tokens in partitions before pid
+    offsets: dict = {}
+    by_key: dict = {}
+    for r in per:
+        by_key.setdefault(r[strata_col], []).append((r["__pid"], r["w"]))
+    for key, lst in by_key.items():
+        acc, offs = 0, {}
+        for pid, cnt in sorted(lst):
+            offs[pid] = acc
+            acc += cnt
+        offsets[key] = offs
+    live = sorted(
+        {
+            pid
+            for key, offs in offsets.items()
+            for pid, off in offs.items()
+            if off <= budgets.get(key, default_budget)
+        }
+    )
+
+    out_schema = T.StructType(
+        [f for f in d.schema.fields if f.name not in ("__h", "__pid")]
+        + [T.StructField(cum_col, T.LongType(), False)]
+    )
+    drop = ["__h", "__pid"]
+    tcol, scol = token_col, strata_col
+
+    def fold(batches):
+        carry: dict = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            toks = pdf[tcol].fillna(0).astype("int64")
+            keys = pdf[scol]
+            base = keys.map(
+                lambda k: offsets.get(k, {}).get(pid, 0) + carry.get(k, 0)
+            ).astype("int64")
+            cum = toks.groupby(keys, dropna=False).cumsum() + base
+            for k, s in toks.groupby(keys, dropna=False).sum().items():
+                carry[k] = carry.get(k, 0) + int(s)
+            budget_row = keys.map(lambda k: budgets.get(k, default_budget)).astype(
+                "int64"
+            )
+            keep = cum <= budget_row
+            if keep.any():
+                out = pdf.loc[keep].drop(columns=drop)
+                out[cum_col] = cum[keep]
+                yield out
+
+    return d.where(F.col("__pid").isin(live)).mapInPandas(fold, schema=out_schema)
+
+
 # ------------------------------------------------- gopher repetition rules
 
 # Published thresholds (Rae et al. 2021, appendix A1.1, table A1): the

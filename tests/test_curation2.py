@@ -441,3 +441,60 @@ def test_sample_budget_width_invariant(spark):
     a = sample_to_token_budget(d, "tok", "id", 800, num_partitions=4).collect()
     b = sample_to_token_budget(d.repartition(19), "tok", "id", 800, num_partitions=13).collect()
     assert sorted((r.id, r.cum_tokens) for r in a) == sorted((r.id, r.cum_tokens) for r in b)
+
+
+# ----------------------------------------------------------- sample_mixture
+
+
+def test_sample_mixture_matches_window_definition(spark):
+    from pyspark.sql.window import Window
+
+    from jsonoid_discovery_spark.operators.curation import sample_mixture
+
+    d = spark.createDataFrame(
+        [(i, ("web", "code", "wiki")[i % 3], 10 + (i * 13) % 40) for i in range(300)],
+        "id long, src string, tok int",
+    )
+    budgets = {"web": 900, "code": 300}
+    out = sample_mixture(d, "src", budgets, "tok", "id", default_budget=150, num_partitions=5).collect()
+    ref = (
+        d.withColumn("h", F.xxhash64("id"))
+        .withColumn(
+            "cum",
+            F.sum(F.col("tok").cast("long")).over(
+                Window.partitionBy("src").orderBy("h", "id").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "b",
+            F.when(F.col("src") == "web", 900).when(F.col("src") == "code", 300).otherwise(150),
+        )
+        .where(F.col("cum") <= F.col("b"))
+        .collect()
+    )
+    assert sorted((r.id, r.cum_tokens) for r in out) == sorted((r.id, r.cum) for r in ref)
+    # every stratum respects its own budget
+    for r in out:
+        assert r.cum_tokens <= budgets.get(r.src, 150)
+
+
+def test_sample_mixture_zero_default_drops_unlisted(spark):
+    from jsonoid_discovery_spark.operators.curation import sample_mixture
+
+    d = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (3, "mystery", 1)], "id long, src string, tok int"
+    )
+    out = sample_mixture(d, "src", {"a": 100}, "tok", "id", num_partitions=2).collect()
+    assert {r.id for r in out} == {1, 2}
+
+
+def test_sample_mixture_width_invariant(spark):
+    from jsonoid_discovery_spark.operators.curation import sample_mixture
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 4}", 1 + i % 7) for i in range(400)], "id long, src string, tok int"
+    )
+    budgets = {"s0": 120, "s1": 60, "s2": 30, "s3": 15}
+    a = sample_mixture(d, "src", budgets, "tok", "id", num_partitions=3).collect()
+    b = sample_mixture(d.repartition(17), "src", budgets, "tok", "id", num_partitions=11).collect()
+    assert sorted((r.id, r.cum_tokens) for r in a) == sorted((r.id, r.cum_tokens) for r in b)
