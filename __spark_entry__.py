@@ -639,6 +639,57 @@ def _sample_mixture_documents(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars", "cum_tokens")
 
 
+def _shard_assign_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-balanced training-shard assignment (curation.shard_assign):
+    every document takes its rank in the deterministic (xxhash64(doc_id),
+    doc_id) order and the shard index exclusive_prefix(n_chars) // 50K —
+    the export step between the global shuffle and the sharded parquet
+    sink. Same two-phase zipWithIndex plan as global_shuffle (one range
+    shuffle, one combined counts+tokens collect, Arrow fold); the oracle
+    is the single-window definition over the generated XXH64 SQL."""
+    from jsonoid_discovery_spark.operators.curation import shard_assign
+
+    d = _t(spark, sf, "documents")
+    return shard_assign(
+        d, "doc_id", shard_tokens=50_000, token_col="n_chars", num_partitions=8
+    ).select("doc_id", "rank", "shard")
+
+
+def _interleave_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted source interleaving (curation.
+    interleave_mixture): per block of the output order, en contributes 3
+    documents, zh 2 and every other lang 1, each lang's documents in the
+    (xxhash64(doc_id), doc_id) order — the epoch-style mixing order a
+    training loader consumes. The Spark side computes the rank in CLOSED
+    FORM (no global window, no second shuffle); the oracle is the window
+    definition: per-lang ROW_NUMBER -> (block, lang, pos) -> global
+    ROW_NUMBER, over the generated XXH64 SQL — so the check proves the
+    closed form equals the window."""
+    from jsonoid_discovery_spark.operators.curation import interleave_mixture
+
+    d = _t(spark, sf, "documents")
+    return interleave_mixture(
+        d, "lang", {"en": 3, "zh": 2}, "doc_id", default_weight=1, num_partitions=8
+    ).select("doc_id", "lang", "rank")
+
+
+def _upsample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fractional upsampling (curation.upsample): epoch
+    weighting for a data-mixture recipe — en documents 2.4x, zh 0.5x,
+    everything else 1.0x, the extra copy decided by pmod(xxhash64(doc_id,
+    seed), 1e6) against a python-fixed integer threshold (hash, not RNG —
+    stable under partitioning/AQE/retries). A projection + explode, zero
+    shuffles. The oracle replays the chained hashLong -> hashInt XXH64 and
+    the generate_series explode in DuckDB."""
+    from jsonoid_discovery_spark.operators.curation import upsample
+
+    d = _t(spark, sf, "documents")
+    return upsample(
+        d, "doc_id", {"en": 2.4, "zh": 0.5}, strata_col="lang",
+        default_factor=1.0, seed=7,
+    ).select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))
+
+
 def _vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Top-100 corpus vocabulary with tf/df/rank/cumulative coverage
     (text.vocabulary): one map-side-combined term aggregate, TakeOrdered
@@ -1102,6 +1153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order_documents": _shuffle_order_documents,
         "sample_budget_documents": _sample_budget_documents,
         "sample_mixture_documents": _sample_mixture_documents,
+        "shard_assign_documents": _shard_assign_documents,
+        "interleave_documents": _interleave_documents,
+        "upsample_documents": _upsample_documents,
         "vocabulary_documents": _vocabulary_documents,
         "gopher_documents": _gopher_documents,
         "repetition_documents": _repetition_documents,
@@ -1534,6 +1588,9 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order_documents": _shuffle_order_oracle_sql(),
         "sample_budget_documents": _sample_budget_oracle_sql(),
         "sample_mixture_documents": _sample_mixture_oracle_sql(),
+        "shard_assign_documents": _shard_assign_oracle_sql(),
+        "interleave_documents": _interleave_oracle_sql(),
+        "upsample_documents": _upsample_oracle_sql(),
         "vocabulary_documents": _VOCABULARY_ORACLE_SQL,
         "gopher_documents": _GOPHER_ORACLE_SQL,
         "repetition_documents": _repetition_oracle_sql(),
@@ -2177,6 +2234,80 @@ def _sample_budget_oracle_sql(budget: int = 100_000) -> str:
         + " SELECT doc_id, n_chars, sum(coalesce(n_chars, 0)) OVER "
         + "(ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens"
         + f" FROM {fin} QUALIFY cum_tokens <= {int(budget)}"
+    )
+
+
+def _shard_assign_oracle_sql(shard_tokens: int = 50_000) -> str:
+    """DuckDB oracle for shard_assign_documents: rank = ROW_NUMBER() - 1
+    and shard = exclusive running n_chars sum // shard_tokens, both over
+    the (xxhash64(doc_id), doc_id) order via the generated XXH64 SQL."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h", prefix="sa")
+    return (
+        "WITH " + with_clause(stages)
+        + ' SELECT doc_id, (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS "rank",'
+        + " ((sum(coalesce(n_chars, 0)) OVER (ORDER BY h, doc_id ROWS UNBOUNDED"
+        + f" PRECEDING) - coalesce(n_chars, 0)) // {int(shard_tokens)})::BIGINT AS shard"
+        + f" FROM {fin}"
+    )
+
+
+def _upsample_oracle_sql(seed: int = 7) -> str:
+    """DuckDB oracle for upsample_documents: Spark's chained
+    ``xxhash64(doc_id, lit(seed))`` = hashInt(seed, hashLong(doc_id, 42)),
+    replayed via xxh64_long_ctes(keep_unsigned) -> literal seed column ->
+    xxh64_int_ctes; then the python-fixed integer thresholds (en: base 2 +
+    400000/1e6, zh: base 0 + 500000/1e6, else base 1 + 0) and a
+    generate_series explode numbering copies 1..n."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import (
+        with_clause,
+        xxh64_int_ctes,
+        xxh64_long_ctes,
+    )
+
+    s1, f1 = xxh64_long_ctes(
+        "documents", "doc_id", "hbase", prefix="ua", keep_unsigned=True
+    )
+    seeded = ("ua_s", f"SELECT *, {int(seed)} AS up_seed FROM {f1}")
+    s2, f2 = xxh64_int_ctes("ua_s", "up_seed", "ua_u", "uh", prefix="ub")
+    return (
+        "WITH " + with_clause(s1 + [seeded] + s2)
+        # MATERIALIZED: uh is referenced twice in the pmod below; without
+        # the barrier DuckDB re-inlines the ~30-stage hash chain per
+        # reference and the binder never returns (same fix as the minhash
+        # oracle's sig/bucketed stages)
+        + f", ua_m AS MATERIALIZED (SELECT doc_id, lang, uh FROM {f2})"
+        + ", ua_n AS (SELECT doc_id, lang,"
+        + " (CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 0 ELSE 1 END)"
+        + " + (CASE WHEN ((uh % 1000000) + 1000000) % 1000000 <"
+        + " (CASE lang WHEN 'en' THEN 400000 WHEN 'zh' THEN 500000 ELSE 0 END)"
+        + " THEN 1 ELSE 0 END) AS n"
+        + " FROM ua_m)"
+        + " SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS copy"
+        + " FROM ua_n WHERE n > 0"
+    )
+
+
+def _interleave_oracle_sql() -> str:
+    """DuckDB oracle for interleave_documents: the window definition of
+    weighted block interleaving — per-lang local rank over the XXH64
+    order, (block, lang, pos) keys, then one global ROW_NUMBER. The Spark
+    side never runs a global window (closed-form rank), so a hash match
+    here proves the closed form."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h", prefix="il")
+    w = "(CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 2 ELSE 1 END)"
+    return (
+        "WITH " + with_clause(stages)
+        + ", il_ranked AS (SELECT doc_id, lang,"
+        + " (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1) AS lr"
+        + f" FROM {fin}),"
+        + f" il_keyed AS (SELECT doc_id, lang, lr // {w} AS blk, lr % {w} AS pos"
+        + " FROM il_ranked)"
+        + " SELECT doc_id, lang, (ROW_NUMBER() OVER (ORDER BY blk, lang NULLS FIRST,"
+        + ' pos) - 1)::BIGINT AS "rank" FROM il_keyed'
     )
 
 

@@ -554,6 +554,198 @@ def sample_mixture(
     return d.where(F.col("__pid").isin(live)).mapInPandas(fold, schema=out_schema)
 
 
+def upsample(
+    df: DataFrame,
+    id_col: str,
+    factor,
+    strata_col: str | None = None,
+    default_factor: float = 1.0,
+    seed: int = 0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic fractional upsampling — the epoch-weighting step of a
+    data-mixture recipe ("2.4 epochs of wiki, 0.5 of crawl"): each row is
+    emitted ``floor(f)`` or ``floor(f)+1`` times so multiplicity averages
+    exactly ``f``, with the extra copy decided by HASH, not RNG: ``copies
+    = floor(f) + (pmod(xxhash64(id, seed), 1e6) < round((f - floor(f)) *
+    1e6))``. ``factor`` is a float, or a ``{stratum: f}`` dict with
+    ``strata_col`` (+ ``default_factor``). Unlike ``df.sample(fraction,
+    withReplacement=True)`` the multiset is a pure row function — stable
+    across partitioning, retries, AQE and engines, replayable in SQL.
+    Fractions are quantized to 1e-6 python-side (same convention as
+    stratified_sample) so both engines compare identical integers.
+
+    Output: input rows with ``copy_col`` numbering each duplicate 1..n
+    (rows with ``copies == 0`` disappear). Scale shape: a projection +
+    ``explode(sequence(...))`` — zero shuffles; output size is exactly
+    the token-weighted corpus the mixture asks for."""
+    if isinstance(factor, dict):
+        if strata_col is None:
+            raise ValueError("dict factor requires strata_col")
+        fmap = {k: float(v) for k, v in factor.items()}
+        if any(v < 0 for v in fmap.values()) or float(default_factor) < 0:
+            raise ValueError("factors must be non-negative")
+        fcol = F.coalesce(
+            *[
+                F.when(F.col(strata_col) == F.lit(k), F.lit(v))
+                for k, v in fmap.items()
+            ],
+            F.lit(float(default_factor)),
+        )
+        # integer thresholds fixed python-side (double->long casts truncate
+        # in Spark but round in DuckDB — same pitfall as stratified_sample)
+        base_col = F.coalesce(
+            *[
+                F.when(F.col(strata_col) == F.lit(k), F.lit(int(v)))
+                for k, v in fmap.items()
+            ],
+            F.lit(int(float(default_factor))),
+        )
+        thr_col = F.coalesce(
+            *[
+                F.when(
+                    F.col(strata_col) == F.lit(k),
+                    F.lit(int(round((v - int(v)) * SAMPLE_BUCKETS))),
+                )
+                for k, v in fmap.items()
+            ],
+            F.lit(
+                int(
+                    round(
+                        (float(default_factor) - int(float(default_factor)))
+                        * SAMPLE_BUCKETS
+                    )
+                )
+            ),
+        )
+    else:
+        f = float(factor)
+        if f < 0:
+            raise ValueError("factor must be non-negative")
+        base_col = F.lit(int(f))
+        thr_col = F.lit(int(round((f - int(f)) * SAMPLE_BUCKETS)))
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(SAMPLE_BUCKETS))
+    copies = base_col + F.when(bucket < thr_col, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("__up_n", copies)
+        .where(F.col("__up_n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__up_n"))))
+        .drop("__up_n")
+    )
+
+
+def interleave_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    id_col: str,
+    default_weight: int = 1,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic weighted source interleaving — the epoch-style mixing
+    order a training data loader consumes ("2 web docs, then 1 code doc,
+    repeat"): stratum ``s`` with integer weight ``w_s`` contributes ``w_s``
+    consecutive rows per block, each stratum's rows in its deterministic
+    ``(xxhash64(id[, seed]), id)`` order; when a stratum runs dry the
+    remaining strata keep their slots. Equivalent window definition (the
+    DuckDB oracle): with per-stratum ``local = ROW_NUMBER() OVER
+    (PARTITION BY stratum ORDER BY h, id) - 1``, ``block = local // w_s``
+    and ``pos = local % w_s``, the output rank is ``ROW_NUMBER() OVER
+    (ORDER BY block, stratum, pos) - 1`` (strata ordered ascending, NULL
+    key first). Zero-weight strata are dropped; negative weights raise.
+
+    Scale shape: the rank has a CLOSED FORM, so no second shuffle and no
+    global window — given stratum totals ``N_k`` (a stratum-count-sized
+    driver collect) the number of rows ordered before a row in block ``b``
+    of stratum ``s`` is ``sum_k min(N_k, b*w_k) + sum_{k<s} clamp(N_k -
+    b*w_k, 0, w_k)``, all integers. The plan is the same two-phase
+    zipWithIndex as sample_mixture: ONE range shuffle, one per-(partition,
+    stratum) counts collect, an Arrow fold that keeps per-stratum local
+    counters and evaluates the formula vectorized (O(batch x strata)).
+    Strata must be driver-small (domains/languages — same contract as
+    sample_mixture); for million-way keys interleave on a coarser key."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    d = _hash_ordered(df, id_col, seed, num_partitions)
+    per = (
+        d.groupBy("__pid", strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    default_weight = int(default_weight)
+    wmap = {}
+    totals: dict = {}
+    offsets: dict = {}
+    for r in per:
+        key = r[strata_col]
+        w = int(weights.get(key, default_weight))
+        if w < 0:
+            raise ValueError(f"negative weight for stratum {key!r}")
+        wmap[key] = w
+        totals[key] = totals.get(key, 0) + r["n"]
+        offsets.setdefault(key, []).append((r["__pid"], r["n"]))
+    live_keys = [k for k in wmap if wmap[k] > 0]
+    # stratum order: NULL first, then ascending — matches SQL NULLS FIRST
+    order = sorted(live_keys, key=lambda k: (k is not None, k))
+    idx = {k: i for i, k in enumerate(order)}
+    n_arr = np.array([totals[k] for k in order], dtype="int64")
+    w_arr = np.array([wmap[k] for k in order], dtype="int64")
+    for key, lst in offsets.items():
+        acc, offs = 0, {}
+        for pid, cnt in sorted(lst):
+            offs[pid] = acc
+            acc += cnt
+        offsets[key] = offs
+
+    out_schema = T.StructType(
+        [f for f in d.schema.fields if f.name not in ("__h", "__pid")]
+        + [T.StructField(rank_col, T.LongType(), False)]
+    )
+    drop = ["__h", "__pid"]
+    scol = strata_col
+
+    def fold(batches):
+        carry: dict = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            keys = pdf[scol]
+            live = keys.map(lambda k: wmap.get(k, default_weight) > 0).to_numpy()
+            base = keys.map(
+                lambda k: offsets.get(k, {}).get(pid, 0) + carry.get(k, 0)
+            ).to_numpy("int64")
+            # per-key local positions: base + running count within batch
+            within = keys.groupby(keys, dropna=False).cumcount().to_numpy("int64")
+            local = base + within
+            for k, s in keys.groupby(keys, dropna=False).size().items():
+                carry[k] = carry.get(k, 0) + int(s)
+            ki = keys.map(lambda k: idx.get(k, -1)).to_numpy("int64")
+            w_row = np.where(ki >= 0, w_arr[np.maximum(ki, 0)], 1)
+            blk = local // w_row
+            pos = local % w_row
+            # rows in blocks before blk, summed over every stratum
+            before_blocks = np.minimum(
+                n_arr[None, :], blk[:, None] * w_arr[None, :]
+            ).sum(axis=1)
+            # rows from earlier strata inside this block
+            in_block = np.clip(
+                n_arr[None, :] - blk[:, None] * w_arr[None, :], 0, w_arr[None, :]
+            )
+            mask = np.arange(len(order))[None, :] < ki[:, None]
+            before_strata = np.where(mask, in_block, 0).sum(axis=1)
+            out = pdf.loc[live].drop(columns=drop)
+            out[rank_col] = (before_blocks + before_strata + pos)[live]
+            if len(out):
+                yield out
+
+    return d.mapInPandas(fold, schema=out_schema)
+
+
 # ------------------------------------------------- gopher repetition rules
 
 # Published thresholds (Rae et al. 2021, appendix A1.1, table A1): the
@@ -826,4 +1018,164 @@ def line_dedup(
             F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
             F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
         )
+    )
+
+
+# ----------------------------------------------------------- shard export
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    shard_tokens: int | None = None,
+    token_col: str | None = None,
+    docs_per_shard: int | None = None,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+    shard_col: str = "shard",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic training-shard assignment — the step between the
+    global corpus shuffle and the sharded on-disk export every training
+    pipeline ends with. Rows take their position ``rank`` in the total
+    order ``(xxhash64(id[, seed]), id)`` (exactly ``global_shuffle``'s
+    order) and a shard index, in one of two exact modes:
+
+    * **docs mode** (``docs_per_shard``): ``shard = rank // docs_per_shard``
+      — fixed-count shards.
+    * **token mode** (``shard_tokens`` + ``token_col``): ``shard =
+      exclusive_prefix_token_sum // shard_tokens`` — token-balanced shards.
+      A shard may exceed the budget by at most one document's tokens (the
+      straddling document stays whole, it is never split); boundaries are
+      a pure prefix function, so the assignment is identical across
+      cluster sizes, retries and engines. NULL token counts weigh 0.
+
+    Single-window definitions (the DuckDB oracle): ``rank = ROW_NUMBER()
+    OVER (ORDER BY h, id) - 1`` and, in token mode, ``shard = (SUM(tokens)
+    OVER (ORDER BY h, id ROWS UNBOUNDED PRECEDING) - tokens) //
+    shard_tokens``.
+
+    Scale shape: the same two-phase zipWithIndex as ``global_shuffle`` —
+    ONE range shuffle, then a single ``groupBy(__pid)`` pass collects BOTH
+    per-partition row counts and token sums (bytes per partition on the
+    driver), prefix sums assign each partition its starting rank/token
+    offset, and an Arrow ``mapInPandas`` fold emits rank + shard with no
+    second shuffle. A global window over 100 TB would serialize through
+    one task; this never does."""
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+    from pyspark.sql import types as T
+
+    if (shard_tokens is None) == (docs_per_shard is None):
+        raise ValueError("exactly one of shard_tokens / docs_per_shard required")
+    if shard_tokens is not None:
+        if token_col is None:
+            raise ValueError("token mode requires token_col")
+        if int(shard_tokens) <= 0:
+            raise ValueError("shard_tokens must be positive")
+    elif int(docs_per_shard) <= 0:
+        raise ValueError("docs_per_shard must be positive")
+
+    d = _hash_ordered(df, id_col, seed, num_partitions)
+    w = (
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+        if token_col is not None
+        else F.lit(0).cast("long")
+    )
+    # ONE driver collect for both offset kinds (rows + tokens per partition)
+    per = (
+        d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(w).alias("t"))
+        .collect()
+    )
+    rank_off, tok_off, racc, tacc = {}, {}, 0, 0
+    for r in sorted(per, key=lambda r: r["__pid"]):
+        rank_off[r["__pid"]] = racc
+        tok_off[r["__pid"]] = tacc
+        racc += r["n"]
+        tacc += r["t"]
+
+    out_schema = T.StructType(
+        [f for f in d.schema.fields if f.name not in ("__h", "__pid")]
+        + [
+            T.StructField(rank_col, T.LongType(), False),
+            T.StructField(shard_col, T.LongType(), False),
+        ]
+    )
+    drop = ["__h", "__pid"]
+    tcol = token_col
+    st = None if shard_tokens is None else int(shard_tokens)
+    dps = None if docs_per_shard is None else int(docs_per_shard)
+
+    def fold(batches):
+        rrun = trun = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if rrun is None:
+                pid = int(pdf["__pid"].iloc[0])
+                rrun, trun = rank_off.get(pid, 0), tok_off.get(pid, 0)
+            out = pdf.drop(columns=drop)
+            out[rank_col] = range(rrun, rrun + len(pdf))
+            if st is not None:
+                toks = pdf[tcol].fillna(0).astype("int64")
+                excl = toks.cumsum() - toks + trun
+                out[shard_col] = (excl // st).astype("int64").values
+                trun += int(toks.sum())
+            else:
+                out[shard_col] = [r // dps for r in range(rrun, rrun + len(pdf))]
+            rrun += len(pdf)
+            yield out
+
+    return d.mapInPandas(fold, schema=out_schema)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    shard_tokens: int | None = None,
+    token_col: str | None = None,
+    docs_per_shard: int | None = None,
+    seed: int | None = None,
+    num_partitions: int | None = None,
+    shard_col: str = "shard",
+    rank_col: str = "rank",
+    mode: str = "error",
+) -> DataFrame:
+    """Sharded training-corpus export: assign shards with ``shard_assign``,
+    write ``parquet`` partitioned by the shard column (one directory per
+    shard — the layout data loaders stream sequentially), and return a
+    per-shard MANIFEST DataFrame read back from the WRITTEN files (docs,
+    token sum, rank span per shard) — the manifest audits the sink, not
+    the plan. Writers scale with the cluster; the manifest aggregation is
+    shard-count-sized."""
+    assigned = shard_assign(
+        df,
+        id_col,
+        shard_tokens=shard_tokens,
+        token_col=token_col,
+        docs_per_shard=docs_per_shard,
+        seed=seed,
+        num_partitions=num_partitions,
+        shard_col=shard_col,
+        rank_col=rank_col,
+    )
+    assigned.write.partitionBy(shard_col).mode(mode).parquet(path)
+    written = df.sparkSession.read.parquet(path)
+    tok = (
+        F.sum(F.coalesce(F.col(token_col).cast("long"), F.lit(0)))
+        if token_col is not None
+        else F.lit(None).cast("long")
+    )
+    return (
+        # partition-column type inference reads "shard=0" back as int;
+        # pin the manifest key to the assignment's long type
+        written.groupBy(F.col(shard_col).cast("long").alias(shard_col))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            tok.alias("tokens"),
+            F.min(rank_col).alias("min_rank"),
+            F.max(rank_col).alias("max_rank"),
+        )
+        .orderBy(shard_col)
     )
