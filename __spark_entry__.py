@@ -1106,6 +1106,51 @@ def _line_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _asof_purchase_click_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed as-of join (temporal.asof_join): every purchase event
+    matched to the same user's most recent click at-or-before it —
+    backward inclusive, left outer. The union-merge plan shuffles ONCE on
+    user_id and carries the click payload forward with a running
+    last(ignorenulls) window; the oracle is DuckDB's native ASOF LEFT
+    JOIN, so a hash match proves the merge equals the textbook semantics.
+    events is unique on (user_id, ts) so the match is unambiguous."""
+    from jsonoid_discovery_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_cols=["click_id", "value"]
+    ).select("event_id", "user_id", "ts", "ts_r", "click_id_r", "value_r")
+
+
+def _sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (temporal.sessionize) via the native
+    F.session_window — 4-hour inactivity gap per user, one row per session
+    with start / end (= last event + gap) / event count / exact
+    decimal-quantized value sum. The strict-greater boundary (an exact-gap
+    event still merges) is test-pinned; the oracle replays it as the
+    gaps-and-islands window with the matching ``>`` comparison. The same
+    call runs on a watermarked stream — session_window is the streaming-
+    capable path, which is why the engine uses it over a window walk."""
+    from jsonoid_discovery_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf, "events")
+    return sessionize(
+        ev,
+        "user_id",
+        "ts",
+        gap="4 hours",
+        aggs={
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -1179,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_summary_lineitem": _skew_summary_lineitem,
         "percentiles_lineitem": _percentiles_lineitem,
         "line_dedup_documents": _line_dedup_documents,
+        "asof_purchase_click_events": _asof_purchase_click_events,
+        "sessionize_events": _sessionize_events,
     }
 
 
@@ -1756,6 +1803,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, md5(new_text) AS new_md5, n_lines, n_removed
             FROM rebuilt
+        """,
+        # DuckDB's native ASOF LEFT JOIN is the textbook semantics the
+        # union-merge plan must reproduce: greatest r.ts <= l.ts per key,
+        # inclusive, left outer.
+        "asof_purchase_click_events": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS ts_r, r.event_id AS click_id_r, r.value AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # Gaps-and-islands replay of F.session_window: a new session only
+        # when the gap is STRICTLY greater than 4h (exact-gap merges —
+        # Spark's measured boundary), session_end = last event + gap.
+        "sessionize_events": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS nf
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 4 HOUR AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
     }
 

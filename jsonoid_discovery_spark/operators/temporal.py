@@ -1,0 +1,170 @@
+"""Temporal operators: distributed as-of joins and sessionization.
+
+Two operators a time-ordered event table needs that Spark's DataFrame API
+does not ship natively:
+
+* **asof_join** — for every left row, the single right row with the
+  greatest ``right_ts <= left_ts`` (backward, inclusive; ``forward`` for
+  the smallest ``right_ts >= left_ts``) sharing the join keys. Implemented
+  as the classic *union-merge*: tag both sides, sort each key group once
+  by ``(ts, side)`` and carry the most recent right payload forward with
+  ``last(..., ignorenulls=True)`` over a running window — ONE shuffle on
+  the join keys, no range explosion, no per-row Python. This is the
+  distributed analog of pandas ``merge_asof`` and DuckDB's ``ASOF JOIN``
+  (which the driver contract uses as the oracle). A per-key sort is the
+  unavoidable cost; at 100 TB the shuffle is keyed by the join keys, so a
+  hot key serializes its own group — callers with pathological key skew
+  should pre-split by time range (documented, not hidden).
+* **sessionize** — gap-based session aggregation via Spark's native
+  ``F.session_window`` (the same operator works on a stream with a
+  watermark, which is why we use it instead of a hand-rolled window walk).
+  A new session starts only when the gap since the previous event is
+  **strictly greater than** the gap duration — an event exactly ``gap``
+  after its predecessor still merges (measured and test-pinned; Spark
+  merges while ``ts <= session_end`` with ``session_end = last_ts +
+  gap``). The DuckDB oracle replays this as the standard gaps-and-islands
+  window with the matching ``>`` comparison.
+
+Reference parity: the reference engine is schema discovery over JSON and
+has no temporal joins; these extend the engine toward the event-pipeline
+operations the SURVEY scopes (the closest reference analog is the
+time-keyed monoid merges in its EquivalenceRelation tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join ``left`` to ``right`` on equal ``on`` keys and the nearest
+    ``right_ts`` at-or-before (``backward``) / at-or-after (``forward``)
+    each ``left_ts``.
+
+    Returns every left row (left outer semantics) plus the matched right
+    payload columns renamed ``<col><suffix>``; unmatched rows carry nulls.
+    ``tolerance`` (seconds) drops matches farther than that from the left
+    timestamp. ``right`` should be unique on ``(on, right_ts)`` — with
+    duplicates the carried payload is the last one in the deterministic
+    ``(ts, payload)`` sort order, matching the oracle only by accident.
+
+    Plan shape: ``union`` (no shuffle) -> one Exchange on ``on`` -> one
+    per-key sort shared by the running ``last`` window -> filter + project.
+    The right payload travels as a single struct column so the window
+    carries one value, not ``len(right_cols)`` values.
+    """
+    if isinstance(on, str):
+        on = [on]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on]
+    # Payload struct: matched right timestamp first (for tolerance), then
+    # the requested columns. Aliased now so the post-filter projection is a
+    # pure rename.
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    l_tag = left.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(on)],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(payload.alias("__p")).schema["__p"].dataType
+        ).alias("__p"),
+    )
+    r_tag = right.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(on)],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+            ).schema["__l"].dataType
+        ).alias("__l"),
+        payload.alias("__p"),
+    )
+    merged = l_tag.unionByName(r_tag)
+    keys = [F.col(f"__k{i}") for i in range(len(on))]
+    # Right rows sort before left rows at equal timestamps (side 0 < 1), so
+    # the inclusive comparison matches DuckDB ASOF (l.ts >= r.ts). The
+    # payload struct is the final tiebreaker, making duplicate-(key, ts)
+    # right rows deterministic instead of partition-order dependent.
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__p").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__p").desc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn(
+        "__m", F.last("__p", ignorenulls=True).over(w)
+    ).where(F.col("__side") == 1)
+    if tolerance is not None:
+        lt, rt = F.col("__l")[left_ts], F.col("__m")["__ts"]
+        ldt = dict(left.dtypes)[left_ts]
+        if ldt.startswith("timestamp"):
+            dist = F.abs(
+                F.unix_micros(lt) - F.unix_micros(rt)
+            ) <= int(tolerance * 1_000_000)
+        else:
+            dist = F.abs(lt - rt) <= F.lit(tolerance)
+        filled = filled.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & dist, F.col("__m"))
+        )
+    out = [F.col("__l")[c].alias(c) for c in left.columns]
+    out.append(F.col("__m")["__ts"].alias(f"{right_ts}{suffix}"))
+    out.extend(F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols)
+    return filled.select(*out)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | list[str],
+    ts: str,
+    gap: str = "30 minutes",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Gap-based sessions per key: consecutive events within ``gap``
+    (INCLUSIVE — an exact-gap event merges, boundary test-pinned) join one
+    session; only a strictly larger gap starts a new one.
+
+    Returns one row per session: the key columns, ``session_start`` (first
+    event), ``session_end`` (last event + gap — Spark's session-window end,
+    i.e. the instant the session would have expired), ``n_events``, plus
+    any caller aggregates. Uses the native ``F.session_window`` so the
+    exact same call works in Structured Streaming behind a watermark
+    (streaming/incremental.py's pattern); batch-side it plans as one
+    keyed exchange + sort, no Python in the row path.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    aggs = aggs or {}
+    agg_cols = [F.count(F.lit(1)).alias("n_events")] + [
+        c.alias(n) for n, c in aggs.items()
+    ]
+    grouped = df.groupBy(F.session_window(F.col(ts), gap), *keys).agg(*agg_cols)
+    return grouped.select(
+        *keys,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        *aggs.keys(),
+    )

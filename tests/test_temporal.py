@@ -1,0 +1,205 @@
+"""Temporal operators: distributed as-of join + sessionization.
+
+asof_join is checked against a brute-force python replay (per-left-row max
+right ts <= left ts) so the test does not share the DuckDB oracle's code
+path; sessionize pins the exact-gap boundary (merges) and the one-over
+boundary (splits), and both are checked for partition invariance — the
+results must not move when the input layout changes, which is what makes
+them safe under AQE/speculative retries at cluster scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.temporal import asof_join, sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def _brute_asof(lrows, rrows, direction="backward"):
+    out = {}
+    for lid, key, lts in lrows:
+        if direction == "backward":
+            cand = [(rts, rid, rv) for k, rts, rid, rv in rrows if k == key and rts <= lts]
+            best = max(cand) if cand else None
+        else:
+            cand = [(rts, rid, rv) for k, rts, rid, rv in rrows if k == key and rts >= lts]
+            best = min(cand) if cand else None
+        out[lid] = best
+    return out
+
+
+class TestAsofJoin:
+    def test_backward_matches_brute_force(self, spark, events):
+        left = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = events.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+        )
+        got = {
+            r.event_id: (r.ts_r, r.click_id_r, r.value_r)
+            for r in asof_join(
+                left, right, on="user_id", left_ts="ts",
+                right_cols=["click_id", "value"],
+            ).collect()
+        }
+        lrows = [(r.event_id, r.user_id, r.ts) for r in left.collect()]
+        rrows = [(r.user_id, r.ts, r.click_id, r.value) for r in right.collect()]
+        want = _brute_asof(lrows, rrows)
+        assert len(got) == len(lrows)
+        for lid, best in want.items():
+            assert got[lid] == (best if best else (None, None, None))
+
+    def test_forward_direction(self, spark, events):
+        left = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = events.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("vid"), "value"
+        )
+        got = {
+            r.event_id: (r.ts_r, r.vid_r, r.value_r)
+            for r in asof_join(
+                left, right, on="user_id", left_ts="ts",
+                right_cols=["vid", "value"], direction="forward",
+            ).collect()
+        }
+        lrows = [(r.event_id, r.user_id, r.ts) for r in left.collect()]
+        rrows = [(r.user_id, r.ts, r.vid, r.value) for r in right.collect()]
+        want = _brute_asof(lrows, rrows, "forward")
+        for lid, best in want.items():
+            assert got[lid] == (best if best else (None, None, None))
+
+    def test_equal_timestamp_is_inclusive(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, 7, base)], "lid long, k long, ts timestamp")
+        right = spark.createDataFrame(
+            [(7, base, "at"), (7, base - dt.timedelta(hours=1), "before")],
+            "k long, ts timestamp, tag string",
+        )
+        row = asof_join(left, right, on="k", left_ts="ts", right_cols=["tag"]).head()
+        assert row.tag_r == "at"
+
+    def test_tolerance_drops_stale_matches(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, 7, base), (2, 7, base + dt.timedelta(hours=3))],
+            "lid long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(7, base - dt.timedelta(minutes=30), "m")], "k long, ts timestamp, tag string"
+        )
+        rows = {
+            r.lid: r.tag_r
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_cols=["tag"],
+                tolerance=3600.0,
+            ).collect()
+        }
+        assert rows == {1: "m", 2: None}
+
+    def test_partition_invariance(self, spark, events):
+        left = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = events.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        a = sorted(
+            map(str, asof_join(left, right, on="user_id", left_ts="ts").collect())
+        )
+        b = sorted(
+            map(
+                str,
+                asof_join(
+                    left.repartition(17), right.repartition(3), on="user_id",
+                    left_ts="ts",
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_one_shuffle_plan(self, spark, events):
+        left = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = events.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        plan = (
+            asof_join(left, right, on="user_id", left_ts="ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+
+    def test_rejects_bad_direction(self, spark, events):
+        with pytest.raises(ValueError):
+            asof_join(events, events, on="user_id", left_ts="ts", direction="nearest")
+
+
+class TestSessionize:
+    def test_exact_gap_merges_one_over_splits(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, base), (1, base + dt.timedelta(minutes=30)),
+             (2, base), (2, base + dt.timedelta(minutes=30, seconds=1))],
+            "k long, ts timestamp",
+        )
+        rows = sorted(
+            (r.k, r.n_events) for r in sessionize(df, "k", "ts", gap="30 minutes").collect()
+        )
+        assert rows == [(1, 2), (2, 1), (2, 1)]
+
+    def test_session_end_is_last_event_plus_gap(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, base), (1, base + dt.timedelta(minutes=10))], "k long, ts timestamp"
+        )
+        row = sessionize(df, "k", "ts", gap="30 minutes").head()
+        assert row.session_start == base
+        assert row.session_end == base + dt.timedelta(minutes=40)
+
+    def test_matches_islands_replay(self, spark, events):
+        gap = dt.timedelta(hours=4)
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in sessionize(events, "user_id", "ts", gap="4 hours").collect()
+        )
+        # python gaps-and-islands replay: new session when diff > gap
+        per_user: dict[int, list[dt.datetime]] = {}
+        for r in events.select("user_id", "ts").collect():
+            per_user.setdefault(r.user_id, []).append(r.ts)
+        want = []
+        for u, tss in per_user.items():
+            tss.sort()
+            start, last, n = tss[0], tss[0], 1
+            for t in tss[1:]:
+                if t - last > gap:
+                    want.append((u, start, last + gap, n))
+                    start, n = t, 0
+                last = t
+                n += 1
+            want.append((u, start, last + gap, n))
+        assert got == sorted(want)
+
+    def test_partition_invariance(self, spark, events):
+        a = sorted(map(str, sessionize(events, "user_id", "ts", gap="4 hours").collect()))
+        b = sorted(
+            map(
+                str,
+                sessionize(
+                    events.repartition(23), "user_id", "ts", gap="4 hours"
+                ).collect(),
+            )
+        )
+        assert a == b
