@@ -1151,6 +1151,76 @@ def _sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _fd_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency discovery (analyses.functional_dependencies,
+    exact mode): every ordered pair among (o_orderkey, o_custkey,
+    o_orderstatus) tested by count_distinct(A) == count_distinct(A, B) in
+    ONE aggregate scan. o_orderkey -> * holds (it is the key); nothing
+    else does. strength is the plain IEEE ratio, bit-identical across
+    engines. The approx (HLL, no-Expand) screening mode is the 100 TB
+    path and is pytest-covered; the contract pins the exact mode."""
+    from jsonoid_discovery_spark.operators.analyses import functional_dependencies
+
+    return functional_dependencies(
+        _t(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+
+
+def _psi_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the lang distribution between the
+    even/odd doc_id halves (drift.psi_drift — a no-drift control, so every
+    contribution is near 0). ONE grouped count scan feeds both halves'
+    category counts; per-category contributions are rounded to 6 decimals
+    and the __total row sums THOSE as decimals, so the result is exact and
+    order-independent (the lm_score convention)."""
+    from decimal import Decimal
+
+    from jsonoid_discovery_spark.operators.drift import psi_drift
+
+    d = _t(spark, sf, "documents")
+    rows = (
+        d.groupBy((F.col("doc_id") % 2).alias("seg"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    base = {
+        ("<null>" if r.lang is None else str(r.lang)): r.n for r in rows if r.seg == 0
+    }
+    cur = {
+        ("<null>" if r.lang is None else str(r.lang)): r.n for r in rows if r.seg == 1
+    }
+    rep = psi_drift(base, cur)
+    per = sorted(rep.detail["per_category"].items())
+    total = float(sum(Decimal(f"{v:.6f}") for _, v in per))
+    out = [(c, float(v)) for c, v in per] + [("__total", total)]
+    return spark.createDataFrame(out, "category string, psi_contrib double")
+
+
+def _salted_join_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-defusing salted join (util.salted_join): lineitem x orders on
+    orderkey with the small side replicated across 8 salt buckets and the
+    big side scattered by a full-row xxhash64 — one hot key spreads over 8
+    reducers instead of serializing. Salting is physical only: the result
+    aggregates to EXACTLY the plain join's numbers, which is what the
+    plain-SQL oracle pins (quantity sums decimal-quantized, the
+    pricing_summary convention)."""
+    from jsonoid_discovery_spark.operators.util import salted_join
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    od = (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    j = salted_join(li, od, "l_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -1226,6 +1296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": _line_dedup_documents,
         "asof_purchase_click_events": _asof_purchase_click_events,
         "sessionize_events": _sessionize_events,
+        "fd_orders": _fd_orders,
+        "psi_lang_documents": _psi_lang_documents,
+        "salted_join_lineitem": _salted_join_lineitem,
     }
 
 
@@ -1837,6 +1910,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM sess GROUP BY user_id, sid
         """,
+        "fd_orders": _fd_oracle_sql(),
+        # PSI per category with the 0.5-count prior, contributions rounded
+        # to 6 and the __total row summing THOSE as DECIMAL(18,6) — exact
+        # and aggregation-order independent.
+        "psi_lang_documents": """
+            WITH c AS (
+              SELECT (doc_id % 2 = 0) AS is_base,
+                     coalesce(lang, '<null>') AS cat,
+                     count(*)::DOUBLE AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT cat,
+                     greatest(sum(CASE WHEN is_base THEN n ELSE 0 END), 0.5) AS bn,
+                     greatest(sum(CASE WHEN NOT is_base THEN n ELSE 0 END), 0.5) AS cn
+              FROM c GROUP BY cat
+            ),
+            tots AS (
+              SELECT sum(CASE WHEN is_base THEN n ELSE 0 END) AS bt,
+                     sum(CASE WHEN NOT is_base THEN n ELSE 0 END) AS ct
+              FROM c
+            ),
+            per AS (
+              SELECT cat,
+                     round((cn / ct - bn / bt) * ln((cn / ct) / (bn / bt)), 6)
+                       AS psi_contrib
+              FROM agg, tots
+            )
+            SELECT cat AS category, psi_contrib FROM per
+            UNION ALL
+            SELECT '__total',
+                   CAST(sum(CAST(psi_contrib AS DECIMAL(18,6))) AS DOUBLE)
+            FROM per
+        """,
+        # salting is physical row placement only — the oracle is the PLAIN
+        # join aggregated, proving result identity
+        "salted_join_lineitem": """
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS n_rows,
+                   CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
     }
 
 
@@ -2366,6 +2483,31 @@ def _upsample_oracle_sql(seed: int = 7) -> str:
         + " FROM ua_m)"
         + " SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS copy"
         + " FROM ua_n WHERE n > 0"
+    )
+
+
+def _fd_oracle_sql() -> str:
+    """DuckDB oracle for fd_orders: per ordered pair, exact distinct counts
+    with null determinants excluded (the CASE mirrors Spark's when()),
+    holds = pair count equals determinant count, strength = the plain IEEE
+    ratio."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    parts = []
+    for a in cols:
+        for b in cols:
+            if b == a:
+                continue
+            parts.append(
+                f"SELECT '{a}' AS determinant, '{b}' AS dependent,"
+                f" count(DISTINCT {a})::BIGINT AS n_distinct_det,"
+                f" count(DISTINCT CASE WHEN {a} IS NOT NULL THEN ROW({a}, {b}) END)::BIGINT"
+                f" AS n_distinct_pair FROM orders"
+            )
+    return (
+        "WITH pairs AS (" + " UNION ALL ".join(parts) + ") "
+        "SELECT determinant, dependent, n_distinct_det, n_distinct_pair, "
+        "(n_distinct_pair = n_distinct_det AND n_distinct_det > 0) AS holds, "
+        "n_distinct_det::DOUBLE / n_distinct_pair AS strength FROM pairs"
     )
 
 

@@ -90,6 +90,9 @@ class EngineParams:
     # drift thresholds (our chi-square / KS checks; driver-side scipy-free)
     drift_chi2_pvalue: float = 0.01
     drift_ks_stat: float = 0.1
+    # PSI rule of thumb (credit-scoring literature): <0.1 stable,
+    # 0.1-0.25 moderate shift, >0.25 major shift
+    drift_psi_stat: float = 0.25
     # profile(engine='auto') crossover: the catalyst engine pays ~3s of
     # fixed two-job machinery that only amortizes on large inputs — below
     # this estimated input size the Arrow fold is faster. Measured on the

@@ -135,6 +135,92 @@ def primary_key_candidates_exact(df: DataFrame, columns: list[str] | None = None
     )
 
 
+def functional_dependencies(
+    df: DataFrame, columns: list[str], exact: bool = True, rsd: float = 0.02
+) -> DataFrame:
+    """Discover functional dependencies A -> B among ``columns``: for every
+    ordered pair, does each non-null value of A map to exactly one B?
+
+    The dependency test is pure counting — ``A -> B`` holds iff
+    ``count_distinct(A) == count_distinct(A, B)`` — so the whole k-column
+    sweep is ONE aggregate over the (column-pruned) input: k single-column
+    distincts plus k*(k-1) pair distincts, all in the same scan. Rows where
+    the determinant is null are excluded (an FD constrains values, not
+    presence — FieldPresence/Required cover nulls); a null DEPENDENT
+    counts as a value, so "A -> B except sometimes B is missing" correctly
+    fails.
+
+    ``exact=True`` plans Spark's multi-DISTINCT Expand (one replica of the
+    narrow projected row per distinct group — O(k^2 * n) expanded rows,
+    fine for verification sweeps and small k). ``exact=False`` is the
+    100 TB screening path: ``approx_count_distinct`` HLL sketches, NO
+    Expand, one ordinary single-pass aggregate at any k — the same
+    sketch-prefilter-then-verify design as find_primary_keys
+    (PrimaryKeyFinder.scala:46-58); screen wide tables approximately, then
+    confirm survivors with one exact call over just those pairs.
+
+    Returns ``DataFrame[determinant, dependent, n_distinct_det,
+    n_distinct_pair, holds, strength]`` with ``strength =
+    n_distinct_det / n_distinct_pair`` (1.0 iff the FD holds; the usual
+    softened-FD measure). Result size is k*(k-1) rows — driver-assembled
+    from the single aggregate row, like the PK candidate table above.
+    """
+    if len(columns) < 2:
+        raise ValueError("functional_dependencies needs at least two columns")
+    cd = (
+        F.count_distinct
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd=rsd))
+    )
+    aggs = []
+    for a in columns:
+        aggs.append(cd(F.col(a)).alias(f"d__{a}"))
+        for b in columns:
+            if b == a:
+                continue
+            # null determinants excluded via the when(): a null struct is
+            # skipped by count_distinct, mirroring count_distinct(a)
+            aggs.append(
+                cd(
+                    F.when(
+                        F.col(a).isNotNull(), F.struct(F.col(a), F.col(b))
+                    )
+                ).alias(f"p__{a}__{b}")
+            )
+    row = df.select(*columns).agg(*aggs).head()
+    out = []
+    for a in columns:
+        da = row[f"d__{a}"]
+        for b in columns:
+            if b == a:
+                continue
+            dp = row[f"p__{a}__{b}"]
+            if exact:
+                holds = bool(dp == da and da > 0)
+            else:
+                # two independent HLL estimates of the SAME set differ by
+                # ~rsd each; screen with a 3*rsd band so a true FD is kept
+                # whp (false positives are fine — the exact pass confirms)
+                holds = bool(da > 0 and dp <= da * (1.0 + 3.0 * rsd))
+            out.append(
+                (
+                    a,
+                    b,
+                    int(da),
+                    int(dp),
+                    holds,
+                    # plain IEEE division (no rounding): bit-identical to
+                    # any engine computing d::DOUBLE / p
+                    da / dp if dp else None,
+                )
+            )
+    return df.sparkSession.createDataFrame(
+        out,
+        "determinant string, dependent string, n_distinct_det long, "
+        "n_distinct_pair long, holds boolean, strength double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # subset / incompatibility
 

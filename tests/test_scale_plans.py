@@ -1,0 +1,111 @@
+"""Scale-plumbing operators: salted joins and bucketed co-located joins.
+
+salted_join must return EXACTLY the rows of the plain join (salting is a
+physical trick, not a semantic one) while provably scattering a hot key
+across salt buckets. write_bucketed must produce tables whose equi-join on
+the bucket key plans with NO Exchange on either side — the write-time
+shuffle amortized over every downstream query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.util import salted_join
+from jsonoid_discovery_spark.sources.tables import write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        od = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        ).withColumnRenamed("o_orderkey", "l_orderkey")
+        a = sorted(map(str, salted_join(li, od, "l_orderkey", salt=8).collect()))
+        b = sorted(map(str, li.join(od, "l_orderkey").collect()))
+        assert a == b and len(a) > 0
+
+    def test_left_matches_plain_join(self, spark):
+        big = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "k int, v string"
+        )
+        small = spark.createDataFrame([(1, "A"), (1, "B")], "k int, w string")
+        a = sorted(map(str, salted_join(big, small, "k", salt=4, how="left").collect()))
+        b = sorted(map(str, big.join(small, "k", "left").collect()))
+        assert a == b
+        # unmatched keys appear exactly once with nulls
+        assert sum("z" in r for r in a) == 1
+
+    def test_hot_key_scatters(self, spark):
+        # 90% of rows share one key: the scatter hash must spread them
+        # across > 1 salt bucket (that is the entire point)
+        big = spark.range(10_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 42 ELSE id END AS k", "id AS payload"
+        )
+        scattered = big.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(16)).cast("int"),
+        )
+        n = scattered.where(F.col("k") == 42).select("__salt").distinct().count()
+        assert n == 16
+
+    def test_no_salt_column_leaks(self, spark):
+        big = spark.createDataFrame([(1, "x")], "k int, v string")
+        small = spark.createDataFrame([(1, "A")], "k int, w string")
+        out = salted_join(big, small, "k", salt=2)
+        assert "__salt" not in out.columns
+
+    def test_rejects_unsupported_how(self, spark):
+        df = spark.createDataFrame([(1,)], "k int")
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", how="full")
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        od = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(li, "t_li_b", 8, "l_orderkey", path=str(tmp_path / "li"))
+        write_bucketed(od, "t_od_b", 8, "o_orderkey", path=str(tmp_path / "od"))
+        try:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = spark.table("t_li_b").join(
+                    spark.table("t_od_b"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                plan = j._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in plan, plan
+                # and the result is still the real join
+                assert j.count() == li.join(
+                    od, F.col("l_orderkey") == F.col("o_orderkey")
+                ).count()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_li_b")
+            spark.sql("DROP TABLE IF EXISTS t_od_b")
+
+    def test_bucketed_groupby_has_no_exchange(self, spark, tmp_path):
+        od = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(od, "t_od_g", 8, "o_orderkey", path=str(tmp_path / "odg"))
+        try:
+            agg = spark.table("t_od_g").groupBy("o_orderkey").agg(
+                F.sum("o_totalprice").alias("s")
+            )
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_od_g")
