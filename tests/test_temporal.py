@@ -203,3 +203,41 @@ class TestSessionize:
             )
         )
         assert a == b
+
+
+class TestSessionizeStreaming:
+    def test_stream_sessions_match_batch(self, spark, events, tmp_path):
+        """The 'streaming-capable' claim, backed: the SAME sessionize call
+        over a watermarked file stream (availableNow, append mode) emits
+        only watermark-finalized sessions, and every emitted session must
+        equal its batch counterpart exactly."""
+        src = str(tmp_path / "ev_sessions")
+        # watermarks require TIMESTAMP (not NTZ): relabel once, both sides
+        ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        ).withWatermark("ts", "1 hour")
+        out = sessionize(stream, "user_id", "ts", gap="4 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_stream").collect()
+        }
+        batch = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events)
+            for r in sessionize(ev, "user_id", "ts", gap="4 hours").collect()
+        }
+        assert got, "stream emitted no finalized sessions"
+        assert all(batch[k] == v for k, v in got.items())
+        assert len(got) >= len(batch) * 0.5
