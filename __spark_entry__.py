@@ -1221,6 +1221,25 @@ def _salted_join_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_incremental_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup (dedup.fingerprint_index + dedup_against):
+    the persisted index holds the sha256 fingerprints of the already-
+    ingested wave (doc_id % 3 == 0); the new wave (all documents) anti-
+    joins against it, so re-crawled content never re-enters the corpus.
+    AQE picks broadcast for this index size. The oracle replays the same
+    sha256 anti-join (DuckDB's sha256 emits the identical lowercase hex),
+    pinning both the fingerprint function and the anti-join semantics."""
+    from jsonoid_discovery_spark.operators.dedup import dedup_against, fingerprint_index
+
+    d = _t(spark, sf, "documents")
+    index = fingerprint_index(d.where(F.col("doc_id") % 3 == 0), "text")
+    survivors = dedup_against(d, index, "text")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -1299,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_orders": _fd_orders,
         "psi_lang_documents": _psi_lang_documents,
         "salted_join_lineitem": _salted_join_lineitem,
+        "dedup_incremental_documents": _dedup_incremental_documents,
     }
 
 
@@ -1953,6 +1973,22 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_qty
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        # same sha256 anti-join: DuckDB's sha256 emits the identical
+        # lowercase hex as Spark's sha2(col, 256)
+        "dedup_incremental_documents": """
+            WITH idx AS (
+              SELECT DISTINCT sha256(text) AS content_sha256
+              FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+            )
+            SELECT lang, count(*)::BIGINT AS n_new,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents d
+            WHERE d.text IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM idx WHERE idx.content_sha256 = sha256(d.text)
+              )
+            GROUP BY lang
         """,
     }
 

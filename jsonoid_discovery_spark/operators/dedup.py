@@ -51,6 +51,53 @@ def exact_deduplicate(df: DataFrame, col: str, id_col: str) -> DataFrame:
     )
 
 
+def fingerprint_index(df: DataFrame, col: str) -> DataFrame:
+    """The persisted dedup index for incremental ingest: one row per
+    distinct content sha256 (``DataFrame[content_sha256]``). Write this as
+    parquet/Delta after each ingest wave; it is the only state the
+    incremental path needs, and it unions/distincts cheaply across waves.
+    """
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(content_hash(col).alias("content_sha256"))
+        .distinct()
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    index: DataFrame,
+    col: str,
+    broadcast_index: bool | None = None,
+) -> DataFrame:
+    """Incremental exact dedup: keep only ``new_df`` rows whose content
+    sha256 is NOT in a previously-persisted ``fingerprint_index`` — the
+    "new crawl wave vs existing corpus" stage, so re-crawled documents
+    never re-enter the corpus.
+
+    Plan: LEFT ANTI join on the hash. ``broadcast_index=True`` forces a
+    broadcast (right for indexes up to a few hundred MB — no shuffle of
+    the new wave at all); ``False`` forces the shuffle join (a 100 TB
+    corpus's index is itself billions of rows); ``None`` lets AQE decide
+    from the index's size statistics. Null-content rows are dropped,
+    matching exact_deduplicate. Note the anti-join only filters against
+    the INDEX — duplicates *within* the new wave still need
+    exact_deduplicate before the wave is appended and its fingerprints
+    unioned into the index.
+    """
+    idx = index.select("content_sha256").distinct()
+    if broadcast_index is True:
+        idx = F.broadcast(idx)
+    elif broadcast_index is False:
+        idx = idx.hint("shuffle_hash")
+    return (
+        new_df.where(F.col(col).isNotNull())
+        .withColumn("__h", content_hash(col))
+        .join(idx, F.col("__h") == F.col("content_sha256"), "left_anti")
+        .drop("__h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash + LSH
 

@@ -121,3 +121,47 @@ class TestPsiDrift:
     def test_empty_side_is_info(self):
         rep = psi_drift({}, {"a": 1})
         assert rep.statistic == 0.0 and not rep.drifted
+
+
+class TestIncrementalDedup:
+    """dedup_against: new-wave anti-join vs a persisted fingerprint index."""
+
+    def test_filters_indexed_content_only(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import (
+            dedup_against,
+            fingerprint_index,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "seen"), (2, "also seen")], "id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, "seen"), (11, "fresh"), (12, None), (13, "also seen"), (14, "new")],
+            "id long, text string",
+        )
+        idx = fingerprint_index(old, "text")
+        got = sorted(r.id for r in dedup_against(new, idx, "text").collect())
+        # 10/13 match the index, 12 is null content -> dropped
+        assert got == [11, 14]
+
+    def test_forced_broadcast_and_shuffle_agree(self, spark, docs):
+        from jsonoid_discovery_spark.operators.dedup import (
+            dedup_against,
+            fingerprint_index,
+        )
+        from pyspark.sql import functions as F
+
+        idx = fingerprint_index(docs.where(F.col("doc_id") % 3 == 0), "text")
+        a = dedup_against(docs, idx, "text", broadcast_index=True).count()
+        b = dedup_against(docs, idx, "text", broadcast_index=False).count()
+        c = dedup_against(docs, idx, "text").count()
+        assert a == b == c
+
+    def test_index_distinct_and_null_free(self, spark):
+        from jsonoid_discovery_spark.operators.dedup import fingerprint_index
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, None)], "id long, text string"
+        )
+        rows = fingerprint_index(df, "text").collect()
+        assert len(rows) == 1
