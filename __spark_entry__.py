@@ -1240,6 +1240,42 @@ def _dedup_incremental_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _funnel_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter-stack attrition report (curation.funnel_report): three
+    ordered rules (text present, >= 200 chars, no email PII) with each
+    dropped row charged to the FIRST rule it fails, so per-stage numbers
+    compose exactly (n_out[i] == n_in[i+1]). ONE scan + a (k+1)-row
+    collect; drop rates are integer ppm (no floating division). The email
+    pattern is the PII_PATTERNS entry, i.e. inside the Java/RE2-shared
+    regex subset the oracle replays verbatim."""
+    from jsonoid_discovery_spark.operators.curation import PII_PATTERNS, funnel_report
+
+    d = _t(spark, sf, "documents")
+    rules = [
+        ("has_text", F.col("text").isNotNull()),
+        ("min_len", F.coalesce(F.col("n_chars") >= 200, F.lit(False))),
+        ("no_email", ~F.col("text").rlike(PII_PATTERNS["email"])),
+    ]
+    return funnel_report(d, rules)
+
+
+def _quantile_buckets_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-based quantile bucketing (util.quantile_buckets, exact mode):
+    quartile cut points from ONE percentile aggregate (Spark `percentile`
+    == DuckDB quantile_cont, linear interpolation), then a codegen'd
+    cut-comparison cascade — no sort, no shuffle, unlike ntile. The
+    contract aggregates per-bucket counts and exact double min/max."""
+    from jsonoid_discovery_spark.operators.util import quantile_buckets
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_extendedprice").isNotNull())
+    qb = quantile_buckets(li, "l_extendedprice", (0.25, 0.5, 0.75), exact=True)
+    return qb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("min_v"),
+        F.max("l_extendedprice").alias("max_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_documents_by_lang": _profile_documents_by_lang,
@@ -1319,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_lang_documents": _psi_lang_documents,
         "salted_join_lineitem": _salted_join_lineitem,
         "dedup_incremental_documents": _dedup_incremental_documents,
+        "funnel_documents": _funnel_documents,
+        "quantile_buckets_lineitem": _quantile_buckets_lineitem,
     }
 
 
@@ -1989,6 +2027,60 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM idx WHERE idx.content_sha256 = sha256(d.text)
               )
             GROUP BY lang
+        """,
+        # first-failing-rule CASE + prefix-sum funnel arithmetic; the email
+        # regex is the PII_PATTERNS string verbatim (shared regex subset)
+        "funnel_documents": r"""
+            WITH reasons AS (
+              SELECT CASE
+                WHEN text IS NULL THEN 'has_text'
+                WHEN NOT coalesce(n_chars >= 200, FALSE) THEN 'min_len'
+                WHEN regexp_matches(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                  THEN 'no_email'
+              END AS r
+              FROM documents
+            ),
+            counts AS (SELECT r, count(*)::BIGINT AS n FROM reasons GROUP BY r),
+            tot AS (SELECT count(*)::BIGINT AS total FROM reasons),
+            stages(stage, rule) AS (
+              VALUES (1, 'has_text'), (2, 'min_len'), (3, 'no_email')
+            ),
+            j AS (
+              SELECT s.stage, s.rule, coalesce(c.n, 0) AS dropped
+              FROM stages s LEFT JOIN counts c ON c.r = s.rule
+            ),
+            f AS (
+              SELECT stage, rule, dropped,
+                     total - coalesce(sum(dropped) OVER (ORDER BY stage
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_in
+              FROM j, tot
+            )
+            SELECT stage::INTEGER AS stage, rule,
+                   n_in::BIGINT AS n_in, dropped AS n_dropped,
+                   (n_in - dropped)::BIGINT AS n_out,
+                   (dropped * 1000000 // n_in)::BIGINT AS drop_ppm
+            FROM f
+        """,
+        # quantile_cont == Spark percentile() (linear interpolation), then
+        # the identical strictly-greater cut cascade
+        "quantile_buckets_lineitem": """
+            WITH cuts AS (
+              SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS c
+              FROM lineitem
+            ),
+            b AS (
+              SELECT l_extendedprice AS v,
+                     ((l_extendedprice > c[1])::INT
+                      + (l_extendedprice > c[2])::INT
+                      + (l_extendedprice > c[3])::INT) AS bucket
+              FROM lineitem, cuts
+              WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bucket, count(*)::BIGINT AS n_rows,
+                   min(v) AS min_v, max(v) AS max_v
+            FROM b GROUP BY bucket
         """,
     }
 

@@ -1179,3 +1179,68 @@ def write_shards(
         )
         .orderBy(shard_col)
     )
+
+
+# ------------------------------------------------------------------ funnel
+
+
+def with_drop_reason(
+    df: DataFrame, rules: list[tuple[str, Column]], reason_col: str = "drop_reason"
+) -> DataFrame:
+    """Annotate every row with the FIRST rule (in order) it fails, or null
+    if it passes all — the standard attrition attribution for a filter
+    stack ("why did we lose this document?"). ``rules`` are ordered
+    (name, keep-predicate) pairs; the cascade compiles to one codegen'd
+    CASE, so the whole stack is a projection."""
+    if not rules:
+        raise ValueError("with_drop_reason needs at least one rule")
+    reason = F.when(~rules[0][1], F.lit(rules[0][0]))
+    for name, keep in rules[1:]:
+        reason = reason.when(~keep, F.lit(name))
+    return df.withColumn(reason_col, reason)
+
+
+def funnel_report(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Sequential attrition report for a filter stack: one row per rule with
+    the rows entering that stage (survivors of all earlier rules), rows it
+    drops, rows leaving, and an integer drop rate in ppm (the
+    key_skew_report convention — no floating division, engine-exact).
+
+    ONE scan: the first-failing-rule CASE + a reason-keyed count aggregate
+    (k+1 rows collected); the funnel arithmetic is driver-side prefix
+    sums over those k counts. A row failing rules 2 and 4 is charged to
+    rule 2 only — per-stage numbers compose exactly
+    (``n_out[i] == n_in[i+1]``), unlike independent per-rule counts.
+    Null predicates count as failures (Spark's ``~null`` is null, which
+    ``when`` treats as no-match — the reason cascade falls through to the
+    NEXT rule, so rules should be written null-safe; the funnel's own
+    null-handling is pinned by test).
+    """
+    names = [n for n, _ in rules]
+    counted = {
+        r["r"]: r["n"]
+        for r in with_drop_reason(df, rules, "r").groupBy("r").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    total = sum(counted.values())
+    out = []
+    n_in = total
+    for i, name in enumerate(names):
+        dropped = counted.get(name, 0)
+        n_out = n_in - dropped
+        out.append(
+            (
+                i + 1,
+                name,
+                n_in,
+                dropped,
+                n_out,
+                (dropped * 1_000_000) // n_in if n_in else 0,
+            )
+        )
+        n_in = n_out
+    return df.sparkSession.createDataFrame(
+        out,
+        "stage int, rule string, n_in long, n_dropped long, n_out long, drop_ppm long",
+    )

@@ -172,3 +172,41 @@ def salted_join(
     )
     out = big_s.join(small_s, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign every row a quantile bucket of ``col``: bucket = number of
+    cut points its value exceeds (0..len(probs); nulls get null). The
+    quality-stratification step before curriculum mixing ("sample more
+    from the top lm-score quartile") — and the value-based complement of
+    ``ntile`` (equal-count ranks need a global sort; value cuts are a
+    projection once the cut points exist).
+
+    Two jobs at any scale: ONE percentile aggregate (mergeable
+    ``percentile_approx`` sketch by default, ``exact=True`` for the
+    quantile_cont-parity mode — see column_percentiles), then a codegen'd
+    comparison cascade with the cut points inlined as literals. No
+    shuffle, no sort, no Python in the row path.
+    """
+    from pyspark.sql import functions as F
+
+    cuts = [
+        r["value"]
+        for r in column_percentiles(
+            df, col, probs=tuple(sorted(probs)), exact=exact, accuracy=accuracy
+        ).collect()
+    ]
+    expr = None
+    for c in cuts:
+        term = (F.col(col) > F.lit(float(c))).cast("int")
+        expr = term if expr is None else expr + term
+    return df.withColumn(
+        bucket_col, F.when(F.col(col).isNotNull(), expr)
+    )

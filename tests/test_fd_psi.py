@@ -165,3 +165,55 @@ class TestIncrementalDedup:
         )
         rows = fingerprint_index(df, "text").collect()
         assert len(rows) == 1
+
+
+class TestFunnelReport:
+    def test_first_failure_charging_and_composition(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonoid_discovery_spark.operators.curation import (
+            funnel_report,
+            with_drop_reason,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "ok long enough", 10),
+             (2, None, 10),          # fails rule 1 (and would fail 2)
+             (3, "short", 2),        # fails rule 2
+             (4, "x", 1),            # fails rule 2 (and 3 via len)
+             (5, "fine here", 9)],
+            "id long, text string, n int",
+        )
+        rules = [
+            ("has_text", F.col("text").isNotNull()),
+            ("long_enough", F.coalesce(F.col("n") >= 5, F.lit(False))),
+            ("no_x", F.coalesce(~F.col("text").startswith("x"), F.lit(False))),
+        ]
+        rep = {r.rule: (r.n_in, r.n_dropped, r.n_out) for r in funnel_report(df, rules).collect()}
+        assert rep["has_text"] == (5, 1, 4)
+        assert rep["long_enough"] == (4, 2, 2)
+        assert rep["no_x"] == (2, 0, 2)
+        # per-row attribution
+        reasons = {
+            r.id: r.drop_reason
+            for r in with_drop_reason(df, rules).collect()
+        }
+        assert reasons == {1: None, 2: "has_text", 3: "long_enough",
+                           4: "long_enough", 5: None}
+
+    def test_all_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonoid_discovery_spark.operators.curation import funnel_report
+
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        rep = funnel_report(df, [("always", F.lit(True))]).collect()
+        assert rep[0].n_in == 2 and rep[0].n_dropped == 0 and rep[0].drop_ppm == 0
+
+    def test_empty_rules_rejected(self, spark):
+        from jsonoid_discovery_spark.operators.curation import funnel_report
+
+        df = spark.createDataFrame([(1,)], "id long")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            funnel_report(df, [])

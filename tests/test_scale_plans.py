@@ -109,3 +109,29 @@ class TestBucketedJoin:
             assert "Exchange" not in plan, plan
         finally:
             spark.sql("DROP TABLE IF EXISTS t_od_g")
+
+
+class TestQuantileBuckets:
+    def test_bucket_boundaries_and_nulls(self, spark):
+        from jsonoid_discovery_spark.operators.util import quantile_buckets
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)] + [(None,)], "v double"
+        )
+        out = quantile_buckets(df, "v", (0.25, 0.5, 0.75), exact=True)
+        rows = {r.v: r.bucket for r in out.collect()}
+        # exact quartile cuts of 1..100: 25.75 / 50.5 / 75.25
+        assert rows[1.0] == 0 and rows[25.0] == 0
+        assert rows[26.0] == 1 and rows[50.0] == 1
+        assert rows[51.0] == 2 and rows[75.0] == 2
+        assert rows[76.0] == 3 and rows[100.0] == 3
+        assert rows[None] is None
+
+    def test_no_shuffle_after_cuts(self, spark):
+        from jsonoid_discovery_spark.operators.util import quantile_buckets
+
+        df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+        out = quantile_buckets(df, "v", (0.5,), exact=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # bucket assignment is a projection: no Exchange in the row path
+        assert "Exchange" not in plan, plan
