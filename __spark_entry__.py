@@ -1032,6 +1032,28 @@ def _lm_score_documents(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_lm_score(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def _classifier_score_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed bag-of-ngrams linear classifier inference
+    (text.classifier_score) — the fastText-style quality-filter stage:
+    distinct lowercased unigrams+bigrams hashed with pmod(xxhash64, 1024)
+    into a broadcast weight array, quantized-DECIMAL(18,6) sum, sigmoid.
+    The demo weights are deterministic (hashed_classifier_weights seed=7);
+    production passes trained weights — identical plan. The oracle replays
+    the gram build, the hash (generated XXH64 SQL) and the decimal sum."""
+    from jsonoid_discovery_spark.operators.text import (
+        classifier_score,
+        hashed_classifier_weights,
+    )
+
+    return classifier_score(
+        _t(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        hashed_classifier_weights(1024, seed=7),
+        bias=0.05,
+    ).orderBy("doc")
+
+
 def _domain_cap_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain cap (curation.per_key_cap, cap=10 by xxhash64 rank): the
     exact two-phase salted top-N — the hot key never sorts in one task.
@@ -1357,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_documents": _dedup_incremental_documents,
         "funnel_documents": _funnel_documents,
         "quantile_buckets_lineitem": _quantile_buckets_lineitem,
+        "classifier_score_documents": _classifier_score_documents,
     }
 
 
@@ -1869,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
         """,
         "domain_cap_documents": _domain_cap_oracle_sql(),
+        "classifier_score_documents": _classifier_oracle_sql(),
         "skew_report_orders": """
             WITH counts AS (
               SELECT o_custkey AS key, count(*)::BIGINT AS n
@@ -2912,6 +2936,67 @@ def _sample_oracle_sql() -> str:
             FROM kept WHERE bucket < thr GROUP BY lang
         """
     )
+
+
+def _classifier_oracle_sql(
+    n_buckets: int = 1024, seed: int = 7, bias: float = 0.05, thr: float = 0.5
+) -> str:
+    """DuckDB oracle for classifier_score_documents: the same distinct
+    unigram+bigram build (DuckDB list ops mirror the Spark higher-order
+    functions), the same pmod(xxhash64(gram), n_buckets) bucket via the
+    generated XXH64 SQL, the same 6-decimal weight literals summed as
+    DECIMAL(18,6) — so logit is exact and prob/keep agree after round(6).
+    Null/empty-text docs re-enter via a LEFT JOIN with bias-only scores
+    (the operator keeps them through explode_outer)."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import (
+        with_clause,
+        xxh64_str_ctes,
+    )
+    from jsonoid_discovery_spark.operators.text import hashed_classifier_weights
+
+    wq = hashed_classifier_weights(n_buckets, seed=seed)
+    wlit = "[" + ", ".join(f"{w:.6f}" for w in wq) + "]"
+    stages, fin = xxh64_str_ctes("grams", "g", "h")
+    head = f"""
+        docs0 AS (
+          SELECT doc_id AS doc,
+                 string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+          SELECT doc, unnest(
+            list_distinct(list_filter(ws, x -> x <> ''))
+            || CASE WHEN len(ws) >= 2 THEN
+                 list_distinct(list_filter(
+                   list_transform(range(1, len(ws)),
+                                  i -> CASE WHEN ws[i] <> '' AND ws[i+1] <> ''
+                                       THEN ws[i] || ' ' || ws[i+1] END),
+                   x -> x IS NOT NULL))
+               ELSE [] END) AS g
+          FROM docs0
+        ),
+        """
+    tail = f""",
+        wl AS (SELECT {wlit}::DOUBLE[] AS w),
+        agg AS (
+          SELECT doc, count(*)::BIGINT AS n_feats,
+                 sum(w[(((h % {n_buckets}) + {n_buckets}) % {n_buckets} + 1)::INT]
+                     ::DECIMAL(18,6)) AS sumw
+          FROM {fin} CROSS JOIN wl GROUP BY doc
+        ),
+        scored AS (
+          SELECT d.doc_id AS doc,
+                 coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+                 (coalesce(a.sumw, 0::DECIMAL(18,6))
+                  + {round(bias, 6)}::DECIMAL(18,6))::DOUBLE AS logit
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc
+        )
+        SELECT doc, n_feats, logit,
+               round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+               round(1.0 / (1.0 + exp(-logit)), 6) >= {round(thr, 6)} AS keep
+        FROM scored ORDER BY doc
+    """
+    return "WITH " + head + with_clause(stages) + tail
 
 
 def _domain_cap_oracle_sql(cap: int = 10) -> str:

@@ -286,3 +286,128 @@ def vocabulary(
             ).alias("cum_coverage"),
         )
     )
+
+
+# ---------------------------------------------- hashed linear classifier
+
+
+def hashed_classifier_weights(n_buckets: int = 1024, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-weights for ``classifier_score`` demos/tests:
+    ``w[i] = xxh64_long(i, seed)`` mapped uniformly into [-1, 1] and
+    quantized to 6 decimals. Production use passes REAL trained weights
+    (e.g. exported from a fastText / sklearn hashing-trick logistic
+    regression) — the inference plan is identical either way."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long
+
+    return [
+        round((xxh64_long(i, seed) % 2000001) / 1000000.0 - 1.0, 6)
+        for i in range(n_buckets)
+    ]
+
+
+def classifier_score(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    weights: list[float],
+    *,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    fan_out: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-ngrams linear classifier INFERENCE — the fastText-style
+    quality/domain filter stage (Joulin et al. 2016; the hashing trick of
+    Weinberger et al. 2009) most production corpus pipelines run between
+    heuristic rules and mixing. The model is a plain weight vector: feature
+    j is the DISTINCT lowercased word unigram/bigram hashed with
+    ``pmod(xxhash64(gram), len(weights))``; ``logit = bias + sum w[j]``;
+    ``prob = sigmoid(logit)``; ``keep = prob >= threshold``. Binary
+    (presence) features, not counts — the usual choice for document-level
+    quality filters, and it makes the score length-robust.
+
+    Determinism: weights are quantized to 6 decimals and summed as
+    DECIMAL(18,6) — exact and order-independent, so the score is
+    bit-identical across partitionings and engines (the DuckDB oracle
+    replays the same hash via generated XXH64 SQL). The only doubles are
+    the final logit cast and the rounded sigmoid.
+
+    Scale shape: the gram build is a pure projection (the shingle_rows
+    Generate-barrier pattern — the split runs once per doc, NO exchange),
+    weight lookup is ``element_at`` on a broadcast array literal, and the
+    ONLY shuffle is the map-side-combined ``groupBy(doc)``. Rows with null
+    text survive with ``n_feats = 0`` and ``logit = bias``
+    (``explode_outer`` keeps them — no second corpus-keyed join).
+
+    Returns ``DataFrame[doc, n_feats, logit, prob, keep]``.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if fan_out:
+        from jsonoid_discovery_spark.operators.util import fan_out_input
+
+        df = fan_out_input(df)
+    nb = len(weights)
+    wq = [round(float(w), 6) for w in weights]
+    bias_q = round(float(bias), 6)
+    thr_q = round(float(threshold), 6)
+
+    ws = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        # Generate barrier: explode(array(split)) materializes the word
+        # array once; CollapseProject cannot re-inline the split into each
+        # per-gram element_at (the O(len^2) pathology — see shingle_rows).
+        F.explode(
+            F.array(
+                F.when(F.col(col).isNotNull(), ws).otherwise(
+                    F.array().cast("array<string>")
+                )
+            )
+        ).alias("ws"),
+    )
+    uni = F.filter(F.array_distinct(F.col("ws")), lambda s: s != "")
+    bi = F.when(
+        F.size("ws") >= 2,
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.when(
+                        (F.element_at(F.col("ws"), (i + 1).cast("int")) != "")
+                        & (F.element_at(F.col("ws"), (i + 2).cast("int")) != ""),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("ws"), (i + 1).cast("int")),
+                            F.element_at(F.col("ws"), (i + 2).cast("int")),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "doc", F.explode_outer(F.concat(uni, bi)).alias("g")
+    )
+    bucket = F.pmod(F.xxhash64(F.col("g")), F.lit(nb))
+    contrib = F.when(
+        F.col("g").isNotNull(),
+        F.element_at(F.lit(wq), (bucket + 1).cast("int")),
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    agg = feats.select(
+        "doc",
+        F.when(F.col("g").isNotNull(), 1).otherwise(0).alias("one"),
+        contrib.alias("wc"),
+    ).groupBy("doc").agg(
+        F.sum("one").cast("long").alias("n_feats"),
+        F.sum("wc").alias("sumw"),
+    )
+    logit = (F.col("sumw") + F.lit(bias_q).cast("decimal(18,6)")).cast("double")
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return agg.select(
+        "doc",
+        "n_feats",
+        logit.alias("logit"),
+        prob.alias("prob"),
+        (prob >= F.lit(thr_q)).alias("keep"),
+    )

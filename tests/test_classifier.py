@@ -1,0 +1,94 @@
+"""Hashed bag-of-ngrams linear classifier inference (text.classifier_score):
+python-replay exactness, partition invariance, null handling, plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.functions.xxh64_sql import signed, xxh64
+from jsonoid_discovery_spark.operators.text import (
+    classifier_score,
+    hashed_classifier_weights,
+)
+
+
+def _replay(text: str | None, weights: list[float], bias: float) -> tuple[int, float]:
+    """Reference replay: distinct lowercased unigrams+bigrams, xxhash64
+    bucket, quantized-decimal sum — the operator's documented semantics."""
+    nb = len(weights)
+    if text is None:
+        return 0, float(Decimal(str(round(bias, 6))))
+    ws = [t for t in text.strip(" ").lower().split() if t != ""]
+    grams = list(dict.fromkeys(ws))
+    grams += list(
+        dict.fromkeys(ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
+    )
+    s = Decimal("0")
+    for g in grams:
+        h = signed(xxh64(g.encode("utf-8")))
+        s += Decimal(str(round(weights[h % nb], 6)))
+    return len(grams), float(s + Decimal(str(round(bias, 6))))
+
+
+class TestClassifierScore:
+    def test_replay_parity_on_documents(self, spark, docs):
+        w = hashed_classifier_weights(256, seed=11)
+        out = classifier_score(docs, "text", "doc_id", w, bias=0.25)
+        got = {r["doc"]: r for r in out.collect()}
+        src = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert set(got) == set(src)
+        for d, t in src.items():
+            nf, lg = _replay(t, w, 0.25)
+            assert got[d]["n_feats"] == nf
+            assert got[d]["logit"] == pytest.approx(lg, abs=1e-12)
+            assert got[d]["prob"] == pytest.approx(
+                1.0 / (1.0 + math.exp(-lg)), abs=1e-6
+            )
+            assert got[d]["keep"] == (got[d]["prob"] >= 0.5)
+
+    def test_partition_invariance(self, spark, docs):
+        w = hashed_classifier_weights(64, seed=3)
+        a = classifier_score(docs, "text", "doc_id", w).orderBy("doc").collect()
+        b = (
+            classifier_score(docs.repartition(7), "text", "doc_id", w)
+            .orderBy("doc")
+            .collect()
+        )
+        assert a == b
+
+    def test_null_and_empty_text_rows_survive_with_bias(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   "), (4, "word")],
+            "doc_id long, text string",
+        )
+        w = [0.5] * 16
+        out = {
+            r["doc"]: r
+            for r in classifier_score(
+                df, "text", "doc_id", w, bias=-1.5, fan_out=False
+            ).collect()
+        }
+        assert len(out) == 4
+        for d in (1, 2, 3):
+            assert out[d]["n_feats"] == 0
+            assert out[d]["logit"] == pytest.approx(-1.5)
+        assert out[4]["n_feats"] == 1
+        assert out[4]["logit"] == pytest.approx(-1.0)
+        assert out[4]["keep"] is False
+
+    def test_plan_single_exchange_no_python(self, spark, docs):
+        from tests.test_plans import _op_count, _plan
+
+        w = hashed_classifier_weights(32)
+        plan = _plan(classifier_score(docs, "text", "doc_id", w, fan_out=False))
+        assert _op_count(plan, "Exchange") == 1  # only the groupBy(doc)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_empty_weights_guard(self, spark, docs):
+        with pytest.raises(ValueError):
+            classifier_score(docs, "text", "doc_id", [])
