@@ -271,6 +271,128 @@ def with_pii(df: DataFrame, col: str, redact: bool = False) -> DataFrame:
     return out
 
 
+# ------------------------------------------------------ code quality
+
+# Markers that identify machine-generated source files (checked lowercase).
+CODE_AUTOGEN_MARKERS: tuple[str, ...] = (
+    "auto-generated",
+    "autogenerated",
+    "do not edit",
+    "generated by",
+)
+
+
+def code_features(col: str | Column) -> dict[str, Column]:
+    """The published source-code quality-filter features (The Stack,
+    Kocetkov et al. 2022 §2; StarCoder, Li et al. 2023 §3.1): line-length
+    geometry, alphanumeric/alphabetic character fractions and the
+    auto-generated-file marker scan. All codegen'd array/regexp/contains
+    expressions over one lines-array — no Python, no shuffle; at 100 TB
+    this is a pure projection fused into whatever scan feeds it.
+
+    Character fractions are computed as ``length(regexp_replace(text,
+    negated-class, ''))/length(text)`` — one pass, no per-char list — and
+    every regex stays in the Java/RE2 shared subset so the DuckDB oracle
+    runs the identical pattern strings (with the explicit ``'g'`` flag:
+    DuckDB replaces first-match-only by default, Spark globally)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_chars = F.length(c)
+    alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", ""))
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    low = F.lower(c)
+    autogen = None
+    for m in CODE_AUTOGEN_MARKERS:
+        hit = low.contains(m)
+        autogen = hit if autogen is None else (autogen | hit)
+    return {
+        "n_lines": n_lines,
+        "max_line_len": F.array_max(
+            F.transform(lines, lambda l: F.length(l))
+        ).cast("long"),
+        "mean_line_len": (
+            F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+            / n_lines
+        ),
+        "long_line_frac": F.size(F.filter(lines, lambda l: F.length(l) > 120))
+        / n_lines,
+        "alnum_frac": F.when(
+            n_chars > 0, alnum.cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "alpha_frac": F.when(
+            n_chars > 0, alpha.cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "autogen": autogen.alias("autogen"),
+    }
+
+
+def code_keep(col: str | Column) -> Column:
+    """The Stack/StarCoder keep verdict at the published thresholds:
+    max line ≤ 1000 chars, mean line ≤ 100 chars, ≥ 25% alphanumeric
+    characters, and not an auto-generated file."""
+    f = code_features(col)
+    return (
+        (f["max_line_len"] <= 1000)
+        & (f["mean_line_len"] <= 100)
+        & (f["alnum_frac"] >= 0.25)
+        & (~f["autogen"])
+    ).alias("code_keep")
+
+
+def with_code_quality(df: DataFrame, col: str) -> DataFrame:
+    """df plus every code-quality feature column and the keep verdict."""
+    out = df
+    for name, expr in code_features(col).items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("code_keep", code_keep(col))
+
+
+# ------------------------------------------------------------- secrets
+
+# Credential detectors for source-code corpora (the code-payload complement
+# of PII_PATTERNS; see detect-secrets / gitleaks for the public pattern
+# families). Same Java-regex/RE2 shared subset contract: character classes,
+# bounded quantifiers, ASCII \b — no lookaround — so the DuckDB oracle runs
+# these very strings.
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "github_token": r"\bghp_[A-Za-z0-9]{36}\b",
+    "slack_token": r"\bxox[abprs]-[0-9A-Za-z\-]{10,48}",
+    "hex40": r"\b[0-9a-f]{40}\b",
+}
+
+
+def secret_counts(col: str | Column) -> dict[str, Column]:
+    """Per-category credential match counts for one document."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in SECRET_PATTERNS.items()
+    }
+
+
+def secret_redact(col: str | Column) -> Column:
+    """Replace every credential match with a typed placeholder; categories
+    apply in the fixed SECRET_PATTERNS order so output is deterministic
+    (aws_key runs before hex40, so an AKIA… token never half-matches)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in SECRET_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
+def with_secrets(df: DataFrame, col: str, redact: bool = False) -> DataFrame:
+    """df plus per-category secret counts (and the redacted text)."""
+    out = df
+    for name, expr in secret_counts(col).items():
+        out = out.withColumn(name, expr)
+    if redact:
+        out = out.withColumn(f"{col}_redacted", secret_redact(col))
+    return out
+
+
 # ------------------------------------------------------- stratified sample
 
 SAMPLE_BUCKETS = 1_000_000

@@ -210,3 +210,50 @@ def quantile_buckets(
     return df.withColumn(
         bucket_col, F.when(F.col(col).isNotNull(), expr)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 3.0,
+    exact: bool = False,
+    accuracy: int = 10000,
+    z_col: str = "robust_z",
+    flag_col: str = "outlier",
+) -> DataFrame:
+    """Robust outlier detection via the Hampel identifier: flag rows where
+    ``|x - median| > k * MAD`` (MAD = median absolute deviation). The
+    validation-tier anomaly screen — median/MAD are insensitive to the very
+    outliers being hunted, unlike mean/stddev z-scores, so a 0.1% corruption
+    band cannot mask itself (Hampel 1974; Leys et al. 2013 recommend k≈3).
+
+    Plan shape at any scale: TWO single-row aggregate jobs (median, then
+    MAD of deviations — mergeable ``percentile_approx`` sketches by
+    default, ``exact=True`` for the quantile_cont-parity mode used by
+    oracle checks; see column_percentiles for the tradeoff), then ONE
+    codegen'd projection with both scalars inlined as literals. No
+    shuffle, no sort, no Python in the row path, no raw-row collect.
+
+    Degenerate/edge semantics (test-pinned): MAD == 0 → ``robust_z`` is
+    null and a row is an outlier iff its deviation is nonzero (the
+    constant-column corruption case); null values get null z and null
+    flag (missingness is not an outlier verdict — not_null checks own it).
+    """
+    from pyspark.sql import functions as F
+
+    def _q50(frame: DataFrame, c) -> float:
+        fn = "percentile" if exact else "percentile_approx"
+        acc = "" if exact else f", {accuracy}"
+        row = frame.select(c.alias("__v")).agg(
+            F.expr(f"{fn}(__v, 0.5D{acc})").alias("m")
+        ).first()
+        return float(row["m"]) if row["m"] is not None else float("nan")
+
+    med = _q50(df, F.col(col))
+    dev = F.abs(F.col(col) - F.lit(med))
+    mad = _q50(df, dev)
+    z = F.when(F.lit(mad > 0), dev / F.lit(mad))
+    return df.withColumn(z_col, z).withColumn(
+        flag_col,
+        F.when(F.col(col).isNotNull(), F.coalesce(z > k, dev > 0)),
+    )
