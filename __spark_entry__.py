@@ -769,6 +769,36 @@ def _pii_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Score-proportional deterministic sampling (curation.weighted_sample):
+    keep iff pmod(xxhash64(doc_id), 1e6) < floor(weight * 1e6) with a
+    per-row weight ((n_chars % 1000)/1000.0 — a deterministic stand-in for
+    a classifier score). floor (not a cast) because double→long casts
+    truncate in Spark but round in DuckDB; the oracle replays hash, clamp,
+    floor and keep rule exactly, then the same per-lang aggregate."""
+    from jsonoid_discovery_spark.operators.curation import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    w = (F.col("n_chars") % 1000) / F.lit(1000.0)
+    return (
+        weighted_sample(d, w, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_ids"))
+    )
+
+
+def _mi_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact categorical mutual information (analyses.mutual_information)
+    between o_orderstatus and o_orderpriority: ONE (x,y) groupBy shuffle,
+    marginals via window sums over the |X|·|Y|-row aggregate, per-pair
+    contributions quantized to DECIMAL(18,6) before any total (the
+    psi_drift convention). The oracle replays joint counts, window
+    marginals and the round-6 log2 contribution."""
+    from jsonoid_discovery_spark.operators.analyses import mutual_information
+
+    return mutual_information(_t(spark, sf, "orders"), "o_orderstatus", "o_orderpriority")
+
+
 def _code_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
     """The Stack/StarCoder code-quality filter (curation.with_code_quality;
     Kocetkov et al. 2022 §2, Li et al. 2023 §3.1) over text AUGMENTED with
@@ -1477,6 +1507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_documents": _code_quality_documents,
         "secrets_documents": _secrets_documents,
         "outliers_lineitem": _outliers_lineitem,
+        "weighted_sample_documents": _weighted_sample_documents,
+        "mi_orders": _mi_orders,
     }
 
 
@@ -1993,6 +2025,8 @@ def oracle_sql() -> dict[str, str]:
         "code_quality_documents": _CODE_QUALITY_ORACLE_SQL,
         "secrets_documents": _secrets_oracle_sql(),
         "outliers_lineitem": _OUTLIERS_ORACLE_SQL,
+        "weighted_sample_documents": _weighted_sample_oracle_sql(),
+        "mi_orders": _MI_ORDERS_ORACLE_SQL,
         "skew_report_orders": """
             WITH counts AS (
               SELECT o_custkey AS key, count(*)::BIGINT AS n
@@ -3016,6 +3050,49 @@ _CODE_QUALITY_ORACLE_SQL = r"""
     SELECT *, (max_line_len <= 1000 AND mean_line_len <= 100
       AND alnum_frac >= 0.25 AND NOT autogen) AS code_keep
     FROM feat
+"""
+
+
+def _weighted_sample_oracle_sql() -> str:
+    """DuckDB oracle for weighted_sample_documents: replay the keep rule
+    pmod(xxhash64(doc_id), 1e6) < floor(clamp(w)·1e6) via the generated
+    XXH64 hashLong SQL, with the identical clamp/floor double arithmetic."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+    from jsonoid_discovery_spark.operators.curation import SAMPLE_BUCKETS
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h")
+    return (
+        "WITH " + with_clause(stages)
+        + f""",
+            kept AS (
+              SELECT lang, doc_id,
+                ((h % {SAMPLE_BUCKETS}) + {SAMPLE_BUCKETS}) % {SAMPLE_BUCKETS} AS bucket,
+                floor(least(greatest(((n_chars % 1000) / 1000.0), 0.0), 1.0)
+                      * {SAMPLE_BUCKETS}.0) AS thr
+              FROM {fin}
+            )
+            SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids
+            FROM kept WHERE bucket < thr GROUP BY lang
+        """
+    )
+
+
+_MI_ORDERS_ORACLE_SQL = """
+    WITH joint AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y, count(*)::BIGINT AS n_xy
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, n_xy,
+        sum(n_xy) OVER (PARTITION BY x)::BIGINT AS n_x,
+        sum(n_xy) OVER (PARTITION BY y)::BIGINT AS n_y,
+        sum(n_xy) OVER ()::BIGINT AS n
+      FROM joint
+    )
+    SELECT x, y, n_xy, n_x, n_y, n,
+      round((n_xy::DOUBLE / n) * log2((n_xy::DOUBLE * n) / (n_x::DOUBLE * n_y)), 6)
+        ::DECIMAL(18,6) AS mi_contrib
+    FROM m
 """
 
 

@@ -221,6 +221,59 @@ def functional_dependencies(
     )
 
 
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str, quantize: int = 6
+) -> DataFrame:
+    """Exact mutual information between two categorical columns, in bits —
+    the dependence strength that softened FDs (above) and chi-square drift
+    both approximate: MI = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))). The standard
+    column-correlation diagnostic for picking partition keys and spotting
+    redundant features before a big join.
+
+    Plan shape at any scale: ONE map-side-combined (x, y) groupBy — the
+    only shuffle, sized by the corpus — then marginals/total via window
+    sums over the AGGREGATED frame, whose row count is |X|·|Y| (categorical
+    by assumption; screen cardinality first with key_skew_summary /
+    approx_count_distinct if unsure). No raw-row collect, no Python.
+
+    Each pair's contribution is rounded to ``quantize`` decimals and cast
+    to DECIMAL(18,6) *before* any downstream sum, so totals are
+    order/partition/engine independent (the psi_drift convention — a 1-ulp
+    log2 divergence between libm implementations dies at round-6 whp).
+    Counts multiply as doubles (n_xy·n overflows int64 at 10^12 rows).
+    Null categories group like any other value in both engines' GROUP BY.
+
+    Returns ``DataFrame[x, y, n_xy, n_x, n_y, n, mi_contrib]``; the MI
+    total is the decimal sum of ``mi_contrib``."""
+    from pyspark.sql import Window
+
+    joint = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    n_x = F.sum("n_xy").over(Window.partitionBy("x"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("y"))
+    n = F.sum("n_xy").over(Window.partitionBy())
+    out = joint.select("x", "y", "n_xy", n_x.alias("n_x"), n_y.alias("n_y"), n.alias("n"))
+    nxy = F.col("n_xy").cast("double")
+    contrib = (nxy / F.col("n")) * F.log2(
+        (nxy * F.col("n")) / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return out.withColumn(
+        "mi_contrib", F.round(contrib, quantize).cast("decimal(18,6)")
+    )
+
+
+def mutual_information_bits(df: DataFrame, x_col: str, y_col: str) -> float:
+    """Scalar MI(x; y) in bits: the exact decimal sum of per-pair
+    contributions (order-independent by construction)."""
+    row = (
+        mutual_information(df, x_col, y_col)
+        .agg(F.sum("mi_contrib").alias("mi"))
+        .head()
+    )
+    return float(row["mi"]) if row["mi"] is not None else 0.0
+
+
 # ---------------------------------------------------------------------------
 # subset / incompatibility
 

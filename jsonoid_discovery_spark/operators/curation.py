@@ -429,6 +429,38 @@ def stratified_sample(
     return df.where(bucket < thr_col)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key_col: str,
+    seed: int | None = None,
+) -> DataFrame:
+    """Score-proportional deterministic sampling: each row survives with
+    probability equal to its own (clamped-to-[0,1]) weight — keep iff
+    ``pmod(xxhash64(key[, seed]), 1e6) < floor(weight * 1e6)``. The
+    quality-weighted corpus-selection step ("keep documents in proportion
+    to their classifier score"; e.g. DCLM, Li et al. 2024 §4.3 sample
+    by score rather than hard-threshold).
+
+    Same determinism contract as stratified_sample (a pure row function —
+    partition/AQE/retry/engine invariant), but the threshold is per-ROW, so
+    it cannot be fixed python-side; ``floor`` is used explicitly because
+    bare double→long casts truncate in Spark but round in DuckDB, while
+    floor agrees everywhere. Zero shuffles — a codegen'd filter.
+
+    Edge semantics (test-pinned): weight ≥ 1 keeps always, ≤ 0 never,
+    null weight drops the row (null comparisons are never true)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.floor(w * F.lit(float(SAMPLE_BUCKETS)))
+    h = (
+        F.xxhash64(F.col(key_col))
+        if seed is None
+        else F.xxhash64(F.col(key_col), F.lit(seed))
+    )
+    return df.where(F.pmod(h, F.lit(SAMPLE_BUCKETS)) < thr)
+
+
 def _hash_ordered(
     df: DataFrame, id_col: str, seed: int | None, num_partitions: int | None
 ) -> DataFrame:

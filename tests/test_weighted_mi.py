@@ -1,0 +1,123 @@
+"""Score-proportional sampling (curation.weighted_sample) and exact
+categorical mutual information (analyses.mutual_information): semantics,
+determinism, edge cases."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.analyses import (
+    mutual_information,
+    mutual_information_bits,
+)
+from jsonoid_discovery_spark.operators.curation import weighted_sample
+
+
+# --------------------------------------------------------- weighted_sample
+
+
+def _ids(spark, n=1000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_weighted_sample_extremes(spark):
+    d = _ids(spark).withColumn("w", (F.col("doc_id") % 2 == 0).cast("double"))
+    kept = weighted_sample(d, "w", "doc_id").collect()
+    # weight 1.0 rows all kept, weight 0.0 rows never
+    assert all(r["doc_id"] % 2 == 0 for r in kept)
+    assert len(kept) == 500
+
+
+def test_weighted_sample_null_weight_drops(spark):
+    d = _ids(spark, 10).withColumn(
+        "w", F.when(F.col("doc_id") < 5, F.lit(1.0))
+    )
+    kept = sorted(r["doc_id"] for r in weighted_sample(d, "w", "doc_id").collect())
+    assert kept == [0, 1, 2, 3, 4]
+
+
+def test_weighted_sample_clamps_out_of_range(spark):
+    d = _ids(spark, 100).withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(7.5)).otherwise(F.lit(-3.0))
+    )
+    kept = weighted_sample(d, "w", "doc_id").collect()
+    assert len(kept) == 50 and all(r["doc_id"] % 2 == 0 for r in kept)
+
+
+def test_weighted_sample_monotone_supersets(spark):
+    # same key hash, larger weight -> strictly larger threshold -> superset
+    d = _ids(spark, 2000)
+    lo = {r["doc_id"] for r in weighted_sample(d, F.lit(0.3), "doc_id").collect()}
+    hi = {r["doc_id"] for r in weighted_sample(d, F.lit(0.8), "doc_id").collect()}
+    assert lo <= hi
+    # rates track the weights (hash is uniform)
+    assert abs(len(lo) / 2000 - 0.3) < 0.05
+    assert abs(len(hi) / 2000 - 0.8) < 0.05
+
+
+def test_weighted_sample_partition_invariant(spark):
+    d = _ids(spark, 500).withColumn("w", (F.col("doc_id") % 10) / F.lit(10.0))
+    a = sorted(r["doc_id"] for r in weighted_sample(d, "w", "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(d.repartition(13), "w", "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_is_filter_only(spark):
+    d = _ids(spark).withColumn("w", F.lit(0.5))
+    plan = weighted_sample(d, "w", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_seed_changes_selection(spark):
+    d = _ids(spark, 2000).withColumn("w", F.lit(0.5))
+    a = {r["doc_id"] for r in weighted_sample(d, "w", "doc_id").collect()}
+    b = {r["doc_id"] for r in weighted_sample(d, "w", "doc_id", seed=99).collect()}
+    assert a != b and abs(len(b) / 2000 - 0.5) < 0.05
+
+
+# ------------------------------------------------------ mutual information
+
+
+def test_mi_independent_is_zero(spark):
+    # uniform independent bits: every contribution is log2(1) = 0 exactly
+    rows = [(i % 2, (i // 2) % 2) for i in range(400)]
+    d = spark.createDataFrame(rows, "x int, y int")
+    assert mutual_information_bits(d, "x", "y") == 0.0
+
+
+def test_mi_identical_column_is_entropy(spark):
+    # y == x uniform over 4 values: MI = H(X) = 2 bits
+    rows = [(i % 4, i % 4) for i in range(400)]
+    d = spark.createDataFrame(rows, "x int, y int")
+    assert abs(mutual_information_bits(d, "x", "y") - 2.0) < 1e-5
+
+
+def test_mi_crafted_value(spark):
+    # joint: (0,0)x2 (0,1)x1 (1,0)x1 (1,1)x4  -> closed-form MI
+    rows = [(0, 0)] * 2 + [(0, 1)] + [(1, 0)] + [(1, 1)] * 4
+    d = spark.createDataFrame(rows, "x int, y int")
+    n = 8.0
+    expect = 0.0
+    for nxy, nx, ny in [(2, 3, 3), (1, 3, 5), (1, 5, 3), (4, 5, 5)]:
+        expect += round((nxy / n) * math.log2((nxy * n) / (nx * ny)), 6)
+    got = mutual_information_bits(d, "x", "y")
+    assert abs(got - expect) < 1e-9
+    out = mutual_information(d, "x", "y").collect()
+    assert {(r["x"], r["y"]): r["n_xy"] for r in out} == {
+        (0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 4,
+    }
+    assert all(r["n"] == 8 for r in out)
+
+
+def test_mi_null_category_groups(spark):
+    rows = [(None, "a")] * 5 + [("k", "b")] * 5
+    d = spark.createDataFrame(rows, "x string, y string")
+    out = mutual_information(d, "x", "y").collect()
+    assert len(out) == 2
+    # perfectly dependent binary split -> 1 bit
+    assert abs(mutual_information_bits(d, "x", "y") - 1.0) < 1e-6
