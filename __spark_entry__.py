@@ -769,6 +769,57 @@ def _pii_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _encoding_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-hygiene screen (text.with_encoding) over text AUGMENTED
+    with deterministic decode damage (mojibake markers for doc_id%6,
+    a U+FFFD for %10, a C0 control for %15 — the raw fixture is clean,
+    which would leave every rule vacuous). Patterns are explicit \\x
+    ranges + literal markers in the Java/RE2 shared subset; the oracle
+    replays them verbatim."""
+    from jsonoid_discovery_spark.operators.text import with_encoding
+
+    did = F.col("doc_id")
+    d = _t(spark, sf, "documents").withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.when(did % 6 == 0, F.lit(" cafÃ© â€™quoteâ€™")).otherwise(F.lit("")),
+            F.when(did % 10 == 0, F.lit(" bad�byte")).otherwise(F.lit("")),
+            F.when(did % 15 == 0, F.lit(" ctl\x01\x02end")).otherwise(F.lit("")),
+        ),
+    )
+    return with_encoding(d, "aug").select(
+        "doc_id", "n_replacement", "control_frac", "non_ascii_frac",
+        "mojibake_hits", "encoding_keep",
+    )
+
+
+def _markup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual-HTML screen + strip (text.with_markup) over text AUGMENTED
+    with deterministic markup (tags + entities for doc_id%4 — the raw
+    fixture has none). The tag regex is bounded (no .*) so it is
+    linear-time in Java regex and RE2 alike; the oracle replays tags,
+    fractions and the fixed-order entity decode, and the stripped length
+    pins the rewrite output."""
+    from jsonoid_discovery_spark.operators.text import with_markup
+
+    did = F.col("doc_id")
+    d = _t(spark, sf, "documents").withColumn(
+        "aug",
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("<div class=\"post\"><p>"), F.col("text"),
+                F.lit("</p> <b>x &amp; y</b> &lt;tag&gt; &#39;q&#39;</div>"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return with_markup(d, "aug", strip=True).select(
+        "doc_id", "n_tags", "tag_char_frac", "n_entities",
+        F.length("aug_stripped").alias("stripped_len"),
+    )
+
+
 def _weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Score-proportional deterministic sampling (curation.weighted_sample):
     keep iff pmod(xxhash64(doc_id), 1e6) < floor(weight * 1e6) with a
@@ -1509,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_lineitem": _outliers_lineitem,
         "weighted_sample_documents": _weighted_sample_documents,
         "mi_orders": _mi_orders,
+        "encoding_documents": _encoding_documents,
+        "markup_documents": _markup_documents,
     }
 
 
@@ -2027,6 +2080,8 @@ def oracle_sql() -> dict[str, str]:
         "outliers_lineitem": _OUTLIERS_ORACLE_SQL,
         "weighted_sample_documents": _weighted_sample_oracle_sql(),
         "mi_orders": _MI_ORDERS_ORACLE_SQL,
+        "encoding_documents": _encoding_oracle_sql(),
+        "markup_documents": _markup_oracle_sql(),
         "skew_report_orders": """
             WITH counts AS (
               SELECT o_custkey AS key, count(*)::BIGINT AS n
@@ -3051,6 +3106,79 @@ _CODE_QUALITY_ORACLE_SQL = r"""
       AND alnum_frac >= 0.25 AND NOT autogen) AS code_keep
     FROM feat
 """
+
+
+def _encoding_oracle_sql() -> str:
+    """DuckDB oracle for encoding_documents: identical augmentation
+    (control chars via chr()), identical \\x-range and literal-marker
+    patterns imported from the module so they cannot drift."""
+    from jsonoid_discovery_spark.operators.text import (
+        MOJIBAKE_MARKERS,
+        _CONTROL_CLASS,
+    )
+
+    moji = " + ".join(
+        f"len(regexp_extract_all(aug, '{m}'))" for m in MOJIBAKE_MARKERS
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+            text
+            || (CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© â€™quoteâ€™' ELSE '' END)
+            || (CASE WHEN doc_id % 10 = 0 THEN ' bad�byte' ELSE '' END)
+            || (CASE WHEN doc_id % 15 = 0
+                     THEN ' ctl' || chr(1) || chr(2) || 'end' ELSE '' END) AS aug
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id,
+            len(regexp_extract_all(aug, '�'))::BIGINT AS n_replacement,
+            CASE WHEN length(aug) > 0
+                 THEN len(regexp_extract_all(aug, '{_CONTROL_CLASS}'))::DOUBLE / length(aug)
+                 ELSE 0.0 END AS control_frac,
+            CASE WHEN length(aug) > 0
+                 THEN len(regexp_extract_all(aug, '[^\\x00-\\x7F]'))::DOUBLE / length(aug)
+                 ELSE 0.0 END AS non_ascii_frac,
+            ({moji})::BIGINT AS mojibake_hits
+          FROM base
+        )
+        SELECT *, (n_replacement = 0 AND mojibake_hits = 0
+                   AND control_frac < 0.001) AS encoding_keep
+        FROM feat
+    """
+
+
+def _markup_oracle_sql() -> str:
+    """DuckDB oracle for markup_documents: identical augmentation, the
+    module's own bounded tag/entity patterns, global regexp_replace and
+    the same fixed-order entity decode chain."""
+    from jsonoid_discovery_spark.operators.text import _ENTITY_PATTERN, _TAG_PATTERN
+
+    stripped = f"regexp_replace(aug, '{_TAG_PATTERN}', '', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&amp;", "&"),
+    ):
+        stripped = f"replace({stripped}, '{ent}', '{ch}')"
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0
+                 THEN '<div class="post"><p>' || text
+                      || '</p> <b>x &amp; y</b> &lt;tag&gt; &#39;q&#39;</div>'
+                 ELSE text END AS aug
+          FROM documents
+        )
+        SELECT doc_id,
+          len(regexp_extract_all(aug, '{_TAG_PATTERN}'))::BIGINT AS n_tags,
+          CASE WHEN length(aug) > 0
+               THEN (length(aug) - length(regexp_replace(aug, '{_TAG_PATTERN}', '', 'g')))::DOUBLE
+                    / length(aug)
+               ELSE 0.0 END AS tag_char_frac,
+          len(regexp_extract_all(aug, '{_ENTITY_PATTERN}'))::BIGINT AS n_entities,
+          length({stripped}) AS stripped_len
+        FROM base
+    """
 
 
 def _weighted_sample_oracle_sql() -> str:

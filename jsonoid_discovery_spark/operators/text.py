@@ -91,6 +91,122 @@ def quality_score(col: str | Column) -> Column:
     return (len_ok * 0.4 + rep_ok * 0.4 + punct_ok * 0.2).alias("quality")
 
 
+# ------------------------------------------------------ encoding hygiene
+
+# Classic UTF-8-decoded-as-Latin-1 artifacts ("mojibake"): fixed literal
+# markers, not a unicode-class regex, so Java and RE2 cannot diverge.
+MOJIBAKE_MARKERS: tuple[str, ...] = (
+    "â€™", "â€œ", "â€“", "â€”", "Ã©", "Ã¨", "Ã¼", "Ã¶", "Ã±", "Â«",
+)
+
+# C0 controls except \t \n \r, plus DEL — the "binary junk in text" class.
+_CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def encoding_features(col: str | Column) -> dict[str, Column]:
+    """Encoding-hygiene screen (the CCNet/RefinedWeb "broken decode" drop
+    stage): U+FFFD replacement-char count, control-character fraction,
+    non-ASCII fraction, and mojibake-artifact hits. Pure codegen'd
+    regexp_count expressions; every pattern lives in the Java/RE2 shared
+    subset (explicit ``\\x`` ranges and literal markers — no unicode
+    property classes) so the DuckDB oracle runs the identical strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    controls = F.regexp_count(c, F.lit(_CONTROL_CLASS)).cast("long")
+    non_ascii = F.regexp_count(c, F.lit(r"[^\x00-\x7F]")).cast("long")
+    moji = None
+    for m in MOJIBAKE_MARKERS:
+        term = F.regexp_count(c, F.lit(_re_escape(m))).cast("long")
+        moji = term if moji is None else (moji + term)
+    return {
+        "n_replacement": F.regexp_count(c, F.lit("�")).cast("long"),
+        "control_frac": F.when(
+            n_chars > 0, controls.cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "non_ascii_frac": F.when(
+            n_chars > 0, non_ascii.cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "mojibake_hits": moji,
+    }
+
+
+def encoding_keep(col: str | Column) -> Column:
+    """Keep verdict: no replacement chars, no mojibake artifacts, and under
+    0.1% control characters."""
+    f = encoding_features(col)
+    return (
+        (f["n_replacement"] == 0)
+        & (f["mojibake_hits"] == 0)
+        & (f["control_frac"] < 0.001)
+    ).alias("encoding_keep")
+
+
+def with_encoding(df: "DataFrame", col: str) -> "DataFrame":
+    """df plus every encoding-hygiene feature and the keep verdict."""
+    out = df
+    for name, expr in encoding_features(col).items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("encoding_keep", encoding_keep(col))
+
+
+def _re_escape(s: str) -> str:
+    """Escape a literal for use inside a regex — only ASCII metachars need
+    escaping, and both Java regex and RE2 accept the same backslash forms."""
+    out = []
+    for ch in s:
+        if ch in r"\.^$|?*+()[]{}":
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)
+
+
+# ------------------------------------------------------------- markup
+
+_TAG_PATTERN = r"</?[A-Za-z][A-Za-z0-9]{0,30}[^<>]{0,200}>"
+_ENTITY_PATTERN = r"&[A-Za-z]{2,10};|&#[0-9]{1,7};"
+
+
+def markup_features(col: str | Column) -> dict[str, Column]:
+    """Residual-HTML screen for web-extracted corpora: tag count, the
+    fraction of characters inside tags, and entity count. The tag regex is
+    bounded (``{0,200}`` body, no ``.*``) so it is linear-time in both
+    engines and cannot catastrophically backtrack in Java regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    stripped = F.regexp_replace(c, _TAG_PATTERN, "")
+    return {
+        "n_tags": F.regexp_count(c, F.lit(_TAG_PATTERN)).cast("long"),
+        "tag_char_frac": F.when(
+            n_chars > 0,
+            (n_chars - F.length(stripped)).cast("double") / n_chars,
+        ).otherwise(F.lit(0.0)),
+        "n_entities": F.regexp_count(c, F.lit(_ENTITY_PATTERN)).cast("long"),
+    }
+
+
+def strip_markup(col: str | Column) -> Column:
+    """Remove tags, then decode the five XML built-in entities (in a fixed
+    order, &amp; last so it cannot create new entities to decode)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _TAG_PATTERN, "")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def with_markup(df: "DataFrame", col: str, strip: bool = False) -> "DataFrame":
+    """df plus markup features (and the stripped text)."""
+    out = df
+    for name, expr in markup_features(col).items():
+        out = out.withColumn(name, expr)
+    if strip:
+        out = out.withColumn(f"{col}_stripped", strip_markup(col))
+    return out
+
+
 def fingerprint(col: str | Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized text
     (lowercase, collapsed whitespace) — the exact-near-dup key."""

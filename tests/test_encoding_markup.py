@@ -1,0 +1,100 @@
+"""Encoding-hygiene and residual-markup screens (operators/text.py):
+semantics on crafted inputs, entity-decode ordering, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.text import (
+    MOJIBAKE_MARKERS,
+    strip_markup,
+    with_encoding,
+    with_markup,
+)
+
+
+def _df(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def test_encoding_clean_text_keeps(spark):
+    r = with_encoding(_df(spark, [(1, "a perfectly normal sentence.")]), "text").first()
+    assert r["n_replacement"] == 0 and r["mojibake_hits"] == 0
+    assert r["control_frac"] == 0.0 and r["encoding_keep"] is True
+
+
+def test_encoding_detects_each_damage_class(spark):
+    rows = [
+        (1, "bad � byte"),                   # replacement char
+        (2, "smart â€™ quote and cafÃ©"),          # two mojibake markers
+        (3, "ctl \x01\x02\x1f chars"),             # C0 controls
+        (4, "tabs\tand\nnewlines\rok"),            # \t \n \r are NOT controls here
+    ]
+    got = {r["doc_id"]: r for r in with_encoding(_df(spark, rows), "text").collect()}
+    assert got[1]["n_replacement"] == 1 and got[1]["encoding_keep"] is False
+    assert got[2]["mojibake_hits"] == 2 and got[2]["encoding_keep"] is False
+    assert got[3]["control_frac"] > 0.001 and got[3]["encoding_keep"] is False
+    assert got[4]["control_frac"] == 0.0 and got[4]["encoding_keep"] is True
+
+
+def test_encoding_non_ascii_frac_counts_code_points(spark):
+    # 2 CJK code points of 7 total chars
+    r = with_encoding(_df(spark, [(1, "ab 友達 c")]), "text").first()
+    assert abs(r["non_ascii_frac"] - 2 / 7) < 1e-12
+
+
+def test_encoding_every_marker_fires(spark):
+    rows = [(i, f"x {m} y") for i, m in enumerate(MOJIBAKE_MARKERS)]
+    out = with_encoding(_df(spark, rows), "text").collect()
+    assert all(r["mojibake_hits"] == 1 for r in out)
+
+
+def test_encoding_plan_is_projection_only(spark):
+    d = _df(spark, [(1, "x")])
+    plan = with_encoding(d, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------ markup
+
+
+def test_markup_counts_and_strip(spark):
+    r = with_markup(
+        _df(spark, [(1, '<div class="x"><p>hi</p> &amp; <br/></div>')]),
+        "text",
+        strip=True,
+    ).first()
+    assert r["n_tags"] == 5
+    assert r["n_entities"] == 1
+    assert r["text_stripped"] == "hi & "
+
+
+def test_markup_ignores_bare_angle_brackets(spark):
+    # comparisons and empty angles are not tags
+    r = with_markup(_df(spark, [(1, "if a < b and c > d then <> <1>")]), "text").first()
+    assert r["n_tags"] == 0 and r["tag_char_frac"] == 0.0
+
+
+def test_markup_entity_decode_order(spark):
+    # &amp;lt; decodes the &amp; LAST, so the result is the literal "&lt;"
+    # (never double-decoded into "<")
+    got = (
+        _df(spark, [(1, "&amp;lt;")])
+        .select(strip_markup("text").alias("s"))
+        .first()["s"]
+    )
+    assert got == "&lt;"
+
+
+def test_markup_numeric_entities_counted(spark):
+    r = with_markup(_df(spark, [(1, "&#39;q&#39; &#128512;")]), "text").first()
+    assert r["n_entities"] == 3
+
+
+def test_markup_plan_is_projection_only(spark):
+    d = _df(spark, [(1, "x")])
+    plan = with_markup(d, "text", strip=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
