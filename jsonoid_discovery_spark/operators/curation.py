@@ -1295,14 +1295,20 @@ def write_shards(
     shard_col: str = "shard",
     rank_col: str = "rank",
     mode: str = "error",
+    format: str = "parquet",
 ) -> DataFrame:
     """Sharded training-corpus export: assign shards with ``shard_assign``,
-    write ``parquet`` partitioned by the shard column (one directory per
-    shard — the layout data loaders stream sequentially), and return a
+    write ``format`` (``parquet`` default, or ``json`` = JSONL — the layout
+    tokenizer loaders consume directly) partitioned by the shard column
+    (one directory per shard, streamed sequentially), and return a
     per-shard MANIFEST DataFrame read back from the WRITTEN files (docs,
     token sum, rank span per shard) — the manifest audits the sink, not
     the plan. Writers scale with the cluster; the manifest aggregation is
-    shard-count-sized."""
+    shard-count-sized. JSONL reads back through Spark's schema inference,
+    so the manifest works against either format; parquet remains the right
+    archival layout (columnar re-reads), JSONL the loader-facing one."""
+    if format not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format: {format!r}")
     assigned = shard_assign(
         df,
         id_col,
@@ -1314,8 +1320,8 @@ def write_shards(
         shard_col=shard_col,
         rank_col=rank_col,
     )
-    assigned.write.partitionBy(shard_col).mode(mode).parquet(path)
-    written = df.sparkSession.read.parquet(path)
+    assigned.write.partitionBy(shard_col).mode(mode).format(format).save(path)
+    written = df.sparkSession.read.format(format).load(path)
     tok = (
         F.sum(F.coalesce(F.col(token_col).cast("long"), F.lit(0)))
         if token_col is not None

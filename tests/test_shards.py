@@ -138,6 +138,33 @@ def test_write_shards_sink_and_manifest(spark, toks, tmp_path):
         assert b0 == a1 + 1
 
 
+def test_write_shards_jsonl_format(spark, toks, tmp_path):
+    from jsonoid_discovery_spark.operators.curation import shard_assign, write_shards
+
+    path = str(tmp_path / "shards_jsonl")
+    man = write_shards(
+        toks, path, "id", docs_per_shard=100, num_partitions=4, format="json"
+    ).collect()
+    # the sink wrote newline-delimited JSON files under shard=N directories
+    import glob
+    import json as _json
+
+    files = glob.glob(f"{path}/shard=*/part-*.json")
+    assert files, "no JSONL part files written"
+    with open(files[0]) as fh:
+        first = _json.loads(fh.readline())
+    assert {"id", "tok", "rank"} <= set(first)
+    # identical shard assignment to the parquet sink
+    ppath = str(tmp_path / "shards_pq")
+    pman = write_shards(
+        toks, ppath, "id", docs_per_shard=100, num_partitions=4
+    ).collect()
+    key = lambda rows: sorted((r.shard, r.docs, r.min_rank, r.max_rank) for r in rows)
+    assert key(man) == key(pman)
+    with pytest.raises(ValueError):
+        write_shards(toks, path, "id", docs_per_shard=100, format="csvx")
+
+
 # -------------------------------------------------------- interleave_mixture
 
 
