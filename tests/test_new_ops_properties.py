@@ -1,0 +1,98 @@
+"""Property batteries for the round-5 additions: python-replay parity for
+weighted_sample and mutual_information on randomized inputs, and unicode
+robustness for the code-quality/encoding feature expressions."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long
+from jsonoid_discovery_spark.operators.analyses import (
+    mutual_information,
+    mutual_information_bits,
+)
+from jsonoid_discovery_spark.operators.curation import (
+    SAMPLE_BUCKETS,
+    weighted_sample,
+    with_code_quality,
+)
+from jsonoid_discovery_spark.operators.text import with_encoding
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.random() * 1.4 - 0.2) for i in range(3000)]  # incl. out-of-range
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(r["doc_id"] for r in weighted_sample(d, "w", "doc_id").collect())
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    expect = []
+    for i, w in rows:
+        h = signed(xxh64_long(i))
+        bucket = h % SAMPLE_BUCKETS  # python % is already pmod for positive modulus
+        thr = math.floor(min(max(w, 0.0), 1.0) * float(SAMPLE_BUCKETS))
+        if bucket < thr:
+            expect.append(i)
+    assert got == sorted(expect)
+
+
+def test_mutual_information_matches_python_replay_randomized(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        nx, ny = rng.randint(2, 5), rng.randint(2, 4)
+        rows = [
+            (rng.randint(0, nx - 1), rng.randint(0, ny - 1))
+            for _ in range(rng.randint(50, 400))
+        ]
+        d = spark.createDataFrame(rows, "x int, y int")
+        got = {
+            (r["x"], r["y"]): (r["n_xy"], r["n_x"], r["n_y"], r["n"], float(r["mi_contrib"]))
+            for r in mutual_information(d, "x", "y").collect()
+        }
+        n = len(rows)
+        from collections import Counter
+
+        joint, mx, my = Counter(rows), Counter(x for x, _ in rows), Counter(y for _, y in rows)
+        for (x, y), nxy in joint.items():
+            contrib = round(
+                (nxy / n) * math.log2((nxy * n) / (mx[x] * my[y])), 6
+            )
+            assert got[(x, y)] == (nxy, mx[x], my[y], n, contrib), (trial, x, y)
+
+
+def test_mutual_information_nonnegative_total(spark):
+    # Gibbs: exact MI >= 0; round-6 quantization error < 8e-7 per pair
+    rng = random.Random(23)
+    for _ in range(3):
+        rows = [(rng.randint(0, 3), rng.randint(0, 3)) for _ in range(300)]
+        d = spark.createDataFrame(rows, "x int, y int")
+        assert mutual_information_bits(d, "x", "y") >= -16 * 8e-7
+
+
+def test_code_quality_unicode_robust(spark):
+    rows = [
+        (1, "普通话文本没有空格但是很长" * 10),
+        (2, "mixed ascii と 日本語\nsecond line ☃"),
+        (3, "emoji 😀😀😀 line\n" * 5),
+    ]
+    out = with_code_quality(spark.createDataFrame(rows, "doc_id long, text string"), "text").collect()
+    for r in out:
+        # fractions stay in [0, 1] and line accounting stays consistent
+        assert 0.0 <= r["alnum_frac"] <= 1.0
+        assert 0.0 <= r["alpha_frac"] <= 1.0
+        assert r["max_line_len"] >= 1
+        assert r["n_lines"] >= 1
+
+
+def test_encoding_unicode_robust(spark):
+    rows = [(1, "日本語テキスト"), (2, "ascii only"), (3, "½ü emoji 😀")]
+    out = with_encoding(spark.createDataFrame(rows, "doc_id long, text string"), "text").collect()
+    for r in out:
+        assert 0.0 <= r["non_ascii_frac"] <= 1.0
+        assert r["control_frac"] == 0.0
+        assert r["n_replacement"] == 0
