@@ -225,6 +225,52 @@ def drift_report_by(
     return reports
 
 
+def drift_from_states(
+    baseline: "ProfileResult",
+    current: "ProfileResult",
+    categorical_col: str,
+    numeric_len_col: str,
+    params: EngineParams = DEFAULT_PARAMS,
+    group: tuple = (),
+) -> list[DriftReport]:
+    """Drift between two ALREADY-AGGREGATED profile states — the streaming /
+    checkpoint path: a baseline snapshot persists as KBs of mergeable state
+    (plans/checkpoint.py, streaming/incremental.py), so the drift check
+    never re-scans the baseline corpus. At 100 TB this is the only sane
+    shape — the alternative re-reads last week's table on every check.
+
+    Statistics are identical to drift_report_by's state branch (chi-square
+    on exact capped category counts, KS on the shared log-bin lattice), so
+    ``drift_from_states(profile(a), profile(b), ...)`` ==
+    ``drift_report_by(union-with-segment, ...)`` — parity is test-pinned,
+    including via an incrementally-accumulated STREAMING profile.
+
+    Raises ValueError when the categorical column's exact counts are
+    unavailable in either state (non-string column or cap overflow):
+    unlike drift_report_by there is no raw DataFrame to fall back to, and
+    silently degraded counts would fake a chi-square verdict."""
+    sb = baseline.states.get(group, {})
+    sc = current.states.get(group, {})
+    cat_b, cat_c = sb.get(categorical_col), sc.get(categorical_col)
+
+    def _usable(st) -> bool:
+        return st is not None and st.kind == "string" and not st.cat_overflow
+
+    if not (_usable(cat_b) and _usable(cat_c)):
+        raise ValueError(
+            f"exact category counts unavailable for {categorical_col!r} "
+            "(non-string column or category-cap overflow); use "
+            "drift_report/drift_report_by over the raw tables instead"
+        )
+    reports = [chi_square_drift(_counts_from_state(cat_b), _counts_from_state(cat_c), params)]
+    from jsonoid_discovery_spark.functions.sketches import LogHistogram as _LH
+
+    hb = sb[numeric_len_col].hist if numeric_len_col in sb else None
+    hc = sc[numeric_len_col].hist if numeric_len_col in sc else None
+    reports.append(ks_drift(hb or _LH(), hc or _LH(), params))
+    return reports
+
+
 def drift_report(
     baseline_df: DataFrame,
     current_df: DataFrame,

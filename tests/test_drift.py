@@ -59,3 +59,47 @@ def test_novel_category_drifts():
     base = {"a": 500, "b": 500}
     cur = {"a": 450, "b": 450, "zzz": 100}
     assert chi_square_drift(base, cur).drifted
+
+
+def test_drift_from_states_matches_direct_and_streaming(spark, snapshots, tmp_path):
+    """drift_from_states over (a) two batch profiles and (b) a batch baseline
+    vs a STREAMING-accumulated current profile must reproduce the direct
+    chi-square/KS statistics bit-for-bit — the checkpointed-baseline path."""
+    from jsonoid_discovery_spark.operators.drift import drift_from_states
+    from jsonoid_discovery_spark.operators.profile import profile
+    from jsonoid_discovery_spark.streaming.incremental import StreamingProfiler
+
+    base, _, drifted = snapshots
+    cols = ["lang", "content_len"]
+    pb = profile(base, columns=cols)
+    pc = profile(drifted, columns=cols)
+
+    direct = [
+        chi_square_drift(category_counts(base, "lang"), category_counts(drifted, "lang")),
+    ]
+    got = drift_from_states(pb, pc, "lang", "content_len")
+    assert got[0].statistic == direct[0].statistic
+    assert got[0].drifted == direct[0].drifted is True
+    assert got[1].check == "ks" and got[1].drifted is True
+
+    # streaming current == batch current, so drift verdicts/statistics match
+    src = str(tmp_path / "drift_stream_src")
+    drifted.repartition(4).write.parquet(src)
+    sp = StreamingProfiler(str(tmp_path / "drift_state"), columns=cols)
+    stream = (
+        spark.readStream.schema(drifted.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = sp.start(stream)
+    q.awaitTermination(120)
+    ps = sp.result(spark)
+    got_s = drift_from_states(pb, ps, "lang", "content_len")
+    assert [(r.check, r.statistic, r.drifted) for r in got_s] == [
+        (r.check, r.statistic, r.drifted) for r in got
+    ]
+
+    # non-string categorical has no exact counts -> loud refusal, not a fake
+    pnum = profile(base, columns=["content_len"])
+    with pytest.raises(ValueError):
+        drift_from_states(pnum, pnum, "content_len", "content_len")
