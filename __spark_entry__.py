@@ -769,6 +769,23 @@ def _pii_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _split_assign_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test labeling (curation.hash_split,
+    80/10/10): pmod(xxhash64(doc_id), 1e6) against python-fixed cumulative
+    cut points — partition/AQE/engine-invariant where randomSplit is not.
+    The oracle replays the hash and the CASE bands via the generated XXH64
+    SQL, then the same per-split aggregate."""
+    from jsonoid_discovery_spark.operators.curation import hash_split
+
+    d = hash_split(
+        _t(spark, sf, "documents"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
 def _encoding_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Encoding-hygiene screen (text.with_encoding) over text AUGMENTED
     with deterministic decode damage (mojibake markers for doc_id%6,
@@ -1562,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_orders": _mi_orders,
         "encoding_documents": _encoding_documents,
         "markup_documents": _markup_documents,
+        "split_assign_documents": _split_assign_documents,
     }
 
 
@@ -2082,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "mi_orders": _MI_ORDERS_ORACLE_SQL,
         "encoding_documents": _encoding_oracle_sql(),
         "markup_documents": _markup_oracle_sql(),
+        "split_assign_documents": _split_assign_oracle_sql(),
         "skew_report_orders": """
             WITH counts AS (
               SELECT o_custkey AS key, count(*)::BIGINT AS n
@@ -3106,6 +3125,32 @@ _CODE_QUALITY_ORACLE_SQL = r"""
       AND alnum_frac >= 0.25 AND NOT autogen) AS code_keep
     FROM feat
 """
+
+
+def _split_assign_oracle_sql() -> str:
+    """DuckDB oracle for split_assign_documents: the identical cumulative
+    cut points (computed by the same int(round(...)) rule) over the
+    generated XXH64 hashLong SQL."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+    from jsonoid_discovery_spark.operators.curation import SAMPLE_BUCKETS
+
+    c_train = int(round(0.8 * SAMPLE_BUCKETS))
+    c_val = int(round(0.9 * SAMPLE_BUCKETS))
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h")
+    return (
+        "WITH " + with_clause(stages)
+        + f""",
+            labeled AS (
+              SELECT doc_id,
+                CASE WHEN ((h % {SAMPLE_BUCKETS}) + {SAMPLE_BUCKETS}) % {SAMPLE_BUCKETS} < {c_train} THEN 'train'
+                     WHEN ((h % {SAMPLE_BUCKETS}) + {SAMPLE_BUCKETS}) % {SAMPLE_BUCKETS} < {c_val} THEN 'val'
+                     ELSE 'test' END AS split
+              FROM {fin}
+            )
+            SELECT split, count(*) AS n_rows, sum(doc_id)::BIGINT AS sum_ids
+            FROM labeled GROUP BY split
+        """
+    )
 
 
 def _encoding_oracle_sql() -> str:

@@ -429,6 +429,50 @@ def stratified_sample(
     return df.where(bucket < thr_col)
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: label each row by which
+    cumulative-weight band its hash bucket falls in —
+    ``pmod(xxhash64(key[, seed]), 1e6)`` against integer cut points fixed
+    here in python (the stratified_sample convention; a runtime
+    ``double*1e6`` would truncate in Spark but round in DuckDB).
+
+    Unlike ``randomSplit`` (per-partition RNG — the halves MOVE under
+    AQE/repartition, the round-4 reproducibility bug split_discover fixed
+    with split='hash'), the label is a pure row function: stable across
+    cluster sizes, retries, engines and re-runs, and a given key always
+    lands in the same split even across different corpus versions — which
+    is what keeps eval rows out of training after a re-crawl. Weights must
+    sum to ~1 (validated); the last band absorbs the rounding remainder so
+    every row gets a label. Zero shuffles — one codegen'd CASE projection."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = list(weights)
+    cuts: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += float(weights[name])
+        cuts.append(int(round(acc * SAMPLE_BUCKETS)))
+    h = (
+        F.xxhash64(F.col(key_col))
+        if seed is None
+        else F.xxhash64(F.col(key_col), F.lit(seed))
+    )
+    bucket = F.pmod(h, F.lit(SAMPLE_BUCKETS))
+    expr = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str | Column,

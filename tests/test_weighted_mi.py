@@ -121,3 +121,37 @@ def test_mi_null_category_groups(spark):
     assert len(out) == 2
     # perfectly dependent binary split -> 1 bit
     assert abs(mutual_information_bits(d, "x", "y") - 1.0) < 1e-6
+
+
+# ----------------------------------------------------------- hash_split
+
+
+def test_hash_split_labels_partition_and_weight_semantics(spark):
+    import pytest
+
+    from jsonoid_discovery_spark.operators.curation import hash_split
+
+    d = _ids(spark, 4000)
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    # every row gets exactly one label; invariant under repartitioning
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in hash_split(d.repartition(17), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    )
+    assert a == b and len(a) == 4000
+    # a key keeps its split when OTHER rows change (the re-crawl property)
+    sub = hash_split(d.where("doc_id % 3 = 0"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    full_map = dict(a)
+    for r in sub.collect():
+        assert full_map[r["doc_id"]] == r["split"]
+    with pytest.raises(ValueError):
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError):
+        hash_split(d, "doc_id", {})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
