@@ -769,6 +769,52 @@ def _pii_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """One-scan Pearson correlation matrix (analyses.correlation_matrix)
+    over four lineitem numerics: every pairwise co-moment in ONE aggregate,
+    r assembled from raw sums (n·Σxy−Σx·Σy form) and rounded to 6 — the
+    identical formula replays in DuckDB, so the hash gate pins both the
+    sums and the assembly arithmetic."""
+    from jsonoid_discovery_spark.operators.analyses import correlation_matrix
+
+    return correlation_matrix(_t(spark, sf, "lineitem"), _CORR_COLS)
+
+
+def _corr_oracle_sql() -> str:
+    """DuckDB oracle for corr_lineitem: same pair order, same pairwise-
+    complete filters, same sums and the same round-6 assembly."""
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    selects = []
+    for a, b in pairs:
+        selects.append(f"""
+          SELECT '{a}' AS col_x, '{b}' AS col_y,
+            count(*)::BIGINT AS n,
+            sum({a}::DOUBLE) AS sx, sum({b}::DOUBLE) AS sy,
+            sum({a}::DOUBLE * {a}::DOUBLE) AS sxx,
+            sum({b}::DOUBLE * {b}::DOUBLE) AS syy,
+            sum({a}::DOUBLE * {b}::DOUBLE) AS sxy
+          FROM lineitem WHERE {a} IS NOT NULL AND {b} IS NOT NULL""")
+        # noqa: the per-pair WHERE mirrors the operator's pairwise-complete mask
+    body = " UNION ALL ".join(selects)
+    return f"""
+        WITH s AS ({body})
+        SELECT col_x, col_y, n,
+          CASE WHEN n = 0 OR (n * sxx - sx * sx) <= 0
+                    OR (n * syy - sy * sy) <= 0 THEN NULL
+               ELSE round((n * sxy - sx * sy)
+                          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          END AS pearson_r
+        FROM s
+    """
+
+
 def _split_assign_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test labeling (curation.hash_split,
     80/10/10): pmod(xxhash64(doc_id), 1e6) against python-fixed cumulative
@@ -1580,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_documents": _encoding_documents,
         "markup_documents": _markup_documents,
         "split_assign_documents": _split_assign_documents,
+        "corr_lineitem": _corr_lineitem,
     }
 
 
@@ -2101,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_documents": _encoding_oracle_sql(),
         "markup_documents": _markup_oracle_sql(),
         "split_assign_documents": _split_assign_oracle_sql(),
+        "corr_lineitem": _corr_oracle_sql(),
         "skew_report_orders": """
             WITH counts AS (
               SELECT o_custkey AS key, count(*)::BIGINT AS n

@@ -263,6 +263,64 @@ def mutual_information(
     )
 
 
+def correlation_matrix(
+    df: DataFrame, columns: list[str], quantize: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations for ``columns`` — the numeric
+    complement of mutual_information (categoricals) and
+    functional_dependencies (exact determinism): ONE aggregate scan
+    computes every pairwise co-moment (k sums, k sums-of-squares,
+    k·(k−1)/2 cross sums over rows where BOTH sides are non-null), and the
+    k² arithmetic runs driver-side on one row, like the FD sweep above.
+
+    r is assembled from raw sums — n·Σxy−Σx·Σy over the pairwise-complete
+    rows — rather than Spark's ``corr`` aggregate, so the identical
+    formula replays in any engine; the result is rounded to ``quantize``
+    decimals (the psi_drift convention — libm/accumulation-order ulp noise
+    dies at round-6, and pinned sums make the oracle exact). A
+    zero-variance side yields null r (undefined, not 0). Per-pair
+    null-completeness differs, so each pair carries its own n."""
+    if len(columns) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        x = F.when(both, F.col(a).cast("double"))
+        y = F.when(both, F.col(b).cast("double"))
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n__{tag}"),
+            F.sum(x).alias(f"sx__{tag}"),
+            F.sum(y).alias(f"sy__{tag}"),
+            F.sum(x * x).alias(f"sxx__{tag}"),
+            F.sum(y * y).alias(f"syy__{tag}"),
+            F.sum(x * y).alias(f"sxy__{tag}"),
+        ]
+    row = df.select(*columns).agg(*aggs).head()
+    out = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n = row[f"n__{tag}"]
+        if not n:
+            out.append((a, b, 0, None))
+            continue
+        sx, sy = row[f"sx__{tag}"], row[f"sy__{tag}"]
+        sxx, syy, sxy = row[f"sxx__{tag}"], row[f"syy__{tag}"], row[f"sxy__{tag}"]
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            out.append((a, b, int(n), None))
+            continue
+        r = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+        out.append((a, b, int(n), round(r, quantize)))
+    return df.sparkSession.createDataFrame(
+        out, "col_x string, col_y string, n long, pearson_r double"
+    )
+
+
 def mutual_information_bits(df: DataFrame, x_col: str, y_col: str) -> float:
     """Scalar MI(x; y) in bits: the exact decimal sum of per-pair
     contributions (order-independent by construction)."""

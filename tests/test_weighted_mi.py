@@ -155,3 +155,48 @@ def test_hash_split_labels_partition_and_weight_semantics(spark):
         hash_split(d, "doc_id", {})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------ correlation matrix
+
+
+def test_correlation_matrix_semantics(spark):
+    import pytest
+
+    from jsonoid_discovery_spark.operators.analyses import correlation_matrix
+
+    rows = [(float(i), 2.0 * i + 3, -1.5 * i, 7.0) for i in range(50)]
+    d = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["pearson_r"])
+        for r in correlation_matrix(d, ["a", "b", "c", "k"]).collect()
+    }
+    assert got[("a", "b")] == (50, 1.0)      # perfect linear
+    assert got[("a", "c")] == (50, -1.0)     # perfect inverse
+    assert got[("a", "k")][1] is None        # zero variance -> undefined
+    assert got[("b", "c")] == (50, -1.0)
+    with pytest.raises(ValueError):
+        correlation_matrix(d, ["a"])
+
+
+def test_correlation_matrix_pairwise_complete_nulls(spark):
+    from jsonoid_discovery_spark.operators.analyses import correlation_matrix
+
+    rows = [(1.0, 2.0, None), (2.0, 4.0, 5.0), (3.0, 6.0, 1.0), (None, 9.0, 2.0)]
+    d = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_x"], r["col_y"]): r["n"] for r in correlation_matrix(d, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == 3 and got[("a", "c")] == 2 and got[("b", "c")] == 3
+
+
+def test_correlation_matrix_matches_spark_corr(spark):
+    # cross-check the sum assembly against Spark's own corr aggregate
+    import random
+
+    from jsonoid_discovery_spark.operators.analyses import correlation_matrix
+
+    rng = random.Random(3)
+    rows = [(rng.random() * 10, rng.random() * 10 + 0.5 * i) for i, _ in enumerate(range(200))]
+    d = spark.createDataFrame(rows, "a double, b double")
+    ours = correlation_matrix(d, ["a", "b"]).first()["pearson_r"]
+    ref = d.agg(F.corr("a", "b")).first()[0]
+    assert abs(ours - ref) < 1e-6
