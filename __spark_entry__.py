@@ -815,6 +815,49 @@ def _corr_oracle_sql() -> str:
     """
 
 
+def _outliers_by_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped Hampel screen (util.mad_outliers(by=['lang'])): per-language
+    median/MAD bands over n_chars with a deterministic ×50 corruption band
+    (doc_id%97). Two grouped aggregates broadcast back (null-safe join —
+    a null lang would form its own band); the oracle recomputes per-group
+    quantile_cont scalars and replays every boundary verdict."""
+    from jsonoid_discovery_spark.operators.util import mad_outliers
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 97 == 0, F.col("n_chars") * 50)
+        .otherwise(F.col("n_chars"))
+        .alias("val"),
+    )
+    out = mad_outliers(d, "val", k=3.0, exact=True, by=["lang"])
+    return out.filter(F.col("outlier")).select(
+        "doc_id", "lang", F.col("val").cast("long").alias("val"),
+        F.round("robust_z", 6).alias("robust_z"),
+    )
+
+
+_OUTLIERS_BY_LANG_ORACLE_SQL = """
+    WITH aug AS (
+      SELECT doc_id, lang,
+        CASE WHEN doc_id % 97 = 0 THEN n_chars * 50 ELSE n_chars END AS val
+      FROM documents
+    ),
+    med AS (SELECT lang, quantile_cont(val, 0.5) AS m FROM aug GROUP BY lang),
+    mad AS (
+      SELECT a.lang, quantile_cont(abs(a.val - med.m), 0.5) AS d
+      FROM aug a JOIN med ON a.lang IS NOT DISTINCT FROM med.lang
+      GROUP BY a.lang
+    )
+    SELECT doc_id, a.lang, val::BIGINT AS val,
+      round(abs(val - m) / d, 6) AS robust_z
+    FROM aug a
+    JOIN med ON a.lang IS NOT DISTINCT FROM med.lang
+    JOIN mad ON a.lang IS NOT DISTINCT FROM mad.lang
+    WHERE CASE WHEN d > 0 THEN abs(val - m) / d > 3.0
+               ELSE abs(val - m) > 0 END
+"""
+
+
 def _split_assign_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test labeling (curation.hash_split,
     80/10/10): pmod(xxhash64(doc_id), 1e6) against python-fixed cumulative
@@ -1627,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_documents": _markup_documents,
         "split_assign_documents": _split_assign_documents,
         "corr_lineitem": _corr_lineitem,
+        "outliers_by_lang_documents": _outliers_by_lang_documents,
     }
 
 
@@ -2149,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "markup_documents": _markup_oracle_sql(),
         "split_assign_documents": _split_assign_oracle_sql(),
         "corr_lineitem": _corr_oracle_sql(),
+        "outliers_by_lang_documents": _OUTLIERS_BY_LANG_ORACLE_SQL,
         "skew_report_orders": """
             WITH counts AS (
               SELECT o_custkey AS key, count(*)::BIGINT AS n

@@ -220,6 +220,7 @@ def mad_outliers(
     accuracy: int = 10000,
     z_col: str = "robust_z",
     flag_col: str = "outlier",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Robust outlier detection via the Hampel identifier: flag rows where
     ``|x - median| > k * MAD`` (MAD = median absolute deviation). The
@@ -227,23 +228,69 @@ def mad_outliers(
     outliers being hunted, unlike mean/stddev z-scores, so a 0.1% corruption
     band cannot mask itself (Hampel 1974; Leys et al. 2013 recommend k≈3).
 
-    Plan shape at any scale: TWO single-row aggregate jobs (median, then
-    MAD of deviations — mergeable ``percentile_approx`` sketches by
-    default, ``exact=True`` for the quantile_cont-parity mode used by
-    oracle checks; see column_percentiles for the tradeoff), then ONE
-    codegen'd projection with both scalars inlined as literals. No
+    Plan shape at any scale, global (``by=None``): TWO single-row aggregate
+    jobs (median, then MAD of deviations — mergeable ``percentile_approx``
+    sketches by default, ``exact=True`` for the quantile_cont-parity mode
+    used by oracle checks; see column_percentiles for the tradeoff), then
+    ONE codegen'd projection with both scalars inlined as literals. No
     shuffle, no sort, no Python in the row path, no raw-row collect.
 
-    Degenerate/edge semantics (test-pinned): MAD == 0 → ``robust_z`` is
-    null and a row is an outlier iff its deviation is nonzero (the
-    constant-column corruption case); null values get null z and null
-    flag (missingness is not an outlier verdict — not_null checks own it).
-    """
+    Grouped (``by=[...]``): per-group median/MAD bands (per-lang length
+    screens, per-domain price bands) — TWO grouped aggregates whose
+    results are group-count-sized, each BROADCAST back onto the corpus
+    (groups are assumed bounded-cardinality; screen with key_skew_summary
+    first if unsure), then the same projection. The corpus itself is never
+    shuffled — only scanned twice.
+
+    Degenerate/edge semantics (test-pinned, identical in both modes):
+    MAD == 0 → ``robust_z`` is null and a row is an outlier iff its
+    deviation is nonzero (the constant-column corruption case); null
+    values get null z and null flag (missingness is not an outlier
+    verdict — not_null checks own it); a null GROUP key forms its own
+    band, like any GROUP BY."""
     from pyspark.sql import functions as F
 
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
+
+    if by:
+        # join back with NULL-SAFE equality so a null group key forms its
+        # own band (a plain equi-join would silently give it null med/mad)
+        def _band_join(base: DataFrame, agg: DataFrame) -> DataFrame:
+            renamed = agg.select(
+                *[F.col(c).alias(f"__g_{c}") for c in by],
+                *[c for c in agg.columns if c not in by],
+            )
+            cond = None
+            for c in by:
+                t = base[c].eqNullSafe(renamed[f"__g_{c}"])
+                cond = t if cond is None else (cond & t)
+            return base.join(F.broadcast(renamed), cond, "left").drop(
+                *[f"__g_{c}" for c in by]
+            )
+
+        meds = df.groupBy(*by).agg(
+            F.expr(f"{fn}({col}, 0.5D{acc})").alias("__med")
+        )
+        with_med = _band_join(df, meds)
+        dev = F.abs(F.col(col) - F.col("__med"))
+        mads = (
+            with_med.select(*by, dev.alias("__dev"))
+            .groupBy(*by)
+            .agg(F.expr(f"{fn}(__dev, 0.5D{acc})").alias("__mad"))
+        )
+        out = _band_join(with_med, mads)
+        z = F.when(F.col("__mad") > 0, dev / F.col("__mad"))
+        return (
+            out.withColumn(z_col, z)
+            .withColumn(
+                flag_col,
+                F.when(F.col(col).isNotNull(), F.coalesce(z > k, dev > 0)),
+            )
+            .drop("__med", "__mad")
+        )
+
     def _q50(frame: DataFrame, c) -> float:
-        fn = "percentile" if exact else "percentile_approx"
-        acc = "" if exact else f", {accuracy}"
         row = frame.select(c.alias("__v")).agg(
             F.expr(f"{fn}(__v, 0.5D{acc})").alias("m")
         ).first()

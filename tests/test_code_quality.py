@@ -154,3 +154,41 @@ def test_mad_outliers_row_path_has_no_exchange(spark):
     out = mad_outliers(d, "x", exact=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mad_outliers_grouped_bands(spark):
+    # group A: tight band around 10 with one spike; group B: around 1000
+    rows = (
+        [("a", 10.0 + (i % 5) * 0.1) for i in range(50)]
+        + [("a", 500.0)]
+        + [("b", 1000.0 + (i % 7)) for i in range(50)]
+    )
+    d = spark.createDataFrame(rows, "g string, x double")
+    out = mad_outliers(d, "x", k=3.0, exact=True, by=["g"]).collect()
+    flagged = [(r["g"], r["x"]) for r in out if r["outlier"]]
+    assert flagged == [("a", 500.0)]
+    # the B band is wider than A's — 1006 is NOT an outlier within B
+    assert all(not r["outlier"] for r in out if r["g"] == "b")
+
+
+def test_mad_outliers_grouped_null_key_forms_band(spark):
+    rows = [(None, 1.0), (None, 1.2), (None, 1.1), (None, 99.0), ("g", 1.0)]
+    d = spark.createDataFrame(rows, "g string, x double")
+    out = mad_outliers(d, "x", k=3.0, exact=True, by=["g"]).collect()
+    null_rows = [r for r in out if r["g"] is None]
+    assert len(null_rows) == 4
+    assert sorted(r["x"] for r in null_rows if r["outlier"]) == [99.0]
+    # med/mad resolved for the null band (not left-join nulls): its MAD is
+    # positive, so every row in the band carries a concrete robust_z
+    assert all(r["robust_z"] is not None for r in null_rows)
+    g = [r for r in out if r["g"] == "g"][0]
+    assert g["robust_z"] is None and g["outlier"] is False  # single row, mad 0
+
+
+def test_mad_outliers_grouped_broadcasts_bands(spark):
+    rows = [("a", float(i)) for i in range(100)] + [("b", float(i * 2)) for i in range(100)]
+    d = spark.createDataFrame(rows, "g string, x double")
+    plan = (
+        mad_outliers(d, "x", by=["g"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
