@@ -5,8 +5,6 @@ beyond the two scalar aggregates)."""
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
 from jsonoid_discovery_spark.operators.curation import (
