@@ -1499,6 +1499,36 @@ def _psi_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(out, "category string, psi_contrib double")
 
 
+def _jsd_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) of the lang distribution between
+    the even/odd doc_id halves (drift.jsd_drift — the BOUNDED effect-size
+    member of the drift family; a no-drift control here, so every
+    contribution is near 0). Same ONE grouped count scan and round-6 →
+    DECIMAL total convention as psi_lang_documents; DuckDB replays log2
+    directly, so the hash match pins the whole mixture-KL arithmetic."""
+    from decimal import Decimal
+
+    from jsonoid_discovery_spark.operators.drift import jsd_drift
+
+    d = _t(spark, sf, "documents")
+    rows = (
+        d.groupBy((F.col("doc_id") % 2).alias("seg"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    base = {
+        ("<null>" if r.lang is None else str(r.lang)): r.n for r in rows if r.seg == 0
+    }
+    cur = {
+        ("<null>" if r.lang is None else str(r.lang)): r.n for r in rows if r.seg == 1
+    }
+    rep = jsd_drift(base, cur)
+    per = sorted(rep.detail["per_category"].items())
+    total = float(sum(Decimal(f"{v:.6f}") for _, v in per))
+    out = [(c, float(v)) for c, v in per] + [("__total", total)]
+    return spark.createDataFrame(out, "category string, jsd_contrib double")
+
+
 def _salted_join_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-defusing salted join (util.salted_join): lineitem x orders on
     orderkey with the small side replicated across 8 salt buckets and the
@@ -1656,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "fd_orders": _fd_orders,
         "psi_lang_documents": _psi_lang_documents,
+        "jsd_lang_documents": _jsd_lang_documents,
         "salted_join_lineitem": _salted_join_lineitem,
         "dedup_incremental_documents": _dedup_incremental_documents,
         "funnel_documents": _funnel_documents,
@@ -2325,6 +2356,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '__total',
                    CAST(sum(CAST(psi_contrib AS DECIMAL(18,6))) AS DOUBLE)
+            FROM per
+        """,
+        # JSD in bits with the same 0.5-count prior and round-6 → DECIMAL
+        # total convention as psi; m = (p+q)/2 inline, log2 native.
+        "jsd_lang_documents": """
+            WITH c AS (
+              SELECT (doc_id % 2 = 0) AS is_base,
+                     coalesce(lang, '<null>') AS cat,
+                     count(*)::DOUBLE AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT cat,
+                     greatest(sum(CASE WHEN is_base THEN n ELSE 0 END), 0.5) AS bn,
+                     greatest(sum(CASE WHEN NOT is_base THEN n ELSE 0 END), 0.5) AS cn
+              FROM c GROUP BY cat
+            ),
+            tots AS (
+              SELECT sum(CASE WHEN is_base THEN n ELSE 0 END) AS bt,
+                     sum(CASE WHEN NOT is_base THEN n ELSE 0 END) AS ct
+              FROM c
+            ),
+            per AS (
+              SELECT cat,
+                     round(0.5 * ((bn / bt) * log2((bn / bt) / (((bn / bt) + (cn / ct)) / 2))
+                                + (cn / ct) * log2((cn / ct) / (((bn / bt) + (cn / ct)) / 2))),
+                           6) AS jsd_contrib
+              FROM agg, tots
+            )
+            SELECT cat AS category, jsd_contrib FROM per
+            UNION ALL
+            SELECT '__total',
+                   CAST(sum(CAST(jsd_contrib AS DECIMAL(18,6))) AS DOUBLE)
             FROM per
         """,
         # salting is physical row placement only — the oracle is the PLAIN

@@ -93,6 +93,9 @@ class EngineParams:
     # PSI rule of thumb (credit-scoring literature): <0.1 stable,
     # 0.1-0.25 moderate shift, >0.25 major shift
     drift_psi_stat: float = 0.25
+    # Jensen-Shannon divergence in bits, bounded [0, 1]; 0.1 bit is a
+    # conservative "notable shift" gate for corpus monitoring
+    drift_jsd_stat: float = 0.1
     # profile(engine='auto') crossover: the catalyst engine pays ~3s of
     # fixed two-job machinery that only amortizes on large inputs — below
     # this estimated input size the Arrow fold is faster. Measured on the

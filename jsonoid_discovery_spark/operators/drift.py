@@ -133,6 +133,54 @@ def psi_drift(
     )
 
 
+def jsd_drift(
+    baseline: dict[str, int],
+    current: dict[str, int],
+    params: EngineParams = DEFAULT_PARAMS,
+) -> DriftReport:
+    """Jensen-Shannon divergence of current vs baseline category shares,
+    in bits: ``JSD = 0.5*KL(P||M) + 0.5*KL(Q||M)`` with ``M = (P+Q)/2``.
+
+    Completes the drift family along a different axis than its siblings:
+    chi-square is a significance test (sample-size sensitive — at 100 TB
+    counts it flags trivia), PSI is an unbounded effect size (novel
+    categories blow it up), JSD is a BOUNDED effect size (always in
+    [0, 1] bit), so a fleet-wide dashboard can compare columns and weeks
+    on one fixed scale. Symmetric and finite by construction (m >= p/2 >
+    0 whenever p > 0), but zero counts still take the same 0.5-count
+    prior as chi_square_drift/psi_drift so all three checks see the
+    identical share vectors.
+
+    Per-category contributions are rounded to 6 decimals (the psi_drift
+    convention: the driver-contract oracle replays log2 in DuckDB and
+    accumulation-order/libm ulp noise dies at round-6). Inputs are
+    aggregated count dicts — statistics on aggregated data only.
+    """
+    cats = sorted(set(baseline) | set(current))
+    btot = sum(baseline.values())
+    ctot = sum(current.values())
+    if btot == 0 or ctot == 0:
+        return DriftReport("jsd", 0.0, params.drift_jsd_stat, False, AnomalyLevel.INFO, {})
+    stat = 0.0
+    per_cat = {}
+    for c in cats:
+        p = max(baseline.get(c, 0), 0.5) / btot
+        q = max(current.get(c, 0), 0.5) / ctot
+        m = (p + q) / 2.0
+        contrib = 0.5 * (p * math.log2(p / m) + q * math.log2(q / m))
+        stat += contrib
+        per_cat[c] = round(contrib, 6)
+    drifted = stat > params.drift_jsd_stat
+    return DriftReport(
+        "jsd",
+        round(stat, 6),
+        params.drift_jsd_stat,
+        drifted,
+        AnomalyLevel.WARNING if drifted else AnomalyLevel.INFO,
+        {"per_category": per_cat, "n_baseline": btot, "n_current": ctot},
+    )
+
+
 def ks_drift(
     baseline: LogHistogram,
     current: LogHistogram,

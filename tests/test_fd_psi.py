@@ -15,7 +15,7 @@ import math
 import pytest
 
 from jsonoid_discovery_spark.operators.analyses import functional_dependencies
-from jsonoid_discovery_spark.operators.drift import psi_drift
+from jsonoid_discovery_spark.operators.drift import jsd_drift, psi_drift
 
 
 @pytest.fixture(scope="module")
@@ -120,6 +120,49 @@ class TestPsiDrift:
 
     def test_empty_side_is_info(self):
         rep = psi_drift({}, {"a": 1})
+        assert rep.statistic == 0.0 and not rep.drifted
+
+
+class TestJsdDrift:
+    def test_identity_is_zero(self):
+        counts = {"en": 700, "zh": 200, "de": 100}
+        rep = jsd_drift(counts, counts)
+        assert rep.statistic == 0.0
+        assert not rep.drifted
+
+    def test_hand_computed(self):
+        base = {"a": 900, "b": 100}
+        cur = {"a": 500, "b": 500}
+        want = 0.0
+        for p, q in [(0.9, 0.5), (0.1, 0.5)]:
+            m = (p + q) / 2
+            want += 0.5 * (p * math.log2(p / m) + q * math.log2(q / m))
+        rep = jsd_drift(base, cur)
+        assert rep.statistic == pytest.approx(want, abs=1e-6)
+        assert rep.drifted  # ~0.155 bit > 0.1
+
+    def test_bounded_and_symmetric(self):
+        # disjoint supports: JSD -> 1 bit (priors keep it fractionally under)
+        base = {"a": 10_000}
+        cur = {"b": 10_000}
+        rep = jsd_drift(base, cur)
+        assert 0.0 < rep.statistic <= 1.0
+        assert rep.statistic > 0.99
+        rev = jsd_drift(cur, base)
+        assert rev.statistic == rep.statistic  # symmetric by construction
+
+    def test_novel_category_prior(self):
+        base = {"a": 1000}
+        cur = {"a": 900, "NEW": 100}
+        p = 0.5 / 1000
+        q = 100 / 1000
+        m = (p + q) / 2
+        want = 0.5 * (p * math.log2(p / m) + q * math.log2(q / m))
+        contrib = jsd_drift(base, cur).detail["per_category"]["NEW"]
+        assert contrib == pytest.approx(want, abs=1e-6)
+
+    def test_empty_side_is_info(self):
+        rep = jsd_drift({}, {"a": 1})
         assert rep.statistic == 0.0 and not rep.drifted
 
 
