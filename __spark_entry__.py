@@ -700,6 +700,24 @@ def _vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
     return vocabulary(_t(spark, sf, "documents"), "text", "doc_id", top_k=100)
 
 
+def _heavy_hitters_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-25 corpus words via util.heavy_hitters — the Misra-Gries
+    sketch-then-verify top-k (one MG-summary scan, candidate shuffle
+    bounded by capacity x tasks, one broadcast-filtered exact recount,
+    certified by the MG error bound or recomputed exactly). The output is
+    exact top-k by construction, so the plain group/count/QUALIFY oracle
+    pins it regardless of which plan the certificate selected."""
+    from jsonoid_discovery_spark.operators.util import heavy_hitters
+
+    words = (
+        _t(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    return heavy_hitters(words, "term", k=25, capacity=2048)
+
+
 def _gopher_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher quality-rule features + keep verdict (curation.with_gopher;
     Rae et al. 2021 appendix A1.1) — all codegen'd array/regex expressions,
@@ -1660,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_documents": _interleave_documents,
         "upsample_documents": _upsample_documents,
         "vocabulary_documents": _vocabulary_documents,
+        "heavy_hitters_documents": _heavy_hitters_documents,
         "gopher_documents": _gopher_documents,
         "repetition_documents": _repetition_documents,
         "pii_documents": _pii_documents,
@@ -2115,6 +2134,25 @@ def oracle_sql() -> dict[str, str]:
         "interleave_documents": _interleave_oracle_sql(),
         "upsample_documents": _upsample_oracle_sql(),
         "vocabulary_documents": _VOCABULARY_ORACLE_SQL,
+        # heavy_hitters output is exact top-k whichever plan the MG
+        # certificate picks, so the oracle is the plain count/QUALIFY form;
+        # share_ppm is integer floor division of two positive BIGINTs in
+        # both engines
+        "heavy_hitters_documents": r"""
+            WITH words AS (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE text IS NOT NULL
+            ),
+            counts AS (
+              SELECT term AS value, count(*)::BIGINT AS n
+              FROM words WHERE term != '' GROUP BY term
+            ),
+            total AS (SELECT sum(n)::BIGINT AS tot FROM counts)
+            SELECT (ROW_NUMBER() OVER (ORDER BY n DESC, value ASC))::INT AS "rank",
+                   value, n, (n * 1000000 // tot)::BIGINT AS share_ppm
+            FROM counts, total
+            ORDER BY n DESC, value ASC LIMIT 25
+        """,
         "gopher_documents": _GOPHER_ORACLE_SQL,
         "repetition_documents": _repetition_oracle_sql(),
         "pii_documents": _pii_oracle_sql(),

@@ -212,6 +212,151 @@ def quantile_buckets(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+    exact: bool = False,
+) -> DataFrame:
+    """Top-``k`` most frequent values with EXACT counts and a
+    sketch-then-verify plan: ``DataFrame[rank, value, n, share_ppm]``
+    ordered by (n desc, value asc), nulls excluded.
+
+    ``exact=True`` is the one-scan groupBy + top-k window — correct at any
+    scale but its shuffle carries ONE ROW PER DISTINCT VALUE, which for a
+    token/URL/entity column at 100 TB is a corpus-sized exchange.
+
+    The default is the Misra-Gries route (mergeable-summaries form,
+    Agarwal et al. 2013, "Mergeable summaries", PODS):
+
+    1. ``mapInArrow`` folds each task's rows into a ``capacity``-counter
+       summary (per Arrow batch: exact in-batch counts, then one merge
+       step — sum, subtract the (capacity+1)-th largest, drop ≤0). Each
+       summary also carries the task's row count on a null-value row, so
+       the corpus is scanned exactly ONCE.
+    2. The summaries groupBy-merge (shuffle bounded by capacity × tasks
+       CANDIDATE rows, never the corpus) and the top ``capacity``
+       candidates by summed lower bound collect to the driver (KBs).
+    3. One broadcast-filtered scan recounts the candidates EXACTLY.
+    4. The result is then PROVEN: any non-candidate's true count is at
+       most ``spill_lb + n/(capacity+1)`` (the MG error bound summed over
+       tasks + the heaviest unselected candidate), so if the k-th exact
+       recount strictly exceeds that bound the top-k is certified. If the
+       proof fails (near-uniform data, capacity too small) the call falls
+       back to the exact groupBy — the output is ALWAYS the true top-k;
+       only the plan shape is adaptive (the find_primary_keys
+       sketch-then-verify design applied to frequency).
+
+    Values are compared as their ``cast("string")`` form (heavy hitters
+    is a categorical diagnostic; document-typed columns should be
+    tokenized first). Candidate summaries depend on partition order, but
+    the certified/fallback result does not — partition invariance is
+    test-pinned.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if capacity < k:
+        raise ValueError(f"capacity ({capacity}) must be >= k ({k})")
+
+    vals = df.select(F.col(col).cast("string").alias("value"))
+    w = Window.orderBy(F.col("n").desc(), F.col("value").asc())
+
+    def _exact_topk() -> DataFrame:
+        nn = vals.where(F.col("value").isNotNull())
+        counts = nn.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+        total = nn.agg(F.count(F.lit(1)).alias("total"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "rank",
+                "value",
+                "n",
+                F.expr("n * 1000000L div total").alias("share_ppm"),
+            )
+        )
+
+    if exact:
+        return _exact_topk()
+
+    cap = int(capacity)
+
+    def mg_partials(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        counters: dict = {}
+        n_part = 0
+        for batch in batches:
+            bc = Counter(v for v in batch.column(0).to_pylist() if v is not None)
+            n_part += sum(bc.values())
+            for v, c in bc.items():
+                counters[v] = counters.get(v, 0) + c
+            if len(counters) > cap:
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(counters.keys()) + [None], type=pa.string()),
+                pa.array(list(counters.values()) + [n_part], type=pa.int64()),
+            ],
+            names=["value", "lb"],
+        )
+
+    summary = (
+        vals.mapInArrow(mg_partials, "value string, lb long")
+        .groupBy("value")
+        .agg(F.sum("lb").alias("lb"))
+        .persist()
+    )
+    try:
+        n_row = summary.where(F.col("value").isNull()).first()
+        n_nonnull = int(n_row["lb"]) if n_row is not None else 0
+        top = (
+            summary.where(F.col("value").isNotNull())
+            .orderBy(F.col("lb").desc(), F.col("value").asc())
+            .limit(cap + 1)
+            .collect()
+        )
+    finally:
+        summary.unpersist()
+    cand = [r["value"] for r in top[:cap]]
+    spill_lb = int(top[cap]["lb"]) if len(top) > cap else 0
+
+    res = []
+    if cand:
+        recount = (
+            vals.where(F.col("value").isin(cand))
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        res = sorted(
+            recount.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .collect(),
+            key=lambda r: r["rank"],
+        )
+
+    # certification: every non-candidate w has f(w) <= spill_lb + n/(cap+1)
+    # (per-task MG errors sum to <= n/(cap+1)); with fewer than k result
+    # rows the bound must exclude even a count of 1
+    kth = int(res[-1]["n"]) if len(res) == k else 1
+    if (kth - spill_lb) * (cap + 1) <= n_nonnull:
+        return _exact_topk()
+    spark = df.sparkSession
+    out = [
+        (i + 1, r["value"], int(r["n"]), int(r["n"]) * 1_000_000 // n_nonnull)
+        for i, r in enumerate(res)
+    ]
+    return spark.createDataFrame(out, "rank int, value string, n long, share_ppm long")
+
+
 def mad_outliers(
     df: DataFrame,
     col: str,

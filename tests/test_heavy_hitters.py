@@ -1,0 +1,93 @@
+"""heavy_hitters: the Misra-Gries sketch-then-verify top-k.
+
+The contract is strong — the output is ALWAYS the exact top-k (certified
+by the MG error bound, or recomputed by the exact fallback), so every test
+reduces to equality with the exact path plus plan/behavior pins:
+certification engages on skewed data, fallback engages when capacity is
+too small for the skew, candidates' partition-order sensitivity never
+reaches the result, and the guards hold.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.util import heavy_hitters
+
+
+def _rows(df):
+    return [(r["rank"], r["value"], r["n"], r["share_ppm"]) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # floor(sqrt(id)): value j appears 2j+1 times -> distinct counts, no
+    # ties, heavy tail at the top; 50K rows, 224 distinct values
+    return spark.range(50_000).selectExpr(
+        "concat('w', cast(cast(floor(sqrt(id)) as int) as string)) AS v"
+    )
+
+
+class TestHeavyHitters:
+    def test_certified_matches_exact(self, skewed):
+        # capacity 1024 > 224 distinct: no spill, top-1 count 445 >>
+        # n/(cap+1) ~ 48.8 -> the certificate holds and no fallback runs
+        got = _rows(heavy_hitters(skewed, "v", k=10, capacity=1024))
+        want = _rows(heavy_hitters(skewed, "v", k=10, exact=True))
+        assert got == want
+        assert len(got) == 10
+        # top value is w222 (2*222+1 = 445 full rows); w223's band is cut
+        # off at id 49999 and only has 50000 - 223^2 = 271 rows
+        assert got[0][2] == 445
+
+    def test_fallback_matches_exact(self, skewed):
+        # capacity 32 << 224 distinct: certification MUST fail
+        # (n/(cap+1) ~ 1515 > every count) and the fallback still returns
+        # the true top-k
+        got = _rows(heavy_hitters(skewed, "v", k=10, capacity=32))
+        want = _rows(heavy_hitters(skewed, "v", k=10, exact=True))
+        assert got == want
+
+    def test_partition_invariance(self, skewed):
+        a = _rows(heavy_hitters(skewed.repartition(2), "v", k=5, capacity=512))
+        b = _rows(heavy_hitters(skewed.repartition(13), "v", k=5, capacity=512))
+        assert a == b
+
+    def test_tie_order_is_value_asc(self, spark):
+        df = spark.createDataFrame(
+            [("b",), ("b",), ("a",), ("a",), ("c",)], "v string"
+        )
+        got = _rows(heavy_hitters(df, "v", k=3, capacity=8))
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (1, "a", 2),
+            (2, "b", 2),
+            (3, "c", 1),
+        ]
+        # share_ppm is integer div of the non-null total
+        assert got[0][3] == 2 * 1_000_000 // 5
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("x",), (None,), ("x",), (None,), (None,)], "v string"
+        )
+        got = _rows(heavy_hitters(df, "v", k=2, capacity=8))
+        assert got == [(1, "x", 2, 1_000_000)]
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "v string")
+        assert heavy_hitters(df, "v", k=3, capacity=8).count() == 0
+
+    def test_guards(self, skewed):
+        with pytest.raises(ValueError):
+            heavy_hitters(skewed, "v", k=0)
+        with pytest.raises(ValueError):
+            heavy_hitters(skewed, "v", k=10, capacity=4)
+
+    def test_mg_superset_bound_on_adversarial_stream(self, spark):
+        # one hot value hidden among churn: f(hot)=4000 > n/(cap+1)=
+        # 40000/65 ~ 615, so MG must surface it from every partition layout
+        rows = [("hot",) if i % 10 == 0 else (f"u{i}",) for i in range(40_000)]
+        df = spark.createDataFrame(rows, "v string").repartition(7)
+        got = _rows(heavy_hitters(df, "v", k=1, capacity=64))
+        assert got[0][1] == "hot" and got[0][2] == 4000
