@@ -1610,6 +1610,38 @@ def _funnel_documents(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_report(d, rules)
 
 
+def _corpus_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-crawl snapshot delta (curation.corpus_diff): old = documents
+    minus every doc_id % 7 == 0 row; new = documents minus doc_id % 9 == 0
+    rows with ' v2' appended to text where doc_id % 5 == 0 — so all four
+    statuses fire (added = %7 rows, removed = %9 rows, changed = the %5
+    intersection, else unchanged). Each side projects to (id, sha256)
+    BEFORE the full-outer join — the join carries 64-hex digests, never
+    texts — and digest equality is null-safe, so null-text rows are
+    unchanged in both engines (concat/|| propagate the null identically)."""
+    from jsonoid_discovery_spark.operators.curation import corpus_diff
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new, "doc_id", "text")
+
+
+def _entropy_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column Shannon entropy in bits (analyses.entropy_report) over
+    lang and source: ONE stacked groupBy scan for both columns, window
+    totals on the aggregated frame, p·log2(1/p) contributions rounded to
+    6 and summed as DECIMAL(18,6) (order/engine independent)."""
+    from jsonoid_discovery_spark.operators.analyses import entropy_report
+
+    return entropy_report(_t(spark, sf, "documents"), ["lang", "source"])
+
+
 def _quantile_buckets_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Value-based quantile bucketing (util.quantile_buckets, exact mode):
     quartile cut points from ONE percentile aggregate (Spark `percentile`
@@ -1709,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_lineitem": _salted_join_lineitem,
         "dedup_incremental_documents": _dedup_incremental_documents,
         "funnel_documents": _funnel_documents,
+        "corpus_diff_documents": _corpus_diff_documents,
+        "entropy_documents": _entropy_documents,
         "quantile_buckets_lineitem": _quantile_buckets_lineitem,
         "classifier_score_documents": _classifier_score_documents,
         "code_quality_documents": _code_quality_documents,
@@ -2489,6 +2523,52 @@ def oracle_sql() -> dict[str, str]:
                    (n_in - dropped)::BIGINT AS n_out,
                    (dropped * 1000000 // n_in)::BIGINT AS drop_ppm
             FROM f
+        """,
+        # the same digest-before-join shape: both sides reduce to
+        # (doc_id, sha256) and the full join + null-safe compare replays
+        "corpus_diff_documents": """
+            WITH o AS (
+              SELECT doc_id, sha256(text) AS h
+              FROM documents WHERE doc_id % 7 != 0
+            ),
+            n AS (
+              SELECT doc_id,
+                     sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                                 ELSE text END) AS h
+              FROM documents WHERE doc_id % 9 != 0
+            )
+            SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        # per-category p*log2(1/p) rounded to 6 then summed as DECIMAL —
+        # identical arithmetic shape to the Spark plan (1.0/p, not
+        # tot/n, so both engines round the same intermediate)
+        "entropy_documents": """
+            WITH counts AS (
+              SELECT 'lang' AS "column",
+                     coalesce(lang::VARCHAR, '<null>') AS value,
+                     count(*)::BIGINT AS n
+              FROM documents GROUP BY 2
+              UNION ALL
+              SELECT 'source', coalesce(source::VARCHAR, '<null>'), count(*)::BIGINT
+              FROM documents GROUP BY 2
+            ),
+            per AS (
+              SELECT "column", n,
+                     sum(n) OVER (PARTITION BY "column") AS tot
+              FROM counts
+            )
+            SELECT "column",
+                   max(tot)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_categories,
+                   CAST(sum(CAST(round((n::DOUBLE / tot::DOUBLE)
+                        * log2(1.0 / (n::DOUBLE / tot::DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
+            FROM per GROUP BY 1
         """,
         # quantile_cont == Spark percentile() (linear interpolation), then
         # the identical strictly-greater cut cascade

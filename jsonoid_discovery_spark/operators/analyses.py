@@ -332,6 +332,61 @@ def mutual_information_bits(df: DataFrame, x_col: str, y_col: str) -> float:
     return float(row["mi"]) if row["mi"] is not None else 0.0
 
 
+def entropy_report(
+    df: DataFrame, columns: list[str], quantize: int = 6
+) -> DataFrame:
+    """Shannon entropy in bits of each categorical column, ONE scan for
+    all of them: ``DataFrame[column, n_rows, n_categories, entropy_bits]``.
+
+    The single-column member of the information family (see
+    mutual_information for the pairwise form): the standard corpus
+    diagnostic for partition-key choice (low entropy = skew), mixture
+    health (did a refresh collapse the source distribution?) and feature
+    triage. Each column's values stack into ``(column, value)`` pairs via
+    one explode projection, so ONE map-side-combined groupBy covers every
+    requested column — the only shuffle, sized by the summed category
+    spaces, never k scans. Totals come from a window over the AGGREGATED
+    frame; per-category contributions ``p·log2(1/p)`` are rounded to
+    ``quantize`` decimals and summed as DECIMAL(18,6) (the psi_drift
+    convention — order/partition/engine independent; log2(1/p) rather
+    than -log2(p) so a single-category column yields +0.0, never -0.0,
+    which decimal casts and value hashes treat differently). NULL groups
+    as the ``<null>`` category (the category_counts convention)."""
+    from pyspark.sql import Window
+
+    if not columns:
+        raise ValueError("entropy_report needs at least one column")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
+                            "value"
+                        ),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.value")
+    counts = stacked.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    per = counts.withColumn(
+        "__tot", F.sum("n").over(Window.partitionBy("column"))
+    )
+    p = F.col("n").cast("double") / F.col("__tot").cast("double")
+    per = per.withColumn(
+        "contrib",
+        F.round(p * F.log2(F.lit(1.0) / p), quantize).cast("decimal(18,6)"),
+    )
+    return per.groupBy("column").agg(
+        F.max("__tot").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("contrib").cast("double").alias("entropy_bits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # subset / incompatibility
 

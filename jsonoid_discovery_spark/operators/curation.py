@@ -1388,6 +1388,65 @@ def write_shards(
 # ------------------------------------------------------------------ funnel
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Snapshot delta between two corpus versions — the re-crawl audit
+    that answers "what did this refresh actually change": one row per
+    document id with ``status`` in ``added`` (only in ``new``),
+    ``removed`` (only in ``old``), ``changed`` (both, content differs) or
+    ``unchanged``.
+
+    Scale shape: each side projects to ``(id, sha2(content, 256))``
+    BEFORE the join, so the full-outer join shuffles 64-hex digests, never
+    document bodies — at 100 TB the exchanged bytes are the id column plus
+    32 bytes/row. On bucketed snapshots (sources.write_bucketed on the id)
+    the join plans with no Exchange at all. Content equality is null-safe:
+    a document whose text is NULL in both snapshots is ``unchanged``
+    (missingness did not change), while NULL vs non-NULL is ``changed``.
+    Ids are assumed unique within each snapshot (the corpus invariant
+    dedup.fingerprint_index exists to maintain); duplicate ids multiply
+    through the join like any SQL join would.
+    """
+    o = old.select(
+        F.col(id_col).alias("__oid"), F.sha2(F.col(content_col), 256).alias("__oh")
+    )
+    n = new.select(
+        F.col(id_col).alias("__nid"), F.sha2(F.col(content_col), 256).alias("__nh")
+    )
+    j = o.join(n, o["__oid"] == n["__nid"], "full_outer")
+    status = (
+        F.when(F.col("__oid").isNull(), F.lit("added"))
+        .when(F.col("__nid").isNull(), F.lit("removed"))
+        .when(F.col("__oh").eqNullSafe(F.col("__nh")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce(F.col("__nid"), F.col("__oid")).alias(id_col),
+        status.alias("status"),
+    )
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Per-status counts of corpus_diff plus an integer parts-per-million
+    share of the id UNION (the key_skew_report convention — no floating
+    division, engine-exact): ``DataFrame[status, n, share_ppm]``."""
+    diff = corpus_diff(old, new, id_col, content_col)
+    counts = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    total = diff.agg(F.count(F.lit(1)).alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "status", "n", F.expr("n * 1000000L div total").alias("share_ppm")
+    )
+
+
 def with_drop_reason(
     df: DataFrame, rules: list[tuple[str, Column]], reason_col: str = "drop_reason"
 ) -> DataFrame:

@@ -1,0 +1,135 @@
+"""corpus_diff (snapshot delta) and entropy_report (per-column Shannon
+entropy): semantics fixtures with hand-computed values, null edge cases,
+and the multi-column-one-scan equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.operators.analyses import entropy_report
+from jsonoid_discovery_spark.operators.curation import corpus_diff, corpus_diff_summary
+
+
+class TestCorpusDiff:
+    @pytest.fixture(scope="class")
+    def snapshots(self, spark):
+        old = spark.createDataFrame(
+            [
+                (1, "same"),
+                (2, "will change"),
+                (3, "will be removed"),
+                (4, None),          # null in both -> unchanged
+                (5, None),          # null -> text  -> changed
+            ],
+            "id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "same"),
+                (2, "changed!"),
+                (4, None),
+                (5, "now present"),
+                (6, "brand new"),
+            ],
+            "id long, text string",
+        )
+        return old, new
+
+    def test_all_statuses(self, snapshots):
+        old, new = snapshots
+        got = {r.id: r.status for r in corpus_diff(old, new, "id", "text").collect()}
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "unchanged",
+            5: "changed",
+            6: "added",
+        }
+
+    def test_summary_counts_and_ppm(self, snapshots):
+        old, new = snapshots
+        got = {
+            r.status: (r.n, r.share_ppm)
+            for r in corpus_diff_summary(old, new, "id", "text").collect()
+        }
+        assert got == {
+            "unchanged": (2, 2 * 1_000_000 // 6),
+            "changed": (2, 2 * 1_000_000 // 6),
+            "removed": (1, 1_000_000 // 6),
+            "added": (1, 1_000_000 // 6),
+        }
+
+    def test_identical_snapshots(self, spark, docs):
+        got = corpus_diff(docs, docs, "doc_id", "text")
+        assert got.where(F.col("status") != "unchanged").count() == 0
+        assert got.count() == docs.count()
+
+    def test_join_carries_digests_not_content(self, snapshots):
+        # the full-outer join's inputs are the (id, sha2) projections —
+        # the corpus text column must not appear anywhere past the scan
+        old, new = snapshots
+        plan = (
+            corpus_diff(old, new, "id", "text")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        lines = plan.splitlines()
+        join_idx = next(i for i, l in enumerate(lines) if "Join FullOuter" in l)
+        # nothing at or above the join references the raw content column
+        assert all("text#" not in l for l in lines[: join_idx + 1])
+        # each join input is a Project straight to (id, sha2 digest)
+        below = [l for l in lines[join_idx + 1 :] if "Project" in l]
+        assert below and all("sha2" in l for l in below)
+
+
+class TestEntropyReport:
+    def test_uniform_is_log2_k(self, spark):
+        df = spark.createDataFrame(
+            [(c,) for c in "abcd" * 25], "v string"
+        )
+        row = entropy_report(df, ["v"]).first()
+        assert row["entropy_bits"] == pytest.approx(2.0, abs=1e-6)
+        assert row["n_rows"] == 100 and row["n_categories"] == 4
+
+    def test_constant_column_is_positive_zero(self, spark):
+        df = spark.createDataFrame([("x",)] * 10, "v string")
+        v = entropy_report(df, ["v"]).first()["entropy_bits"]
+        assert v == 0.0
+        assert math.copysign(1.0, v) > 0  # +0.0, never -0.0
+
+    def test_null_is_a_category(self, spark):
+        df = spark.createDataFrame([("a",), (None,), (None,), ("a",)], "v string")
+        row = entropy_report(df, ["v"]).first()
+        assert row["n_categories"] == 2
+        assert row["entropy_bits"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_multi_column_one_call_matches_per_column(self, docs):
+        both = {
+            r["column"]: (r["n_rows"], r["n_categories"], r["entropy_bits"])
+            for r in entropy_report(docs, ["lang", "source"]).collect()
+        }
+        for c in ("lang", "source"):
+            solo = entropy_report(docs, [c]).first()
+            assert both[c] == (
+                solo["n_rows"],
+                solo["n_categories"],
+                solo["entropy_bits"],
+            )
+
+    def test_skewed_hand_value(self, spark):
+        # p = (0.75, 0.25): H = 0.75*log2(4/3) + 0.25*2
+        df = spark.createDataFrame([("a",)] * 3 + [("b",)], "v string")
+        want = round(0.75 * math.log2(1 / 0.75), 6) + round(
+            0.25 * math.log2(1 / 0.25), 6
+        )
+        got = entropy_report(df, ["v"]).first()["entropy_bits"]
+        assert got == pytest.approx(want, abs=1e-9)
+
+    def test_empty_columns_rejected(self, docs):
+        with pytest.raises(ValueError):
+            entropy_report(docs, [])
