@@ -1610,6 +1610,18 @@ def _funnel_documents(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_report(d, rules)
 
 
+def _novelty_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document novelty per document (text.novelty_scores): share of
+    each doc's distinct word 3-grams occurring in no other document —
+    the corpus-scope boilerplate signal. Zero-exchange shingle build +
+    one gram-space document-frequency groupBy + gram-keyed join + per-doc
+    rollup; integer ppm. Oracle replays the identical shingle CTEs the
+    minhash/jaccard oracles pin."""
+    from jsonoid_discovery_spark.operators.text import novelty_scores
+
+    return novelty_scores(_t(spark, sf, "documents"), "text", "doc_id", n=3)
+
+
 def _corpus_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Re-crawl snapshot delta (curation.corpus_diff): old = documents
     minus every doc_id % 7 == 0 row; new = documents minus doc_id % 9 == 0
@@ -1743,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_documents": _funnel_documents,
         "corpus_diff_documents": _corpus_diff_documents,
         "entropy_documents": _entropy_documents,
+        "novelty_documents": _novelty_documents,
         "quantile_buckets_lineitem": _quantile_buckets_lineitem,
         "classifier_score_documents": _classifier_score_documents,
         "code_quality_documents": _code_quality_documents,
@@ -2523,6 +2536,19 @@ def oracle_sql() -> dict[str, str]:
                    (n_in - dropped)::BIGINT AS n_out,
                    (dropped * 1000000 // n_in)::BIGINT AS drop_ppm
             FROM f
+        """,
+        # the identical shingle CTEs the minhash/jaccard oracles pin, then
+        # document frequency + the per-doc novel-gram rollup; ppm is
+        # integer floor division in both engines
+        "novelty_documents": "WITH " + _shingle_ctes_sql(3) + """,
+            dfreq AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s)
+            SELECT sh.doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum((df = 1)::INT)::BIGINT AS n_novel,
+                   (sum((df = 1)::INT)::BIGINT * 1000000 // count(*))::BIGINT
+                     AS novelty_ppm
+            FROM sh JOIN dfreq USING (s)
+            GROUP BY sh.doc_id
         """,
         # the same digest-before-join shape: both sides reduce to
         # (doc_id, sha256) and the full join + null-safe compare replays

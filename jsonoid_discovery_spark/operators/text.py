@@ -527,3 +527,49 @@ def classifier_score(
         prob.alias("prob"),
         (prob >= F.lit(thr_q)).alias("keep"),
     )
+
+
+def novelty_scores(
+    df: DataFrame, col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-document novelty per document: of its DISTINCT word
+    ``n``-grams, how many occur in NO other document —
+    ``DataFrame[id, n_grams, n_novel, novelty_ppm]``.
+
+    The corpus-scope complement of repetition_features (which measures
+    repetition WITHIN a document): a low novelty_ppm document is built
+    out of text other documents also contain — template/boilerplate
+    pages, mirrored content that survived exact and near dedup, license
+    headers — the "duplicated n-gram share" family of quality signals
+    (Rae et al. 2021 repetition rules; RefinedWeb's dedup diagnostics).
+    Use it to rank dedup AGGRESSIVENESS: line_dedup / span_dedup targets
+    come from exactly the low-novelty band.
+
+    Plan shape at any scale (the tfidf_top_terms family): the shingle
+    build is a zero-exchange projection (shingle_rows' Generate-barrier
+    form, distinct per doc by construction), document frequency is ONE
+    map-side-combined groupBy sized by the gram space, the join back is
+    gram-keyed (AQE picks broadcast for small vocabularies), and the
+    per-doc rollup shuffles map-side-combined per-id partials.
+    ``novelty_ppm`` is integer parts-per-million via ``div`` (the
+    key_skew_report convention — engine-exact, no floating division).
+    Null texts drop (no grams to judge); sub-``n``-word documents count
+    their whole text as one gram (the shingle_rows fallback)."""
+    from jsonoid_discovery_spark.operators.dedup import shingle_rows
+
+    grams = shingle_rows(df, col, id_col, k=n)
+    dfreq = grams.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "s")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000000L div n_grams").alias("novelty_ppm"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""novelty_scores: cross-document novel n-gram share.
+
+Exactness is pinned against a python replay of the same shingle
+semantics (distinct word k-grams per doc, whole-text fallback under k
+words, null texts dropped); plan shape is pinned the way the other
+shingle-family operators are — the gram build stays exchange-free and
+the only shuffles are the gram-space document-frequency groupBy and the
+per-doc rollup.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonoid_discovery_spark.operators.text import novelty_scores
+
+
+def _py_shingles(text: str, k: int) -> set[str]:
+    ws = text.strip().split()
+    if len(ws) < k:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+
+def _py_novelty(rows, k):
+    sh = {i: _py_shingles(t, k) for i, t in rows if t is not None}
+    from collections import Counter
+
+    dfreq = Counter(g for gs in sh.values() for g in gs)
+    out = {}
+    for i, gs in sh.items():
+        novel = sum(1 for g in gs if dfreq[g] == 1)
+        out[i] = (len(gs), novel, novel * 1_000_000 // len(gs))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # two docs sharing a license header, unique bodies
+        (1, "copyright acme corp all rights reserved alpha beta gamma delta"),
+        (2, "copyright acme corp all rights reserved epsilon zeta eta theta"),
+        # fully unique doc
+        (3, "the quick brown fox jumps over the lazy dog"),
+        # exact duplicate pair: zero novelty for both
+        (4, "mirror mirror on the wall same text here"),
+        (5, "mirror mirror on the wall same text here"),
+        # sub-n-word doc (whole text is the single gram)
+        (6, "tiny doc"),
+        # another sub-n doc with the SAME two words: both non-novel
+        (7, "tiny doc"),
+        (8, None),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_matches_python_replay(corpus):
+    rows, df = corpus
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in novelty_scores(df, "text", "doc_id", n=3).collect()
+    }
+    assert got == _py_novelty(rows, 3)
+
+
+def test_duplicates_and_boilerplate(corpus):
+    _, df = corpus
+    got = {r["doc_id"]: r for r in novelty_scores(df, "text", "doc_id", n=3).collect()}
+    # exact duplicates: every gram appears in the twin -> novelty 0
+    assert got[4]["novelty_ppm"] == 0 and got[5]["novelty_ppm"] == 0
+    # shared-header docs: below 1.0, above the duplicates
+    assert 0 < got[1]["novelty_ppm"] < 1_000_000
+    # fully unique doc: 1.0 (exact ppm)
+    assert got[3]["novelty_ppm"] == 1_000_000
+    # sub-n twins fall back to whole-text grams and cancel each other
+    assert got[6]["n_grams"] == 1 and got[6]["n_novel"] == 0
+    # null text emits no row
+    assert 8 not in got
+
+
+def test_within_doc_repeats_collapse(spark):
+    # "a b a b a b": distinct 2-grams {"a b", "b a"}; a second doc shares
+    # "a b" only -> doc 1 has 1 novel of 2
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x a b y")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(df, "text", "doc_id", n=2).collect()}
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (2, 1)
+    assert got[1]["novelty_ppm"] == 500_000
+
+
+def test_plan_two_shuffles_no_text_in_exchange(corpus):
+    _, df = corpus
+    plan = (
+        novelty_scores(df, "text", "doc_id", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # gram build is a projection — the only exchanges are the dfreq
+    # groupBy, the gram join, and the per-doc rollup (all keyed on the
+    # gram or the id, never carrying the document body)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
