@@ -1644,6 +1644,27 @@ def _corpus_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_diff(old, new, "doc_id", "text")
 
 
+def _distinct_delta_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column distinct-set snapshot audit (curation.distinct_delta,
+    exact mode): the same old/new construction as corpus_diff (%7 / %9
+    removals, ' v2' appended where doc_id % 5 == 0) over lang, source and
+    text — n_added/n_removed distinct values per column plus the
+    distinct-set Jaccard as integer ppm. One stacked groupBy on (column,
+    value) per-side presence; the sketch mode (KMV/theta set algebra,
+    bounded exchange) is pinned by tests/test_distinct_delta.py."""
+    from jsonoid_discovery_spark.operators.curation import distinct_delta
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return distinct_delta(old, new, ["lang", "source", "text"])
+
+
 def _entropy_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-column Shannon entropy in bits (analyses.entropy_report) over
     lang and source: ONE stacked groupBy scan for both columns, window
@@ -1754,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_documents": _dedup_incremental_documents,
         "funnel_documents": _funnel_documents,
         "corpus_diff_documents": _corpus_diff_documents,
+        "distinct_delta_documents": _distinct_delta_documents,
         "entropy_documents": _entropy_documents,
         "novelty_documents": _novelty_documents,
         "quantile_buckets_lineitem": _quantile_buckets_lineitem,
@@ -2569,6 +2591,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        # the same %7/%9/%5 snapshot fixture as corpus_diff, stacked to
+        # (side, column, value) with the <null> category convention, then
+        # per-(column, value) side presence and the per-column rollup;
+        # jaccard_ppm is integer floor division in both engines
+        "distinct_delta_documents": """
+            WITH o AS (SELECT * FROM documents WHERE doc_id % 7 != 0),
+            n AS (
+              SELECT doc_id, lang, source,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 9 != 0
+            ),
+            st AS (
+              SELECT 0 AS side, 'lang' AS c, coalesce(lang::VARCHAR, '<null>') AS v FROM o
+              UNION ALL SELECT 0, 'source', coalesce(source::VARCHAR, '<null>') FROM o
+              UNION ALL SELECT 0, 'text', coalesce(text::VARCHAR, '<null>') FROM o
+              UNION ALL SELECT 1, 'lang', coalesce(lang::VARCHAR, '<null>') FROM n
+              UNION ALL SELECT 1, 'source', coalesce(source::VARCHAR, '<null>') FROM n
+              UNION ALL SELECT 1, 'text', coalesce(text::VARCHAR, '<null>') FROM n
+            ),
+            pres AS (
+              SELECT c, v,
+                     max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_old,
+                     max(side) AS in_new
+              FROM st GROUP BY c, v
+            )
+            SELECT c AS "column",
+                   sum(in_old)::BIGINT AS n_old,
+                   sum(in_new)::BIGINT AS n_new,
+                   sum(in_old * in_new)::BIGINT AS n_common,
+                   (sum(in_new) - sum(in_old * in_new))::BIGINT AS n_added,
+                   (sum(in_old) - sum(in_old * in_new))::BIGINT AS n_removed,
+                   (sum(in_old * in_new)::BIGINT * 1000000
+                      // (sum(in_old) + sum(in_new) - sum(in_old * in_new)))::BIGINT
+                     AS jaccard_ppm,
+                   TRUE AS exact
+            FROM pres GROUP BY c
         """,
         # per-category p*log2(1/p) rounded to 6 then summed as DECIMAL —
         # identical arithmetic shape to the Spark plan (1.0/p, not

@@ -495,3 +495,108 @@ class TopKExamples:
 
     def values(self) -> list[object]:
         return [v for _, v in self.items]
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta distinct sketch with set algebra
+
+
+@dataclass
+class KmvSketch:
+    """K-minimum-values distinct sketch with SET ALGEBRA — the member of
+    the sketch monoid family HLL cannot replace: HLL unions exactly but
+    has no intersection/difference, while KMV's "k smallest distinct
+    hashes" sample supports union, intersection AND difference estimates
+    (Beyer et al. 2007, "On synopses for distinct-value estimation under
+    multiset operations", SIGMOD; the DataSketches theta-sketch family).
+
+    State is the sorted array of the k smallest DISTINCT uint64 hashes
+    seen.  ``merge`` (k smallest of the union of two states) is
+    commutative/associative/idempotent with the empty sketch as identity
+    — checkpointable like every other sketch here.  While fewer than k
+    distinct hashes have been seen the sketch IS the complete hash set
+    (``complete`` is True) and every estimate is exact (modulo 64-bit
+    hash collisions, ~n^2/2^65); past k, ``theta`` = (k-th smallest)/2^64
+    is the sampling rate and counts scale by 1/theta with relative
+    stderr ~= 1/sqrt(k-2).
+
+    Set operations use the theta-sketch estimator: cut BOTH samples at
+    the smaller theta, set-op the cut samples, divide by theta. All
+    arithmetic is exact python-int / numpy-uint64 — no float hash math.
+    """
+
+    k: int = 4096
+    hashes: np.ndarray = None  # uint64, sorted ascending, len <= k
+
+    _FULL = 1 << 64
+
+    def __post_init__(self) -> None:
+        if self.hashes is None:
+            self.hashes = np.empty(0, dtype=np.uint64)
+
+    @property
+    def complete(self) -> bool:
+        return len(self.hashes) < self.k
+
+    @property
+    def theta_num(self) -> int:
+        """theta as an integer cutoff in [0, 2^64]: hashes < theta_num are
+        the retained sample; 2^64 when complete (everything retained)."""
+        return self._FULL if self.complete else int(self.hashes[self.k - 1]) + 1
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        merged = np.unique(np.concatenate([self.hashes, h.astype(np.uint64)]))
+        self.hashes = merged[: self.k]
+
+    def update(self, values: pd.Series | np.ndarray) -> None:
+        self.update_hashes(hash64_array(values))
+
+    def merge(self, other: "KmvSketch") -> "KmvSketch":
+        assert self.k == other.k
+        merged = np.unique(np.concatenate([self.hashes, other.hashes]))
+        return KmvSketch(self.k, merged[: self.k])
+
+    def _cut(self, theta_num: int) -> np.ndarray:
+        if theta_num >= self._FULL:
+            return self.hashes
+        return self.hashes[: int(np.searchsorted(self.hashes, np.uint64(theta_num)))]
+
+    @staticmethod
+    def _scale(count: int, theta_num: int) -> float:
+        return count * (KmvSketch._FULL / theta_num)
+
+    def estimate(self) -> float:
+        if self.complete:
+            return float(len(self.hashes))
+        # unbiased KMV estimator: (k-1) / theta
+        return (self.k - 1) * (self._FULL / int(self.hashes[self.k - 1]))
+
+    def union_estimate(self, other: "KmvSketch") -> float:
+        return self.merge(other).estimate()
+
+    def intersect_estimate(self, other: "KmvSketch") -> float:
+        t = min(self.theta_num, other.theta_num)
+        a, b = self._cut(t), other._cut(t)
+        n = int(np.intersect1d(a, b, assume_unique=True).size)
+        return self._scale(n, t)
+
+    def difference_estimate(self, other: "KmvSketch") -> float:
+        """Estimate of |self \\ other| (distinct values in self absent
+        from other)."""
+        t = min(self.theta_num, other.theta_num)
+        a, b = self._cut(t), other._cut(t)
+        n = int(a.size - np.intersect1d(a, b, assume_unique=True).size)
+        return self._scale(n, t)
+
+    @property
+    def stderr(self) -> float:
+        return 1.0 / math.sqrt(max(self.k - 2, 1))
+
+    def to_bytes(self) -> bytes:
+        return self.hashes.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, k: int = 4096) -> "KmvSketch":
+        return cls(k, np.frombuffer(b, dtype=np.uint64).copy())

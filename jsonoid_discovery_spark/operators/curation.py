@@ -1447,6 +1447,211 @@ def corpus_diff_summary(
     )
 
 
+def distinct_delta(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str],
+    mode: str = "exact",
+    k: int = 8192,
+    safety: int = 8,
+) -> DataFrame:
+    """Distinct-VALUE delta between two corpus snapshots, per column —
+    the set-level companion to corpus_diff's row-level audit: how many
+    distinct values each column gained (``n_added``: new vocabulary,
+    new langs, new repos) and lost (``n_removed``) in a refresh, plus
+    the distinct-set Jaccard as an integer ppm drift signal.
+    ``DataFrame[column, n_old, n_new, n_common, n_added, n_removed,
+    jaccard_ppm, exact]``.  NULL participates as the ``<null>`` value
+    (the entropy_report/category convention).
+
+    ``mode='exact'`` stacks every requested column into ``(column,
+    value)`` pairs on BOTH sides in one projection each, so ONE
+    map-side-combined groupBy on (column, value) computes per-side
+    presence for every column — never 2·k scans. The only exchange
+    carries one row per distinct (column, value) pair, which for id-like
+    or text columns at 100 TB is corpus-sized: that is precisely the
+    shuffle the sketch mode removes.
+
+    ``mode='sketch'`` builds a KMV/theta sketch (functions.sketches.
+    KmvSketch; Beyer et al. 2007) per (side, column) with a BOUNDED
+    exchange: an approx_count_distinct probe sizes a per-(side, column)
+    hash threshold keeping ~``safety``·``k`` of the smallest xxhash64
+    values (unsigned order via the sign-bit XOR trick, so the filter is
+    a codegen'd long compare), the filtered stream groupBy-distincts,
+    and a window keeps the k smallest per key — at most 2·|columns|·k
+    rows ever reach the driver. Set algebra (intersection/difference at
+    the common theta) runs on the collected KB-sized sketches. The
+    threshold is CERTIFIED, never trusted: a filtered (side, column)
+    that yields fewer than k hashes (the probe overshot) is re-scanned
+    unfiltered — so any sketch that is complete (< k distinct) is exact,
+    and estimates carry relative stderr ~1/sqrt(k-2). Counts are
+    rounded to BIGINT; ``exact`` is True only when both sides' sketches
+    were complete for that column."""
+    if not columns:
+        raise ValueError("distinct_delta needs at least one column")
+    if mode not in ("exact", "sketch"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _stack(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit("<null>")
+                            ).alias("v"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("s")
+        ).select(F.lit(side).alias("side"), "s.column", "s.v")
+
+    if mode == "exact":
+        st = _stack(old, 0).unionByName(_stack(new, 1))
+        pres = st.groupBy("column", "v").agg(
+            F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_old"),
+            F.max("side").alias("in_new"),
+        )
+        return (
+            pres.groupBy("column")
+            .agg(
+                F.sum("in_old").alias("n_old"),
+                F.sum("in_new").alias("n_new"),
+                F.sum(F.col("in_old") * F.col("in_new")).alias("n_common"),
+            )
+            .select(
+                "column",
+                "n_old",
+                "n_new",
+                "n_common",
+                (F.col("n_new") - F.col("n_common")).alias("n_added"),
+                (F.col("n_old") - F.col("n_common")).alias("n_removed"),
+                F.expr(
+                    "n_common * 1000000L div (n_old + n_new - n_common)"
+                ).alias("jaccard_ppm"),
+                F.lit(True).alias("exact"),
+            )
+        )
+
+    from jsonoid_discovery_spark.functions.sketches import KmvSketch
+
+    sign_bit = -(1 << 63)
+    st = (
+        _stack(old, 0)
+        .unionByName(_stack(new, 1))
+        # xxhash64 in unsigned order: XOR the sign bit so signed compares
+        # on xh match unsigned compares on the raw hash (codegen'd)
+        .select(
+            "side",
+            "column",
+            F.xxhash64("v").bitwiseXOR(F.lit(sign_bit)).alias("xh"),
+        )
+    )
+    probe = {
+        (r["side"], r["column"]): int(r["acd"])
+        for r in st.groupBy("side", "column")
+        .agg(F.approx_count_distinct("xh").alias("acd"))
+        .collect()
+    }
+
+    def _thr(est: int) -> int:
+        # signed threshold in xor space for keeping ~safety*k/est of the
+        # hash line; 2^63-1 (no filter) when the estimate fits the sketch
+        if est <= safety * k:
+            return (1 << 63) - 1
+        frac = min(1.0, (safety * k) / est)
+        return sign_bit + int((1 << 64) * frac)
+
+    def _collect(keys: set[tuple[int, str]], filtered: bool) -> dict:
+        from pyspark.sql import Window
+
+        sub = st.where(
+            F.struct("side", "column").isin(
+                [
+                    F.struct(F.lit(s), F.lit(c)).alias("x")
+                    for s, c in sorted(keys)
+                ]
+            )
+        )
+        if filtered:
+            thr_map = F.create_map(
+                *[
+                    x
+                    for s, c in sorted(keys)
+                    for x in (
+                        F.concat_ws("\u0001", F.lit(str(s)), F.lit(c)),
+                        F.lit(_thr(probe[(s, c)])),
+                    )
+                ]
+            )
+            key = F.concat_ws("\u0001", F.col("side").cast("string"), "column")
+            sub = sub.where(F.col("xh") <= thr_map[key])
+        w = Window.partitionBy("side", "column").orderBy("xh")
+        rows = (
+            sub.groupBy("side", "column", "xh")
+            .agg(F.lit(1))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select("side", "column", "xh")
+            .collect()
+        )
+        out: dict[tuple[int, str], list[int]] = {key_: [] for key_ in keys}
+        for r in rows:
+            out[(r["side"], r["column"])].append(
+                (int(r["xh"]) ^ sign_bit) & ((1 << 64) - 1)
+            )
+        return out
+
+    all_keys = {(s, c) for s in (0, 1) for c in columns}
+    hashes = _collect(all_keys, filtered=True)
+    # certification: a filtered key that produced < k hashes means the
+    # probe overestimated — its threshold may have cut real small-hash
+    # mass, so re-scan those keys unfiltered (they are small by evidence)
+    violated = {
+        key_
+        for key_, hs in hashes.items()
+        if len(hs) < k and _thr(probe[key_]) != (1 << 63) - 1
+    }
+    if violated:
+        hashes.update(_collect(violated, filtered=False))
+
+    import numpy as np
+
+    sk = {
+        key_: KmvSketch(k, np.sort(np.array(hs, dtype=np.uint64)))
+        for key_, hs in hashes.items()
+    }
+    out_rows = []
+    for c in columns:
+        a, b = sk[(0, c)], sk[(1, c)]
+        n_old, n_new = a.estimate(), b.estimate()
+        n_common = a.intersect_estimate(b)
+        n_added = b.difference_estimate(a)
+        n_removed = a.difference_estimate(b)
+        ro = [int(round(x)) for x in (n_old, n_new, n_common, n_added, n_removed)]
+        union = ro[0] + ro[1] - ro[2]
+        out_rows.append(
+            (
+                c,
+                ro[0],
+                ro[1],
+                ro[2],
+                ro[3],
+                ro[4],
+                (ro[2] * 1_000_000) // union if union > 0 else 0,
+                bool(a.complete and b.complete),
+            )
+        )
+    return old.sparkSession.createDataFrame(
+        out_rows,
+        "column string, n_old bigint, n_new bigint, n_common bigint, "
+        "n_added bigint, n_removed bigint, jaccard_ppm bigint, exact boolean",
+    )
+
+
 def with_drop_reason(
     df: DataFrame, rules: list[tuple[str, Column]], reason_col: str = "drop_reason"
 ) -> DataFrame:

@@ -1,0 +1,177 @@
+"""KmvSketch (KMV/theta distinct sketch with set algebra) and
+distinct_delta (per-column distinct-set snapshot audit).
+
+The sketch is the monoid-family member HLL cannot replace (it supports
+intersection/difference); exactness when complete, merge laws, and
+estimate error bounds are pinned here. distinct_delta's exact mode is
+pinned against a python set replay (and DuckDB via the driver
+contract); sketch mode must equal exact mode when complete and stay
+within KMV error bounds when not.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.functions.sketches import KmvSketch
+from jsonoid_discovery_spark.operators.curation import distinct_delta
+
+
+class TestKmvSketch:
+    def test_identity_and_complete_exactness(self):
+        a = KmvSketch(64)
+        assert a.complete and a.estimate() == 0.0
+        a.update(pd.Series([f"v{i}" for i in range(40)] * 3))
+        assert a.complete and a.estimate() == 40.0
+        # identity: merging the empty sketch changes nothing
+        assert np.array_equal(a.merge(KmvSketch(64)).hashes, a.hashes)
+
+    def test_merge_laws(self):
+        rng = random.Random(7)
+        parts = [
+            pd.Series([f"k{rng.randrange(500)}" for _ in range(300)])
+            for _ in range(3)
+        ]
+        sks = []
+        for p in parts:
+            s = KmvSketch(128)
+            s.update(p)
+            sks.append(s)
+        a, b, c = sks
+        # commutative + associative + idempotent
+        assert np.array_equal(a.merge(b).hashes, b.merge(a).hashes)
+        assert np.array_equal(
+            a.merge(b).merge(c).hashes, a.merge(b.merge(c)).hashes
+        )
+        assert np.array_equal(a.merge(a).hashes, a.hashes)
+
+    def test_estimate_error_bound(self):
+        n = 50_000
+        s = KmvSketch(1024)
+        s.update(pd.Series([f"u{i}" for i in range(n)]))
+        assert not s.complete
+        # stderr ~ 1/sqrt(k-2) ~ 3.1%; allow 5 sigma
+        assert abs(s.estimate() - n) / n < 5 / np.sqrt(1022)
+
+    def test_set_algebra_exact_when_complete(self):
+        a, b = KmvSketch(4096), KmvSketch(4096)
+        a.update(pd.Series([f"x{i}" for i in range(1000)]))
+        b.update(pd.Series([f"x{i}" for i in range(600, 1400)]))
+        assert a.intersect_estimate(b) == 400.0
+        assert a.difference_estimate(b) == 600.0
+        assert b.difference_estimate(a) == 400.0
+        assert a.union_estimate(b) == 1400.0
+
+    def test_set_algebra_error_bound(self):
+        a, b = KmvSketch(2048), KmvSketch(2048)
+        a.update(pd.Series([f"x{i}" for i in range(40_000)]))
+        b.update(pd.Series([f"x{i}" for i in range(20_000, 60_000)]))
+        tol = 6 / np.sqrt(2046)  # intersection uses ~k effective samples
+        assert abs(a.intersect_estimate(b) - 20_000) / 20_000 < tol
+        assert abs(a.difference_estimate(b) - 20_000) / 20_000 < tol
+        assert abs(a.union_estimate(b) - 60_000) / 60_000 < tol
+
+    def test_roundtrip_bytes(self):
+        a = KmvSketch(256)
+        a.update(pd.Series([f"r{i}" for i in range(5000)]))
+        b = KmvSketch.from_bytes(a.to_bytes(), k=256)
+        assert np.array_equal(a.hashes, b.hashes)
+        assert a.estimate() == b.estimate()
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old_rows = [(i, f"w{i % 37}", None if i % 11 == 0 else f"s{i % 5}") for i in range(400)]
+    new_rows = [
+        (i, f"w{(i + 3) % 41}", None if i % 13 == 0 else f"s{i % 6}")
+        for i in range(100, 520)
+    ]
+    schema = "id int, word string, src string"
+    return (
+        old_rows,
+        new_rows,
+        spark.createDataFrame(old_rows, schema),
+        spark.createDataFrame(new_rows, schema),
+    )
+
+
+def _py_delta(old_rows, new_rows, idx):
+    o = {("<null>" if r[idx] is None else str(r[idx])) for r in old_rows}
+    n = {("<null>" if r[idx] is None else str(r[idx])) for r in new_rows}
+    c = len(o & n)
+    return (
+        len(o),
+        len(n),
+        c,
+        len(n - o),
+        len(o - n),
+        c * 1_000_000 // len(o | n),
+    )
+
+
+class TestDistinctDelta:
+    def test_exact_matches_python_replay(self, snapshots):
+        old_rows, new_rows, old, new = snapshots
+        got = {
+            r["column"]: (
+                r["n_old"], r["n_new"], r["n_common"],
+                r["n_added"], r["n_removed"], r["jaccard_ppm"],
+            )
+            for r in distinct_delta(old, new, ["word", "src"]).collect()
+        }
+        assert got["word"] == _py_delta(old_rows, new_rows, 1)
+        assert got["src"] == _py_delta(old_rows, new_rows, 2)
+
+    def test_sketch_equals_exact_when_complete(self, snapshots):
+        _, _, old, new = snapshots
+        exact = sorted(map(tuple, distinct_delta(old, new, ["word", "src"]).collect()))
+        sk = sorted(
+            map(tuple, distinct_delta(old, new, ["word", "src"], mode="sketch", k=512).collect())
+        )
+        assert exact == sk
+        assert all(r[-1] is True for r in sk)  # certified complete -> exact
+
+    def test_sketch_estimates_within_bounds(self, spark):
+        old = spark.range(30_000).selectExpr("concat('a', id) AS v")
+        new = spark.range(10_000, 45_000).selectExpr("concat('a', id) AS v")
+        r = distinct_delta(old, new, ["v"], mode="sketch", k=1024).collect()[0]
+        assert r["exact"] is False
+        tol = 6 / np.sqrt(1022)
+        assert abs(r["n_old"] - 30_000) / 30_000 < tol
+        assert abs(r["n_new"] - 35_000) / 35_000 < tol
+        assert abs(r["n_common"] - 20_000) / 20_000 < tol
+        assert abs(r["n_added"] - 15_000) / 15_000 < tol
+        assert abs(r["n_removed"] - 10_000) / 10_000 < tol
+
+    def test_sketch_partition_invariance(self, spark):
+        old = spark.range(20_000).selectExpr("concat('p', id) AS v")
+        new = spark.range(5_000, 26_000).selectExpr("concat('p', id) AS v")
+        a = distinct_delta(old, new, ["v"], mode="sketch", k=512).collect()
+        b = distinct_delta(
+            old.repartition(17), new.repartition(3), ["v"], mode="sketch", k=512
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_exact_plan_one_groupby_no_bodies(self, snapshots):
+        _, _, old, new = snapshots
+        plan = (
+            distinct_delta(old, new, ["word", "src"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        # map-side combine: partial_max before the exchange
+        assert "partial_max" in plan or "partial" in plan
+
+    def test_mode_validation(self, snapshots):
+        _, _, old, new = snapshots
+        with pytest.raises(ValueError):
+            distinct_delta(old, new, [], mode="exact")
+        with pytest.raises(ValueError):
+            distinct_delta(old, new, ["word"], mode="bogus")
