@@ -1472,6 +1472,18 @@ def _sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _fd_violations_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """FD violation rows (analyses.fd_violations): lang -> source is a
+    deliberately broken dependency in the documents table (every lang
+    draws from many sources), so the evidence table fires — one row per
+    conflicting (lang, source) pair with its row count and the lang's
+    dependent count. One groupBy exchange + a window over the aggregated
+    pair frame."""
+    from jsonoid_discovery_spark.operators.analyses import fd_violations
+
+    return fd_violations(_t(spark, sf, "documents"), "lang", "source")
+
+
 def _fd_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Functional-dependency discovery (analyses.functional_dependencies,
     exact mode): every ordered pair among (o_orderkey, o_custkey,
@@ -1769,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click_events": _asof_purchase_click_events,
         "sessionize_events": _sessionize_events,
         "fd_orders": _fd_orders,
+        "fd_violations_documents": _fd_violations_documents,
         "psi_lang_documents": _psi_lang_documents,
         "jsd_lang_documents": _jsd_lang_documents,
         "salted_join_lineitem": _salted_join_lineitem,
@@ -2432,6 +2445,19 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "fd_orders": _fd_oracle_sql(),
+        # one grouped count per (lang, source) pair, then the
+        # per-determinant dependent count as a window over the aggregated
+        # pair frame — identical shape to the Spark plan
+        "fd_violations_documents": """
+            WITH g AS (
+              SELECT lang, source, count(*)::BIGINT AS n_rows
+              FROM documents WHERE lang IS NOT NULL
+              GROUP BY lang, source
+            )
+            SELECT lang, source, n_rows,
+                   count(*) OVER (PARTITION BY lang)::BIGINT AS n_dependents
+            FROM g QUALIFY n_dependents > 1
+        """,
         # PSI per category with the 0.5-count prior, contributions rounded
         # to 6 and the __total row summing THOSE as DECIMAL(18,6) — exact
         # and aggregation-order independent.

@@ -221,6 +221,41 @@ def functional_dependencies(
     )
 
 
+def fd_violations(
+    df: DataFrame, determinant: str, dependent: str
+) -> DataFrame:
+    """Violation rows for a functional dependency A -> B: every
+    (determinant, dependent) pair belonging to a determinant value that
+    maps to MORE than one distinct dependent —
+    ``DataFrame[determinant, dependent, n_rows, n_dependents]``.
+
+    The row-level companion to functional_dependencies (which answers
+    "does the FD hold" from one aggregate): when it does NOT hold, this
+    is the evidence table — the uniqueness_violations convention applied
+    to dependencies (uniqueness is the special case B = row identity).
+    Null determinants are excluded (FDs constrain values, not presence);
+    a null DEPENDENT is a value and conflicts with non-null ones, exactly
+    as the discovery side counts it.
+
+    Plan shape: ONE map-side-combined groupBy on (A, B) — the only
+    corpus-sized exchange — then the per-determinant dependent count is a
+    window over the AGGREGATED frame (one row per distinct pair, the
+    entropy_report convention), so the second exchange is sized by the
+    pair space, never the corpus. AQE splits skewed determinants."""
+    from pyspark.sql import Window
+
+    g = (
+        df.where(F.col(determinant).isNotNull())
+        .groupBy(determinant, dependent)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    n_dep = F.count(F.lit(1)).over(Window.partitionBy(determinant))
+    return (
+        g.withColumn("n_dependents", n_dep)
+        .where(F.col("n_dependents") > 1)
+    )
+
+
 def mutual_information(
     df: DataFrame, x_col: str, y_col: str, quantize: int = 6
 ) -> DataFrame:

@@ -1,0 +1,50 @@
+"""fd_violations: the violation-row evidence table for a broken A -> B."""
+
+from __future__ import annotations
+
+from jsonoid_discovery_spark.operators.analyses import fd_violations
+
+
+def test_violating_and_clean_keys(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "x"), ("a", "y"),   # a -> {x, y}: violates
+            ("b", "z"), ("b", "z"),               # b -> {z}: clean
+            (None, "q"),                          # null determinant: excluded
+            ("c", None), ("c", "w"),              # null dependent is a value
+        ],
+        "k string, v string",
+    )
+    rows = {
+        (r["k"], r["v"]): (r["n_rows"], r["n_dependents"])
+        for r in fd_violations(df, "k", "v").collect()
+    }
+    assert rows == {
+        ("a", "x"): (2, 2),
+        ("a", "y"): (1, 2),
+        ("c", None): (1, 2),
+        ("c", "w"): (1, 2),
+    }
+
+
+def test_holding_fd_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], "k string, v string"
+    )
+    assert fd_violations(df, "k", "v").count() == 0
+
+
+def test_window_runs_on_aggregated_frame(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y")] * 50, "k string, v string"
+    )
+    plan = (
+        fd_violations(df, "k", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # map-side combine before the pair exchange; the window's exchange
+    # sits ABOVE the aggregate (pair-space-sized, not corpus-sized)
+    assert "partial_count" in plan or "partial" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
