@@ -1656,6 +1656,40 @@ def _corpus_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_diff(old, new, "doc_id", "text")
 
 
+def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Current-state extraction (temporal.latest_by): the latest event
+    per user by ts, ties broken by event_id descending — the
+    collapse-changelog-to-current-state step that precedes uniqueness/RI
+    validation on mutable entities. One window over one exchange on the
+    key; deterministic across parallelism (tiebreak pinned, never
+    partition order)."""
+    from jsonoid_discovery_spark.operators.temporal import latest_by
+
+    return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
+
+
+def _summary_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint-level summary-stat drift (drift.summary_drift) on the
+    corpus_diff %7/%9/%5 snapshot fixture: per column, non-null count /
+    null ppm / bounds (value bounds for n_chars, length bounds for text
+    and lang), old vs new vs delta. ONE single-row aggregate per side;
+    every metric is order/partition-independent so both engines agree
+    bit-for-bit."""
+    from jsonoid_discovery_spark.operators.drift import summary_drift
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return summary_drift(
+        old, new, numeric_cols=["n_chars"], string_cols=["text", "lang"]
+    )
+
+
 def _distinct_delta_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-column distinct-set snapshot audit (curation.distinct_delta,
     exact mode): the same old/new construction as corpus_diff (%7 / %9
@@ -1789,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_documents": _funnel_documents,
         "corpus_diff_documents": _corpus_diff_documents,
         "distinct_delta_documents": _distinct_delta_documents,
+        "summary_drift_documents": _summary_drift_documents,
+        "latest_events": _latest_events,
         "entropy_documents": _entropy_documents,
         "novelty_documents": _novelty_documents,
         "quantile_buckets_lineitem": _quantile_buckets_lineitem,
@@ -2445,6 +2481,17 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "fd_orders": _fd_oracle_sql(),
+        "summary_drift_documents": _summary_drift_oracle_sql(),
+        # the identical deterministic order: ts desc nulls last, then
+        # event_id desc — QUALIFY keeps exactly the window survivor
+        "latest_events": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+            ) = 1
+        """,
         # one grouped count per (lang, source) pair, then the
         # per-determinant dependent count as a window over the aggregated
         # pair frame — identical shape to the Spark plan
@@ -3230,6 +3277,55 @@ def _upsample_oracle_sql(seed: int = 7) -> str:
         + " FROM ua_m)"
         + " SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS copy"
         + " FROM ua_n WHERE n > 0"
+    )
+
+
+def _summary_drift_oracle_sql() -> str:
+    """DuckDB oracle for summary_drift_documents: one aggregate per
+    snapshot side (the %7/%9/%5 fixture), then one UNION ALL row per
+    (column, metric) — n / null_ppm (integer floor ppm) / min / max for
+    n_chars, length bounds for text and lang. Every metric is a count,
+    min/max, or integer division: order-independent, so the DOUBLE casts
+    agree with the Spark side bit-for-bit."""
+    cols = [("n_chars", False), ("text", True), ("lang", True)]
+
+    def _aggs(alias: str) -> str:
+        parts = [f"count(*) AS rows_"]
+        for c, is_str in cols:
+            expr = f"length({c})" if is_str else c
+            parts += [
+                f"count({c}) AS n__{c}",
+                f"min({expr})::DOUBLE AS min__{c}",
+                f"max({expr})::DOUBLE AS max__{c}",
+            ]
+        return ", ".join(parts)
+
+    selects = []
+    for c, is_str in cols:
+        lo, hi = ("min_len", "max_len") if is_str else ("min", "max")
+        selects += [
+            f"SELECT '{c}' AS \"column\", 'n' AS metric,"
+            f" oa.n__{c}::DOUBLE AS old_val, na.n__{c}::DOUBLE AS new_val,"
+            f" (na.n__{c} - oa.n__{c})::DOUBLE AS delta FROM oa, na",
+            f"SELECT '{c}', 'null_ppm',"
+            f" ((oa.rows_ - oa.n__{c}) * 1000000 // oa.rows_)::DOUBLE,"
+            f" ((na.rows_ - na.n__{c}) * 1000000 // na.rows_)::DOUBLE,"
+            f" ((na.rows_ - na.n__{c}) * 1000000 // na.rows_)::DOUBLE"
+            f" - ((oa.rows_ - oa.n__{c}) * 1000000 // oa.rows_)::DOUBLE"
+            f" FROM oa, na",
+            f"SELECT '{c}', '{lo}', oa.min__{c}, na.min__{c},"
+            f" na.min__{c} - oa.min__{c} FROM oa, na",
+            f"SELECT '{c}', '{hi}', oa.max__{c}, na.max__{c},"
+            f" na.max__{c} - oa.max__{c} FROM oa, na",
+        ]
+    return (
+        "WITH o AS (SELECT * FROM documents WHERE doc_id % 7 != 0),\n"
+        "n AS (SELECT doc_id, lang, source, n_chars,\n"
+        "        CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text\n"
+        "      FROM documents WHERE doc_id % 9 != 0),\n"
+        f"oa AS (SELECT {_aggs('o')} FROM o),\n"
+        f"na AS (SELECT {_aggs('n')} FROM n)\n"
+        + "\nUNION ALL ".join(selects)
     )
 
 

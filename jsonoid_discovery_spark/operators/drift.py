@@ -338,3 +338,94 @@ def drift_report(
         )
     )
     return drift_report_by(both, "__seg", categorical_col, numeric_len_col, params)
+
+
+def summary_drift(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str] | None = None,
+    string_cols: list[str] | None = None,
+) -> DataFrame:
+    """Constraint-level drift of per-column SUMMARY statistics against a
+    baseline snapshot — ``DataFrame[column, metric, old_val, new_val,
+    delta]`` — the exact companion to the distribution checks above
+    (chi-square/KS/JSD answer "did the SHAPE move"; this answers "did the
+    learned constraints move": bounds widened, null share rose, rows
+    vanished). The reference analog is IncompatibilityCollector's
+    constraint diffing (discovery/IncompatibilityCollector.scala), here
+    computed directly from the snapshots in one aggregate per side.
+
+    Metrics — all order/partition-independent (counts, min/max, integer
+    ppm; no floating accumulation, so both engines and any parallelism
+    agree bit-for-bit):
+      * numeric columns: ``n`` non-null count, ``null_ppm``, ``min``,
+        ``max``;
+      * string columns: ``n``, ``null_ppm``, ``min_len``, ``max_len``.
+    ``delta = new - old`` as IEEE doubles. A metric whose side has no
+    rows reports NULL for that side (and a NULL delta) rather than a
+    fabricated 0 — absence and zero are different drift signals.
+
+    Plan shape: ONE codegen'd single-row aggregate per snapshot (every
+    requested column in the same scan — column-pruned, no shuffle beyond
+    the final partial-merge), assembled driver-side like
+    functional_dependencies. At 100 TB each side is exactly one pass."""
+    numeric_cols = list(numeric_cols or [])
+    string_cols = list(string_cols or [])
+    if not numeric_cols and not string_cols:
+        raise ValueError("summary_drift needs at least one column")
+
+    def _aggs() -> list:
+        out = [F.count(F.lit(1)).alias("__rows")]
+        for c in numeric_cols:
+            out += [
+                F.count(F.col(c)).alias(f"n__{c}"),
+                F.min(F.col(c)).cast("double").alias(f"min__{c}"),
+                F.max(F.col(c)).cast("double").alias(f"max__{c}"),
+            ]
+        for c in string_cols:
+            out += [
+                F.count(F.col(c)).alias(f"n__{c}"),
+                F.min(F.length(F.col(c))).cast("double").alias(f"min__{c}"),
+                F.max(F.length(F.col(c))).cast("double").alias(f"max__{c}"),
+            ]
+        return out
+
+    o, n = old.agg(*_aggs()).head(), new.agg(*_aggs()).head()
+
+    def _metrics(side) -> dict[tuple[str, str], float | None]:
+        total = side["__rows"]
+        m: dict[tuple[str, str], float | None] = {}
+        for c in numeric_cols + string_cols:
+            nn = side[f"n__{c}"]
+            is_str = c in string_cols
+            m[(c, "n")] = float(nn)
+            m[(c, "null_ppm")] = (
+                float((total - nn) * 1_000_000 // total) if total else None
+            )
+            lo, hi = side[f"min__{c}"], side[f"max__{c}"]
+            m[(c, "min_len" if is_str else "min")] = (
+                float(lo) if lo is not None else None
+            )
+            m[(c, "max_len" if is_str else "max")] = (
+                float(hi) if hi is not None else None
+            )
+        return m
+
+    mo, mn = _metrics(o), _metrics(n)
+    rows = []
+    for key in mo:
+        a, b = mo[key], mn[key]
+        rows.append(
+            (
+                key[0],
+                key[1],
+                a,
+                b,
+                (b - a) if (a is not None and b is not None) else None,
+            )
+        )
+    return old.sparkSession.createDataFrame(
+        rows,
+        "column string, metric string, old_val double, new_val double, "
+        "delta double",
+    )

@@ -168,3 +168,45 @@ def sessionize(
         "n_events",
         *aggs.keys(),
     )
+
+
+def latest_by(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Current-state snapshot extraction: the single LATEST row per key
+    tuple by ``order_col`` — the canonical "collapse an append-only
+    change log to its current state" step that precedes uniqueness /
+    RI validation on mutable entities (latest commit per (repo, path),
+    latest event per user, SCD current row).
+
+    Determinism is non-negotiable for a validation input: when two rows
+    tie on ``order_col`` the winner is decided by ``tiebreak``
+    descending (pass a unique id), else by ``xxhash64`` of the row's
+    remaining columns — NEVER by partition order, so the output is
+    byte-stable across parallelism, AQE re-plans and re-runs (the
+    exact_dedup survivor convention).
+
+    Plan shape: one window over a single exchange on the keys (AQE
+    splits skewed keys); rows that lose never leave their task. NULL
+    ``order_col`` rows lose to any non-null (Spark sorts nulls first in
+    descending? no — ``desc_nulls_last`` is pinned explicitly)."""
+    if not keys:
+        raise ValueError("latest_by needs at least one key column")
+    tb = (
+        F.col(tiebreak).desc_nulls_last()
+        if tiebreak
+        else F.xxhash64(
+            *[F.col(c) for c in df.columns if c not in keys and c != order_col]
+        ).desc()
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(order_col).desc_nulls_last(), tb
+    )
+    return (
+        df.withColumn("__lb_rn", F.row_number().over(w))
+        .where(F.col("__lb_rn") == 1)
+        .drop("__lb_rn")
+    )

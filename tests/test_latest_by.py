@@ -1,0 +1,50 @@
+"""latest_by: deterministic current-state extraction per key."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonoid_discovery_spark.operators.temporal import latest_by
+
+
+def test_latest_per_key_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, 10, "a"),
+            ("u1", 3, 11, "b"),   # latest for u1
+            ("u1", 3, 9, "c"),    # same ts, lower id -> loses
+            ("u2", 2, 20, "d"),
+            ("u3", None, 30, "e"),  # null ts still wins when alone
+        ],
+        "user string, ts int, id int, v string",
+    )
+    got = {
+        r["user"]: (r["ts"], r["id"], r["v"])
+        for r in latest_by(df, ["user"], "ts", tiebreak="id").collect()
+    }
+    assert got == {
+        "u1": (3, 11, "b"),
+        "u2": (2, 20, "d"),
+        "u3": (None, 30, "e"),
+    }
+
+
+def test_null_order_loses_to_any_value(spark):
+    df = spark.createDataFrame(
+        [("k", None, "stale"), ("k", 1, "live")], "k string, ts int, v string"
+    )
+    assert latest_by(df, ["k"], "ts", tiebreak="v").collect()[0]["v"] == "live"
+
+
+def test_hash_tiebreak_partition_invariant(spark):
+    rows = [("k", 5, f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, ts int, v string")
+    a = latest_by(df, ["k"], "ts").collect()
+    b = latest_by(df.repartition(13), ["k"], "ts").collect()
+    assert a == b and len(a) == 1
+
+
+def test_needs_keys(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, ts int")
+    with pytest.raises(ValueError):
+        latest_by(df, [], "ts")

@@ -1,0 +1,63 @@
+"""summary_drift: constraint-level summary-stat drift vs a baseline
+snapshot (bounds widened, null share rose, rows vanished)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonoid_discovery_spark.operators.drift import summary_drift
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    old = spark.createDataFrame(
+        [(1, "aa"), (5, None), (3, "cccc")], "x int, s string"
+    )
+    new = spark.createDataFrame(
+        [(0, "a"), (9, "bbbbbb"), (None, "cc"), (4, None), (7, None)],
+        "x int, s string",
+    )
+    return old, new
+
+
+def _m(df):
+    return {(r["column"], r["metric"]): (r["old_val"], r["new_val"], r["delta"]) for r in df.collect()}
+
+
+def test_metrics_exact(sides):
+    old, new = sides
+    got = _m(summary_drift(old, new, numeric_cols=["x"], string_cols=["s"]))
+    assert got[("x", "n")] == (3.0, 4.0, 1.0)
+    assert got[("x", "min")] == (1.0, 0.0, -1.0)
+    assert got[("x", "max")] == (5.0, 9.0, 4.0)
+    # old: 0/3 null -> 0 ppm; new: 1/5 null -> 200000 ppm
+    assert got[("x", "null_ppm")] == (0.0, 200000.0, 200000.0)
+    assert got[("s", "n")] == (2.0, 3.0, 1.0)
+    assert got[("s", "min_len")] == (2.0, 1.0, -1.0)
+    assert got[("s", "max_len")] == (4.0, 6.0, 2.0)
+    # old: 1/3 null -> 333333 ppm (floor); new: 2/5 -> 400000
+    assert got[("s", "null_ppm")] == (333333.0, 400000.0, 400000.0 - 333333.0)
+
+
+def test_empty_side_reports_null_not_zero(spark, sides):
+    old, _ = sides
+    empty = spark.createDataFrame([], "x int, s string")
+    got = _m(summary_drift(old, empty, numeric_cols=["x"]))
+    assert got[("x", "n")] == (3.0, 0.0, -3.0)
+    # bounds of an empty side are NULL (absence != zero), so delta is NULL
+    assert got[("x", "min")] == (1.0, None, None)
+    assert got[("x", "null_ppm")][1] is None
+
+
+def test_all_null_column_bounds_null(spark):
+    old = spark.createDataFrame([(1,)], "x int")
+    new = spark.createDataFrame([(None,), (None,)], "x int")
+    got = _m(summary_drift(old, new, numeric_cols=["x"]))
+    assert got[("x", "max")] == (1.0, None, None)
+    assert got[("x", "null_ppm")] == (0.0, 1000000.0, 1000000.0)
+
+
+def test_needs_columns(sides):
+    old, new = sides
+    with pytest.raises(ValueError):
+        summary_drift(old, new)
