@@ -1668,6 +1668,28 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _continuity_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time continuity validation (temporal.continuity_report):
+    per-user feed health — gap maxima, span, and events whose timestamp
+    runs backward along the event_id arrival order (clock skew/replay
+    detection). One key exchange, two same-partitioning windows, one
+    aggregate; all gap math in integer microseconds."""
+    from jsonoid_discovery_spark.operators.temporal import continuity_report
+
+    return continuity_report(_t(spark, sf, "events"), "user_id", "ts", seq_col="event_id")
+
+
+def _fertility_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-fertility diagnostics per lang (text.fertility_report):
+    chars per whitespace token and BPE-ish per whitespace token as
+    integer milli ratios — the bytes→tokens conversion table that
+    mixture weighting needs. One scan, codegen'd token expressions,
+    groupBy sized by the lang space."""
+    from jsonoid_discovery_spark.operators.text import fertility_report
+
+    return fertility_report(_t(spark, sf, "documents"), "text", by="lang")
+
+
 def _summary_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Constraint-level summary-stat drift (drift.summary_drift) on the
     corpus_diff %7/%9/%5 snapshot fixture: per column, non-null count /
@@ -1825,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_delta_documents": _distinct_delta_documents,
         "summary_drift_documents": _summary_drift_documents,
         "latest_events": _latest_events,
+        "continuity_events": _continuity_events,
+        "fertility_documents": _fertility_documents,
         "entropy_documents": _entropy_documents,
         "novelty_documents": _novelty_documents,
         "quantile_buckets_lineitem": _quantile_buckets_lineitem,
@@ -2482,6 +2506,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # identical window replay: ts-ordered lag for gaps (ties broken by
+        # event_id — gap values are tie-insensitive since tied ts are
+        # equal), event_id-ordered lag for the out-of-order count; all gap
+        # math in integer microseconds, // == Spark's div on nonnegatives
+        "continuity_events": """
+            WITH base AS (
+              SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL
+            ),
+            g AS (
+              SELECT user_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ) AS gap_us,
+                     (epoch_us(ts) < lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id ASC
+                     ))::INT AS ooo
+              FROM base
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT AS span_s,
+                   (max(gap_us) // 1000000)::BIGINT AS max_gap_s,
+                   coalesce(sum(ooo), 0)::BIGINT AS n_out_of_order
+            FROM g GROUP BY user_id
+        """,
+        # the token_counts/bpe_token_counts expressions replayed (regexp
+        # whitespace split with the empty-string guard; the shared BPE-ish
+        # regex), then integer milli ratios via floor division
+        "fertility_documents": """
+            WITH src AS (
+              SELECT lang,
+                     length(text)::BIGINT AS chars,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END)::BIGINT AS toks,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(chars)::BIGINT AS sum_chars,
+                   sum(toks)::BIGINT AS sum_tokens,
+                   sum(bpe)::BIGINT AS sum_bpe_tokens,
+                   (sum(chars) * 1000 // nullif(sum(toks), 0))::BIGINT AS chars_per_token_milli,
+                   (sum(bpe) * 1000 // nullif(sum(toks), 0))::BIGINT AS bpe_per_ws_milli
+            FROM src GROUP BY lang
+        """,
         # the identical deterministic order: ts desc nulls last, then
         # event_id desc — QUALIFY keeps exactly the window survivor
         "latest_events": """

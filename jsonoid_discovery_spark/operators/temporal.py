@@ -210,3 +210,54 @@ def latest_by(
         .where(F.col("__lb_rn") == 1)
         .drop("__lb_rn")
     )
+
+
+def continuity_report(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Event-time continuity validation per key — the stream-health
+    companion to sessionize: ``DataFrame[key, n_events, first_ts,
+    last_ts, span_s, max_gap_s, n_out_of_order]``. Catches the three
+    standard event-stream defects before they poison windowed
+    aggregates: silent feed gaps (``max_gap_s`` blows past the feed's
+    SLA), clock skew / replays (``n_out_of_order`` counts events whose
+    timestamp runs BACKWARD along the arrival order ``seq_col``), and
+    key starvation (``n_events`` collapse). Null timestamps are excluded
+    from every statistic (not_null checks own missingness).
+
+    Plan shape: ONE exchange on the key feeding two window passes over
+    the same partitioning (Catalyst plans consecutive same-key windows
+    without a second exchange: ts-ordered ``lag`` for gaps, seq-ordered
+    ``lag`` for the out-of-order count) and the final per-key aggregate
+    — the corpus crosses the wire once. Gaps are long microseconds
+    cast to seconds via integer div (engine-exact, no float epoch)."""
+    if seq_col is None:
+        seq_col = ts_col
+    w_ts = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(seq_col).asc())
+    w_seq = Window.partitionBy(key).orderBy(F.col(seq_col).asc())
+    # unix_micros rejects TIMESTAMP_NTZ; the NTZ->LTZ cast reads naive
+    # values in the session zone (pinned to UTC in session.py — a fixed
+    # offset, so every difference below is cast-invariant anyway)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    cols = [key, ts_col] + ([seq_col] if seq_col != ts_col else [])
+    base = df.where(F.col(ts_col).isNotNull()).select(*cols)
+    gaps = base.select(
+        key,
+        F.col(ts_col).alias("__ts"),
+        (us(ts_col) - F.lag(us(ts_col)).over(w_ts)).alias("__gap_us"),
+        (us(ts_col) < F.lag(us(ts_col)).over(w_seq)).cast("long").alias("__ooo"),
+    )
+    return gaps.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("__ts").alias("first_ts"),
+        F.max("__ts").alias("last_ts"),
+        F.expr(
+            "(unix_micros(cast(max(__ts) as timestamp))"
+            " - unix_micros(cast(min(__ts) as timestamp))) div 1000000"
+        ).alias("span_s"),
+        F.expr("max(__gap_us) div 1000000").alias("max_gap_s"),
+        F.coalesce(F.sum("__ooo"), F.lit(0)).alias("n_out_of_order"),
+    )

@@ -573,3 +573,50 @@ def novelty_scores(
             F.expr("n_novel * 1000000L div n_grams").alias("novelty_ppm"),
         )
     )
+
+
+def fertility_report(
+    df: DataFrame, col: str, by: str | None = None
+) -> DataFrame:
+    """Tokenizer-fertility diagnostics per group (or one global row when
+    ``by`` is None): ``DataFrame[(by,) n_docs, sum_chars, sum_tokens,
+    sum_bpe_tokens, chars_per_token_milli, bpe_per_ws_milli]`` — how many
+    characters a whitespace token and a BPE-ish token carry in each
+    slice of the corpus. The standard mixture-weighting input: token
+    budgets are set in TOKENS but corpora are measured in BYTES, and
+    fertility is what converts between them per language/source (why
+    multilingual mixes under-sample high-fertility scripts if weighted
+    by bytes). Ratios are integer MILLI units via ``div`` (the ppm
+    convention at ratio scale — engine-exact, no float division); null
+    texts contribute nothing (no chars, no tokens, not counted in
+    n_docs).
+
+    Plan: pure codegen'd length/token expressions (token_count /
+    bpe_ish_token_count) into ONE map-side-combined groupBy — a single
+    scan, shuffle sized by the group space."""
+    t, b = token_count(col), bpe_ish_token_count(col)
+    src = df.where(F.col(col).isNotNull()).select(
+        *([by] if by else []),
+        F.length(F.col(col)).alias("__chars"),
+        t.alias("__toks"),
+        b.alias("__bpe"),
+    )
+    g = src.groupBy(*([by] if by else []))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("sum_chars"),
+        F.sum("__toks").alias("sum_tokens"),
+        F.sum("__bpe").alias("sum_bpe_tokens"),
+    ).select(
+        *([by] if by else []),
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        "sum_bpe_tokens",
+        F.expr("sum_chars * 1000L div nullif(sum_tokens, 0L)").alias(
+            "chars_per_token_milli"
+        ),
+        F.expr("sum_bpe_tokens * 1000L div nullif(sum_tokens, 0L)").alias(
+            "bpe_per_ws_milli"
+        ),
+    )

@@ -1,0 +1,86 @@
+"""continuity_report (event-time feed health) and fertility_report
+(tokenizer fertility per group)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from jsonoid_discovery_spark.operators.temporal import continuity_report
+from jsonoid_discovery_spark.operators.text import fertility_report
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+class TestContinuity:
+    def test_gaps_span_and_out_of_order(self, spark):
+        rows = [
+            # u1 arrival order (seq): ts runs 0, 10, 5 -> one backward step;
+            # sorted ts gaps: 5, 5 -> max_gap 5, span 10
+            ("u1", 1, _ts(0)),
+            ("u1", 2, _ts(10)),
+            ("u1", 3, _ts(5)),
+            # u2: single event -> no gap (null), span 0, no ooo
+            ("u2", 4, _ts(30)),
+            # u3: null ts excluded entirely
+            ("u3", 5, None),
+        ]
+        df = spark.createDataFrame(rows, "user string, seq int, ts timestamp")
+        got = {
+            r["user"]: (
+                r["n_events"], r["span_s"], r["max_gap_s"], r["n_out_of_order"]
+            )
+            for r in continuity_report(df, "user", "ts", seq_col="seq").collect()
+        }
+        assert got == {"u1": (3, 10, 5, 1), "u2": (1, 0, None, 0)}
+
+    def test_default_seq_is_ts_order_no_ooo(self, spark):
+        df = spark.createDataFrame(
+            [("k", _ts(3)), ("k", _ts(1))], "k string, ts timestamp"
+        )
+        r = continuity_report(df, "k", "ts").collect()[0]
+        # ordered by ts itself, nothing can run backward
+        assert r["n_out_of_order"] == 0 and r["max_gap_s"] == 2
+
+    def test_single_exchange_plan(self, spark):
+        df = spark.createDataFrame(
+            [("k", i, _ts(i)) for i in range(20)], "k string, seq int, ts timestamp"
+        )
+        plan = (
+            continuity_report(df, "k", "ts", seq_col="seq")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both windows + the aggregate ride ONE hashpartitioning on the key
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestFertility:
+    def test_milli_ratios_exact(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("en", "ab cd"),        # 5 chars, 2 ws toks, 2 bpe toks
+                ("en", "x!"),           # 2 chars, 1 ws tok, 2 bpe toks
+                ("de", None),           # excluded
+                ("de", ""),             # 0 chars, 0 toks -> div null
+            ],
+            "lang string, text string",
+        )
+        got = {r["lang"]: r for r in fertility_report(df, "text", by="lang").collect()}
+        en = got["en"]
+        assert (en["n_docs"], en["sum_chars"], en["sum_tokens"], en["sum_bpe_tokens"]) == (2, 7, 3, 4)
+        assert en["chars_per_token_milli"] == 7 * 1000 // 3
+        assert en["bpe_per_ws_milli"] == 4 * 1000 // 3
+        de = got["de"]
+        assert (de["n_docs"], de["sum_tokens"]) == (1, 0)
+        assert de["chars_per_token_milli"] is None
+
+    def test_global_single_row(self, spark):
+        df = spark.createDataFrame([("a b",), ("c",)], "text string")
+        rows = fertility_report(df, "text").collect()
+        assert len(rows) == 1
+        assert rows[0]["sum_tokens"] == 3
