@@ -1668,6 +1668,33 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _coverage_gaps_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Dimension-coverage completeness (constraints.coverage_gaps) over
+    (lang, source) with two combos deliberately removed — (de, src7) and
+    (zh, src3) — so injected gaps surface alongside any naturally absent
+    cells. One corpus aggregate; grid + anti-join on combo-space-sized
+    frames."""
+    from jsonoid_discovery_spark.operators.constraints import coverage_gaps
+
+    d = _t(spark, sf, "documents").where(
+        ~((F.col("lang") == "de") & (F.col("source") == "src7"))
+        & ~((F.col("lang") == "zh") & (F.col("source") == "src3"))
+    )
+    return coverage_gaps(d, ["lang", "source"])
+
+
+def _benford_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit screen (drift.benford_screen) on
+    l_extendedprice: per-digit counts, integer ppm shares, and round-6
+    chi-square contributions vs the Benford expectation. Lexical digit
+    extraction (first [1-9] of the string form) — exact at any
+    magnitude, engine-identical below the scientific-notation
+    threshold."""
+    from jsonoid_discovery_spark.operators.drift import benford_screen
+
+    return benford_screen(_t(spark, sf, "lineitem"), "l_extendedprice")
+
+
 def _continuity_events(spark: SparkSession, sf: str) -> DataFrame:
     """Event-time continuity validation (temporal.continuity_report):
     per-user feed health — gap maxima, span, and events whose timestamp
@@ -1848,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_drift_documents": _summary_drift_documents,
         "latest_events": _latest_events,
         "continuity_events": _continuity_events,
+        "coverage_gaps_documents": _coverage_gaps_documents,
+        "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
         "entropy_documents": _entropy_documents,
         "novelty_documents": _novelty_documents,
@@ -2506,6 +2535,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # grid of observed per-dim values minus observed combos, null-safe
+        # (IS NOT DISTINCT FROM), same fixture filter
+        "coverage_gaps_documents": """
+            WITH filt AS (
+              SELECT lang, source FROM documents
+              WHERE NOT (lang = 'de' AND source = 'src7')
+                AND NOT (lang = 'zh' AND source = 'src3')
+            ),
+            obs AS (SELECT lang, source FROM filt GROUP BY lang, source),
+            l AS (SELECT DISTINCT lang FROM obs),
+            s AS (SELECT DISTINCT source FROM obs)
+            SELECT l.lang, s.source
+            FROM l CROSS JOIN s
+            WHERE NOT EXISTS (
+              SELECT 1 FROM obs
+              WHERE obs.lang IS NOT DISTINCT FROM l.lang
+                AND obs.source IS NOT DISTINCT FROM s.source
+            )
+        """,
+        # identical lexical digit extraction + the Spark side's EXACT
+        # Benford ppm literals (computed once driver-side; re-deriving via
+        # each engine's round(log10 ...) could differ at a half boundary),
+        # expected counts and chi2 in the same association order, round-6
+        "benford_lineitem": """
+            WITH v AS (
+              SELECT regexp_extract(l_extendedprice::VARCHAR, '[1-9]') AS digit
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            counts AS (
+              SELECT digit, count(*)::BIGINT AS n FROM v
+              WHERE digit <> '' GROUP BY digit
+            ),
+            dom(digit, benford_ppm) AS (VALUES
+              ('1', 301030), ('2', 176091), ('3', 124939), ('4', 96910),
+              ('5', 79181), ('6', 66947), ('7', 57992), ('8', 51153),
+              ('9', 45757)
+            ),
+            j AS (
+              SELECT dom.digit, coalesce(n, 0)::BIGINT AS n,
+                     benford_ppm::BIGINT AS benford_ppm
+              FROM dom LEFT JOIN counts USING (digit)
+            ),
+            t AS (SELECT sum(n)::BIGINT AS tot FROM j)
+            SELECT digit, n,
+                   (n * 1000000 // nullif(tot, 0))::BIGINT AS share_ppm,
+                   benford_ppm,
+                   CASE WHEN tot > 0 THEN round(
+                     (n - benford_ppm::DOUBLE * tot::DOUBLE / 1e6)
+                     * (n - benford_ppm::DOUBLE * tot::DOUBLE / 1e6)
+                     / (benford_ppm::DOUBLE * tot::DOUBLE / 1e6), 6)
+                   END AS chi2_contrib
+            FROM j, t ORDER BY digit
+        """,
         # identical window replay: ts-ordered lag for gaps (ties broken by
         # event_id — gap values are tie-insensitive since tied ts are
         # equal), event_id-ordered lag for the out-of-order count; all gap

@@ -481,3 +481,46 @@ def bloom_fk_candidates(
             if na != nb and sa.hash_space == sb.hash_space and sa.bloom.maybe_subset_of(sb.bloom):
                 cands.append((na, nb))
     return cands
+
+
+def coverage_gaps(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Dimension-coverage completeness check: every combination of the
+    OBSERVED per-dimension values that has NO rows — "which expected
+    partitions are missing from today's load" (a lang that ships from
+    every source but one, a (region, day) cell a feed dropped). Returns
+    the missing combinations themselves (the violation-row convention):
+    ``DataFrame[*dims]``, empty when the observed grid is complete.
+
+    The expected grid is the cross product of each dimension's observed
+    value set — self-calibrating (no reference list to maintain) and by
+    construction every reported gap is genuinely surprising: each of its
+    coordinate values DOES occur, just never together. NULL is a value
+    like any other (a dimension that is sometimes null has <null> cells
+    worth checking — eqNullSafe joins throughout).
+
+    Plan shape: the corpus is aggregated ONCE (groupBy on the dims —
+    map-side combined, shuffle sized by the observed combo space); the
+    per-dim distinct frames, the cross join, and the left-anti join all
+    run on AGGREGATED combo-space-sized frames (the expected grid is
+    |d1|x...x|dk| rows — dims are bounded-cardinality by contract;
+    screen with key_skew_summary first if unsure). AQE broadcasts the
+    anti-join's observed side."""
+    from functools import reduce
+
+    if not dims:
+        raise ValueError("coverage_gaps needs at least one dimension")
+    obs = df.groupBy(*dims).agg(F.count(F.lit(1)).alias("__n"))
+    # the grid's columns are renamed during construction — expected and
+    # obs share lineage (both derive from the same aggregate), and
+    # identically-named attributes across a self-join are ambiguous
+    expected = reduce(
+        lambda a, b: a.crossJoin(b),
+        [obs.select(F.col(d).alias(f"__e_{d}")).distinct() for d in dims],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [expected[f"__e_{d}"].eqNullSafe(obs[d]) for d in dims],
+    )
+    return expected.join(obs, cond, "left_anti").select(
+        *[F.col(f"__e_{d}").alias(d) for d in dims]
+    )

@@ -429,3 +429,69 @@ def summary_drift(
         "column string, metric string, old_val double, new_val double, "
         "delta double",
     )
+
+
+def benford_screen(
+    df: DataFrame, col: str, quantize: int = 6
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-numbers screen for naturally-spread magnitude
+    columns (prices, populations, file sizes; Benford 1938, Nigrini's
+    audit practice): ``DataFrame[digit, n, share_ppm, benford_ppm,
+    chi2_contrib]`` for digits 1-9, ordered by digit. The caller
+    compares ``sum(chi2_contrib)`` (the Pearson statistic, additive by
+    construction) to the chi-square(8) critical value, or eyeballs the
+    per-digit ppm gap.
+
+    The first significant digit is extracted LEXICALLY — the first
+    [1-9] character of the value's string form — not via
+    ``floor(x/10^floor(log10 x))``: the lexical form is exact for any
+    magnitude (no float log rounding at decade boundaries) and replays
+    engine-identically (shortest-roundtrip double formatting agrees
+    between the JVM and DuckDB below the scientific-notation
+    threshold; sign and leading zeros are skipped by the regex, so
+    -0.00123 -> 1). Zero/null values have no significant digit and are
+    excluded. Shares are integer ppm; chi-square contributions
+    ``(obs - exp)^2/exp`` are computed on EXPECTED COUNTS from the
+    round-6-quantized Benford ppm (the psi/entropy convention) and
+    rounded to ``quantize`` — order/partition/engine independent.
+
+    Plan: one projection (regexp_extract) + one 9-group aggregate —
+    a single map-side-combined shuffle of at most 9 x tasks rows."""
+    import math as _math
+
+    digit = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .select(digit.alias("digit"))
+        .where(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # left-join the full digit domain so absent digits report n=0 (their
+    # chi2 contribution is exp, not a silently dropped cell)
+    dom = df.sparkSession.createDataFrame(
+        [(str(d), int(round(_math.log10(1 + 1 / d) * 1_000_000))) for d in range(1, 10)],
+        "digit string, benford_ppm bigint",
+    )
+    j = dom.join(counts, "digit", "left").select(
+        "digit",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "benford_ppm",
+    )
+    total = j.agg(F.sum("n").alias("__t"))
+    j = j.crossJoin(F.broadcast(total))
+    exp = F.col("benford_ppm").cast("double") * F.col("__t").cast("double") / 1e6
+    return (
+        j.select(
+            "digit",
+            "n",
+            F.expr("n * 1000000L div nullif(__t, 0L)").alias("share_ppm"),
+            "benford_ppm",
+            F.when(
+                F.col("__t") > 0,
+                F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, quantize),
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

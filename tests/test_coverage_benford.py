@@ -1,0 +1,81 @@
+"""coverage_gaps (dimension completeness) and benford_screen
+(first-digit distribution audit)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jsonoid_discovery_spark.operators.constraints import coverage_gaps
+from jsonoid_discovery_spark.operators.drift import benford_screen
+
+
+class TestCoverageGaps:
+    def test_missing_combos_reported(self, spark):
+        rows = [
+            ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1),
+            # (c, 2) never occurs -> the one gap in the 3x2 grid
+        ]
+        df = spark.createDataFrame(rows, "x string, y int")
+        assert [tuple(r) for r in coverage_gaps(df, ["x", "y"]).collect()] == [("c", 2)]
+
+    def test_complete_grid_empty(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1), ("b", 2)], "x string, y int"
+        )
+        assert coverage_gaps(df, ["x", "y"]).count() == 0
+
+    def test_null_is_a_value(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), (None, 1), ("a", 2)], "x string, y int"
+        )
+        # grid {a, null} x {1, 2}; (null, 2) missing
+        assert [tuple(r) for r in coverage_gaps(df, ["x", "y"]).collect()] == [
+            (None, 2)
+        ]
+
+    def test_three_dims(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, True), ("b", 2, False), ("a", 2, True), ("b", 1, True),
+             ("a", 1, False), ("b", 2, True), ("a", 2, False)],
+            "x string, y int, z boolean",
+        )
+        gaps = {tuple(r) for r in coverage_gaps(df, ["x", "y", "z"]).collect()}
+        assert gaps == {("b", 1, False)}
+
+    def test_needs_dims(self, spark):
+        df = spark.createDataFrame([("a",)], "x string")
+        with pytest.raises(ValueError):
+            coverage_gaps(df, [])
+
+
+class TestBenford:
+    def test_counts_and_shares_exact(self, spark):
+        # first significant digits: 1,1,2,9,1 (from 0.00123 -> 1; -92 -> 9)
+        df = spark.createDataFrame(
+            [(123.0,), (0.00123,), (2.5,), (-92.0,), (1000.0,), (None,), (0.0,)],
+            "v double",
+        )
+        rows = {r["digit"]: r for r in benford_screen(df, "v").collect()}
+        assert len(rows) == 9  # full domain, absent digits at n=0
+        assert rows["1"]["n"] == 3 and rows["2"]["n"] == 1 and rows["9"]["n"] == 1
+        assert rows["3"]["n"] == 0
+        assert rows["1"]["share_ppm"] == 3 * 1_000_000 // 5
+        assert rows["1"]["benford_ppm"] == 301030
+
+    def test_benford_sample_scores_low_uniform_high(self, spark):
+        # exponential-spread sample (Benford-ish): chi2 far below a
+        # same-size uniform-digit sample
+        ben = spark.range(1, 2000).selectExpr("cast(power(1.01, id) as double) AS v")
+        uni = spark.range(1, 2000).selectExpr("cast(id % 9 + 1 as double) AS v")
+        chi = lambda df: sum(
+            r["chi2_contrib"] for r in benford_screen(df, "v").collect()
+        )
+        assert chi(ben) < chi(uni) / 10
+
+    def test_empty_input_null_stats(self, spark):
+        df = spark.createDataFrame([], "v double")
+        rows = benford_screen(df, "v").collect()
+        assert len(rows) == 9
+        assert all(r["n"] == 0 and r["chi2_contrib"] is None for r in rows)
