@@ -1668,6 +1668,27 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _quantile_drift_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile drift (drift.quantile_drift, exact mode) on
+    l_extendedprice between a %7-filtered baseline and a %9-filtered
+    snapshot with a +10% corruption band (l_orderkey %5): the interior
+    quantiles move where summary bounds would not. exact=True rides the
+    percentile/quantile_cont parity the outlier/percentile oracles
+    established; the 1.1 multiplier is a DOUBLE literal on both sides
+    (a DECIMAL literal would drift in the last ulp)."""
+    from jsonoid_discovery_spark.operators.drift import quantile_drift
+
+    li = _t(spark, sf, "lineitem")
+    old = li.where(F.col("l_orderkey") % 7 != 0)
+    new = li.where(F.col("l_orderkey") % 9 != 0).withColumn(
+        "l_extendedprice",
+        F.when(
+            F.col("l_orderkey") % 5 == 0, F.col("l_extendedprice") * F.lit(1.1)
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    return quantile_drift(old, new, "l_extendedprice", exact=True)
+
+
 def _coverage_gaps_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Dimension-coverage completeness (constraints.coverage_gaps) over
     (lang, source) with two combos deliberately removed — (de, src7) and
@@ -1876,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": _latest_events,
         "continuity_events": _continuity_events,
         "coverage_gaps_documents": _coverage_gaps_documents,
+        "quantile_drift_lineitem": _quantile_drift_lineitem,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
         "entropy_documents": _entropy_documents,
@@ -2535,6 +2557,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # quantile_cont == Spark percentile (linear interpolation, probed
+        # bit-identical); the corruption multiplier is 1.1::DOUBLE on both
+        # sides so the binary value matches Spark's double literal
+        "quantile_drift_lineitem": """
+            WITH o AS (
+              SELECT l_extendedprice AS v FROM lineitem
+              WHERE l_orderkey % 7 != 0
+            ),
+            n AS (
+              SELECT CASE WHEN l_orderkey % 5 = 0
+                          THEN l_extendedprice * 1.1::DOUBLE
+                          ELSE l_extendedprice END AS v
+              FROM lineitem WHERE l_orderkey % 9 != 0
+            ),
+            oq AS (
+              SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS prob,
+                     unnest(quantile_cont(v, [0.25, 0.5, 0.75, 0.9, 0.99]))
+                       AS old_val
+              FROM o
+            ),
+            nq AS (
+              SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS prob,
+                     unnest(quantile_cont(v, [0.25, 0.5, 0.75, 0.9, 0.99]))
+                       AS new_val
+              FROM n
+            )
+            SELECT prob, old_val, new_val, new_val - old_val AS delta
+            FROM oq JOIN nq USING (prob)
+        """,
         # grid of observed per-dim values minus observed combos, null-safe
         # (IS NOT DISTINCT FROM), same fixture filter
         "coverage_gaps_documents": """

@@ -495,3 +495,43 @@ def benford_screen(
         )
         .orderBy("digit")
     )
+
+
+def quantile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-quantile drift of one numeric column between snapshots —
+    ``DataFrame[prob, old_val, new_val, delta]`` — the distribution-
+    INTERIOR companion to summary_drift's bounds (a tail that fattened
+    moves p99 long before it moves max) and the parametric-free
+    alternative to the KS statistic when you want to know WHERE the
+    distribution moved, not just whether.
+
+    Each side is ONE single-pass aggregate (util.column_percentiles'
+    machinery): ``percentile_approx`` by default — a mergeable
+    bounded-memory sketch, the 100 TB path — or ``exact=True`` via
+    ``percentile`` (linear interpolation, the DuckDB/PostgreSQL
+    ``quantile_cont`` rule, probed bit-identical on this corpus; its
+    buffer is a per-distinct-value count map, so exact mode is for
+    quantized or bounded-cardinality columns). The two one-row results
+    join on prob — no corpus-sized exchange anywhere. Deltas are plain
+    IEEE subtraction; an empty side reports NULL (absence, not 0)."""
+    from jsonoid_discovery_spark.operators.util import column_percentiles
+
+    o = column_percentiles(old, col, probs, exact=exact, accuracy=accuracy)
+    n = column_percentiles(new, col, probs, exact=exact, accuracy=accuracy)
+    return (
+        o.withColumnRenamed("value", "old_val")
+        .join(n.withColumnRenamed("value", "new_val"), "prob")
+        .select(
+            "prob",
+            "old_val",
+            "new_val",
+            (F.col("new_val") - F.col("old_val")).alias("delta"),
+        )
+    )

@@ -1,0 +1,33 @@
+"""quantile_drift: per-quantile snapshot deltas."""
+
+from __future__ import annotations
+
+from jsonoid_discovery_spark.operators.drift import quantile_drift
+
+
+def test_shift_detected_exact(spark):
+    old = spark.range(1, 101).selectExpr("cast(id as double) AS v")
+    new = spark.range(1, 101).selectExpr("cast(id + 10 as double) AS v")
+    rows = {r["prob"]: r for r in quantile_drift(old, new, "v", exact=True).collect()}
+    assert set(rows) == {0.25, 0.5, 0.75, 0.9, 0.99}
+    # a constant +10 shift moves every quantile by exactly 10
+    assert all(abs(r["delta"] - 10.0) < 1e-9 for r in rows.values())
+    assert rows[0.5]["old_val"] == 50.5  # quantile_cont interpolation rule
+
+
+def test_tail_only_corruption_moves_p99_not_p25(spark):
+    old = spark.range(1, 1001).selectExpr("cast(id as double) AS v")
+    new = spark.range(1, 1001).selectExpr(
+        "cast(CASE WHEN id > 950 THEN id * 100 ELSE id END as double) AS v"
+    )
+    rows = {r["prob"]: r for r in quantile_drift(old, new, "v", exact=True).collect()}
+    assert rows[0.25]["delta"] == 0.0
+    assert rows[0.99]["delta"] > 1000
+
+
+def test_sketch_mode_close(spark):
+    old = spark.range(1, 20001).selectExpr("cast(id as double) AS v")
+    new = spark.range(1, 20001).selectExpr("cast(id * 2 as double) AS v")
+    rows = {r["prob"]: r for r in quantile_drift(old, new, "v").collect()}
+    # approx sketch at accuracy 10000: p50 doubles within a tight band
+    assert abs(rows[0.5]["new_val"] / rows[0.5]["old_val"] - 2.0) < 0.01
