@@ -1668,6 +1668,26 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _ks_exact_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample KS (drift.ks_exact) on l_quantity — a QUANTIZED
+    column (≤50 lattice values: the documented exact-mode contract) —
+    between a %7 baseline and a %9 snapshot with a +3 shift injected on
+    the l_orderkey %5 band. The distributed part is one stacked scan +
+    one value groupBy; the cumulative window runs on the ≤53-row
+    lattice."""
+    from jsonoid_discovery_spark.operators.drift import ks_exact
+
+    li = _t(spark, sf, "lineitem")
+    old = li.where(F.col("l_orderkey") % 7 != 0)
+    new = li.where(F.col("l_orderkey") % 9 != 0).withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 5 == 0, F.col("l_quantity") + F.lit(3.0)
+        ).otherwise(F.col("l_quantity")),
+    )
+    return ks_exact(old, new, "l_quantity")
+
+
 def _quantile_drift_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile drift (drift.quantile_drift, exact mode) on
     l_extendedprice between a %7-filtered baseline and a %9-filtered
@@ -1898,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuity_events": _continuity_events,
         "coverage_gaps_documents": _coverage_gaps_documents,
         "quantile_drift_lineitem": _quantile_drift_lineitem,
+        "ks_exact_lineitem": _ks_exact_lineitem,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
         "entropy_documents": _entropy_documents,
@@ -2557,6 +2578,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # exact ECDF lattice replay: stacked per-value side counts,
+        # cumulative sums over the sorted lattice, max |F0 - F1|; the
+        # critical value uses 1.358::DOUBLE (the bare literal is DECIMAL)
+        "ks_exact_lineitem": """
+            WITH o AS (
+              SELECT l_quantity AS v FROM lineitem
+              WHERE l_orderkey % 7 != 0 AND l_quantity IS NOT NULL
+            ),
+            n AS (
+              SELECT CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 3.0::DOUBLE
+                          ELSE l_quantity END AS v
+              FROM lineitem WHERE l_orderkey % 9 != 0 AND l_quantity IS NOT NULL
+            ),
+            st AS (
+              SELECT v, 0 AS side FROM o UNION ALL SELECT v, 1 FROM n
+            ),
+            counts AS (
+              SELECT v,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                     sum(side)::BIGINT AS c1
+              FROM st GROUP BY v
+            ),
+            cum AS (
+              SELECT sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum0,
+                     sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1
+              FROM counts
+            ),
+            tot AS (SELECT sum(c0)::BIGINT AS n_old, sum(c1)::BIGINT AS n_new FROM counts),
+            d AS (
+              SELECT n_old, n_new,
+                     max(abs(cum0::DOUBLE / n_old::DOUBLE
+                             - cum1::DOUBLE / n_new::DOUBLE)) AS d_stat
+              FROM cum, tot GROUP BY n_old, n_new
+            )
+            SELECT n_old, n_new, d_stat,
+                   1.358::DOUBLE * sqrt((n_old + n_new)::DOUBLE
+                                        / (n_old * n_new)::DOUBLE) AS d_crit_95,
+                   d_stat > 1.358::DOUBLE * sqrt((n_old + n_new)::DOUBLE
+                                                 / (n_old * n_new)::DOUBLE) AS drifted
+            FROM d
+        """,
         # quantile_cont == Spark percentile (linear interpolation, probed
         # bit-identical); the corruption multiplier is 1.1::DOUBLE on both
         # sides so the binary value matches Spark's double literal

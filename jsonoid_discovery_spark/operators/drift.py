@@ -535,3 +535,70 @@ def quantile_drift(
             (F.col("new_val") - F.col("old_val")).alias("delta"),
         )
     )
+
+
+def ks_exact(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic — one row:
+    ``DataFrame[n_old, n_new, d_stat, d_crit_95, drifted]`` with
+    ``d_stat = sup_x |F_old(x) - F_new(x)|`` computed on the true ECDFs
+    (no binning) and the large-sample 95% critical value
+    ``1.358 * sqrt((n1+n2)/(n1*n2))``.
+
+    The verification-mode companion to ks_drift (which compares
+    mergeable log-binned histogram CDFs and is the 100 TB path): exact
+    KS needs the cumulative counts over the SORTED distinct-value
+    lattice, and that final cumulative window is a single global-order
+    pass over one row per distinct value — fine for quantized or
+    bounded-cardinality columns (the same contract as exact
+    percentile/outlier modes), not for raw 100 TB doubles. Everything
+    before it is distributed: one stacked scan of both sides, one
+    map-side-combined groupBy on the value; the window and max run on
+    the AGGREGATED value-lattice frame. Nulls are excluded (missingness
+    is not a distribution)."""
+    from pyspark.sql import Window
+
+    st = (
+        old.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("v"), F.lit(0).alias("side"))
+        .unionByName(
+            new.where(F.col(col).isNotNull()).select(
+                F.col(col).alias("v"), F.lit(1).alias("side")
+            )
+        )
+    )
+    counts = st.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.col("side")).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+    )
+    tot = counts.agg(
+        F.sum("c0").alias("n_old"), F.sum("c1").alias("n_new")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cum0").cast("double") / F.col("n_old").cast("double")
+                - F.col("cum1").cast("double") / F.col("n_new").cast("double")
+            ).alias("diff"),
+            "n_old",
+            "n_new",
+        )
+        .groupBy("n_old", "n_new")
+        .agg(F.max("diff").alias("d_stat"))
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_old") + F.col("n_new")).cast("double")
+        / (F.col("n_old") * F.col("n_new")).cast("double")
+    )
+    return d.select(
+        "n_old",
+        "n_new",
+        "d_stat",
+        crit.alias("d_crit_95"),
+        (F.col("d_stat") > crit).alias("drifted"),
+    )

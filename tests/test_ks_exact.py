@@ -1,0 +1,55 @@
+"""ks_exact: exact two-sample Kolmogorov-Smirnov on the value lattice."""
+
+from __future__ import annotations
+
+import math
+
+
+from jsonoid_discovery_spark.operators.drift import ks_exact
+
+
+def _py_ks(a, b):
+    lattice = sorted(set(a) | set(b))
+    d = 0.0
+    ca = cb = 0
+    from collections import Counter
+
+    na, nb = Counter(a), Counter(b)
+    for v in lattice:
+        ca += na[v]
+        cb += nb[v]
+        d = max(d, abs(ca / len(a) - cb / len(b)))
+    return d
+
+
+def test_matches_python_replay(spark):
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+    b = [2.0, 3.0, 3.0, 4.0, 9.0]
+    old = spark.createDataFrame([(v,) for v in a], "v double")
+    new = spark.createDataFrame([(v,) for v in b], "v double")
+    r = ks_exact(old, new, "v").collect()[0]
+    assert (r["n_old"], r["n_new"]) == (6, 5)
+    assert abs(r["d_stat"] - _py_ks(a, b)) < 1e-12
+    assert abs(
+        r["d_crit_95"] - 1.358 * math.sqrt((6 + 5) / (6 * 5))
+    ) < 1e-12
+
+
+def test_identical_samples_zero(spark):
+    df = spark.range(100).selectExpr("cast(id % 10 as double) AS v")
+    r = ks_exact(df, df, "v").collect()[0]
+    assert r["d_stat"] == 0.0 and r["drifted"] is False
+
+
+def test_disjoint_samples_d_one(spark):
+    old = spark.range(50).selectExpr("cast(id as double) AS v")
+    new = spark.range(100, 150).selectExpr("cast(id as double) AS v")
+    r = ks_exact(old, new, "v").collect()[0]
+    assert r["d_stat"] == 1.0 and r["drifted"] is True
+
+
+def test_nulls_excluded(spark):
+    old = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+    new = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    r = ks_exact(old, new, "v").collect()[0]
+    assert (r["n_old"], r["n_new"]) == (2, 2) and r["d_stat"] == 0.0
