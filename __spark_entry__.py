@@ -1668,6 +1668,34 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _mannwhitney_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney rank-sum drift
+    (drift.mannwhitney_drift) on the same %7/%9/+3-band fixture as
+    ks_exact — the location-shift test fires (|z| > 1.96) where KS
+    detects the same injected shift."""
+    from jsonoid_discovery_spark.operators.drift import mannwhitney_drift
+
+    li = _t(spark, sf, "lineitem")
+    old = li.where(F.col("l_orderkey") % 7 != 0)
+    new = li.where(F.col("l_orderkey") % 9 != 0).withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 5 == 0, F.col("l_quantity") + F.lit(3.0)
+        ).otherwise(F.col("l_quantity")),
+    )
+    return mannwhitney_drift(old, new, "l_quantity")
+
+
+def _cramers_v_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V association (drift.cramers_v) between lang and source
+    — the normalized contingency screen (full-table chi-square folded
+    from present cells: Σ((o−e)²/e − e) + n; absent cells never
+    silently dropped)."""
+    from jsonoid_discovery_spark.operators.drift import cramers_v
+
+    return cramers_v(_t(spark, sf, "documents"), "lang", "source")
+
+
 def _ks_exact_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Exact two-sample KS (drift.ks_exact) on l_quantity — a QUANTIZED
     column (≤50 lattice values: the documented exact-mode contract) —
@@ -1919,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_gaps_documents": _coverage_gaps_documents,
         "quantile_drift_lineitem": _quantile_drift_lineitem,
         "ks_exact_lineitem": _ks_exact_lineitem,
+        "mannwhitney_lineitem": _mannwhitney_lineitem,
+        "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
         "entropy_documents": _entropy_documents,
@@ -2578,6 +2608,99 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # midranks from cumulative lattice counts, tie-corrected variance,
+        # z rounded to 6; float ops in the identical pinned order
+        "mannwhitney_lineitem": """
+            WITH o AS (
+              SELECT l_quantity AS v FROM lineitem
+              WHERE l_orderkey % 7 != 0 AND l_quantity IS NOT NULL
+            ),
+            n AS (
+              SELECT CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 3.0::DOUBLE
+                          ELSE l_quantity END AS v
+              FROM lineitem WHERE l_orderkey % 9 != 0 AND l_quantity IS NOT NULL
+            ),
+            st AS (SELECT v, 0 AS side FROM o UNION ALL SELECT v, 1 FROM n),
+            counts AS (
+              SELECT v,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                     sum(side)::BIGINT AS c1
+              FROM st GROUP BY v
+            ),
+            lat AS (
+              SELECT c0, (c0 + c1) AS t,
+                     coalesce(sum(c0 + c1) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::DOUBLE
+                     + (c0 + c1 + 1)::DOUBLE / 2.0::DOUBLE AS midrank
+              FROM counts
+            ),
+            agg AS (
+              SELECT sum(c0)::BIGINT AS n_old,
+                     sum(t - c0)::BIGINT AS n_new,
+                     sum(c0::DOUBLE * midrank) AS r0,
+                     sum(t * t * t - t)::BIGINT AS ties
+              FROM lat
+            )
+            SELECT n_old, n_new,
+                   r0 - n_old::DOUBLE * (n_old::DOUBLE + 1) / 2.0::DOUBLE AS u_stat,
+                   round((r0 - n_old::DOUBLE * (n_old::DOUBLE + 1) / 2.0::DOUBLE
+                          - n_old::DOUBLE * n_new::DOUBLE / 2.0::DOUBLE)
+                         / sqrt(n_old::DOUBLE * n_new::DOUBLE / 12.0::DOUBLE
+                                * ((n_old::DOUBLE + n_new::DOUBLE + 1)
+                                   - ties::DOUBLE
+                                     / ((n_old::DOUBLE + n_new::DOUBLE)
+                                        * (n_old::DOUBLE + n_new::DOUBLE - 1)))),
+                         6) AS z_stat,
+                   abs(round((r0 - n_old::DOUBLE * (n_old::DOUBLE + 1) / 2.0::DOUBLE
+                          - n_old::DOUBLE * n_new::DOUBLE / 2.0::DOUBLE)
+                         / sqrt(n_old::DOUBLE * n_new::DOUBLE / 12.0::DOUBLE
+                                * ((n_old::DOUBLE + n_new::DOUBLE + 1)
+                                   - ties::DOUBLE
+                                     / ((n_old::DOUBLE + n_new::DOUBLE)
+                                        * (n_old::DOUBLE + n_new::DOUBLE - 1)))),
+                         6)) > 1.96 AS drifted
+            FROM agg
+        """,
+        # full-table chi2 folded from present cells (zero cells enter via
+        # n - sum(e)); contributions round-6 summed as DECIMAL, + n; V
+        # from the quantized chi2 — identical arithmetic shape
+        "cramers_v_documents": """
+            WITH cells AS (
+              SELECT coalesce(lang::VARCHAR, '<null>') AS ka,
+                     coalesce(source::VARCHAR, '<null>') AS kb,
+                     count(*)::BIGINT AS o
+              FROM documents GROUP BY 1, 2
+            ),
+            per AS (
+              SELECT o,
+                     sum(o) OVER (PARTITION BY ka) AS ra,
+                     sum(o) OVER (PARTITION BY kb) AS rb,
+                     sum(o) OVER () AS n
+              FROM cells
+            ),
+            card AS (
+              SELECT count(DISTINCT ka)::INT AS card_a,
+                     count(DISTINCT kb)::INT AS card_b
+              FROM cells
+            ),
+            contrib AS (
+              SELECT n,
+                     round((o - ra::DOUBLE * rb::DOUBLE / n::DOUBLE)
+                           * (o - ra::DOUBLE * rb::DOUBLE / n::DOUBLE)
+                           / (ra::DOUBLE * rb::DOUBLE / n::DOUBLE)
+                           - ra::DOUBLE * rb::DOUBLE / n::DOUBLE,
+                           6)::DECIMAL(28,6) AS c
+              FROM per
+            ),
+            agg AS (SELECT n, sum(c)::DOUBLE AS partial FROM contrib GROUP BY n)
+            SELECT n::BIGINT AS n_rows, card_a, card_b,
+                   round(partial + n, 6) AS chi2,
+                   round(sqrt(greatest(round(partial + n, 6), 0.0)
+                              / (n::DOUBLE * (least(card_a, card_b) - 1)::DOUBLE)),
+                         6) AS v
+            FROM agg, card
+        """,
         # exact ECDF lattice replay: stacked per-value side counts,
         # cumulative sums over the sorted lattice, max |F0 - F1|; the
         # critical value uses 1.358::DOUBLE (the bare literal is DECIMAL)

@@ -602,3 +602,137 @@ def ks_exact(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
         crit.alias("d_crit_95"),
         (F.col("d_stat") > crit).alias("drifted"),
     )
+
+
+def mannwhitney_drift(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) location-shift test
+    between snapshots — one row: ``DataFrame[n_old, n_new, u_stat,
+    z_stat, drifted]``. The rank-based companion to ks_exact: KS asks
+    "any difference", the rank-sum asks specifically "did the
+    distribution SHIFT" and keeps its power on heavy-tailed columns
+    where mean-based tests drown.
+
+    Computation is tie-aware and exact from the grouped value lattice:
+    midranks come from cumulative counts (``before + (c+1)/2``),
+    ``U = R_old - n0(n0+1)/2``, and the normal approximation uses the
+    tie-corrected variance ``n0·n1/12 · ((n+1) − Σ(t³−t)/(n(n−1)))``.
+    ``drifted`` is |z| > 1.96. All counts are exact integers folded in
+    one map-side-combined groupBy; the rank window runs on the
+    aggregated lattice (bounded-cardinality contract, like ks_exact);
+    the float ops are division/sqrt in a pinned order, z rounded to 6
+    (the psi/entropy convention). Nulls excluded."""
+    from pyspark.sql import Window
+
+    st = (
+        old.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("v"), F.lit(0).alias("side"))
+        .unionByName(
+            new.where(F.col(col).isNotNull()).select(
+                F.col(col).alias("v"), F.lit(1).alias("side")
+            )
+        )
+    )
+    counts = st.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.col("side")).alias("c1"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    lat = counts.select(
+        "c0",
+        "c1",
+        F.coalesce(F.sum(F.col("c0") + F.col("c1")).over(wb), F.lit(0)).alias(
+            "before"
+        ),
+    ).select(
+        "c0",
+        (F.col("c0") + F.col("c1")).alias("t"),
+        (
+            F.col("before").cast("double")
+            + (F.col("c0") + F.col("c1") + 1).cast("double") / F.lit(2.0)
+        ).alias("midrank"),
+    )
+    agg = lat.agg(
+        F.sum(F.col("c0")).alias("n_old"),
+        F.sum(F.col("t") - F.col("c0")).alias("n_new"),
+        F.sum(F.col("c0").cast("double") * F.col("midrank")).alias("r0"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n0, n1 = F.col("n_old").cast("double"), F.col("n_new").cast("double")
+    n = n0 + n1
+    u = F.col("r0") - n0 * (n0 + 1) / F.lit(2.0)
+    var = (
+        n0 * n1 / F.lit(12.0)
+        * ((n + 1) - F.col("ties").cast("double") / (n * (n - 1)))
+    )
+    z = F.when(var > 0, F.round((u - n0 * n1 / F.lit(2.0)) / F.sqrt(var), 6))
+    return agg.select(
+        "n_old",
+        "n_new",
+        u.alias("u_stat"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("drifted"),
+    )
+
+
+def cramers_v(df: DataFrame, a: str, b: str, quantize: int = 6) -> DataFrame:
+    """Exact association strength between two categorical columns — one
+    row: ``DataFrame[n_rows, card_a, card_b, chi2, v]`` with Pearson
+    chi-square over the full contingency table and Cramér's
+    ``V = sqrt(chi2 / (n · (min(card_a, card_b) − 1)))`` in [0, 1] —
+    the bounded, cardinality-comparable complement to
+    mutual_information (MI grows with entropy; V is normalized, the
+    standard "are these columns redundant / is this dimension pair
+    degenerate" screen before choosing partition keys).
+
+    Absent cells are NOT silently dropped: a zero cell contributes its
+    expected count, and ``Σ_absent e = n − Σ_present e``, so the full-
+    table chi-square folds from present cells alone:
+    ``chi2 = Σ_present((o−e)²/e − e) + n`` — one map-side-combined
+    groupBy on the pair (the only corpus-sized exchange), marginals as
+    windows over the AGGREGATED cell frame, per-cell contributions
+    rounded to ``quantize`` and summed as DECIMAL (order/partition/
+    engine independent — the entropy_report convention). NULL groups as
+    the ``<null>`` category."""
+    from pyspark.sql import Window
+
+    cells = df.select(
+        F.coalesce(F.col(a).cast("string"), F.lit("<null>")).alias("ka"),
+        F.coalesce(F.col(b).cast("string"), F.lit("<null>")).alias("kb"),
+    ).groupBy("ka", "kb").agg(F.count(F.lit(1)).alias("o"))
+    wa, wb_, wt = (
+        Window.partitionBy("ka"),
+        Window.partitionBy("kb"),
+        Window.partitionBy(),
+    )
+    per = cells.select(
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb_).alias("rb"),
+        F.sum("o").over(wt).alias("n"),
+        F.size(F.collect_set("ka").over(wt)).alias("card_a"),
+        F.size(F.collect_set("kb").over(wt)).alias("card_b"),
+    )
+    e = F.col("ra").cast("double") * F.col("rb").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    contrib = F.round(
+        (F.col("o") - e) * (F.col("o") - e) / e - e, quantize
+    ).cast("decimal(28,6)")
+    agg = per.select(
+        "n", "card_a", "card_b", contrib.alias("c")
+    ).groupBy("n", "card_a", "card_b").agg(
+        F.sum("c").cast("double").alias("partial")
+    )
+    chi2 = F.round(F.col("partial") + F.col("n"), quantize)
+    denom = (
+        F.col("n").cast("double")
+        * (F.least("card_a", "card_b") - 1).cast("double")
+    )
+    v = F.when(denom > 0, F.round(F.sqrt(F.greatest(chi2, F.lit(0.0)) / denom), quantize))
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        "card_a",
+        "card_b",
+        chi2.alias("chi2"),
+        v.alias("v"),
+    )

@@ -1,0 +1,99 @@
+"""mannwhitney_drift (exact tie-corrected rank-sum) and cramers_v
+(contingency association)."""
+
+from __future__ import annotations
+
+import math
+
+
+from jsonoid_discovery_spark.operators.drift import cramers_v, mannwhitney_drift
+
+
+def _py_mw(a, b):
+    pooled = sorted(set(a) | set(b))
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    before, r0, ties = 0, 0.0, 0
+    for v in pooled:
+        t = ca[v] + cb[v]
+        r0 += ca[v] * (before + (t + 1) / 2)
+        ties += t**3 - t
+        before += t
+    n0, n1 = len(a), len(b)
+    u = r0 - n0 * (n0 + 1) / 2
+    n = n0 + n1
+    var = n0 * n1 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    return u, (u - n0 * n1 / 2) / math.sqrt(var)
+
+
+class TestMannWhitney:
+    def test_matches_python_replay_with_ties(self, spark):
+        a = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 8.0]
+        b = [2.0, 3.0, 3.0, 4.0, 5.0, 9.0]
+        old = spark.createDataFrame([(v,) for v in a], "v double")
+        new = spark.createDataFrame([(v,) for v in b], "v double")
+        r = mannwhitney_drift(old, new, "v").collect()[0]
+        u, z = _py_mw(a, b)
+        assert r["u_stat"] == u
+        assert abs(r["z_stat"] - round(z, 6)) < 1e-9
+        assert r["drifted"] is False
+
+    def test_identical_zero_z(self, spark):
+        df = spark.range(200).selectExpr("cast(id % 7 as double) AS v")
+        r = mannwhitney_drift(df, df, "v").collect()[0]
+        assert r["z_stat"] == 0.0 and r["drifted"] is False
+
+    def test_clear_shift_drifts(self, spark):
+        old = spark.range(500).selectExpr("cast(id % 50 as double) AS v")
+        new = spark.range(500).selectExpr("cast(id % 50 + 20 as double) AS v")
+        r = mannwhitney_drift(old, new, "v").collect()[0]
+        assert r["drifted"] is True and r["z_stat"] < -1.96
+
+
+class TestCramersV:
+    def test_perfect_association(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "y"), ("a", "x"), ("b", "y")] * 10,
+            "p string, q string",
+        )
+        r = cramers_v(df, "p", "q").collect()[0]
+        assert r["v"] == 1.0
+
+    def test_independent_near_zero(self, spark):
+        rows = [(f"a{i % 2}", f"b{(i // 2) % 3}") for i in range(600)]
+        df = spark.createDataFrame(rows, "p string, q string")
+        r = cramers_v(df, "p", "q").collect()[0]
+        # exactly balanced grid -> chi2 == 0
+        assert r["chi2"] == 0.0 and r["v"] == 0.0
+        assert (r["card_a"], r["card_b"]) == (2, 3)
+
+    def test_absent_cells_counted(self, spark):
+        # 2x2 with one absent cell: chi2 must include the zero cell's e
+        df = spark.createDataFrame(
+            [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 10,
+            "p string, q string",
+        )
+        r = cramers_v(df, "p", "q").collect()[0]
+        # python replay over the FULL 2x2 table
+        obs = {("a", "x"): 5, ("a", "y"): 5, ("b", "x"): 10, ("b", "y"): 0}
+        ra = {"a": 10, "b": 10}
+        rb = {"x": 15, "y": 5}
+        n = 20
+        chi2 = sum(
+            round(
+                (obs[(i, j)] - ra[i] * rb[j] / n) ** 2 / (ra[i] * rb[j] / n)
+                - (0 if (i, j) in {("a","x"),("a","y"),("b","x")} else 0),
+                10,
+            )
+            for i in ra
+            for j in rb
+        )
+        assert abs(r["chi2"] - round(chi2, 6)) < 2e-6
+
+    def test_null_category(self, spark):
+        df = spark.createDataFrame(
+            [("a", None), ("a", None), ("b", "x"), ("b", "x")], "p string, q string"
+        )
+        r = cramers_v(df, "p", "q").collect()[0]
+        assert (r["card_a"], r["card_b"]) == (2, 2) and r["v"] == 1.0
