@@ -1668,6 +1668,26 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _link_domains_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-domain rollup (text.link_domains) with two links injected per
+    document (https://ex{doc_id%7}.org + http://mirror.net) so the
+    extraction, lower-casing, occurrence count and per-domain distinct
+    doc count all exercise; the regex is the Java/RE2-shared subset so
+    the oracle runs the identical pattern."""
+    from jsonoid_discovery_spark.operators.text import link_domains
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/page and http://mirror.net/x"),
+        ),
+    )
+    return link_domains(d, "text", id_col="doc_id")
+
+
 def _mannwhitney_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Exact tie-corrected Mann-Whitney rank-sum drift
     (drift.mannwhitney_drift) on the same %7/%9/+3-band fixture as
@@ -1948,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift_lineitem": _quantile_drift_lineitem,
         "ks_exact_lineitem": _ks_exact_lineitem,
         "mannwhitney_lineitem": _mannwhitney_lineitem,
+        "link_domains_documents": _link_domains_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2608,6 +2629,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # identical regex (Java/RE2-shared subset), identical injection,
+        # lower-cased rollup with occurrence + distinct-doc counts
+        "link_domains_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' see https://Ex' || (doc_id % 7)::VARCHAR
+                          || '.org/page and http://mirror.net/x' AS text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            ex AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(
+                       text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+              FROM d
+            )
+            SELECT domain, count(*)::BIGINT AS n,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM ex GROUP BY domain
+        """,
         # midranks from cumulative lattice counts, tie-corrected variance,
         # z rounded to 6; float ops in the identical pinned order
         "mannwhitney_lineitem": """

@@ -620,3 +620,46 @@ def fertility_report(
             "bpe_per_ws_milli"
         ),
     )
+
+
+def link_domains(
+    df: DataFrame, col: str, id_col: str | None = None
+) -> DataFrame:
+    """URL-domain extraction and corpus rollup — ``DataFrame[domain, n,
+    n_docs]`` ordered by (n desc, domain): the input for the standard
+    web-curation domain screens (blocklist intersection, per-domain
+    caps via per_key_cap, domain-skew diagnostics before a crawl
+    refresh). ``n`` counts link OCCURRENCES, ``n_docs`` distinct
+    documents linking the domain (requires ``id_col``; without one,
+    n_docs is null rather than a wrong guess).
+
+    Extraction is one `regexp_extract_all` in the Java/RE2-shared
+    subset (scheme ``https?://``, then the host's ``[A-Za-z0-9.-]+`` —
+    no lookaround, no backrefs), lower-cased for rollup; the explode is
+    a projection and the only exchange is the map-side-combined domain
+    groupBy, sized by the domain space (the tfidf/novelty plan family).
+    Documents with no links simply contribute nothing."""
+    pat = r"https?://([A-Za-z0-9.-]+)"
+    rows = df.where(F.col(col).isNotNull()).select(
+        *([F.col(id_col).alias("__id")] if id_col else []),
+        F.explode(F.expr(f"regexp_extract_all({quoted(col)}, '{pat}', 1)")).alias(
+            "__d"
+        ),
+    )
+    dom = F.lower(F.col("__d")).alias("domain")
+    if id_col:
+        agg = rows.select(dom, "__id").groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("__id")).alias("n_docs"),
+        )
+    else:
+        agg = rows.select(dom).groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("long").alias("n_docs"),
+        )
+    return agg.orderBy(F.col("n").desc(), F.col("domain").asc())
+
+
+def quoted(col: str) -> str:
+    """Backtick-quote a column name for use inside F.expr fragments."""
+    return "`" + col.replace("`", "``") + "`"

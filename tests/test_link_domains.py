@@ -1,0 +1,41 @@
+"""link_domains: URL-domain extraction + rollup."""
+
+from __future__ import annotations
+
+from jsonoid_discovery_spark.operators.text import link_domains
+
+
+def test_extraction_casing_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://EXAMPLE.com/a and https://example.com/b plus http://Other.ORG"),
+            (2, "again https://example.com/c"),
+            (3, "no links here"),
+            (4, None),
+            (5, "ftp://skipped.com and https://sub.example.com/x"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["domain"]: (r["n"], r["n_docs"])
+        for r in link_domains(df, "text", id_col="doc_id").collect()
+    }
+    assert got == {
+        "example.com": (3, 2),
+        "other.org": (1, 1),
+        "sub.example.com": (1, 1),
+    }
+
+
+def test_without_id_docs_null(spark):
+    df = spark.createDataFrame([("x https://a.io y https://a.io",)], "text string")
+    r = link_domains(df, "text").collect()[0]
+    assert (r["domain"], r["n"]) == ("a.io", 2) and r["n_docs"] is None
+
+
+def test_ordering(spark):
+    df = spark.createDataFrame(
+        [("https://b.com https://a.com https://a.com",)], "text string"
+    )
+    rows = link_domains(df, "text").collect()
+    assert [r["domain"] for r in rows] == ["a.com", "b.com"]
