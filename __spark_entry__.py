@@ -1668,6 +1668,30 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _script_shares_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-script distribution per lang (text.script_shares) with a
+    multiscript injection — e→é (Latin-ext) where doc_id%3==0, a
+    Cyrillic tail where %5==0, a CJK tail where %7==0 — so every class
+    and the remainder all exercise. Patterns embed range endpoints as
+    literal characters, so the oracle replays byte-identical regexes."""
+    from jsonoid_discovery_spark.operators.text import script_shares
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.translate(F.col("text"), "e", "é"),
+            ).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" Привет")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 漢字")).otherwise(F.lit("")),
+        ),
+    )
+    return script_shares(d, "text", by="lang")
+
+
 def _link_domains_documents(spark: SparkSession, sf: str) -> DataFrame:
     """URL-domain rollup (text.link_domains) with two links injected per
     document (https://ex{doc_id%7}.org + http://mirror.net) so the
@@ -1969,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_exact_lineitem": _ks_exact_lineitem,
         "mannwhitney_lineitem": _mannwhitney_lineitem,
         "link_domains_documents": _link_domains_documents,
+        "script_shares_documents": _script_shares_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2629,6 +2654,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # identical injected transforms and byte-identical literal-char
+        # regex classes; ppm = integer floor division in both engines
+        "script_shares_documents": """
+            WITH d AS (
+              SELECT lang,
+                     (CASE WHEN doc_id % 3 = 0 THEN translate(text, 'e', 'é')
+                           ELSE text END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN ' Привет' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0 THEN ' 漢字' ELSE '' END)
+                       AS text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            agg AS (
+              SELECT lang,
+                     sum(length(text))::BIGINT AS total_chars,
+                     sum(len(regexp_extract_all(text, '[ -~]')))::BIGINT AS c_ascii,
+                     sum(len(regexp_extract_all(text, '[À-ɏ]')))::BIGINT AS c_latin_ext,
+                     sum(len(regexp_extract_all(text, '[Ͱ-Ͽ]')))::BIGINT AS c_greek,
+                     sum(len(regexp_extract_all(text, '[Ѐ-ӿ]')))::BIGINT AS c_cyrillic,
+                     sum(len(regexp_extract_all(text, '[؀-ۿ]')))::BIGINT AS c_arabic,
+                     sum(len(regexp_extract_all(text, '[一-鿿]')))::BIGINT AS c_cjk
+              FROM d GROUP BY lang
+            )
+            SELECT lang, total_chars,
+                   (c_ascii * 1000000 // nullif(total_chars, 0))::BIGINT AS ascii_ppm,
+                   (c_latin_ext * 1000000 // nullif(total_chars, 0))::BIGINT AS latin_ext_ppm,
+                   (c_greek * 1000000 // nullif(total_chars, 0))::BIGINT AS greek_ppm,
+                   (c_cyrillic * 1000000 // nullif(total_chars, 0))::BIGINT AS cyrillic_ppm,
+                   (c_arabic * 1000000 // nullif(total_chars, 0))::BIGINT AS arabic_ppm,
+                   (c_cjk * 1000000 // nullif(total_chars, 0))::BIGINT AS cjk_ppm,
+                   ((total_chars - (c_ascii + c_latin_ext + c_greek + c_cyrillic + c_arabic + c_cjk)) * 1000000
+                      // nullif(total_chars, 0))::BIGINT AS other_ppm
+            FROM agg
+        """,
         # identical regex (Java/RE2-shared subset), identical injection,
         # lower-cased rollup with occurrence + distinct-doc counts
         "link_domains_documents": """

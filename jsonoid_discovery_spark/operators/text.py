@@ -663,3 +663,70 @@ def link_domains(
 def quoted(col: str) -> str:
     """Backtick-quote a column name for use inside F.expr fragments."""
     return "`" + col.replace("`", "``") + "`"
+
+
+_SCRIPT_RANGES: tuple[tuple[str, int, int], ...] = (
+    ("latin_ext", 0x00C0, 0x024F),
+    ("greek", 0x0370, 0x03FF),
+    ("cyrillic", 0x0400, 0x04FF),
+    ("arabic", 0x0600, 0x06FF),
+    ("cjk", 0x4E00, 0x9FFF),
+)
+
+
+def script_shares(df: DataFrame, col: str, by: str | None = None) -> DataFrame:
+    """Unicode-script character distribution per group (or one global
+    row): ``DataFrame[(by,) total_chars, ascii_ppm, latin_ext_ppm,
+    greek_ppm, cyrillic_ppm, arabic_ppm, cjk_ppm, other_ppm]`` — the
+    script-level reality check behind lang-ID (a column labeled ``en``
+    that is 40% CJK is mislabeled or mojibake; a multilingual mix's
+    script balance is what byte-weighted sampling silently distorts).
+
+    Each class is one codegen'd ``regexp_count`` with the range
+    endpoints embedded as LITERAL characters (not ``\\uXXXX`` /
+    ``\\x{...}`` escapes, whose syntax differs between Java regex and
+    RE2 — literals mean the oracle replays the byte-identical pattern);
+    printable ASCII is the literal class ``[ -~]`` for
+    the same reason (a ``\\x20`` escape is eaten by the SQL string
+    literal before the regex engine sees it — measured: the space
+    silently fell out of the class). Ranges are disjoint; ``other`` is
+    the remainder (controls, unlisted scripts, emoji). One scan, one
+    group-space aggregate, integer ppm via ``div`` with a ``nullif``
+    guard."""
+    pats = {"ascii": "[" + chr(0x20) + "-" + chr(0x7E) + "]"}
+    for name, lo, hi in _SCRIPT_RANGES:
+        pats[name] = "[" + chr(lo) + "-" + chr(hi) + "]"
+    src = df.where(F.col(col).isNotNull()).select(
+        *([by] if by else []),
+        F.length(F.col(col)).alias("__len"),
+        *[
+            F.expr(
+                f"regexp_count({quoted(col)}, '{p}')"
+            ).alias(f"__c_{name}")
+            for name, p in pats.items()
+        ],
+    )
+    g = src.groupBy(*([by] if by else []))
+    agg = g.agg(
+        F.sum("__len").alias("total_chars"),
+        *[F.sum(f"__c_{name}").alias(f"__s_{name}") for name in pats],
+    )
+    counted = None
+    for name in pats:
+        c = F.col(f"__s_{name}")
+        counted = c if counted is None else counted + c
+    return agg.select(
+        *([by] if by else []),
+        "total_chars",
+        *[
+            F.expr(
+                f"__s_{name} * 1000000L div nullif(total_chars, 0L)"
+            ).alias(f"{name}_ppm")
+            for name in pats
+        ],
+        ((F.col("total_chars") - counted) * F.lit(1_000_000))
+        .cast("long")
+        .alias("__rem"),
+    ).withColumn(
+        "other_ppm", F.expr("__rem div nullif(total_chars, 0L)")
+    ).drop("__rem")

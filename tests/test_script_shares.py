@@ -1,0 +1,39 @@
+"""script_shares: unicode-script character distribution."""
+
+from __future__ import annotations
+
+from jsonoid_discovery_spark.operators.text import script_shares
+
+
+def test_pure_scripts(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "hello world"),     # 11 printable ASCII incl. space
+            ("ru", "Привет мир"),      # 9 Cyrillic + 1 space
+            ("zh", "漢字漢字 ok"),      # 4 CJK + space + 2 ascii
+            ("ar", "مرحبا"),           # 5 Arabic
+            ("el", "αβγ"),             # 3 Greek
+        ],
+        "lang string, text string",
+    )
+    got = {r["lang"]: r for r in script_shares(df, "text", by="lang").collect()}
+    assert got["en"]["ascii_ppm"] == 1_000_000 and got["en"]["other_ppm"] == 0
+    assert got["ru"]["cyrillic_ppm"] == 9 * 1_000_000 // 10
+    assert got["zh"]["cjk_ppm"] == 4 * 1_000_000 // 7
+    assert got["ar"]["arabic_ppm"] == 1_000_000
+    assert got["el"]["greek_ppm"] == 1_000_000
+
+
+def test_latin_ext_and_other(spark):
+    df = spark.createDataFrame([("café☃",)], "text string")  # é + snowman
+    r = script_shares(df, "text").collect()[0]
+    assert r["total_chars"] == 5
+    assert r["latin_ext_ppm"] == 1_000_000 // 5
+    assert r["other_ppm"] == 1_000_000 // 5  # the snowman is no listed script
+    assert r["ascii_ppm"] == 3 * 1_000_000 // 5
+
+
+def test_null_and_empty(spark):
+    df = spark.createDataFrame([(None,), ("",)], "text string")
+    r = script_shares(df, "text").collect()[0]
+    assert r["total_chars"] == 0 and r["ascii_ppm"] is None
