@@ -1668,6 +1668,19 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _char_entropy_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character entropy (text.char_entropy): the
+    gibberish/degenerate-text screen, computed as an Arrow batch kernel
+    (numpy codepoint bincount — the one text feature codegen can't
+    reach). Exactness via the micro-bit convention: per-char
+    contributions floor(p·log2(1/p)·1e6 + 0.5) summed as integers —
+    order/partition-independent, replayed in DuckDB over
+    string_split(text, '') (verified codepoint-wise, not byte-wise)."""
+    from jsonoid_discovery_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf, "documents"), "text", "doc_id")
+
+
 def _script_shares_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode-script distribution per lang (text.script_shares) with a
     multiscript injection — e→é (Latin-ext) where doc_id%3==0, a
@@ -1994,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_lineitem": _mannwhitney_lineitem,
         "link_domains_documents": _link_domains_documents,
         "script_shares_documents": _script_shares_documents,
+        "char_entropy_documents": _char_entropy_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2654,6 +2668,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # codepoint split (string_split(t,'') is per-codepoint — verified
+        # vs utf-32), identical micro-bit fold: floor(p*log2(1/p)*1e6+0.5)
+        # summed as integers; empty text keeps a NULL-entropy row
+        "char_entropy_documents": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ),
+            ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c FROM d
+            ),
+            counts AS (
+              SELECT doc_id, c, count(*)::BIGINT AS cnt
+              FROM ch GROUP BY doc_id, c
+            ),
+            tot AS (
+              SELECT doc_id, sum(cnt)::BIGINT AS n FROM counts GROUP BY doc_id
+            ),
+            ent AS (
+              SELECT counts.doc_id,
+                     max(n)::BIGINT AS n_chars,
+                     sum(floor((cnt::DOUBLE / n::DOUBLE)
+                               * log2(1.0 / (cnt::DOUBLE / n::DOUBLE))
+                               * 1e6 + 0.5)::BIGINT) AS micro
+              FROM counts JOIN tot USING (doc_id) GROUP BY counts.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ent.n_chars, 0)::BIGINT AS n_chars,
+                   CASE WHEN ent.n_chars IS NOT NULL
+                        THEN ent.micro::DOUBLE / 1e6 END AS char_entropy_bits
+            FROM d LEFT JOIN ent USING (doc_id)
+        """,
         # identical injected transforms and byte-identical literal-char
         # regex classes; ppm = integer floor division in both engines
         "script_shares_documents": """

@@ -730,3 +730,64 @@ def script_shares(df: DataFrame, col: str, by: str | None = None) -> DataFrame:
     ).withColumn(
         "other_ppm", F.expr("__rem div nullif(total_chars, 0L)")
     ).drop("__rem")
+
+
+def char_entropy(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution in
+    bits — ``DataFrame[id, n_chars, char_entropy_bits]`` — the
+    gibberish/degenerate-text screen (key-mash and single-char spam
+    score far below prose; base64/hex blobs far above their language's
+    band; pair it with quality_features' word-level rules).
+
+    This is the one text feature a codegen expression can't reach (it
+    needs per-document distinct-character counts), so it runs as an
+    Arrow batch kernel in ``mapInArrow`` — numpy codepoint bincount per
+    document, NO per-row Python beyond the iterator: each batch
+    flattens to one codepoint array + offsets, one ``np.unique`` per
+    document. The exactness convention is entropy_report's: per-char
+    contributions ``p·log2(1/p)`` rounded to 6 decimals and summed as
+    integers in micro-bits — order-independent, so the result is
+    partition-invariant and the DuckDB oracle (regexp_split_to_table +
+    the same round-6 fold) hash-matches. Null and empty texts report
+    entropy 0 over 0 chars? No — null drops (no distribution to
+    measure); empty keeps a row with n_chars=0 and NULL entropy."""
+    import pyarrow as pa
+
+    out_schema = f"{id_col} long, n_chars long, char_entropy_bits double"
+
+    def kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            out_id, out_n, out_e = [], [], []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                n = len(cps)
+                out_id.append(int(i))
+                out_n.append(n)
+                if n == 0:
+                    out_e.append(None)
+                    continue
+                _, counts = np.unique(cps, return_counts=True)
+                p = counts / n
+                # half-UP at the micro-bit scale (np.rint is half-even;
+                # DuckDB/Spark round() are half-up — contributions are
+                # nonnegative so floor(x + 0.5) matches both)
+                micro = np.floor(p * np.log2(1.0 / p) * 1e6 + 0.5).astype(np.int64)
+                out_e.append(float(micro.sum()) / 1e6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_e, type=pa.float64()),
+                ],
+                names=[id_col, "n_chars", "char_entropy_bits"],
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(col).alias("__t")
+    ).mapInArrow(kernel, out_schema)

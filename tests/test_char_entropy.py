@@ -1,0 +1,63 @@
+"""char_entropy: per-document character-distribution entropy."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from jsonoid_discovery_spark.operators.text import char_entropy
+
+
+def _py(t):
+    from collections import Counter
+
+    n = len(t)
+    micro = 0
+    for c in Counter(t).values():
+        p = c / n
+        micro += math.floor(p * math.log2(1 / p) * 1e6 + 0.5)
+    return micro / 1e6
+
+
+def test_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # single symbol -> 0 bits
+            (2, "ab"),          # two equiprobable -> 1 bit
+            (3, "abcd"),        # four equiprobable -> 2 bits
+            (4, "aab"),
+            (5, ""),            # empty: row kept, NULL entropy
+            (6, None),          # null: dropped
+            (7, "héllo wörld\n漢"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id").collect()}
+    assert got[1]["char_entropy_bits"] == 0.0
+    assert got[2]["char_entropy_bits"] == 1.0
+    assert got[3]["char_entropy_bits"] == 2.0
+    assert got[4]["char_entropy_bits"] == _py("aab")
+    assert got[5]["n_chars"] == 0 and got[5]["char_entropy_bits"] is None
+    assert 6 not in got
+    assert got[7]["n_chars"] == len("héllo wörld\n漢")
+    assert got[7]["char_entropy_bits"] == _py("héllo wörld\n漢")
+
+
+def test_partition_invariance(spark):
+    rows = [(i, f"doc {i} text with letters {'x' * (i % 13)}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, char_entropy(df, "text", "doc_id").collect()))
+    b = sorted(
+        map(tuple, char_entropy(df.repartition(17), "text", "doc_id").collect())
+    )
+    assert a == b
+
+
+def test_gibberish_band(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaa"), (2, "the quick brown fox jumps")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy_bits"] for r in char_entropy(df, "text", "doc_id").collect()}
+    assert got[1] < 0.1 < 3.0 < got[2] < 5.0
