@@ -1668,6 +1668,16 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _grouped_topk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group frequency leaders (util.grouped_topk): top-5 sources
+    within each lang with deterministic value-ascending tiebreak and
+    whole-group ppm shares — heavy_hitters' grouped sibling (one
+    map-side-combined pair groupBy; windows on the aggregated frame)."""
+    from jsonoid_discovery_spark.operators.util import grouped_topk
+
+    return grouped_topk(_t(spark, sf, "documents"), "lang", "source", k=5)
+
+
 def _char_entropy_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document character entropy (text.char_entropy): the
     gibberish/degenerate-text screen, computed as an Arrow batch kernel
@@ -2008,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_domains_documents": _link_domains_documents,
         "script_shares_documents": _script_shares_documents,
         "char_entropy_documents": _char_entropy_documents,
+        "grouped_topk_documents": _grouped_topk_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2668,6 +2679,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # identical windows: rank by (n desc, value asc), whole-group ppm
+        # total computed before the rank filter
+        "grouped_topk_documents": """
+            WITH counts AS (
+              SELECT lang, source, count(*)::BIGINT AS n
+              FROM documents WHERE source IS NOT NULL
+              GROUP BY lang, source
+            ),
+            r AS (
+              SELECT lang, source, n,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, source ASC
+                     ) AS rank,
+                     sum(n) OVER (PARTITION BY lang) AS tot
+              FROM counts
+            )
+            SELECT lang, rank, source::VARCHAR AS value, n,
+                   (n * 1000000 // tot)::BIGINT AS share_ppm
+            FROM r WHERE rank <= 5
+        """,
         # codepoint split (string_split(t,'') is per-codepoint — verified
         # vs utf-32), identical micro-bit fold: floor(p*log2(1/p)*1e6+0.5)
         # summed as integers; empty text keeps a NULL-entropy row

@@ -449,3 +449,43 @@ def mad_outliers(
         flag_col,
         F.when(F.col(col).isNotNull(), F.coalesce(z > k, dev > 0)),
     )
+
+
+def grouped_topk(
+    df: "DataFrame", by: str, col: str, k: int = 10
+) -> "DataFrame":
+    """Exact top-``k`` most frequent values of ``col`` WITHIN each
+    ``by`` group — ``DataFrame[by, rank, value, n, share_ppm]`` —
+    heavy_hitters' per-group sibling (top terms per lang, top paths
+    per repo, top event types per user cohort). heavy_hitters' MG
+    sketch route doesn't group; this exact route does, and its shuffle
+    carries one row per distinct (group, value) pair after map-side
+    combine — acceptable whenever that pair space is, which is the same
+    contract as any per-group frequency table. Skewed groups are AQE's
+    problem (one window partition per group); nulls in ``col`` are
+    excluded, a null GROUP is a group. Ties break by value ascending
+    (deterministic, partition-invariant)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(by, col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(by).orderBy(F.col("n").desc(), F.col(col).asc())
+    tot = Window.partitionBy(by)
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("__tot", F.sum("n").over(tot))
+        .where(F.col("rank") <= k)
+        .select(
+            by,
+            "rank",
+            F.col(col).cast("string").alias("value"),
+            "n",
+            F.expr("n * 1000000L div __tot").alias("share_ppm"),
+        )
+    )

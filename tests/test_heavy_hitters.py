@@ -91,3 +91,34 @@ class TestHeavyHitters:
         df = spark.createDataFrame(rows, "v string").repartition(7)
         got = _rows(heavy_hitters(df, "v", k=1, capacity=64))
         assert got[0][1] == "hot" and got[0][2] == 4000
+
+
+class TestGroupedTopK:
+    def test_per_group_ranks_and_shares(self, spark):
+        rows = (
+            [("g1", "a")] * 5 + [("g1", "b")] * 3 + [("g1", "c")] * 3
+            + [("g2", "z")] * 2 + [("g2", None)] * 4
+        )
+        from jsonoid_discovery_spark.operators.util import grouped_topk
+
+        df = spark.createDataFrame(rows, "g string, v string")
+        got = [
+            (r["g"], r["rank"], r["value"], r["n"], r["share_ppm"])
+            for r in grouped_topk(df, "g", "v", k=2).orderBy("g", "rank").collect()
+        ]
+        # tie between b and c broken by value asc; shares over the WHOLE
+        # group (11 rows for g1), nulls excluded entirely
+        assert got == [
+            ("g1", 1, "a", 5, 5 * 1_000_000 // 11),
+            ("g1", 2, "b", 3, 3 * 1_000_000 // 11),
+            ("g2", 1, "z", 2, 1_000_000),
+        ]
+
+    def test_null_group_is_a_group(self, spark):
+        from jsonoid_discovery_spark.operators.util import grouped_topk
+
+        df = spark.createDataFrame(
+            [(None, "x"), (None, "x"), ("g", "y")], "g string, v string"
+        )
+        got = {r["g"]: r["value"] for r in grouped_topk(df, "g", "v", k=1).collect()}
+        assert got == {None: "x", "g": "y"}
