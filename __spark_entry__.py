@@ -1668,6 +1668,24 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (streaming.stateful.
+    streaming_dedup) exercised through its batch-unified semantics: the
+    events table with every %3 event re-delivered 5 minutes later must
+    collapse to one row per event_id. The contract projects the KEY SET
+    (batch dropDuplicates' surviving non-key columns are partition-order
+    dependent by Spark's contract; the streaming append-mode parity is
+    pinned by tests/test_streaming_dedup.py's memory-sink runs)."""
+    from jsonoid_discovery_spark.streaming.stateful import streaming_dedup
+
+    ev = _t(spark, sf, "events")
+    dups = ev.where(F.col("event_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    both = ev.unionByName(dups)
+    return streaming_dedup(both, ["event_id"], "ts").select("event_id")
+
+
 def _grouped_topk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group frequency leaders (util.grouped_topk): top-5 sources
     within each lang with deterministic value-ascending tiebreak and
@@ -2019,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_shares_documents": _script_shares_documents,
         "char_entropy_documents": _char_entropy_documents,
         "grouped_topk_documents": _grouped_topk_documents,
+        "streaming_dedup_events": _streaming_dedup_events,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2679,6 +2698,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # key-set semantics: one survivor per event_id over the
+        # re-delivery union (the duplicated rows add no new keys)
+        "streaming_dedup_events": """
+            SELECT DISTINCT event_id FROM events
+        """,
         # identical windows: rank by (n desc, value asc), whole-group ppm
         # total computed before the rank filter
         "grouped_topk_documents": """

@@ -98,3 +98,57 @@ def stateful_running_stats(df: DataFrame, key_col: str, value_col: str) -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact deduplication on a key tuple — the incremental
+    form of the batch exact-dedup stage (dedup.py): keep the FIRST
+    arrival of each key, drop every later duplicate, with state bounded
+    by the event-time watermark instead of growing forever.
+
+    Two published semantics, both exposed:
+
+    * default (``dropDuplicates``): a key is remembered as long as the
+      query runs but the watermark lets Spark evict state for windows
+      that can no longer receive rows — duplicates are dropped exactly
+      within the watermark horizon, the standard at-least-once ingest
+      dedup (re-delivered events inside the horizon collapse);
+    * ``within_watermark=True`` (``dropDuplicatesWithinWatermark``,
+      Spark 3.5+): duplicates are only guaranteed dropped when they
+      arrive within the watermark delay of the first sighting —
+      bounded-state dedup for infinite keyspaces (content hashes at
+      crawl scale), the honest semantics when keys never repeat after
+      the horizon anyway.
+
+    Works identically on a batch DataFrame (watermark is a no-op there,
+    dropDuplicates is global) — the unified-semantics property every
+    streaming operator in this module keeps, so the batch oracle
+    (exact_dedup) is the correctness reference. State scale: one entry
+    per live key within the horizon, partitioned by the keys — the same
+    shuffle the batch groupBy performs, amortized per micro-batch."""
+    if df.isStreaming:
+        # withWatermark requires TIMESTAMP; NTZ sources (parquet default)
+        # cast through the session zone (pinned UTC in session.py)
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        wm = df.withWatermark(ts_col, watermark)
+    else:
+        wm = df
+    subset = list(keys)
+    if within_watermark:
+        if not df.isStreaming:
+            # Spark rejects dropDuplicatesWithinWatermark on batch frames;
+            # without lateness the two semantics coincide, so batch falls
+            # back to plain dropDuplicates (keeps the unified-semantics
+            # contract testable)
+            return wm.dropDuplicates(subset)
+        return wm.dropDuplicatesWithinWatermark(subset)
+    # ts participates in neither variant's subset: the FIRST arrival wins
+    # regardless of its event time
+    return wm.dropDuplicates(subset)

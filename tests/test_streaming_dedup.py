@@ -1,0 +1,80 @@
+"""streaming_dedup: watermark-bounded exact dedup, stream == batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonoid_discovery_spark.streaming.stateful import streaming_dedup
+
+
+def _dup_events(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # duplicate every %3 event (same event_id, later ts) -> dedup must
+    # collapse them; survivors = one row per event_id
+    dups = ev.where(F.col("event_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    return ev.unionByName(dups)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    data = _dup_events(spark)
+    src = str(tmp_path / "src")
+    data.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, ["event_id"], "ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = [r["event_id"] for r in got]
+    n_expected = data.select("event_id").distinct().count()
+    # exactly one survivor per key, every key present
+    assert len(ids) == len(set(ids)) == n_expected
+
+
+def test_batch_mode_is_exact_dedup(spark):
+    data = _dup_events(spark)
+    out = streaming_dedup(data, ["event_id"], "ts")
+    assert out.count() == data.select("event_id").distinct().count()
+    # batch: watermark is a no-op, one row per key
+    assert out.groupBy("event_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_within_watermark_variant(spark, tmp_path):
+    data = _dup_events(spark)
+    # batch: falls back to plain dropDuplicates (Spark rejects the
+    # within-watermark form on batch frames) -> one row per key
+    out = streaming_dedup(data, ["event_id"], "ts", within_watermark=True)
+    assert out.count() == data.select("event_id").distinct().count()
+    # stream: duplicates re-delivered within the delay collapse
+    src = str(tmp_path / "src_ww")
+    data.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, ["event_id"], "ts", watermark="2 hours",
+                        within_watermark=True)
+        .writeStream.format("memory")
+        .queryName("dedup_ww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ww"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_ww").collect()]
+    assert len(ids) == len(set(ids)) == data.select("event_id").distinct().count()
