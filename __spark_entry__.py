@@ -1668,6 +1668,29 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _null_patterns_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Missingness-pattern profile (analyses.null_pattern_profile) over
+    (lang, source, text) with CORRELATED nulls injected — lang+source
+    nulled together where doc_id%4==0, text where %9==0 — so the
+    pattern table shows the correlation per-column null rates hide."""
+    from jsonoid_discovery_spark.operators.analyses import null_pattern_profile
+
+    d = _t(spark, sf, "documents")
+    d = (
+        d.withColumn(
+            "lang", F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise(F.col("lang"))
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise(F.col("source")),
+        )
+        .withColumn(
+            "text", F.when(F.col("doc_id") % 9 == 0, F.lit(None)).otherwise(F.col("text"))
+        )
+    )
+    return null_pattern_profile(d, ["lang", "source", "text"])
+
+
 def _streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     """Watermark-bounded streaming dedup (streaming.stateful.
     streaming_dedup) exercised through its batch-unified semantics: the
@@ -2038,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_documents": _char_entropy_documents,
         "grouped_topk_documents": _grouped_topk_documents,
         "streaming_dedup_events": _streaming_dedup_events,
+        "null_patterns_documents": _null_patterns_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2698,6 +2722,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # identical null injection + presence bitstring + whole-table ppm
+        "null_patterns_documents": """
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang,
+                     CASE WHEN doc_id % 4 = 0 THEN NULL ELSE source END AS source,
+                     CASE WHEN doc_id % 9 = 0 THEN NULL ELSE text END AS text
+              FROM documents
+            ),
+            counts AS (
+              SELECT (CASE WHEN lang IS NOT NULL THEN '1' ELSE '0' END)
+                     || (CASE WHEN source IS NOT NULL THEN '1' ELSE '0' END)
+                     || (CASE WHEN text IS NOT NULL THEN '1' ELSE '0' END)
+                       AS pattern,
+                     count(*)::BIGINT AS n
+              FROM d GROUP BY 1
+            ),
+            t AS (SELECT sum(n)::BIGINT AS tot FROM counts)
+            SELECT pattern, n, (n * 1000000 // tot)::BIGINT AS share_ppm
+            FROM counts, t
+        """,
         # key-set semantics: one survivor per event_id over the
         # re-delivery union (the duplicated rows add no new keys)
         "streaming_dedup_events": """

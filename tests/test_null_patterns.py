@@ -1,0 +1,41 @@
+"""null_pattern_profile: correlated-missingness patterns."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonoid_discovery_spark.operators.analyses import null_pattern_profile
+
+
+def test_patterns_and_shares(spark):
+    rows = [
+        ("a", 1), ("b", 2),          # 11
+        (None, 3), (None, 4),        # 01
+        ("c", None),                 # 10
+        (None, None),                # 00
+    ]
+    df = spark.createDataFrame(rows, "x string, y int")
+    got = {
+        r["pattern"]: (r["n"], r["share_ppm"])
+        for r in null_pattern_profile(df, ["x", "y"]).collect()
+    }
+    assert got == {
+        "11": (2, 2 * 1_000_000 // 6),
+        "01": (2, 2 * 1_000_000 // 6),
+        "10": (1, 1_000_000 // 6),
+        "00": (1, 1_000_000 // 6),
+    }
+
+
+def test_ordering_deterministic(spark):
+    rows = [("a", 1)] * 3 + [(None, 1)] * 3 + [("a", None)] * 2
+    df = spark.createDataFrame(rows, "x string, y int")
+    pats = [r["pattern"] for r in null_pattern_profile(df, ["x", "y"]).collect()]
+    # counts 3/3/2: tie between 01 and 11 breaks pattern-ascending
+    assert pats == ["01", "11", "10"]
+
+
+def test_needs_columns(spark):
+    df = spark.createDataFrame([("a",)], "x string")
+    with pytest.raises(ValueError):
+        null_pattern_profile(df, [])
