@@ -1668,6 +1668,18 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _grouped_percentiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group percentile bands (util.grouped_percentiles, exact mode)
+    of l_extendedprice by l_returnflag — one grouped percentile
+    aggregate, tidied on the aggregated frame; rides the established
+    percentile/quantile_cont bit-parity."""
+    from jsonoid_discovery_spark.operators.util import grouped_percentiles
+
+    return grouped_percentiles(
+        _t(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice", exact=True
+    )
+
+
 def _null_patterns_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Missingness-pattern profile (analyses.null_pattern_profile) over
     (lang, source, text) with CORRELATED nulls injected — lang+source
@@ -2062,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk_documents": _grouped_topk_documents,
         "streaming_dedup_events": _streaming_dedup_events,
         "null_patterns_documents": _null_patterns_documents,
+        "grouped_percentiles_lineitem": _grouped_percentiles_lineitem,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2722,6 +2735,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # grouped quantile_cont == grouped Spark percentile; probs cast
+        # DOUBLE (bare decimal literals stringify as "0.50")
+        "grouped_percentiles_lineitem": """
+            WITH g AS (
+              SELECT l_returnflag,
+                     unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS prob,
+                     unnest(quantile_cont(l_extendedprice,
+                                          [0.25, 0.5, 0.75, 0.9, 0.99])) AS value
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, prob, value FROM g
+        """,
         # identical null injection + presence bitstring + whole-table ppm
         "null_patterns_documents": """
             WITH d AS (

@@ -489,3 +489,43 @@ def grouped_topk(
             F.expr("n * 1000000L div __tot").alias("share_ppm"),
         )
     )
+
+
+def grouped_percentiles(
+    df: "DataFrame",
+    by: str,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> "DataFrame":
+    """Per-group percentiles in tidy form — ``DataFrame[by, prob,
+    value]`` — column_percentiles' grouped sibling (per-lang length
+    bands, per-flag price bands: the per-segment form every
+    distribution screen above wants before comparing segments).
+
+    ONE grouped aggregate computes the whole array per group
+    (``percentile_approx`` mergeable sketch by default — the 100 TB
+    path, shuffle sized by the group space; ``exact=True`` for the
+    quantile_cont-parity mode, bounded-cardinality columns only), then
+    ``arrays_zip``/``explode`` tidies on the aggregated frame. Null
+    values are skipped by the aggregate itself; a null group is a
+    group."""
+    from pyspark.sql import functions as F
+
+    plist = ",".join(repr(float(p)) + "D" for p in probs)
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
+    arr = F.expr(f"{fn}({col}, array({plist}){acc})")
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    return (
+        df.groupBy(by)
+        .agg(arr.alias("vals"))
+        .select(
+            by,
+            F.explode(
+                F.arrays_zip(probs_arr.alias("probs"), F.col("vals").alias("vals"))
+            ).alias("z"),
+        )
+        .select(by, F.col("z.probs").alias("prob"), F.col("z.vals").alias("value"))
+    )

@@ -31,3 +31,22 @@ def test_sketch_mode_close(spark):
     rows = {r["prob"]: r for r in quantile_drift(old, new, "v").collect()}
     # approx sketch at accuracy 10000: p50 doubles within a tight band
     assert abs(rows[0.5]["new_val"] / rows[0.5]["old_val"] - 2.0) < 0.01
+
+
+def test_grouped_percentiles_exact(spark):
+    from jsonoid_discovery_spark.operators.util import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)]
+        + [("b", float(i * 10)) for i in range(1, 11)]
+        + [("b", None), (None, 5.0)],
+        "g string, v double",
+    )
+    got = {
+        (r["g"], r["prob"]): r["value"]
+        for r in grouped_percentiles(df, "g", "v", exact=True).collect()
+    }
+    assert got[("a", 0.5)] == 50.5
+    assert got[("b", 0.5)] == 55.0  # nulls skipped by the aggregate
+    assert got[(None, 0.5)] == 5.0  # null group is a group
+    assert len(got) == 3 * 5
