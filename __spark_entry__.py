@@ -1668,6 +1668,16 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _embedding_health_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-column validation (ann.embedding_health): dimensional
+    consistency, zero-vector / NaN-Inf contamination counts, and the
+    round-6 norm band — one codegen'd aggregate whose squared-norm left
+    fold replays bit-for-bit as DuckDB's list_reduce."""
+    from jsonoid_discovery_spark.operators.ann import embedding_health
+
+    return embedding_health(_t(spark, sf, "embeddings"), "embedding")
+
+
 def _grouped_percentiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group percentile bands (util.grouped_percentiles, exact mode)
     of l_extendedprice by l_returnflag — one grouped percentile
@@ -2075,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_events": _streaming_dedup_events,
         "null_patterns_documents": _null_patterns_documents,
         "grouped_percentiles_lineitem": _grouped_percentiles_lineitem,
+        "embedding_health_embeddings": _embedding_health_embeddings,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2735,6 +2746,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # identical left fold from 0.0 over double-cast elements
+        # (list_reduce is sequential; 0.0 + x == x in IEEE for x >= 0),
+        # norms rounded to 6 before the order-independent min/max
+        "embedding_health_embeddings": """
+            WITH per AS (
+              SELECT embedding IS NULL AS is_null,
+                     CASE WHEN embedding IS NOT NULL
+                          THEN len(embedding) END AS dim,
+                     CASE WHEN embedding IS NOT NULL THEN
+                       CASE WHEN len(embedding) = 0 THEN 0.0::DOUBLE
+                            ELSE list_reduce(
+                              list_prepend(0.0::DOUBLE,
+                                list_transform(embedding,
+                                               x -> x::DOUBLE * x::DOUBLE)),
+                              (a, b) -> a + b) END
+                     END AS sq,
+                     CASE WHEN embedding IS NOT NULL THEN
+                       len(list_filter(embedding,
+                                       x -> isnan(x) OR isinf(x))) > 0
+                     END AS bad
+              FROM embeddings
+            )
+            SELECT count(*)::BIGINT AS n_vecs,
+                   sum(is_null::INT)::BIGINT AS n_null,
+                   min(dim)::INT AS dim_min,
+                   max(dim)::INT AS dim_max,
+                   sum((sq = 0.0)::INT)::BIGINT AS n_zero,
+                   sum(bad::INT)::BIGINT AS n_nonfinite,
+                   min(CASE WHEN NOT bad THEN round(sqrt(sq), 6) END) AS norm_min_q6,
+                   max(CASE WHEN NOT bad THEN round(sqrt(sq), 6) END) AS norm_max_q6
+            FROM per
+        """,
         # grouped quantile_cont == grouped Spark percentile; probs cast
         # DOUBLE (bare decimal literals stringify as "0.50")
         "grouped_percentiles_lineitem": """

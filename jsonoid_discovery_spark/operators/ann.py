@@ -384,3 +384,50 @@ def semantic_dedup(
     the corpus after SemDeDup-style semantic deduplication."""
     flagged = semantic_dup_flags(df, vec_col, id_col, threshold, n_planes, seed)
     return flagged.where(~F.col("is_semantic_dup")).drop("is_semantic_dup")
+
+
+def embedding_health(df: DataFrame, col: str) -> DataFrame:
+    """Embedding-column validation — one row: ``DataFrame[n_vecs,
+    n_null, dim_min, dim_max, n_zero, n_nonfinite, norm_min_q6,
+    norm_max_q6]`` — the screens an ANN/semantic-dedup stage needs
+    BEFORE trusting cosine math: ragged dimensions (dim_min != dim_max
+    breaks every dot product), zero vectors (cosine undefined — the
+    ann operators here guard them, but upstream should know), NaN/Inf
+    contamination (silently poisons every reduction it touches), and a
+    norm range sanity band (un-normalized rows in a supposedly
+    L2-normalized table).
+
+    One single-row codegen'd aggregate; per-vector squared norms fold
+    with ``F.aggregate`` (a LEFT fold from 0.0 — the same association
+    DuckDB's ``list_reduce`` uses, so the oracle replays bit-for-bit on
+    double-cast elements), norms rounded to 6 before min/max (the
+    quantize convention; min/max are order-independent)."""
+    v = F.col(col)
+    sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x.cast("double")) == F.lit(float("inf")))
+    )
+    norm = F.round(F.sqrt(sq), 6)
+    per = df.select(
+        v.isNull().alias("is_null"),
+        F.when(v.isNotNull(), F.size(v)).alias("dim"),
+        F.when(v.isNotNull(), sq == 0.0).alias("is_zero"),
+        F.when(v.isNotNull(), nonfinite).alias("bad"),
+        # the norm band only means anything over FINITE vectors — a NaN
+        # norm would poison min/max (NaN sorts greatest in Spark)
+        F.when(v.isNotNull() & ~nonfinite, norm).alias("norm"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("is_null").cast("long")).alias("n_null"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum(F.col("is_zero").cast("long")).alias("n_zero"),
+        F.sum(F.col("bad").cast("long")).alias("n_nonfinite"),
+        F.min("norm").alias("norm_min_q6"),
+        F.max("norm").alias("norm_max_q6"),
+    )

@@ -175,3 +175,24 @@ class TestDistinctDelta:
             distinct_delta(old, new, [], mode="exact")
         with pytest.raises(ValueError):
             distinct_delta(old, new, ["word"], mode="bogus")
+
+
+def test_embedding_health(spark):
+    from jsonoid_discovery_spark.operators.ann import embedding_health
+
+    df = spark.createDataFrame(
+        [
+            ([3.0, 4.0],),           # norm 5
+            ([0.0, 0.0],),           # zero vector
+            ([1.0, 2.0, 2.0],),      # ragged dim 3
+            ([float("nan"), 1.0],),  # nonfinite
+            ([float("inf"), 1.0],),  # nonfinite
+            (None,),
+        ],
+        "embedding array<float>",
+    )
+    r = embedding_health(df, "embedding").collect()[0]
+    assert r["n_vecs"] == 6 and r["n_null"] == 1
+    assert (r["dim_min"], r["dim_max"]) == (2, 3)
+    assert r["n_zero"] == 1 and r["n_nonfinite"] == 2
+    assert r["norm_min_q6"] == 0.0 and r["norm_max_q6"] == 5.0
