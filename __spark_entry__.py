@@ -1668,6 +1668,17 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _embedding_dim_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding stats (ann.embedding_dim_stats): the
+    dead/collapsed-dimension diagnostic — posexplode + map-side-combined
+    dim groupBy; mean via the round-6 decimal-sum convention (cast to
+    double BEFORE dividing — decimal division scales differ between
+    engines)."""
+    from jsonoid_discovery_spark.operators.ann import embedding_dim_stats
+
+    return embedding_dim_stats(_t(spark, sf, "embeddings"), "embedding")
+
+
 def _embedding_health_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-column validation (ann.embedding_health): dimensional
     consistency, zero-vector / NaN-Inf contamination counts, and the
@@ -2086,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_patterns_documents": _null_patterns_documents,
         "grouped_percentiles_lineitem": _grouped_percentiles_lineitem,
         "embedding_health_embeddings": _embedding_health_embeddings,
+        "embedding_dim_stats_embeddings": _embedding_dim_stats_embeddings,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2746,6 +2758,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        # zipped unnests (range(len) pairs with elements), NaN excluded,
+        # identical
+        # round-6 decimal-sum mean cast double before dividing
+        "embedding_dim_stats_embeddings": """
+            WITH el AS (
+              SELECT unnest(range(len(embedding)))::INT AS dim,
+                     unnest(embedding)::DOUBLE AS x
+              FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            fin AS (
+              SELECT dim, x, round(x, 6)::DECIMAL(28,6) AS xq
+              FROM el WHERE NOT isnan(x)
+            )
+            SELECT dim::INT AS dim,
+                   count(*)::BIGINT AS n,
+                   min(x) AS min,
+                   max(x) AS max,
+                   round(sum(xq)::DOUBLE / count(*)::DOUBLE, 6) AS mean_q6
+            FROM fin GROUP BY dim
+        """,
         # identical left fold from 0.0 over double-cast elements
         # (list_reduce is sequential; 0.0 + x == x in IEEE for x >= 0),
         # norms rounded to 6 before the order-independent min/max

@@ -431,3 +431,48 @@ def embedding_health(df: DataFrame, col: str) -> DataFrame:
         F.min("norm").alias("norm_min_q6"),
         F.max("norm").alias("norm_max_q6"),
     )
+
+
+def embedding_dim_stats(df: DataFrame, col: str) -> DataFrame:
+    """Per-DIMENSION statistics of an embedding column —
+    ``DataFrame[dim, n, min, max, mean_q6]`` ordered by dim — the
+    dead/collapsed-dimension diagnostic (a dim whose min == max carries
+    zero information; a handful of dims dominating the range explains
+    anisotropic cosine behavior; embedding_health is the row-wise
+    screen, this is the column-wise one).
+
+    ``posexplode`` is a projection (one row per element — corpus ×
+    dim rows exchanged, sized by the same data a transpose would touch;
+    the groupBy on the dim index is map-side combined into dim-count
+    partials, so the actual shuffle is dims × tasks rows). min/max are
+    exact order-independent doubles; the mean is the quantize
+    convention — elements rounded to 6 and summed as DECIMAL, divided
+    by the count, rounded to 6 — so partitioning and engine cannot move
+    it. NaN elements are excluded from all three (they would poison
+    min/max ordering and the sum); infinities are kept (they are real
+    range information)."""
+    el = df.where(F.col(col).isNotNull()).select(
+        F.posexplode(F.col(col)).alias("dim", "x")
+    )
+    fin = el.where(~F.isnan("x")).select(
+        "dim",
+        F.col("x").cast("double").alias("x"),
+        F.round(F.col("x").cast("double"), 6).cast("decimal(28,6)").alias("xq"),
+    )
+    return (
+        fin.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min"),
+            F.max("x").alias("max"),
+            # decimal sum -> double BEFORE dividing: decimal/long division
+            # scales differ between engines; double/double does not (the
+            # sum is exact in double at embedding magnitudes)
+            F.round(
+                F.sum("xq").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_q6"),
+        )
+        .orderBy("dim")
+    )

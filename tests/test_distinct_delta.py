@@ -196,3 +196,22 @@ def test_embedding_health(spark):
     assert (r["dim_min"], r["dim_max"]) == (2, 3)
     assert r["n_zero"] == 1 and r["n_nonfinite"] == 2
     assert r["norm_min_q6"] == 0.0 and r["norm_max_q6"] == 5.0
+
+
+def test_embedding_dim_stats(spark):
+    from jsonoid_discovery_spark.operators.ann import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [
+            ([1.0, 5.0, 0.0],),
+            ([3.0, 5.0, float("nan")],),   # NaN excluded from dim 2
+            (None,),
+        ],
+        "embedding array<float>",
+    )
+    got = {r["dim"]: r for r in embedding_dim_stats(df, "embedding").collect()}
+    assert got[0]["n"] == 2 and got[0]["min"] == 1.0 and got[0]["max"] == 3.0
+    assert got[0]["mean_q6"] == 2.0
+    # dead dimension: min == max
+    assert got[1]["min"] == got[1]["max"] == 5.0
+    assert got[2]["n"] == 1 and got[2]["mean_q6"] == 0.0
