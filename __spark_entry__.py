@@ -1668,6 +1668,17 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _weighted_topk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-k weighted sampling without replacement
+    (curation.weighted_sample_topk, Efraimidis-Spirakis): 50 documents
+    weighted by n_chars — deterministic xxhash64-derived u, ln(u)/w
+    key, id tiebreak; the oracle replays the hashLong chain and the
+    identical double arithmetic."""
+    from jsonoid_discovery_spark.operators.curation import weighted_sample_topk
+
+    return weighted_sample_topk(_t(spark, sf, "documents"), "doc_id", "n_chars", 50)
+
+
 def _embedding_dim_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Per-dimension embedding stats (ann.embedding_dim_stats): the
     dead/collapsed-dimension diagnostic — posexplode + map-side-combined
@@ -2098,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_percentiles_lineitem": _grouped_percentiles_lineitem,
         "embedding_health_embeddings": _embedding_health_embeddings,
         "embedding_dim_stats_embeddings": _embedding_dim_stats_embeddings,
+        "weighted_topk_documents": _weighted_topk_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2758,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
+        "weighted_topk_documents": _weighted_topk_oracle_sql(),
         # zipped unnests (range(len) pairs with elements), NaN excluded,
         # identical
         # round-6 decimal-sum mean cast double before dividing
@@ -4012,6 +4025,33 @@ def _upsample_oracle_sql(seed: int = 7) -> str:
         + " FROM ua_m)"
         + " SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS copy"
         + " FROM ua_n WHERE n > 0"
+    )
+
+
+def _weighted_topk_oracle_sql() -> str:
+    """DuckDB oracle for weighted_topk_documents: the XXH64 hashLong
+    chain (functions/xxh64_sql.py) on doc_id, the unsigned value pushed
+    through DOUBLE exactly as Spark casts int64, the same
+    ln((u+1)/2^64)/w key, DESC with id tiebreak, LIMIT 50."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h", prefix="wt")
+    return (
+        "WITH " + with_clause(stages)
+        + f"""
+        , keyed AS (
+          SELECT doc_id, n_chars,
+                 ln(((CASE WHEN h < 0
+                           THEN h::DOUBLE + 18446744073709551616.0
+                           ELSE h::DOUBLE END) + 1.0)
+                    / 18446744073709551616.0)
+                 / n_chars::DOUBLE AS aes
+          FROM {fin}
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, n_chars FROM keyed
+        ORDER BY aes DESC, doc_id ASC LIMIT 50
+        """
     )
 
 

@@ -1712,3 +1712,42 @@ def funnel_report(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
         out,
         "stage int, rule string, n_in long, n_dropped long, n_out long, drop_ppm long",
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """EXACTLY-``k`` weighted sampling without replacement — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Proc. Letters 2006): each row
+    draws ``u ∈ (0, 1]`` and the k largest ``u^(1/w)`` win, which is
+    exactly weighted sampling without replacement. ``weighted_sample``
+    (Bernoulli) returns a BINOMIAL sample size; this returns exactly k
+    — the form a fixed eval-set budget or a fixed-size fleet shard
+    needs. Returns ``DataFrame[id_col, weight_col]`` of the winners.
+
+    Everything is deterministic and partition-invariant: ``u`` derives
+    from ``xxhash64(id)`` (the stratified_sample convention — stable
+    across runs, re-crawls, AQE re-plans), the ordering key is the
+    monotone-equivalent ``ln(u)/w`` (maximizing), ties break by id.
+    Rows with null/NaN/non-positive weights are excluded (they have no
+    defined inclusion probability). Plan shape: one projection + a
+    global top-k (TakeOrderedAndProject — per-partition heaps of k,
+    driver merges k·partitions candidates, never a full sort). The
+    unsigned hash goes through DOUBLE exactly as DuckDB casts int64,
+    so the oracle replays the identical key."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    h = F.xxhash64(F.col(id_col))
+    uns = F.when(h < 0, h.cast("double") + F.lit(float(2**64))).otherwise(
+        h.cast("double")
+    )
+    u = (uns + F.lit(1.0)) / F.lit(float(2**64))
+    key = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .select(id_col, weight_col, key.alias("__aes"))
+        .orderBy(F.col("__aes").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__aes")
+    )

@@ -498,3 +498,51 @@ def test_sample_mixture_width_invariant(spark):
     a = sample_mixture(d, "src", budgets, "tok", "id", num_partitions=3).collect()
     b = sample_mixture(d.repartition(17), "src", budgets, "tok", "id", num_partitions=11).collect()
     assert sorted((r.id, r.cum_tokens) for r in a) == sorted((r.id, r.cum_tokens) for r in b)
+
+
+class TestWeightedTopK:
+    def test_matches_python_replay(self, spark):
+        import math
+
+        from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long
+        from jsonoid_discovery_spark.operators.curation import weighted_sample_topk
+
+        rows = [(i, float(1 + (i * 7) % 50)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = sorted(r["id"] for r in weighted_sample_topk(df, "id", "w", 40).collect())
+
+        def key(i, w):
+            h = xxh64_long(i)
+            uns = float(h + 2**64) if h < 0 else float(h)
+            return math.log((uns + 1.0) / float(2**64)) / w
+
+        exp = sorted(
+            i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:40]
+        )
+        assert got == exp
+
+    def test_partition_invariance_and_excludes(self, spark):
+        from jsonoid_discovery_spark.operators.curation import weighted_sample_topk
+
+        rows = [(i, float(i % 9 + 1)) for i in range(300)] + [
+            (1000, None),
+            (1001, 0.0),
+            (1002, -3.0),
+            (1003, float("nan")),
+        ]
+        df = spark.createDataFrame(rows, "id long, w double")
+        a = sorted(map(tuple, weighted_sample_topk(df, "id", "w", 25).collect()))
+        b = sorted(
+            map(tuple, weighted_sample_topk(df.repartition(13), "id", "w", 25).collect())
+        )
+        assert a == b and len(a) == 25
+        assert all(i < 1000 for i, _ in a)  # degenerate weights never selected
+
+    def test_weight_bias(self, spark):
+        from jsonoid_discovery_spark.operators.curation import weighted_sample_topk
+
+        # ids 0-499 weight 1, ids 500-999 weight 50: heavy side dominates
+        rows = [(i, 1.0) for i in range(500)] + [(i, 50.0) for i in range(500, 1000)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        sel = [r["id"] for r in weighted_sample_topk(df, "id", "w", 100).collect()]
+        assert sum(1 for i in sel if i >= 500) > 85
