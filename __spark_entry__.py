@@ -1668,6 +1668,17 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _stratified_topk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum exactly-k weighted sampling
+    (curation.stratified_sample_topk): 10 docs per lang weighted by
+    n_chars — the same A-ES key ranked by a per-stratum window."""
+    from jsonoid_discovery_spark.operators.curation import stratified_sample_topk
+
+    return stratified_sample_topk(
+        _t(spark, sf, "documents"), "lang", "doc_id", "n_chars", 10
+    )
+
+
 def _weighted_topk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-k weighted sampling without replacement
     (curation.weighted_sample_topk, Efraimidis-Spirakis): 50 documents
@@ -2110,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health_embeddings": _embedding_health_embeddings,
         "embedding_dim_stats_embeddings": _embedding_dim_stats_embeddings,
         "weighted_topk_documents": _weighted_topk_documents,
+        "stratified_topk_documents": _stratified_topk_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2771,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_orders": _fd_oracle_sql(),
         "summary_drift_documents": _summary_drift_oracle_sql(),
         "weighted_topk_documents": _weighted_topk_oracle_sql(),
+        "stratified_topk_documents": _stratified_topk_oracle_sql(),
         # zipped unnests (range(len) pairs with elements), NaN excluded,
         # identical
         # round-6 decimal-sum mean cast double before dividing
@@ -4025,6 +4038,32 @@ def _upsample_oracle_sql(seed: int = 7) -> str:
         + " FROM ua_m)"
         + " SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS copy"
         + " FROM ua_n WHERE n > 0"
+    )
+
+
+def _stratified_topk_oracle_sql() -> str:
+    """DuckDB oracle for stratified_topk_documents: the same XXH64
+    hashLong A-ES key, ranked per lang via QUALIFY."""
+    from jsonoid_discovery_spark.functions.xxh64_sql import xxh64_long_ctes, with_clause
+
+    stages, fin = xxh64_long_ctes("documents", "doc_id", "h", prefix="st")
+    return (
+        "WITH " + with_clause(stages)
+        + f"""
+        SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 ln(((CASE WHEN h < 0
+                           THEN h::DOUBLE + 18446744073709551616.0
+                           ELSE h::DOUBLE END) + 1.0)
+                    / 18446744073709551616.0)
+                 / n_chars::DOUBLE AS aes
+          FROM {fin}
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        QUALIFY row_number() OVER (
+          PARTITION BY lang ORDER BY aes DESC, doc_id ASC
+        ) <= 10
+        """
     )
 
 

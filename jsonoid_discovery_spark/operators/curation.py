@@ -1751,3 +1751,41 @@ def weighted_sample_topk(
         .limit(k)
         .drop("__aes")
     )
+
+
+def stratified_sample_topk(
+    df: DataFrame, by: str, id_col: str, weight_col: str, k_per_stratum: int
+) -> DataFrame:
+    """Exactly ``k_per_stratum`` weighted winners WITHIN each stratum —
+    weighted_sample_topk's grouped form (fixed per-language eval
+    budgets, balanced per-source audit samples): same A-ES key
+    (deterministic ``ln(u)/w`` from ``xxhash64(id)``), ranked by a
+    per-stratum window instead of a global top-k. Strata smaller than
+    ``k_per_stratum`` return whole (every valid-weight row wins).
+    Returns ``DataFrame[by, id_col, weight_col]``.
+
+    Plan: one projection + ONE exchange on the stratum (AQE splits
+    skewed strata) + the rank filter — rows that lose never leave their
+    task after the shuffle. A null stratum is a stratum; null/NaN/
+    non-positive weights are excluded before ranking (same contract as
+    the global form)."""
+    from pyspark.sql import Window
+
+    if k_per_stratum < 1:
+        raise ValueError("k_per_stratum must be >= 1")
+    w = F.col(weight_col).cast("double")
+    h = F.xxhash64(F.col(id_col))
+    uns = F.when(h < 0, h.cast("double") + F.lit(float(2**64))).otherwise(
+        h.cast("double")
+    )
+    key = F.log((uns + F.lit(1.0)) / F.lit(float(2**64))) / w
+    win = Window.partitionBy(by).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .select(by, id_col, weight_col)
+        .withColumn("__r", F.row_number().over(win))
+        .where(F.col("__r") <= k_per_stratum)
+        .drop("__r")
+    )

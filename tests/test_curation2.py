@@ -546,3 +546,27 @@ class TestWeightedTopK:
         df = spark.createDataFrame(rows, "id long, w double")
         sel = [r["id"] for r in weighted_sample_topk(df, "id", "w", 100).collect()]
         assert sum(1 for i in sel if i >= 500) > 85
+
+    def test_stratified_exact_k_per_group(self, spark):
+        from jsonoid_discovery_spark.operators.curation import (
+            stratified_sample_topk,
+            weighted_sample_topk,
+        )
+
+        rows = (
+            [(f"g{i % 3}", i, float(i % 7 + 1)) for i in range(300)]
+            + [("tiny", 900, 2.0), ("tiny", 901, 3.0)]  # stratum < k
+            + [(None, 950, 1.0)]                        # null stratum
+        )
+        df = spark.createDataFrame(rows, "g string, id long, w double")
+        sel = stratified_sample_topk(df, "g", "id", "w", 5).collect()
+        by_g = {}
+        for r in sel:
+            by_g.setdefault(r["g"], []).append(r["id"])
+        assert all(len(v) == 5 for g, v in by_g.items() if g and g.startswith("g"))
+        assert sorted(by_g["tiny"]) == [900, 901]  # whole small stratum
+        assert by_g[None] == [950]                 # null stratum is a stratum
+        # per-stratum winners == the global form restricted to that stratum
+        g0 = df.where(F.col("g") == "g0")
+        solo = sorted(r["id"] for r in weighted_sample_topk(g0, "id", "w", 5).collect())
+        assert sorted(by_g["g0"]) == solo
