@@ -1668,6 +1668,16 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _pmi_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Top PMI collocations (text.pmi_collocations): adjacent-pair
+    association over the corpus, min_count=5, top 50 by round-6 PMI
+    with pair-ascending ties — Church & Hanks association mining on the
+    tfidf tokenization conventions."""
+    from jsonoid_discovery_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"), "text", min_count=5, top_n=50)
+
+
 def _stratified_topk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stratum exactly-k weighted sampling
     (curation.stratified_sample_topk): 10 docs per lang weighted by
@@ -2122,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats_embeddings": _embedding_dim_stats_embeddings,
         "weighted_topk_documents": _weighted_topk_documents,
         "stratified_topk_documents": _stratified_topk_documents,
+        "pmi_documents": _pmi_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2976,6 +2987,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM ex GROUP BY domain
+        """,
+        # identical tokenization (lower/trim/\s+ split, empties dropped),
+        # occurrence-preserving adjacent pairs, the same pinned float
+        # order and round-6 before the (pmi desc, pair asc) cut
+        "pmi_documents": """
+            WITH w AS (
+              SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            uni AS (
+              SELECT t, count(*)::BIGINT AS n
+              FROM (SELECT unnest(ws) AS t FROM w)
+              WHERE t <> '' GROUP BY t
+            ),
+            pairs AS (
+              SELECT p.a AS a, p.b AS b FROM (
+                SELECT unnest(
+                  CASE WHEN len(ws) >= 2
+                       THEN list_transform(range(len(ws) - 1),
+                                           i -> {'a': ws[i + 1], 'b': ws[i + 2]})
+                       ELSE CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[]) END
+                ) AS p FROM w
+              ) WHERE p.a <> '' AND p.b <> ''
+            ),
+            big AS (
+              SELECT a, b, count(*)::BIGINT AS n_ab FROM pairs GROUP BY a, b
+            ),
+            tu AS (SELECT sum(n)::BIGINT AS tot_t FROM uni),
+            tb AS (SELECT sum(n_ab)::BIGINT AS tot_b FROM big)
+            SELECT a AS term_a, b AS term_b, n_ab,
+                   ua.n AS n_a, ub.n AS n_b,
+                   round(log2((n_ab::DOUBLE / tot_b::DOUBLE)
+                              / ((ua.n::DOUBLE / tot_t::DOUBLE)
+                                 * (ub.n::DOUBLE / tot_t::DOUBLE))), 6) AS pmi
+            FROM big
+            JOIN uni ua ON big.a = ua.t
+            JOIN uni ub ON big.b = ub.t, tu, tb
+            WHERE n_ab >= 5
+            ORDER BY pmi DESC, term_a, term_b LIMIT 50
         """,
         # midranks from cumulative lattice counts, tie-corrected variance,
         # z rounded to 6; float ops in the identical pinned order

@@ -791,3 +791,84 @@ def char_entropy(df: DataFrame, col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(col).alias("__t")
     ).mapInArrow(kernel, out_schema)
+
+
+def pmi_collocations(
+    df: DataFrame, col: str, min_count: int = 5, top_n: int = 100
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    word pairs — ``DataFrame[term_a, term_b, n_ab, n_a, n_b, pmi]``,
+    the classic Church & Hanks (1990) association measure: multiword
+    units ("new york", "machine learning") score high because they
+    co-occur far above chance; their components' unigram frequency
+    alone cannot explain the pair. The corpus-mining companion to
+    tfidf_top_terms (term salience) and novelty_scores (duplication) —
+    feeds tokenizer-vocab decisions and phrase-aware dedup.
+
+    ``pmi = round(log2((n_ab/B) / ((n_a/T)·(n_b/T))), 6)`` with T =
+    unigram occurrences, B = bigram occurrences; ``min_count`` floors
+    ``n_ab`` (PMI's low-frequency pathology — hapax pairs max the
+    score), ``top_n`` bounds the result ordered by (pmi desc, pair
+    asc) AFTER rounding, so the set is engine-identical.
+
+    Plan: tokens and adjacent pairs are projections (the shingle
+    Generate-barrier form, occurrence-preserving — no array_distinct);
+    two map-side-combined groupBys sized by vocab/bigram space; two
+    vocab-keyed joins (AQE broadcasts) + two single-row totals; one
+    TakeOrdered. Lowercased whitespace tokens, empties dropped."""
+    c = F.lower(F.trim(F.col(col)))
+    words = df.where(F.col(col).isNotNull()).select(
+        F.explode(F.array(F.split(c, r"\s+"))).alias("ws")
+    )
+    uni = (
+        words.select(F.explode("ws").alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), (i + 1).cast("int")).alias("a"),
+                        F.element_at(F.col("ws"), (i + 2).cast("int")).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    ).select("p.a", "p.b").where((F.col("a") != "") & (F.col("b") != ""))
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    tot_u = uni.agg(F.sum("n").alias("tot_t"))
+    tot_b = big.agg(F.sum("n_ab").alias("tot_b"))
+    ua = uni.select(F.col("t").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("n").alias("n_b"))
+    j = (
+        big.where(F.col("n_ab") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    pmi = F.round(
+        F.log2(
+            (d("n_ab") / d("tot_b"))
+            / ((d("n_a") / d("tot_t")) * (d("n_b") / d("tot_t")))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(top_n)
+    )

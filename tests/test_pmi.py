@@ -1,0 +1,43 @@
+"""pmi_collocations: adjacent-pair PMI association mining."""
+
+from __future__ import annotations
+
+import math
+
+
+from jsonoid_discovery_spark.operators.text import pmi_collocations
+
+
+def test_collocation_beats_chance_pair(spark):
+    # "new york" always adjacent; "the" pairs with everything
+    docs = [("new york is big",), ("the new york subway",), ("in new york today",),
+            ("the cat sat",), ("the dog ran",), ("new york wins",),
+            ("new york again",), ("visit new york now",)]
+    df = spark.createDataFrame(docs, "text string")
+    rows = pmi_collocations(df, "text", min_count=2, top_n=10).collect()
+    got = {(r["term_a"], r["term_b"]): r for r in rows}
+    assert ("new", "york") in got
+    ny = got[("new", "york")]
+    assert ny["n_ab"] == 6 and ny["n_a"] == 6 and ny["n_b"] == 6
+    # python replay of the exact formula
+    T = sum(len(t[0].split()) for t in docs)
+    B = sum(len(t[0].split()) - 1 for t in docs)
+    exp = round(math.log2((6 / B) / ((6 / T) * (6 / T))), 6)
+    assert abs(ny["pmi"] - exp) < 1e-9
+    # the perfect collocation outranks any "the x" pair present
+    the_pairs = [r for r in rows if r["term_a"] == "the"]
+    assert all(ny["pmi"] > r["pmi"] for r in the_pairs)
+
+
+def test_min_count_floors_hapax(spark):
+    df = spark.createDataFrame([("rare pair here",), ("common words common words",)], "text string")
+    rows = pmi_collocations(df, "text", min_count=2, top_n=10).collect()
+    assert all(r["n_ab"] >= 2 for r in rows)
+    assert ("rare", "pair") not in {(r["term_a"], r["term_b"]) for r in rows}
+
+
+def test_single_word_docs_contribute_no_pairs(spark):
+    df = spark.createDataFrame([("solo",), ("a b a b",), (None,)], "text string")
+    rows = pmi_collocations(df, "text", min_count=1, top_n=10).collect()
+    pairs = {(r["term_a"], r["term_b"]) for r in rows}
+    assert pairs == {("a", "b"), ("b", "a")}
