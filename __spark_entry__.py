@@ -1668,6 +1668,15 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _zipf_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law fit (text.zipf_fit) over the corpus token frequency
+    distribution, top-1000 terms — ln values quantized to 6 and summed
+    as decimals so the regression is order/engine independent."""
+    from jsonoid_discovery_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), "text", top_n=1000)
+
+
 def _pmi_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Top PMI collocations (text.pmi_collocations): adjacent-pair
     association over the corpus, min_count=5, top 50 by round-6 PMI
@@ -2133,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topk_documents": _weighted_topk_documents,
         "stratified_topk_documents": _stratified_topk_documents,
         "pmi_documents": _pmi_documents,
+        "zipf_documents": _zipf_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2987,6 +2997,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM ex GROUP BY domain
+        """,
+        # identical tokenization, (n desc, term asc) top-N cut, round-6
+        # quantized ln sums as decimals, pinned closed-form double order
+        "zipf_documents": """
+            WITH freq AS (
+              SELECT t, count(*)::BIGINT AS n
+              FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+                FROM documents WHERE text IS NOT NULL
+              )
+              WHERE t <> '' GROUP BY t
+              ORDER BY n DESC, t ASC LIMIT 1000
+            ),
+            ranked AS (
+              SELECT round(ln((row_number() OVER (ORDER BY n DESC, t ASC))::DOUBLE), 6)::DECIMAL(18,6) AS x,
+                     round(ln(n::DOUBLE), 6)::DECIMAL(18,6) AS y
+              FROM freq
+            ),
+            sums AS (
+              SELECT count(*)::BIGINT AS m,
+                     sum(x)::DOUBLE AS sx,
+                     sum(y)::DOUBLE AS sy,
+                     sum((x * y)::DECIMAL(38,12))::DOUBLE AS sxy,
+                     sum((x * x)::DECIMAL(38,12))::DOUBLE AS sxx,
+                     sum((y * y)::DECIMAL(38,12))::DOUBLE AS syy
+              FROM ranked
+            )
+            SELECT m AS n_terms,
+                   CASE WHEN m::DOUBLE * sxx - sx * sx > 0 THEN
+                     round((m::DOUBLE * sxy - sx * sy)
+                           / (m::DOUBLE * sxx - sx * sx), 6) + 0.0 END AS slope_q6,
+                   CASE WHEN m::DOUBLE * sxx - sx * sx > 0 THEN
+                     round((sy - (round((m::DOUBLE * sxy - sx * sy)
+                                        / (m::DOUBLE * sxx - sx * sx), 6) + 0.0) * sx)
+                           / m::DOUBLE, 6) + 0.0 END AS intercept_q6,
+                   CASE WHEN m::DOUBLE * sxx - sx * sx > 0
+                         AND m::DOUBLE * syy - sy * sy > 1e-7 THEN
+                     round((m::DOUBLE * sxy - sx * sy) * (m::DOUBLE * sxy - sx * sy)
+                           / ((m::DOUBLE * sxx - sx * sx)
+                              * (m::DOUBLE * syy - sy * sy)), 6) + 0.0 END AS r2_q6
+            FROM sums
         """,
         # identical tokenization (lower/trim/\s+ split, empties dropped),
         # occurrence-preserving adjacent pairs, the same pinned float

@@ -872,3 +872,85 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(top_n)
     )
+
+
+def zipf_fit(
+    df: DataFrame, col: str, top_n: int = 1000
+) -> DataFrame:
+    """Least-squares Zipf fit over the token frequency distribution —
+    one row: ``DataFrame[n_terms, slope_q6, intercept_q6, r2_q6]`` from
+    regressing ``ln(freq)`` on ``ln(rank)`` over the ``top_n`` most
+    frequent terms. Natural language sits near slope ≈ −1 (Zipf 1949);
+    template/boilerplate corpora flatten it, token-salad steepens it —
+    the distribution-level sanity check on top of the per-document
+    screens (quality, entropy, repetition).
+
+    The frequency table is one map-side-combined groupBy; the
+    ``top_n`` cut is a TakeOrdered with the (n desc, term asc)
+    deterministic tiebreak; ranks and the regression sums run on the
+    ≤ top_n aggregated rows. Exactness convention: ``ln`` values are
+    rounded to 6 and the x/y/xy/x² sums accumulate as DECIMALS
+    (products of quantized values are exact at scale 12), so the sums
+    — and therefore the fitted line — are order/partition/engine
+    independent; the closed-form slope/intercept/R² then compute in a
+    pinned double order, rounded to 6."""
+    from pyspark.sql import Window
+
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2")
+    c = F.lower(F.trim(F.col(col)))
+    freq = (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.split(c, r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("t").asc())
+    # decimal(18,6), NOT (28,6): Spark types a (p,6)x(p,6) product at
+    # (p+p+1, 12) and TRUNCATES the scale back to 6 when that exceeds 38
+    # (measured: 0.480453 for ln(2)^2) — at (18,6) the product is
+    # (37,12), exact, and matches DuckDB's exact arithmetic
+    q = lambda e: F.round(e, 6).cast("decimal(18,6)")  # noqa: E731
+    ranked = freq.withColumn("r", F.row_number().over(w)).select(
+        q(F.log(F.col("r").cast("double"))).alias("x"),
+        q(F.log(F.col("n").cast("double"))).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    # + 0.0 normalizes IEEE -0.0 (a flat-y corpus leaves cov as last-ulp
+    # noise whose SIGN differs between engines); the r2 guard is an
+    # epsilon, not 0: with quantized inputs a genuinely flat y leaves
+    # vary as ~1e-13 subtraction noise, positive on one engine and
+    # negative on the other
+    slope_q = F.round(cov / varx, 6) + F.lit(0.0)
+    # intercept from the QUANTIZED slope: the raw slope can differ from
+    # the oracle's in its last ulp (ln/libm), and the intercept division
+    # amplifies that across a rounding boundary; slope_q6 is
+    # engine-identical by construction, so the intercept is too
+    intercept = (F.col("sy") - slope_q * F.col("sx")) / m
+    r2 = (cov * cov) / (varx * vary)
+    return sums.select(
+        F.col("m").alias("n_terms"),
+        F.when(varx > 0, slope_q).alias("slope_q6"),
+        F.when(varx > 0, F.round(intercept, 6) + F.lit(0.0)).alias("intercept_q6"),
+        F.when((varx > 0) & (vary > F.lit(1e-7)), F.round(r2, 6) + F.lit(0.0)).alias("r2_q6"),
+    )

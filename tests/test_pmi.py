@@ -41,3 +41,37 @@ def test_single_word_docs_contribute_no_pairs(spark):
     rows = pmi_collocations(df, "text", min_count=1, top_n=10).collect()
     pairs = {(r["term_a"], r["term_b"]) for r in rows}
     assert pairs == {("a", "b"), ("b", "a")}
+
+
+class TestZipf:
+    def test_perfect_zipf_slope(self, spark):
+        from jsonoid_discovery_spark.operators.text import zipf_fit
+
+        # construct counts ~ 1200/r for ranks 1..30: slope -1, r2 ~ 1
+        docs = []
+        for r in range(1, 31):
+            docs += [(f"w{r:02d}",)] * (1200 // r)
+        df = spark.createDataFrame(docs, "text string")
+        row = zipf_fit(df, "text", top_n=30).collect()[0]
+        assert row["n_terms"] == 30
+        assert abs(row["slope_q6"] + 1.0) < 0.02
+        assert row["r2_q6"] > 0.999
+
+    def test_uniform_counts_flat(self, spark):
+        from jsonoid_discovery_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [(f"t{i} t{i}",) for i in range(20)], "text string"
+        )
+        row = zipf_fit(df, "text", top_n=20).collect()[0]
+        # identical counts: flat line, zero variance in y -> r2 null
+        assert row["slope_q6"] == 0.0 and row["r2_q6"] is None
+
+    def test_partition_invariance(self, spark):
+        from jsonoid_discovery_spark.operators.text import zipf_fit
+
+        docs = [(f"a b c d e f g {'x ' * (i % 11)}",) for i in range(200)]
+        df = spark.createDataFrame(docs, "text string")
+        a = zipf_fit(df, "text").collect()
+        b = zipf_fit(df.repartition(13), "text").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
