@@ -1668,6 +1668,25 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _vocab_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-frequency vocabulary drift (drift.vocab_drift): the %7
+    baseline vs the %9 snapshot with a template header injected on the
+    %3 band — two-sample chi-square over the combined top-200
+    vocabulary + <other> tail bucket, WH-z significance."""
+    from jsonoid_discovery_spark.operators.drift import vocab_drift
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("template boilerplate header "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return vocab_drift(old, new, "text", top_n=200)
+
+
 def _zipf_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf-law fit (text.zipf_fit) over the corpus token frequency
     distribution, top-1000 terms — ln values quantized to 6 and summed
@@ -2143,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_topk_documents": _stratified_topk_documents,
         "pmi_documents": _pmi_documents,
         "zipf_documents": _zipf_documents,
+        "vocab_drift_documents": _vocab_drift_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -2997,6 +3017,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM ex GROUP BY domain
+        """,
+        # identical stacked tokenization, combined-count top-200 cut with
+        # <other> tail bucket, round-6 decimal chi2 fold, the same WH
+        # rewrite on the ROUNDED z for the drifted verdict
+        "vocab_drift_documents": """
+            WITH o AS (SELECT text FROM documents WHERE doc_id % 7 != 0),
+            n AS (
+              SELECT CASE WHEN doc_id % 3 = 0
+                          THEN 'template boilerplate header ' || text
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 9 != 0
+            ),
+            st AS (
+              SELECT 0 AS side, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+              FROM o WHERE text IS NOT NULL
+              UNION ALL
+              SELECT 1, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+              FROM n WHERE text IS NOT NULL
+            ),
+            counts AS (
+              SELECT t,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                     sum(side)::BIGINT AS c1
+              FROM st WHERE t <> '' GROUP BY t
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY c0 + c1 DESC, t ASC) AS r
+              FROM counts
+            ),
+            cells AS (
+              SELECT CASE WHEN r <= 200 THEN t ELSE '<other>' END AS cat,
+                     sum(c0)::BIGINT AS o0, sum(c1)::BIGINT AS o1
+              FROM ranked GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(o0)::BIGINT AS t0, sum(o1)::BIGINT AS t1,
+                     count(*)::BIGINT AS k
+              FROM cells
+            ),
+            contrib AS (
+              SELECT t0, t1, k,
+                     round((o0 - t0::DOUBLE * (o0 + o1)::DOUBLE / (t0 + t1)::DOUBLE)
+                           * (o0 - t0::DOUBLE * (o0 + o1)::DOUBLE / (t0 + t1)::DOUBLE)
+                           / (t0::DOUBLE * (o0 + o1)::DOUBLE / (t0 + t1)::DOUBLE)
+                         + (o1 - t1::DOUBLE * (o0 + o1)::DOUBLE / (t0 + t1)::DOUBLE)
+                           * (o1 - t1::DOUBLE * (o0 + o1)::DOUBLE / (t0 + t1)::DOUBLE)
+                           / (t1::DOUBLE * (o0 + o1)::DOUBLE / (t0 + t1)::DOUBLE),
+                           6)::DECIMAL(28,6) AS c
+              FROM cells, tot
+            ),
+            agg AS (
+              SELECT t0, t1, k, sum(c)::DOUBLE AS chi2
+              FROM contrib GROUP BY t0, t1, k
+            )
+            SELECT k AS n_categories, t0 AS n_old_tokens, t1 AS n_new_tokens,
+                   round(chi2, 6) AS chi2_q6,
+                   CASE WHEN k > 1 THEN
+                     round((pow(chi2 / (k - 1)::DOUBLE, 1.0/3.0)
+                            - (1.0 - 2.0 / (9.0 * (k - 1)::DOUBLE)))
+                           / sqrt(2.0 / (9.0 * (k - 1)::DOUBLE)), 6) END AS z_wh_q6,
+                   CASE WHEN k > 1 THEN
+                     round((pow(chi2 / (k - 1)::DOUBLE, 1.0/3.0)
+                            - (1.0 - 2.0 / (9.0 * (k - 1)::DOUBLE)))
+                           / sqrt(2.0 / (9.0 * (k - 1)::DOUBLE)), 6) > 2.326
+                   END AS drifted
+            FROM agg
         """,
         # identical tokenization, (n desc, term asc) top-N cut, round-6
         # quantized ln sums as decimals, pinned closed-form double order

@@ -736,3 +736,92 @@ def cramers_v(df: DataFrame, a: str, b: str, quantize: int = 6) -> DataFrame:
         chi2.alias("chi2"),
         v.alias("v"),
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    top_n: int = 500,
+    quantize: int = 6,
+) -> DataFrame:
+    """Token-FREQUENCY drift between snapshots — one row:
+    ``DataFrame[n_categories, n_old_tokens, n_new_tokens, chi2_q6,
+    z_wh_q6, drifted]`` — the two-sample Pearson chi-square over the
+    combined top-``top_n`` vocabulary plus an ``<other>`` bucket for
+    the tail mass (a complete partition — tail MASS drift is not
+    silently dropped; equal-mass recomposition INSIDE the tail is
+    invisible to any bucketed chi-square by construction —
+    distinct_delta/novelty_scores own that signal). distinct_delta answers "which values appeared/vanished";
+    this answers "did the token DISTRIBUTION move" (topic shift,
+    template flood, language-mix rotation) at vocabulary granularity —
+    chi_square_drift's convention lifted from a categorical column to
+    tokenized text.
+
+    Tokenization is the tfidf family's (lower/trim/``\\s+``, empties
+    dropped). The vocabulary is chosen by COMBINED count (desc, term
+    asc — deterministic); expected counts are the usual
+    ``row_total·col_total/grand``; per-cell contributions are rounded
+    to ``quantize`` and summed as DECIMAL (order/partition/engine
+    independent). Significance is the Wilson-Hilferty normal rewrite of
+    the chi-square CDF at dof = categories−1 (the drift_lang oracle
+    convention): ``drifted`` iff ``z_wh > 2.326`` (p < 0.01). Plan: one
+    stacked token scan, ONE vocab-sized groupBy, the top-n cut +
+    chi-square on the aggregated (≤ top_n+1 × 2) cells."""
+    from pyspark.sql import Window
+
+    def _tok(df: DataFrame, side: int) -> DataFrame:
+        c = F.lower(F.trim(F.col(col)))
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(F.explode(F.split(c, r"\s+")).alias("t"))
+            .where(F.col("t") != "")
+            .select(F.lit(side).alias("side"), "t")
+        )
+
+    st = _tok(old, 0).unionByName(_tok(new, 1))
+    counts = st.groupBy("t").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.col("side")).alias("c1"),
+    )
+    w = Window.orderBy((F.col("c0") + F.col("c1")).desc(), F.col("t").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    cells = (
+        ranked.withColumn(
+            "cat", F.when(F.col("__r") <= top_n, F.col("t")).otherwise(F.lit("<other>"))
+        )
+        .groupBy("cat")
+        .agg(F.sum("c0").alias("o0"), F.sum("c1").alias("o1"))
+    )
+    tot = cells.agg(
+        F.sum("o0").alias("t0"),
+        F.sum("o1").alias("t1"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    g = (F.col("t0") + F.col("t1")).cast("double")
+    row = (F.col("o0") + F.col("o1")).cast("double")
+    e0 = F.col("t0").cast("double") * row / g
+    e1 = F.col("t1").cast("double") * row / g
+    contrib = F.round(
+        (F.col("o0") - e0) * (F.col("o0") - e0) / e0
+        + (F.col("o1") - e1) * (F.col("o1") - e1) / e1,
+        quantize,
+    ).cast("decimal(28,6)")
+    agg = j.select("t0", "t1", "k", contrib.alias("c")).groupBy(
+        "t0", "t1", "k"
+    ).agg(F.sum("c").cast("double").alias("chi2"))
+    dof = (F.col("k") - 1).cast("double")
+    # Wilson-Hilferty: ((chi2/dof)^(1/3) - (1 - 2/(9 dof))) / sqrt(2/(9 dof))
+    zwh = (
+        F.pow(F.col("chi2") / dof, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    return agg.select(
+        F.col("k").alias("n_categories"),
+        F.col("t0").alias("n_old_tokens"),
+        F.col("t1").alias("n_new_tokens"),
+        F.round("chi2", quantize).alias("chi2_q6"),
+        F.when(dof > 0, F.round(zwh, quantize)).alias("z_wh_q6"),
+        F.when(dof > 0, F.round(zwh, quantize) > F.lit(2.326)).alias("drifted"),
+    )

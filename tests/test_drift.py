@@ -103,3 +103,36 @@ def test_drift_from_states_matches_direct_and_streaming(spark, snapshots, tmp_pa
     pnum = profile(base, columns=["content_len"])
     with pytest.raises(ValueError):
         drift_from_states(pnum, pnum, "content_len", "content_len")
+
+
+class TestVocabDrift:
+    def test_identical_no_drift_injected_drifts(self, spark):
+        from jsonoid_discovery_spark.operators.drift import vocab_drift
+
+        docs = [(f"common words here plus w{i % 40}",) for i in range(300)]
+        df = spark.createDataFrame(docs, "text string")
+        same = vocab_drift(df, df, "text", top_n=30).collect()[0]
+        assert same["chi2_q6"] == 0.0 and same["drifted"] is False
+        from pyspark.sql import functions as F
+
+        shifted = df.withColumn(
+            "text", F.concat(F.lit("injected template header "), F.col("text"))
+        )
+        r = vocab_drift(df, shifted, "text", top_n=30).collect()[0]
+        assert r["drifted"] is True and r["chi2_q6"] > 100
+
+    def test_other_bucket_semantics(self, spark):
+        from jsonoid_discovery_spark.operators.drift import vocab_drift
+
+        head = [("h0 h1 h2 h3 h4",)] * 200
+        # tail MASS moved (100 -> 300 tail tokens): the <other> bucket
+        # sees it even though no tail term is in the vocabulary
+        old = spark.createDataFrame(head + [(f"rare{i}",) for i in range(100)], "text string")
+        grown = spark.createDataFrame(head + [("floodtoken",)] * 300, "text string")
+        r = vocab_drift(old, grown, "text", top_n=5).collect()[0]
+        assert r["drifted"] is True
+        # equal-mass tail RECOMPOSITION is invisible to a bucketed chi2
+        # by construction (documented; distinct_delta/novelty own it)
+        swapped = spark.createDataFrame(head + [("floodtoken",)] * 100, "text string")
+        r2 = vocab_drift(old, swapped, "text", top_n=5).collect()[0]
+        assert r2["chi2_q6"] == 0.0 and r2["drifted"] is False
