@@ -1668,6 +1668,24 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _normalize_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization (text.normalize_text): decomposed
+    e+combining-acute injected on the %3 band must re-compose, the rest
+    pass through flagged False — the canonicalization step before every
+    hash-based stage. Arrow kernel vs DuckDB's nfc_normalize: both
+    implement the same Unicode standard, byte-matched here."""
+    from jsonoid_discovery_spark.operators.text import normalize_text
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.regexp_replace(F.col("text"), "e", "e\u0301"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_text(d, "text")
+
+
 def _vocab_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Token-frequency vocabulary drift (drift.vocab_drift): the %7
     baseline vs the %9 snapshot with a template header injected on the
@@ -2163,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_documents": _pmi_documents,
         "zipf_documents": _zipf_documents,
         "vocab_drift_documents": _vocab_drift_documents,
+        "normalize_documents": _normalize_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -3017,6 +3036,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM ex GROUP BY domain
+        """,
+        # identical decomposed-injection (regexp_replace global), DuckDB's
+        # nfc_normalize vs the kernel's unicodedata — same Unicode
+        # standard, byte-equal; the flag is "normalization changed it"
+        "normalize_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NOT NULL
+                        THEN nfc_normalize(text) END AS text,
+                   CASE WHEN text IS NOT NULL
+                        THEN nfc_normalize(text) <> text END AS was_normalized
+            FROM d
         """,
         # identical stacked tokenization, combined-count top-200 cut with
         # <other> tail bucket, round-6 decimal chi2 fold, the same WH

@@ -954,3 +954,66 @@ def zipf_fit(
         F.when(varx > 0, F.round(intercept, 6) + F.lit(0.0)).alias("intercept_q6"),
         F.when((varx > 0) & (vary > F.lit(1e-7)), F.round(r2, 6) + F.lit(0.0)).alias("r2_q6"),
     )
+
+
+def normalize_text(
+    df: DataFrame, col: str, form: str = "NFC", out_col: str | None = None
+) -> DataFrame:
+    """Unicode normalization of a text column (default NFC) plus a
+    ``was_normalized`` flag — the canonicalization step that belongs
+    BEFORE every hash-based stage in this engine: "é" as one codepoint
+    and "e"+combining-acute are equal text but different bytes, so
+    un-normalized corpora silently miss exact-dedup matches, split
+    vocabulary entries, and double distinct counts. NFC (compose) is
+    the W3C/WHATWG interchange default; NFKC additionally folds
+    compatibility forms (ligatures, full-width) — more aggressive,
+    python-side only (the DuckDB oracle covers NFC, which
+    ``nfc_normalize`` implements; both follow the same Unicode
+    standard, so the outputs byte-match).
+
+    Runs as an Arrow batch kernel (``mapInArrow`` + stdlib
+    ``unicodedata.normalize`` — Spark has no built-in normalizer; the
+    kernel is a per-batch vectorized pass, and already-NFC strings
+    short-circuit via ``is_normalized``). All OTHER columns pass
+    through untouched; null text stays null with a null flag."""
+    import unicodedata
+
+    import pyarrow as pa
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    target = out_col or col
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"`{n}` {t}" for n, t in fields]
+        + ([f"`{target}` string"] if target != col else [])
+        + ["`was_normalized` boolean"]
+    )
+    idx = [f.name for f in df.schema.fields].index(col)
+
+    def kernel(batches):
+        for batch in batches:
+            texts = batch.column(idx).to_pylist()
+            outs, flags = [], []
+            for t in texts:
+                if t is None:
+                    outs.append(None)
+                    flags.append(None)
+                elif unicodedata.is_normalized(form, t):
+                    outs.append(t)
+                    flags.append(False)
+                else:
+                    outs.append(unicodedata.normalize(form, t))
+                    flags.append(True)
+            cols = list(batch.columns)
+            names = list(batch.schema.names)
+            if target == col:
+                cols[idx] = pa.array(outs, type=pa.string())
+            else:
+                cols.append(pa.array(outs, type=pa.string()))
+                names.append(target)
+            cols.append(pa.array(flags, type=pa.bool_()))
+            names.append("was_normalized")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(kernel, out_schema)

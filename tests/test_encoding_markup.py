@@ -98,3 +98,46 @@ def test_markup_plan_is_projection_only(spark):
     d = _df(spark, [(1, "x")])
     plan = with_markup(d, "text", strip=True)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+class TestNormalizeText:
+    def test_nfc_composes_and_flags(self, spark):
+        from jsonoid_discovery_spark.operators.text import normalize_text
+
+        rows = [
+            (1, "café"),            # already NFC
+            (2, "café"),           # decomposed -> composes
+            (3, None),
+            (4, "plain ascii"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in normalize_text(df, "text").collect()}
+        assert got[1]["text"] == "café" and got[1]["was_normalized"] is False
+        assert got[2]["text"] == "café" and got[2]["was_normalized"] is True
+        assert got[3]["text"] is None and got[3]["was_normalized"] is None
+        assert got[4]["was_normalized"] is False
+        # post-normalization, the two spellings exact-dedup together
+        assert got[1]["text"] == got[2]["text"]
+
+    def test_nfkc_folds_compat_forms(self, spark):
+        from jsonoid_discovery_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, "ﬁle ａ")], "doc_id int, text string")
+        r = normalize_text(df, "text", form="NFKC").collect()[0]
+        assert r["text"] == "file a" and r["was_normalized"] is True
+
+    def test_out_col_preserves_original(self, spark):
+        from jsonoid_discovery_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, "café")], "doc_id int, text string")
+        r = normalize_text(df, "text", out_col="text_nfc").collect()[0]
+        assert r["text"] == "café" and r["text_nfc"] == "café"
+
+    def test_bad_form_rejected(self, spark):
+        import pytest
+
+        from jsonoid_discovery_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        with pytest.raises(ValueError):
+            normalize_text(df, "text", form="NFX")
