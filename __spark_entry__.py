@@ -1668,6 +1668,26 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _invisible_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Trojan-Source screen (curation.invisible_char_screen): RLO+PDF
+    injected on the %11 band, a zero-width space on the %13 band — the
+    CVE-2021-42574 gate for code corpora. Counts + verdict per doc;
+    literal-codepoint classes so the oracle regex is byte-identical."""
+    from jsonoid_discovery_spark.operators.curation import invisible_char_screen
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\u202e hidden \u202c")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("a\u200bb")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return invisible_char_screen(d, "text").select(
+        "doc_id", "n_bidi_controls", "n_zero_width", "invisible_keep"
+    )
+
+
 def _normalize_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (text.normalize_text): decomposed
     e+combining-acute injected on the %3 band must re-compose, the rest
@@ -2182,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_documents": _zipf_documents,
         "vocab_drift_documents": _vocab_drift_documents,
         "normalize_documents": _normalize_documents,
+        "invisible_documents": _invisible_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -3036,6 +3057,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM ex GROUP BY domain
+        """,
+        # identical injection and byte-identical literal-codepoint classes
+        "invisible_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || (CASE WHEN doc_id % 11 = 0
+                              THEN chr(8238) || ' hidden ' || chr(8236)
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 13 = 0
+                              THEN 'a' || chr(8203) || 'b' ELSE '' END)
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[‪‫‬‭‮⁦⁧⁨⁩؜‎‏]'))::BIGINT AS n_bidi_controls,
+                   len(regexp_extract_all(text, '[​‌‍⁠﻿]'))::BIGINT AS n_zero_width,
+                   len(regexp_extract_all(text, '[‪‫‬‭‮⁦⁧⁨⁩؜‎‏]')) = 0
+                     AND len(regexp_extract_all(text, '[​‌‍⁠﻿]')) = 0 AS invisible_keep
+            FROM d
         """,
         # identical decomposed-injection (regexp_replace global), DuckDB's
         # nfc_normalize vs the kernel's unicodedata — same Unicode

@@ -1789,3 +1789,41 @@ def stratified_sample_topk(
         .where(F.col("__r") <= k_per_stratum)
         .drop("__r")
     )
+
+
+# Trojan-Source / invisible-character screen (CVE-2021-42574, Boucher &
+# Anderson 2021): bidi controls can reorder how source code RENDERS
+# without changing how it compiles — reviewer sees one program, compiler
+# another. Zero-widths enable homoglyph identifiers and break exact
+# dedup/fingerprints invisibly. Literal-codepoint classes (the
+# script_shares convention — no \u escape-syntax divergence, and no SQL
+# string literal eating the escape).
+_BIDI_CONTROLS = "".join(
+    chr(c) for c in (0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+                     0x2066, 0x2067, 0x2068, 0x2069, 0x061C, 0x200E, 0x200F)
+)
+_ZERO_WIDTH = "".join(chr(c) for c in (0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF))
+
+
+def invisible_char_screen(df: DataFrame, col: str) -> DataFrame:
+    """df plus ``n_bidi_controls``, ``n_zero_width`` and
+    ``invisible_keep`` — the Trojan-Source screen for source-code
+    corpora: bidirectional control characters (RLO/LRI/PDI family +
+    implicit marks) make code render differently than it parses
+    (CVE-2021-42574); zero-width characters (ZWSP/ZWJ/ZWNJ/word-joiner/
+    BOM-in-body) hide in identifiers and silently split fingerprints.
+    Legitimate RTL PROSE uses these too — that is why this is a
+    code-corpus gate (pair with lang/script screens before applying to
+    mixed corpora). Two codegen'd ``regexp_count`` projections; null
+    text keeps null counts and a null verdict."""
+    c = F.col(col)
+    bidi = F.regexp_count(c, F.lit("[" + _BIDI_CONTROLS + "]")).cast("long")
+    zw = F.regexp_count(c, F.lit("[" + _ZERO_WIDTH + "]")).cast("long")
+    return (
+        df.withColumn("n_bidi_controls", bidi)
+        .withColumn("n_zero_width", zw)
+        .withColumn(
+            "invisible_keep",
+            (F.col("n_bidi_controls") == 0) & (F.col("n_zero_width") == 0),
+        )
+    )

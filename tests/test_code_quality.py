@@ -190,3 +190,33 @@ def test_mad_outliers_grouped_broadcasts_bands(spark):
         mad_outliers(d, "x", by=["g"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestInvisibleScreen:
+    def test_bidi_and_zero_width_detected(self, spark):
+        from jsonoid_discovery_spark.operators.curation import invisible_char_screen
+
+        rows = [
+            (1, "clean code here"),
+            (2, "x = 1 ‮// tricked ‬"),   # RLO + PDF
+            (3, "na​me = 2"),                   # zero-width space
+            (4, "emoji glue a‍ b"),             # ZWJ
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in invisible_char_screen(df, "text").collect()}
+        assert got[1]["invisible_keep"] is True
+        assert got[2]["n_bidi_controls"] == 2 and got[2]["invisible_keep"] is False
+        assert got[3]["n_zero_width"] == 1 and got[3]["invisible_keep"] is False
+        assert got[4]["n_zero_width"] == 1
+        assert got[5]["invisible_keep"] is None
+
+    def test_legit_rtl_marks_counted_not_crashed(self, spark):
+        from jsonoid_discovery_spark.operators.curation import invisible_char_screen
+
+        df = spark.createDataFrame(
+            [(1, "‏مرحبا‎ mixed")], "doc_id int, text string"
+        )
+        r = invisible_char_screen(df, "text").collect()[0]
+        # implicit marks count as bidi controls (the gate is for CODE)
+        assert r["n_bidi_controls"] == 2 and r["invisible_keep"] is False
