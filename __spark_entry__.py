@@ -1668,6 +1668,37 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _license_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """License gate (curation.license_scan): SPDX tag injected on the
+    %4==1 band (apache-2.0), MIT header phrase on %4==0, GPL phrase on
+    %4==2, nothing on %4==3 — tag precedence over phrases, first-match
+    family cascade, permissive-only keep (unknown license keeps OUT)."""
+    from jsonoid_discovery_spark.operators.curation import license_scan
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("Permission is hereby granted, free of charge. "),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.lit("// SPDX-License-Identifier: Apache-2.0\n"),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit("GNU General Public License terms. "),
+            )
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return license_scan(d, "text").select(
+        "doc_id", "spdx_id", "license_family", "license_keep"
+    )
+
+
 def _invisible_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Trojan-Source screen (curation.invisible_char_screen): RLO+PDF
     injected on the %11 band, a zero-width space on the %13 band — the
@@ -2203,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift_documents": _vocab_drift_documents,
         "normalize_documents": _normalize_documents,
         "invisible_documents": _invisible_documents,
+        "license_documents": _license_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -3057,6 +3089,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM ex GROUP BY domain
+        """,
+        # identical injection; SPDX regex + lowercased first-match phrase
+        # cascade (agpl before lgpl before gpl), permissive-prefix keep
+        "license_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     (CASE doc_id % 4
+                        WHEN 0 THEN 'Permission is hereby granted, free of charge. '
+                        WHEN 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+                        WHEN 2 THEN 'GNU General Public License terms. '
+                        ELSE '' END) || text AS text
+              FROM documents
+            ),
+            x AS (
+              SELECT doc_id, text,
+                     nullif(lower(regexp_extract(text,
+                       'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1)), '')
+                       AS spdx_id,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN contains(lower(text), 'gnu affero general public license') THEN 'agpl'
+                          WHEN contains(lower(text), 'gnu lesser general public license') THEN 'lgpl'
+                          WHEN contains(lower(text), 'gnu general public license') THEN 'gpl'
+                          WHEN contains(lower(text), 'permission is hereby granted, free of charge') THEN 'mit'
+                          WHEN contains(lower(text), 'licensed under the apache license, version 2.0') THEN 'apache-2.0'
+                          WHEN contains(lower(text), 'redistribution and use in source and binary forms') THEN 'bsd'
+                          WHEN contains(lower(text), 'mozilla public license') THEN 'mpl-2.0'
+                          WHEN contains(lower(text), 'this is free and unencumbered software') THEN 'unlicense'
+                     END AS fam
+              FROM d
+            )
+            SELECT doc_id, spdx_id,
+                   coalesce(spdx_id, fam) AS license_family,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN spdx_id IS NOT NULL THEN
+                          (spdx_id LIKE 'mit%' OR spdx_id LIKE 'apache-2.0%'
+                           OR spdx_id LIKE 'bsd%' OR spdx_id LIKE 'mpl-2.0%'
+                           OR spdx_id LIKE 'unlicense%' OR spdx_id LIKE 'cc0%'
+                           OR spdx_id LIKE 'isc%' OR spdx_id LIKE 'zlib%')
+                        ELSE coalesce(fam IN ('mit', 'apache-2.0', 'bsd',
+                                              'mpl-2.0', 'unlicense'), FALSE)
+                   END AS license_keep
+            FROM x
         """,
         # identical injection and byte-identical literal-codepoint classes
         "invisible_documents": """

@@ -1827,3 +1827,75 @@ def invisible_char_screen(df: DataFrame, col: str) -> DataFrame:
             (F.col("n_bidi_controls") == 0) & (F.col("n_zero_width") == 0),
         )
     )
+
+
+# License detection for code corpora (the The-Stack/StarCoder pipeline's
+# central curation stage): an explicit SPDX tag wins; otherwise classic
+# header phrases vote. Literal phrases, lowercased match — no regex
+# beyond the SPDX id token class, all in the Java/RE2-shared subset.
+_LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "licensed under the apache license, version 2.0"),
+    ("bsd", "redistribution and use in source and binary forms"),
+    ("gpl", "gnu general public license"),
+    ("lgpl", "gnu lesser general public license"),
+    ("agpl", "gnu affero general public license"),
+    ("mpl-2.0", "mozilla public license"),
+    ("unlicense", "this is free and unencumbered software"),
+)
+_PERMISSIVE = ("mit", "apache-2.0", "bsd", "mpl-2.0", "unlicense")
+_SPDX_PATTERN = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def license_scan(df: DataFrame, col: str, permissive_only: bool = True) -> DataFrame:
+    """df plus ``spdx_id``, ``license_family`` and ``license_keep`` —
+    the license gate every code-corpus pipeline runs before training
+    (The Stack v1/v2's defining curation stage): an explicit
+    ``SPDX-License-Identifier`` tag is authoritative (extracted
+    verbatim, lowercased); otherwise the classic header phrases decide
+    the family in a FIRST-MATCH cascade ordered most-specific-first
+    (AGPL before GPL — "affero" headers also contain the GPL phrase;
+    LGPL likewise). ``license_keep`` (with ``permissive_only``) accepts
+    the permissive families and, for SPDX tags, permissive prefixes
+    (mit / apache-2.0 / bsd* / mpl-2.0 / unlicense / cc0 / isc /
+    zlib); no detection at all keeps the row OUT (unknown license is
+    not permission). Pure codegen: one regexp_extract + literal
+    ``contains`` cascade on the lowercased text."""
+    c = F.col(col)
+    lc = F.lower(c)
+    spdx = F.lower(F.regexp_extract(c, _SPDX_PATTERN, 1))
+    spdx = F.when(spdx != "", spdx)
+    fam = None
+    # most-specific-first: agpl/lgpl before gpl
+    order = ("agpl", "lgpl", "gpl", "mit", "apache-2.0", "bsd", "mpl-2.0", "unlicense")
+    markers = dict((k, v) for k, v in _LICENSE_MARKERS)
+    expr = F.lit(None).cast("string")
+    for key in reversed(order):
+        expr = F.when(lc.contains(markers[key]), F.lit(key)).otherwise(expr)
+    fam = F.when(c.isNotNull(), expr)
+    permissive_spdx = (
+        spdx.startswith("mit")
+        | spdx.startswith("apache-2.0")
+        | spdx.startswith("bsd")
+        | spdx.startswith("mpl-2.0")
+        | spdx.startswith("unlicense")
+        | spdx.startswith("cc0")
+        | spdx.startswith("isc")
+        | spdx.startswith("zlib")
+    )
+    fam_col = F.coalesce(spdx, fam)
+    if permissive_only:
+        keep = F.when(
+            c.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(
+            F.when(spdx.isNotNull(), permissive_spdx).otherwise(
+                F.coalesce(fam.isin(*_PERMISSIVE), F.lit(False))
+            )
+        )
+    else:
+        keep = F.when(c.isNotNull(), fam_col.isNotNull())
+    return (
+        df.withColumn("spdx_id", spdx)
+        .withColumn("license_family", fam_col)
+        .withColumn("license_keep", keep)
+    )

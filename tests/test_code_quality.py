@@ -220,3 +220,45 @@ class TestInvisibleScreen:
         r = invisible_char_screen(df, "text").collect()[0]
         # implicit marks count as bidi controls (the gate is for CODE)
         assert r["n_bidi_controls"] == 2 and r["invisible_keep"] is False
+
+
+class TestLicenseScan:
+    def test_spdx_wins_and_cascade_orders(self, spark):
+        from jsonoid_discovery_spark.operators.curation import license_scan
+
+        rows = [
+            (1, "// SPDX-License-Identifier: MIT\nwhatever GNU General Public License"),
+            (2, "under the GNU Affero General Public License and the GNU General Public License"),
+            (3, "GNU Lesser General Public License"),
+            (4, "Permission is hereby granted, free of charge"),
+            (5, "no license text"),
+            (6, None),
+            (7, "// SPDX-License-Identifier: BSD-3-Clause"),
+            (8, "// SPDX-License-Identifier: GPL-2.0-or-later"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in license_scan(df, "text").collect()}
+        # SPDX tag beats the GPL phrase in the same file
+        assert got[1]["license_family"] == "mit" and got[1]["license_keep"] is True
+        # agpl recognized before the gpl substring it contains
+        assert got[2]["license_family"] == "agpl" and got[2]["license_keep"] is False
+        assert got[3]["license_family"] == "lgpl"
+        assert got[4]["license_family"] == "mit" and got[4]["license_keep"] is True
+        # unknown license is NOT permission
+        assert got[5]["license_family"] is None and got[5]["license_keep"] is False
+        assert got[6]["license_keep"] is None
+        assert got[7]["license_keep"] is True   # bsd* prefix
+        assert got[8]["license_keep"] is False
+
+    def test_non_permissive_mode_keeps_any_detection(self, spark):
+        from jsonoid_discovery_spark.operators.curation import license_scan
+
+        df = spark.createDataFrame(
+            [(1, "GNU General Public License"), (2, "nothing")],
+            "doc_id int, text string",
+        )
+        got = {
+            r["doc_id"]: r["license_keep"]
+            for r in license_scan(df, "text", permissive_only=False).collect()
+        }
+        assert got == {1: True, 2: False}
