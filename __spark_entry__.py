@@ -1668,6 +1668,29 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     return latest_by(_t(spark, sf, "events"), ["user_id"], "ts", tiebreak="event_id")
 
 
+def _indentation_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace-hygiene profile (curation.with_indentation): tab
+    indents injected on %3, space indents on %5, CRLF + trailing
+    whitespace on %7 — every counter and the style verdict exercise;
+    patterns are the Java/RE2-shared subset with an explicit \r? so
+    CRLF trailing whitespace counts identically in both engines."""
+    from jsonoid_discovery_spark.operators.curation import with_indentation
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n\tindented line")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n    spaced line")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\ntrail  \r\nnext")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return with_indentation(d, "text").select(
+        "doc_id", "n_tab_lines", "n_space_lines", "n_mixed_lines",
+        "n_trailing_ws_lines", "n_crlf", "indent_style",
+    )
+
+
 def _license_documents(spark: SparkSession, sf: str) -> DataFrame:
     """License gate (curation.license_scan): SPDX tag injected on the
     %4==1 band (apache-2.0), MIT header phrase on %4==0, GPL phrase on
@@ -2235,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_documents": _normalize_documents,
         "invisible_documents": _invisible_documents,
         "license_documents": _license_documents,
+        "indentation_documents": _indentation_documents,
         "cramers_v_documents": _cramers_v_documents,
         "benford_lineitem": _benford_lineitem,
         "fertility_documents": _fertility_documents,
@@ -3089,6 +3113,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM ex GROUP BY domain
+        """,
+        # identical injection; identical (?m) patterns with the explicit
+        # \r? trailing form; style CASE replayed
+        "indentation_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(9) || 'indented line' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '    spaced line' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'trail  ' || chr(13) || chr(10) || 'next' ELSE '' END)
+                       AS text
+              FROM documents
+            ),
+            x AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '(?m)^' || chr(9)))::BIGINT AS n_tab_lines,
+                     len(regexp_extract_all(text, '(?m)^ '))::BIGINT AS n_space_lines,
+                     len(regexp_extract_all(text, '(?m)^(' || chr(9) || '+ | +' || chr(9) || ')'))::BIGINT AS n_mixed_lines,
+                     len(regexp_extract_all(text, '(?m)[ ' || chr(9) || ']+' || chr(13) || '?$'))::BIGINT AS n_trailing_ws_lines,
+                     len(regexp_extract_all(text, chr(13)))::BIGINT AS n_crlf,
+                     text IS NULL AS is_null
+              FROM d
+            )
+            SELECT doc_id, n_tab_lines, n_space_lines, n_mixed_lines,
+                   n_trailing_ws_lines, n_crlf,
+                   CASE WHEN is_null THEN NULL
+                        WHEN n_mixed_lines > 0
+                             OR (n_tab_lines > 0 AND n_space_lines > 0) THEN 'mixed'
+                        WHEN n_tab_lines > 0 THEN 'tabs'
+                        WHEN n_space_lines > 0 THEN 'spaces'
+                        ELSE 'none' END AS indent_style
+            FROM x
         """,
         # identical injection; SPDX regex + lowercased first-match phrase
         # cascade (agpl before lgpl before gpl), permissive-prefix keep

@@ -1899,3 +1899,44 @@ def license_scan(df: DataFrame, col: str, permissive_only: bool = True) -> DataF
         .withColumn("license_family", fam_col)
         .withColumn("license_keep", keep)
     )
+
+
+def with_indentation(df: DataFrame, col: str) -> DataFrame:
+    """df plus the whitespace-hygiene profile every code formatter war
+    is fought over: ``n_tab_lines`` / ``n_space_lines`` (lines indented
+    with a tab / a space), ``n_mixed_lines`` (a tab AND a space in the
+    same indent — the unambiguous smell), ``n_trailing_ws_lines``,
+    ``n_crlf`` (carriage returns — mixed line endings), and
+    ``indent_style`` ('tabs' / 'spaces' / 'mixed' / 'none'). Feeds
+    code-corpus normalization decisions and formatter-drift audits.
+
+    All counts are single multiline-anchored ``regexp_count``
+    expressions — ``(?m)`` is in the Java/RE2 shared subset, and every
+    class is explicit (``[ \\t]``), so the oracle replays the identical
+    patterns. ``indent_style`` calls a file 'mixed' when BOTH styles
+    appear across lines or any line itself mixes. Null text keeps null
+    everything."""
+    c = F.col(col)
+    tab = F.regexp_count(c, F.lit("(?m)^\t")).cast("long")
+    space = F.regexp_count(c, F.lit("(?m)^ ")).cast("long")
+    mixed = F.regexp_count(c, F.lit("(?m)^(\t+ | +\t)")).cast("long")
+    # explicit \r?: Java's multiline $ matches before a \r\n terminator,
+    # RE2's only before \n — consuming the \r makes both engines count
+    # CRLF trailing whitespace identically
+    trail = F.regexp_count(c, F.lit("(?m)[ \t]+\r?$")).cast("long")
+    crlf = F.regexp_count(c, F.lit("\r")).cast("long")
+    style = (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when((mixed > 0) | ((tab > 0) & (space > 0)), F.lit("mixed"))
+        .when(tab > 0, F.lit("tabs"))
+        .when(space > 0, F.lit("spaces"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        df.withColumn("n_tab_lines", tab)
+        .withColumn("n_space_lines", space)
+        .withColumn("n_mixed_lines", mixed)
+        .withColumn("n_trailing_ws_lines", trail)
+        .withColumn("n_crlf", crlf)
+        .withColumn("indent_style", style)
+    )

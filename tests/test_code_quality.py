@@ -262,3 +262,26 @@ class TestLicenseScan:
             for r in license_scan(df, "text", permissive_only=False).collect()
         }
         assert got == {1: True, 2: False}
+
+
+class TestIndentation:
+    def test_styles_and_counters(self, spark):
+        from jsonoid_discovery_spark.operators.curation import with_indentation
+
+        rows = [
+            (1, "a\n\tx\n\ty"),
+            (2, "a\n    x"),
+            (3, "a\n\t x\n    y"),        # same-line mix + both styles
+            (4, "plain\ntrail  \r\nnext"),  # CRLF trailing ws
+            (5, "trail\t\nmore"),           # LF trailing tab
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in with_indentation(df, "text").collect()}
+        assert got[1]["indent_style"] == "tabs" and got[1]["n_tab_lines"] == 2
+        assert got[2]["indent_style"] == "spaces"
+        assert got[3]["indent_style"] == "mixed" and got[3]["n_mixed_lines"] == 1
+        assert got[4]["n_trailing_ws_lines"] == 1 and got[4]["n_crlf"] == 1
+        assert got[4]["indent_style"] == "none"
+        assert got[5]["n_trailing_ws_lines"] == 1
+        assert got[6]["indent_style"] is None
