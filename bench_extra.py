@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Per-query isolation bench (guide §1.4) — bench.py is frozen for the
+driver's measurement, so optimization-round probes live here.
+
+Usage:
+  python bench_extra.py q1 q2 ...          # time named queries (collect, like bench.py)
+  python bench_extra.py --all              # every declared query
+  python bench_extra.py --explain TAG q..  # also dump .explain to plans/r06/<q>_TAG.txt
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf1.0 — the driver's round-5
+measurement scale), SPARK_GRAFT_CPUS (default 32), BENCH_EXTRA_PASSES (default 3).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PASSES = int(os.environ.get("BENCH_EXTRA_PASSES", "3"))
+# mirror the frozen bench.py conf so probe numbers are comparable
+BENCH_CONF = {"spark.sql.files.maxPartitionBytes": "8m"}
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def main() -> None:
+    from jsonoid_discovery_spark import get_spark
+    import __spark_entry__ as entrymod
+
+    args = sys.argv[1:]
+    explain_tag = None
+    if "--explain" in args:
+        i = args.index("--explain")
+        explain_tag = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    qfns = entrymod.queries()
+    names = list(qfns) if "--all" in args else [a for a in args if not a.startswith("-")]
+    unknown = [n for n in names if n not in qfns]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    spark = get_spark(f"local[{CPUS}]", app_name="bench-extra", extra_conf=BENCH_CONF)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = qfns[name]
+        if explain_tag:
+            os.makedirs("/root/repo/plans/r06", exist_ok=True)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                fn(spark, SF_DIR).explain("formatted")
+            with open(f"/root/repo/plans/r06/{name}_{explain_tag}.txt", "w") as f:
+                f.write(buf.getvalue())
+        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+        ts = []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            ts.append(time.perf_counter() - t0)
+        out[name] = {"median": round(_median(ts), 3), "min": round(min(ts), 3),
+                     "samples": [round(t, 3) for t in ts]}
+        print(json.dumps({name: out[name]}), flush=True)
+        spark.sparkContext.setJobDescription(None)
+    spark.stop()
+    print(json.dumps({"sf": SF_DIR, "results": {k: v["median"] for k, v in out.items()}}))
+
+
+if __name__ == "__main__":
+    main()

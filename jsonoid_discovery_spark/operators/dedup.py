@@ -337,24 +337,44 @@ def jaccard_pairs(
     ``None`` disables the cap."""
     if candidates is None:
         ex = shingle_rows(df, col, id_col, shingle_k)  # (id, s), distinct
-        if max_shingle_df is not None:
-            w = Window.partitionBy("s")
-            ex = (
-                ex.withColumn("_df", F.count(F.lit(1)).over(w))
-                .where(F.col("_df") <= max_shingle_df)
-                .drop("_df")
-            )
-        # localCheckpoint (lazy): materialized once, shared by both join
-        # sides and the per-doc size aggregate; blocks are released by the
-        # ContextCleaner when the plan is garbage-collected
-        ex = ex.localCheckpoint(eager=False)
-        sz = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        inter = (
-            ex.alias("x")
-            .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
-            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
+        # ONE exchange on the shingle string (round 6): the previous shape
+        # shuffled the (id, s) rows three times on s — a window count for
+        # the df cap, then both sides of the self-join — plus a
+        # localCheckpoint materialization. One groupBy(s) with a sorted id
+        # list carries the identical information: the df cap is the list
+        # size, per-doc shingle counts fall out of re-exploding the
+        # AGGREGATED frame (ids only, no strings), and the C(n,2) pair
+        # explosion enumerates exactly the x.id < y.id join rows (ids
+        # sorted ascending). The gram string itself never crosses another
+        # exchange and the join keys stay exact — no hash anywhere.
+        # _df counts rows (null ids included, matching the window count);
+        # collect_list drops nulls, which never pair anyway (null < x is null)
+        g = ex.groupBy("s").agg(
+            F.array_sort(F.collect_list("id")).alias("ids"),
+            F.count(F.lit(1)).alias("_df"),
         )
+        if max_shingle_df is not None:
+            g = g.where(F.col("_df") <= max_shingle_df)
+        g = g.localCheckpoint(eager=False)
+        sz = (
+            g.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        pairs = (
+            g.where(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) ->"
+                        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                        " b -> named_struct('id_a', a, 'id_b', b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+        )
+        inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
         j = (
             inter.join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
             .join(sz.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -521,38 +541,60 @@ def span_dedup(
         ).alias("o"),
     ).select("id", F.col("o.pos").alias("pos"), F.col("o.g").alias("g"))
 
-    firsts = grams.groupBy("g").agg(F.min(F.struct("id", "pos")).alias("m"))
+    # round 6: only grams with >= 2 occurrences can produce duplicate
+    # occurrences (a lone gram's single row always equals the min), so the
+    # join's build side shrinks from one row per DISTINCT gram to one row
+    # per REPEATED gram — small on any non-degenerate corpus, which lets
+    # AQE broadcast it and leaves the probe-side gram stream unshuffled.
+    firsts = grams.groupBy("g").agg(
+        F.min(F.struct("id", "pos")).alias("m"), F.count(F.lit(1)).alias("c")
+    )
     dup_occ = (
-        grams.join(firsts, "g")
+        grams.join(firsts.where(F.col("c") > 1).drop("c"), "g")
         .where(F.struct("id", "pos") != F.col("m"))
         .select("id", "pos")
     )
-    covered = dup_occ.select(
-        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("pos")
-    ).distinct()
-
-    tokens = toks.select("id", F.posexplode("t").alias("pos", "tok"))
-    survivors = tokens.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = survivors.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
-            ),
-            " ",
-        ).alias("new_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # per-doc covered-position ARRAY (dup docs only) instead of the
+    # previous corpus-sized posexplode + anti-join + collect_list regroup:
+    # the corpus-side rebuild becomes a projection over the already-split
+    # token array, and the only row-multiplying explode is over duplicate
+    # occurrences (x n positions), never the corpus.
+    cov = (
+        dup_occ.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("cov"))
     )
 
-    totals = toks.select("id", F.size("t").alias("tokens_total"))
+    rebuilt = toks.join(cov, "id", "left").select(
+        "id",
+        F.size("t").alias("tokens_total"),
+        F.coalesce(F.size("cov"), F.lit(0)).alias("n_removed"),
+        F.when(F.col("cov").isNull(), F.array_join("t", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.array_except(
+                        F.sequence(F.lit(0), F.size("t") - F.lit(1)), F.col("cov")
+                    ),
+                    lambda p: F.element_at(F.col("t"), p + 1),
+                ),
+                " ",
+            )
+        )
+        .alias("new_text"),
+    )
+
     return (
-        d.join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
+        d.join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("tokens_total", F.lit(0)).cast("long").alias("tokens_total"),
-            (
-                F.coalesce("tokens_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
-            ).cast("long").alias("tokens_removed"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("tokens_removed"),
             F.when(F.col("text").isNull(), F.lit(None).cast("string"))
             .otherwise(F.coalesce("new_text", F.lit("")))
             .alias(text_col),

@@ -1548,9 +1548,18 @@ def json_type_counts(
     ex = base.lateralJoin(spark.tvf.variant_explode(F.col("__pv").outer())).where(
         F.col("key").isNotNull()
     )
-    jtype = F.expr(_VARIANT_TO_JSON_TYPE.format(t="schema_of_variant(value)"))
+    # bind schema_of_variant(value) ONCE per row behind a Generate barrier
+    # (the repetition_features explode(array(..)) trick): inlined into the
+    # CASE cascade, CollapseProject re-evaluates it per WHEN arm — 10
+    # schemaOfVariant invocations per field instead of 1 (round 6)
+    st = ex.select(
+        *groups,
+        F.col("key"),
+        F.explode(F.array(F.expr("schema_of_variant(value)"))).alias("__st"),
+    )
+    jtype = F.expr(_VARIANT_TO_JSON_TYPE.format(t="__st"))
     return (
-        ex.groupBy(*groups, F.col("key"), jtype.alias("jtype"))
+        st.groupBy(*groups, F.col("key"), jtype.alias("jtype"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -1580,13 +1589,33 @@ def json_field_profile(
     ex = base.lateralJoin(spark.tvf.variant_explode(F.col("__pv").outer())).where(
         F.col("key").isNotNull()
     )
-    typed = ex.select(
+    # schema_of_variant once per row behind a Generate barrier — see
+    # json_type_counts (the CASE cascade otherwise re-invokes it per arm)
+    st = ex.select(
         *groups,
         F.col("key"),
-        F.expr(_VARIANT_TO_JSON_TYPE.format(t="schema_of_variant(value)")).alias("jtype"),
-        F.expr("try_variant_get(value, '$', 'double')").alias("__num"),
-        F.expr("try_variant_get(value, '$', 'string')").alias("__sval"),
-        F.expr("try_variant_get(value, '$', 'boolean')").alias("__bval"),
+        F.col("value"),
+        F.explode(F.array(F.expr("schema_of_variant(value)"))).alias("__st"),
+    )
+    # typed extraction gated by the value's own type: the downstream agg
+    # discards cross-type casts anyway (1 -> "1" etc.), so extracting only
+    # for matching rows is result-identical and skips 2/3 of the
+    # variant_get work per row
+    typed = st.select(
+        *groups,
+        F.col("key"),
+        F.expr(_VARIANT_TO_JSON_TYPE.format(t="__st")).alias("jtype"),
+        F.expr(
+            "CASE WHEN __st IN ('BIGINT','INT','SMALLINT','TINYINT','DOUBLE','FLOAT')"
+            " OR __st LIKE 'DECIMAL%'"
+            " THEN try_variant_get(value, '$', 'double') END"
+        ).alias("__num"),
+        F.expr(
+            "CASE WHEN __st = 'STRING' THEN try_variant_get(value, '$', 'string') END"
+        ).alias("__sval"),
+        F.expr(
+            "CASE WHEN __st = 'BOOLEAN' THEN try_variant_get(value, '$', 'boolean') END"
+        ).alias("__bval"),
     )
     is_num = F.col("jtype").isin("integer", "number")
     is_str = F.col("jtype") == "string"

@@ -115,20 +115,91 @@ def column_percentiles(
     """
     from pyspark.sql import functions as F
 
-    plist = ",".join(repr(float(p)) + "D" for p in probs)
     if exact:
-        arr = F.expr(f"percentile({col}, array({plist}))")
+        agged = _exact_percentile_frame(df, col, probs)
     else:
+        plist = ",".join(repr(float(p)) + "D" for p in probs)
         arr = F.expr(f"percentile_approx({col}, array({plist}), {accuracy})")
+        agged = df.agg(arr.alias("vals"))
     probs_arr = F.array(*[F.lit(float(p)) for p in probs])
     return (
-        df.agg(arr.alias("vals"), probs_arr.alias("probs"))
+        agged.select(probs_arr.alias("probs"), "vals")
         .select(
             F.explode(F.arrays_zip(F.col("probs"), F.col("vals"))).alias("z")
         )
         .select(
             F.col("z.probs").alias("prob"), F.col("z.vals").alias("value")
         )
+    )
+
+
+def _exact_percentile_frame(df: DataFrame, col: str, probs) -> DataFrame:
+    """One-row ``DataFrame[vals: array<double>]`` equal to
+    ``df.agg(percentile(col, array(probs)))`` — bit-for-bit — via the
+    distributed value lattice (round 6).
+
+    Spark's ``percentile`` aggregate buffers a per-distinct-value count
+    map built row-at-a-time with boxed keys and merges every partition's
+    map single-threaded at the final reducer, then sorts the merged map —
+    ~15 s per call on a 6M-row / 4.6M-distinct column, with GC-pressure
+    variance on top. The same result falls out of relational pieces that
+    parallelize: a map-side-combined ``groupBy(value)``, a cumulative
+    count over the value-ordered lattice, and one conditional-min pass
+    that finds each target rank's bracketing values. The interpolation
+    replays Spark's own arithmetic exactly (Percentile.getPercentile:
+    ``position = p * (N-1)``; take ``lowerKey`` untouched when the
+    position is integral OR both bracketing keys are equal, else
+    ``(higher - position) * lowerKey + (position - lower) * higherKey``
+    in IEEE doubles) — so the value is the one ``percentile`` itself
+    would return, including tie/edge behavior.
+
+    The cumulative window is a single global-order pass over ONE ROW PER
+    DISTINCT VALUE — the ks_exact contract: exact mode is for quantized
+    or bounded-cardinality columns; raw 100 TB doubles take the
+    percentile_approx sketch default."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(F.col(col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select("__v", F.sum("__c").over(w).alias("__cum"))
+    total = counts.agg(F.sum("__c").alias("__n"))
+    z = cum.crossJoin(F.broadcast(total))
+
+    def _pos(p):
+        return F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
+
+    aggs = [F.max("__n").alias("__n")]
+    for i, p in enumerate(probs):
+        lo, hi = F.floor(_pos(p)), F.ceil(_pos(p))
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= lo + 1, F.col("__v"))).alias(f"__lo{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= hi + 1, F.col("__v"))).alias(f"__hi{i}")
+        )
+    agged = z.agg(*aggs)
+
+    vals = []
+    for i, p in enumerate(probs):
+        lo, hi = F.floor(_pos(p)), F.ceil(_pos(p))
+        lk = F.col(f"__lo{i}").cast("double")
+        hk = F.col(f"__hi{i}").cast("double")
+        vals.append(
+            F.when(lo == hi, lk)
+            .when(F.col(f"__lo{i}") == F.col(f"__hi{i}"), lk)
+            .otherwise(
+                (hi.cast("double") - _pos(p)) * lk + (_pos(p) - lo.cast("double")) * hk
+            )
+        )
+    # empty/all-null input: percentile returns a NULL array (0 tidy rows)
+    return agged.select(
+        F.when(F.col("__n").isNotNull(), F.array(*vals)).alias("vals")
     )
 
 
@@ -398,6 +469,18 @@ def mad_outliers(
     fn = "percentile" if exact else "percentile_approx"
     acc = "" if exact else f", {accuracy}"
 
+    # exact mode pre-reduces to (value, count) and passes the count as
+    # `percentile`'s frequency argument — identical count-map, identical
+    # interpolation (see column_percentiles), but the corpus-sized
+    # row-at-a-time buffer build becomes a map-side-combined groupBy
+    def _exact_q50_grouped(frame: DataFrame, val_col, out_name: str) -> DataFrame:
+        return (
+            frame.groupBy(*by, val_col.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .groupBy(*by)
+            .agg(F.expr("percentile(__v, 0.5D, __freq)").alias(out_name))
+        )
+
     if by:
         # join back with NULL-SAFE equality so a null group key forms its
         # own band (a plain equi-join would silently give it null med/mad)
@@ -414,16 +497,22 @@ def mad_outliers(
                 *[f"__g_{c}" for c in by]
             )
 
-        meds = df.groupBy(*by).agg(
-            F.expr(f"{fn}({col}, 0.5D{acc})").alias("__med")
-        )
+        if exact:
+            meds = _exact_q50_grouped(df, F.col(col), "__med")
+        else:
+            meds = df.groupBy(*by).agg(
+                F.expr(f"{fn}({col}, 0.5D{acc})").alias("__med")
+            )
         with_med = _band_join(df, meds)
         dev = F.abs(F.col(col) - F.col("__med"))
-        mads = (
-            with_med.select(*by, dev.alias("__dev"))
-            .groupBy(*by)
-            .agg(F.expr(f"{fn}(__dev, 0.5D{acc})").alias("__mad"))
-        )
+        if exact:
+            mads = _exact_q50_grouped(with_med, dev, "__mad")
+        else:
+            mads = (
+                with_med.select(*by, dev.alias("__dev"))
+                .groupBy(*by)
+                .agg(F.expr(f"{fn}(__dev, 0.5D{acc})").alias("__mad"))
+            )
         out = _band_join(with_med, mads)
         z = F.when(F.col("__mad") > 0, dev / F.col("__mad"))
         return (
@@ -436,9 +525,18 @@ def mad_outliers(
         )
 
     def _q50(frame: DataFrame, c) -> float:
-        row = frame.select(c.alias("__v")).agg(
-            F.expr(f"{fn}(__v, 0.5D{acc})").alias("m")
-        ).first()
+        if exact:
+            # distributed value-lattice median — bit-identical to
+            # percentile(c, 0.5); see _exact_percentile_frame
+            row = (
+                _exact_percentile_frame(frame.select(c.alias("__x")), "__x", (0.5,))
+                .select(F.element_at("vals", 1).alias("m"))
+                .first()
+            )
+        else:
+            row = frame.select(c.alias("__v")).agg(
+                F.expr(f"{fn}(__v, 0.5D{acc})").alias("m")
+            ).first()
         return float(row["m"]) if row["m"] is not None else float("nan")
 
     med = _q50(df, F.col(col))
@@ -514,13 +612,65 @@ def grouped_percentiles(
     from pyspark.sql import functions as F
 
     plist = ",".join(repr(float(p)) + "D" for p in probs)
-    fn = "percentile" if exact else "percentile_approx"
-    acc = "" if exact else f", {accuracy}"
-    arr = F.expr(f"{fn}({col}, array({plist}){acc})")
     probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    if exact:
+        # per-group value lattice (round 6): the same bit-identical
+        # percentile replay as _exact_percentile_frame, with the
+        # cumulative window partitioned by the group — parallel across
+        # groups, one row per distinct (group, value) after map-side
+        # combine. Groups whose values are all null vanish from the
+        # lattice; they produced a NULL vals array (0 tidy rows) before,
+        # so the exploded output is identical.
+        from pyspark.sql import Window
+
+        counts = (
+            df.select(by, F.col(col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy(by, "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy(by).orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = counts.select(by, "__v", F.sum("__c").over(w).alias("__cum"))
+        totals = counts.groupBy(F.col(by).alias("__g")).agg(
+            F.sum("__c").alias("__n")
+        )
+        z = cum.join(totals, F.col(by).eqNullSafe(F.col("__g"))).drop("__g")
+
+        def _pos(p):
+            return F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
+
+        aggs = [F.max("__n").alias("__n")]
+        for i, p in enumerate(probs):
+            lo, hi = F.floor(_pos(p)), F.ceil(_pos(p))
+            aggs.append(
+                F.min(F.when(F.col("__cum") >= lo + 1, F.col("__v"))).alias(f"__lo{i}")
+            )
+            aggs.append(
+                F.min(F.when(F.col("__cum") >= hi + 1, F.col("__v"))).alias(f"__hi{i}")
+            )
+        per_group = z.groupBy(by).agg(*aggs)
+        vals = []
+        for i, p in enumerate(probs):
+            lo, hi = F.floor(_pos(p)), F.ceil(_pos(p))
+            lk = F.col(f"__lo{i}").cast("double")
+            hk = F.col(f"__hi{i}").cast("double")
+            vals.append(
+                F.when(lo == hi, lk)
+                .when(F.col(f"__lo{i}") == F.col(f"__hi{i}"), lk)
+                .otherwise(
+                    (hi.cast("double") - _pos(p)) * lk
+                    + (_pos(p) - lo.cast("double")) * hk
+                )
+            )
+        agged = per_group.select(by, F.array(*vals).alias("vals"))
+    else:
+        agged = df.groupBy(by).agg(
+            F.expr(f"percentile_approx({col}, array({plist}), {accuracy})").alias("vals")
+        )
     return (
-        df.groupBy(by)
-        .agg(arr.alias("vals"))
+        agged
         .select(
             by,
             F.explode(
