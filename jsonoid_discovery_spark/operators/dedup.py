@@ -375,9 +375,21 @@ def jaccard_pairs(
             .select("p.id_a", "p.id_b")
         )
         inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+        # explicit broadcast of the per-doc size table: the static planner
+        # cannot estimate `inter` (it flows out of an explode) and would
+        # otherwise pick IT as the build side — `sz` is one (id, long) row
+        # per document, the small side by construction in this all-pairs
+        # mode (whose documented envelope is moderate corpora; the LSH
+        # candidates path owns true scale)
         j = (
-            inter.join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-            .join(sz.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+            inter.join(
+                F.broadcast(sz.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")),
+                "id_a",
+            )
+            .join(
+                F.broadcast(sz.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")),
+                "id_b",
+            )
             .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         )
         return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
