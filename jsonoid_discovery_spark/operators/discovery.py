@@ -1288,15 +1288,28 @@ def discover(
         # Asymmetry is safe — both paths are exact; 'batch' is merely the
         # no-shuffle default, and telemetry-style duplicate payloads
         # cluster, so a contiguous slice exposes them.
+        # 32K rows (round 6; was 100K): the LocalLimit runs per input
+        # partition, so the single-task global limit receives up to
+        # (limit x partitions) rows — the slice size directly prices the
+        # probe's one exchange, and the HLL ratio estimate at 32K is just
+        # as decisive against the coarse 0.35/0.7 thresholds
         sl = (
             df.select(F.col(col).alias("c"))
-            .limit(100_000)
+            .limit(32_768)
             .agg(F.count("c").alias("n"), F.approx_count_distinct("c").alias("d"))
             .collect()[0]
         )
         dup_ratio = (sl["d"] / sl["n"]) if sl["n"] else 1.0
         if dup_ratio > 0.7:
             dedup = "batch"
+        elif dup_ratio <= 0.35:
+            # extreme slice evidence commits directly (round 6): even if
+            # the unsampled tail were fully unique, the global groupBy's
+            # map-side combine bounds the mistake at one corpus-sized
+            # exchange — comparable to what batch mode ships to the Python
+            # workers anyway — so the full confirm scan only pays for
+            # itself in the ambiguous band
+            dedup = "global"
         else:
             row = df.agg(
                 F.count(F.col(col)).alias("n"), F.approx_count_distinct(F.col(col)).alias("d")
@@ -1440,8 +1453,21 @@ def discover(
         )
 
     partials = source.mapInArrow(gen_global if dedup == "global" else gen, _PARTIAL_SCHEMA)
-    level1 = partials.groupBy("salt").applyInPandas(merge_pdf, _PARTIAL_SCHEMA)
-    rows = level1.collect()
+    # skip the level-1 merge stage when the partial count is already
+    # driver-manageable (round 6): one partial per task, so a ≤2x-fanin
+    # task count means the salted applyInPandas level would shuffle and
+    # round-trip through Python workers only to hand the driver the same
+    # ≤128 states it can fold directly. The two-level merge remains for
+    # real fan-ins (thousands of scan tasks at 100 TB).
+    try:
+        n_parts = partials.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan not convertible
+        n_parts = 2 * merge_fanin + 1
+    if n_parts <= 2 * merge_fanin:
+        rows = partials.collect()
+    else:
+        level1 = partials.groupBy("salt").applyInPandas(merge_pdf, _PARTIAL_SCHEMA)
+        rows = level1.collect()
     node, malformed = SchemaNode(params), 0
     for r in rows:
         n, m = pickle.loads(r["state"])
