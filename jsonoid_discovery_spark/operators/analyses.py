@@ -187,7 +187,38 @@ def functional_dependencies(
                     )
                 ).alias(f"p__{a}__{b}")
             )
-    row = df.select(*columns).agg(*aggs).head()
+    if exact:
+        # round 6: the single multi-DISTINCT aggregate plans an Expand —
+        # k + k*(k-1) replicas of every row through one hash aggregate,
+        # all serialized in a single job. Each distinct count is instead
+        # its own ordinary two-phase distinct aggregate, submitted as
+        # CONCURRENT jobs from a small driver pool (guide §2.6): stages
+        # interleave, fixed job costs overlap, and no Expand ever
+        # materializes. Scan count grows to k^2, but each scan reads only
+        # the projected columns and the distinct shuffles total the same
+        # bytes the Expand shuffle carried. The approx path keeps the
+        # single-scan HLL aggregate (no Expand there to begin with).
+        from concurrent.futures import ThreadPoolExecutor
+
+        proj = df.select(*columns)
+
+        def _dcount(expr) -> int:
+            return int(proj.agg(F.count_distinct(expr)).head()[0])
+
+        futures = {}
+        with ThreadPoolExecutor(4) as pool:
+            for a in columns:
+                futures[f"d__{a}"] = pool.submit(_dcount, F.col(a))
+                for b in columns:
+                    if b == a:
+                        continue
+                    futures[f"p__{a}__{b}"] = pool.submit(
+                        _dcount,
+                        F.when(F.col(a).isNotNull(), F.struct(F.col(a), F.col(b))),
+                    )
+        row = {k: f.result() for k, f in futures.items()}
+    else:
+        row = df.select(*columns).agg(*aggs).head()
     out = []
     for a in columns:
         da = row[f"d__{a}"]

@@ -160,13 +160,54 @@ def sessionize(
     agg_cols = [F.count(F.lit(1)).alias("n_events")] + [
         c.alias(n) for n, c in aggs.items()
     ]
-    grouped = df.groupBy(F.session_window(F.col(ts), gap), *keys).agg(*agg_cols)
-    return grouped.select(
-        *keys,
-        F.col("session_window.start").alias("session_start"),
-        F.col("session_window.end").alias("session_end"),
-        "n_events",
-        *aggs.keys(),
+    if df.isStreaming:
+        # streaming keeps the native session_window (watermark-capable)
+        grouped = df.groupBy(F.session_window(F.col(ts), gap), *keys).agg(*agg_cols)
+        return grouped.select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            *aggs.keys(),
+        )
+    # batch path (round 6): gaps-and-islands on one key exchange. The
+    # session_window plan pre-aggregates with the per-row session STRUCT
+    # as a grouping key — with (near-)unique timestamps that partial
+    # hash aggregate combines nothing and just pays struct-key hashing
+    # for every row before the same exchange+sort the window walk needs.
+    # Here: exchange by key, sort by ts, lag -> new-session flag, running
+    # sum -> session id, then ONE aggregate whose grouping (keys, sid) is
+    # already satisfied by the key partitioning — no second exchange.
+    # Boundary parity is test-pinned: an exact-gap event merges
+    # (strictly-greater comparison), session_end = last event + gap,
+    # exactly the session_window end.
+    from pyspark.sql import Window
+
+    gap_iv = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(*keys).orderBy(ts)
+    flagged = (
+        df.where(F.col(ts).isNotNull())
+        .withColumn(
+            "__new",
+            F.when(
+                F.col(ts) > F.lag(F.col(ts)).over(w) + gap_iv, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        flagged.groupBy(*keys, "__sid")
+        .agg(
+            F.min(F.col(ts)).alias("session_start"),
+            (F.max(F.col(ts)) + gap_iv).alias("session_end"),
+            *agg_cols,
+        )
+        .select(*keys, "session_start", "session_end", "n_events", *aggs.keys())
     )
 
 
