@@ -955,54 +955,6 @@ REP_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 REP_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _rep_fold_sql(grams_sorted_sql: str, chars_sql: str) -> str:
-    """SQL text for struct<top_frac:double, dup_frac:double> of one
-    document from its SORTED gram array: a single linear run-length fold
-    tracking the best (count, gram-length, gram) run and the duplicated-
-    character sum — exactly the two aggregates the old (id, n, gram)
-    groupBy computed, but evaluated in-row so the operator needs no
-    exchange at all. Built as ONE SQL string per n (not Column algebra):
-    composing this tree Column-by-Column costs hundreds of py4j round
-    trips — measured ~1.8 s of driver latency per fresh plan across the
-    nine n values, vs ~0.2 s parsed JVM-side."""
-    # the still-open run folded into best/dup (interpolated twice: SQL
-    # lambdas have no let-binding)
-    cand = (
-        "named_struct('c', acc.run, 'glen', cast(length(acc.prev) as int),"
-        " 'g', acc.prev)"
-    )
-    close_best = (
-        f"CASE WHEN acc.prev IS NOT NULL AND {cand} > acc.best"
-        f" THEN {cand} ELSE acc.best END"
-    )
-    close_dup = (
-        "acc.dup + CASE WHEN acc.prev IS NOT NULL AND acc.run > 1L"
-        " THEN acc.run * cast(length(acc.prev) as bigint) ELSE 0L END"
-    )
-    zero = (
-        "named_struct('prev', cast(null as string), 'run', 0L,"
-        " 'best', named_struct('c', 0L, 'glen', 0, 'g', ''), 'dup', 0L)"
-    )
-    merge = (
-        "(acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
-        " THEN named_struct('prev', acc.prev, 'run', acc.run + 1L,"
-        " 'best', acc.best, 'dup', acc.dup)"
-        f" ELSE named_struct('prev', x, 'run', 1L, 'best', {close_best},"
-        f" 'dup', {close_dup}) END"
-    )
-    top_chars = f"({close_best}).c * cast(({close_best}).glen as bigint)"
-    finish = (
-        "acc -> named_struct("
-        f"'top_frac', CASE WHEN {top_chars} > 0L THEN"
-        f" cast({top_chars} as double) / cast({chars_sql} as double)"
-        " ELSE 0.0D END,"
-        f"'dup_frac', CASE WHEN {close_dup} > 0L THEN"
-        f" cast({close_dup} as double) / cast({chars_sql} as double)"
-        " ELSE 0.0D END)"
-    )
-    return f"aggregate({grams_sorted_sql}, {zero}, {merge}, {finish})"
-
-
 def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """``df`` plus the Gopher repetition features and ``rep_keep`` verdict.
 
@@ -1031,49 +983,95 @@ def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
     folds to zero counts), matching the reference filter's pass-through
     for short docs.
     """
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
     from jsonoid_discovery_spark.operators.util import fan_out_input
 
-    c = F.col(col)
     all_ns = sorted(REP_TOP_MAX) + sorted(REP_DUP_MAX)
-    # Generate barrier (same trick as dedup.shingle_rows): materialize the
-    # split ONCE per row. A higher-order-function lambda re-evaluates its
-    # captured argument per array element, so referencing the raw split
-    # expression inside the per-position slice would re-split the document
-    # O(words) times per n — measured 40 s vs 3 s on the sf0.1 fixture.
-    # explode(array(split)) emits exactly one row (null text included:
-    # array(null) explodes to one null element), and, being a Generate,
-    # blocks CollapseProject from re-inlining the split downstream.
-    pre = fan_out_input(df).select(
-        "*",
-        F.length(c).alias("__chars"),
-        F.explode(F.array(F.split(F.trim(c), r"\s+"))).alias("__ws"),
+    names = [f"top_{n}gram_char_frac" for n in sorted(REP_TOP_MAX)] + [
+        f"dup_{n}gram_char_frac" for n in sorted(REP_DUP_MAX)
+    ]
+    # round 6: batch-native Arrow kernel (guide §4.2) instead of the nine
+    # interpreted sort_array + aggregate-lambda folds. Higher-order SQL
+    # lambdas never reach codegen — every gram paid interpreted slice/
+    # concat_ws/named_struct allocations (measured: gram construction
+    # alone ~8x the rest of the query). The kernel replays the EXACT same
+    # rules per document: Java-\s tokenization ([ \t\n\x0B\f\r]+) after
+    # space-only trim, tuple n-grams counted C-level (zip/Counter — no
+    # gram strings built), glen = word lengths + separators, and the same
+    # IEEE division for each fraction. The
+    # plan keeps ZERO exchanges; the only new cost is the Arrow boundary,
+    # which ships each document once.
+    in_fields = df.schema.fields
+    col_idx = next(i for i, f in enumerate(in_fields) if f.name == col)
+    out_schema = T.StructType(
+        list(in_fields) + [T.StructField(nm, T.DoubleType(), False) for nm in names]
     )
+    tops = sorted(REP_TOP_MAX)
+    dups = sorted(REP_DUP_MAX)
 
-    def _grams_sql(n: int) -> str:
-        return (
-            f"CASE WHEN size(__ws) >= {n} THEN sort_array(transform("
-            f"sequence(1, size(__ws) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(__ws, i, {n}))))"
-            " ELSE cast(array() as array<string>) END"
-        )
+    def gen(batches):
+        import re as _re
 
-    out = pre.select(
-        "*",
-        *[
-            F.expr(_rep_fold_sql(_grams_sql(n), "__chars")).alias(f"__rep{n}")
-            for n in all_ns
-        ],
-    ).drop("__chars", "__ws")
+        import pyarrow as _pa
+
+        split_ws = _re.compile(r"[ \t\n\x0B\f\r]+").split
+        for b in batches:
+            texts = b.column(col_idx).to_pylist()
+            feats: list[list[float]] = [[] for _ in all_ns]
+            for s in texts:
+                if s is None:
+                    for fl in feats:
+                        fl.append(0.0)
+                    continue
+                chars = len(s)
+                ws = split_ws(s.strip(" "))
+                pos = 0
+                for n in all_ns:
+                    if len(ws) < n:
+                        feats[pos].append(0.0)
+                        pos += 1
+                        continue
+                    cnt = Counter(zip(*(ws[i:] for i in range(n))))
+                    if n in REP_TOP_MAX:
+                        # the (count, glen, gram)-max tie-break picks WHICH
+                        # gram is best, but top_frac only reads count*glen —
+                        # (c, glen) alone pins the output value exactly
+                        best_c, best_glen = 0, 0
+                        for g, c in cnt.items():
+                            glen = sum(map(len, g)) + n - 1
+                            if (c, glen) > (best_c, best_glen):
+                                best_c, best_glen = c, glen
+                        top_chars = best_c * best_glen
+                        feats[pos].append(
+                            float(top_chars) / float(chars) if top_chars > 0 else 0.0
+                        )
+                    else:
+                        dup = 0
+                        for g, c in cnt.items():
+                            if c > 1:
+                                dup += c * (sum(map(len, g)) + n - 1)
+                        feats[pos].append(
+                            float(dup) / float(chars) if dup > 0 else 0.0
+                        )
+                    pos += 1
+            yield _pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [_pa.array(fl, _pa.float64()) for fl in feats],
+                schema=_pa.schema(
+                    list(b.schema) + [_pa.field(nm, _pa.float64(), False) for nm in names]
+                ),
+            )
+
+    out = fan_out_input(df).mapInArrow(gen, out_schema)
     keep = F.lit(True)
     for n, mx in sorted(REP_TOP_MAX.items()):
-        name = f"top_{n}gram_char_frac"
-        out = out.withColumn(name, F.col(f"__rep{n}.top_frac"))
-        keep = keep & (F.col(name) < mx)
+        keep = keep & (F.col(f"top_{n}gram_char_frac") < mx)
     for n, mx in sorted(REP_DUP_MAX.items()):
-        name = f"dup_{n}gram_char_frac"
-        out = out.withColumn(name, F.col(f"__rep{n}.dup_frac"))
-        keep = keep & (F.col(name) < mx)
-    return out.withColumn("rep_keep", keep).drop(*[f"__rep{n}" for n in all_ns])
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") < mx)
+    return out.withColumn("rep_keep", keep)
 
 
 # ------------------------------------------------------- per-key caps
