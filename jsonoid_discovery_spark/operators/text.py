@@ -260,17 +260,25 @@ def tfidf_top_terms(
     broadcasts small vocabularies), a single-row broadcast for N, and one
     per-doc top-k window. No Python in the row path, no driver collect.
     """
+    from pyspark.sql.window import Window
+
     c = F.lower(F.trim(F.col(col)))
     base = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(c, r"\s+")).alias("term")
     ).where(F.col("term") != "")
     tf = base.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # df_t as a term-partitioned WINDOW over the tf frame (round 6): the
+    # previous tf.join(dfreq-derived-from-tf) was a self-join, so the
+    # analyzer re-aliased one side and exchange reuse never fired — the
+    # corpus was exploded and aggregated TWICE. The window computes the
+    # identical count (tf has one row per (doc, term), so count-per-term
+    # = documents containing the term) in the same pipeline, one explode.
+    dfw = Window.partitionBy("term")
     n_docs = (
         df.where(F.col(col).isNotNull()).agg(F.count(F.lit(1)).alias("n_docs"))
     )
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df_t", F.count(F.lit(1)).over(dfw))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -287,8 +295,6 @@ def tfidf_top_terms(
             ),
         )
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -820,27 +826,50 @@ def pmi_collocations(
     words = df.where(F.col(col).isNotNull()).select(
         F.explode(F.array(F.split(c, r"\s+"))).alias("ws")
     )
-    uni = (
-        words.select(F.explode("ws").alias("t"))
-        .where(F.col("t") != "")
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    pairs = words.select(
+    # ONE tagged explode + ONE groupBy for unigrams AND bigrams (round 6):
+    # the previous shape exploded the corpus twice (unigram and pair
+    # passes) and then re-computed the unigram aggregate three more times
+    # (ua / ub / totals are self-join consumers, which the analyzer
+    # re-aliases, so exchange reuse never fires — 22 Exchanges in the
+    # plan). A unigram is a (token, NULL) row, an adjacent pair a
+    # (token, next) row, both emitted from the same split array; the
+    # grouped (a, b) frame is vocab+bigram-sized and is lazily
+    # localCheckpoint'd so its five consumers read one materialization.
+    pair_struct = "array<struct<a:string,b:string>>"
+    tagged = words.select(
         F.explode(
-            F.when(
-                F.size("ws") >= 2,
+            F.concat(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("ws"), (i + 1).cast("int")).alias("a"),
-                        F.element_at(F.col("ws"), (i + 2).cast("int")).alias("b"),
+                    "ws",
+                    lambda w: F.struct(
+                        w.alias("a"), F.lit(None).cast("string").alias("b")
                     ),
                 ),
-            ).otherwise(F.array())
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 2),
+                        lambda i: F.struct(
+                            F.element_at(F.col("ws"), (i + 1).cast("int")).alias("a"),
+                            F.element_at(F.col("ws"), (i + 2).cast("int")).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(pair_struct)),
+            )
         ).alias("p")
-    ).select("p.a", "p.b").where((F.col("a") != "") & (F.col("b") != ""))
-    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ).select("p.a", "p.b")
+    filtered = tagged.where(
+        (F.col("a") != "") & (F.col("b").isNull() | (F.col("b") != ""))
+    )
+    g = (
+        filtered.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    uni = g.where(F.col("b").isNull()).select(F.col("a").alias("t"), F.col("n"))
+    big = g.where(F.col("b").isNotNull()).select(
+        "a", "b", F.col("n").alias("n_ab")
+    )
     tot_u = uni.agg(F.sum("n").alias("tot_t"))
     tot_b = big.agg(F.sum("n_ab").alias("tot_b"))
     ua = uni.select(F.col("t").alias("a"), F.col("n").alias("n_a"))

@@ -157,7 +157,6 @@ def _exact_percentile_frame(df: DataFrame, col: str, probs) -> DataFrame:
     DISTINCT VALUE — the ks_exact contract: exact mode is for quantized
     or bounded-cardinality columns; raw 100 TB doubles take the
     percentile_approx sketch default."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     counts = (
@@ -166,9 +165,48 @@ def _exact_percentile_frame(df: DataFrame, col: str, probs) -> DataFrame:
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = counts.select("__v", F.sum("__c").over(w).alias("__cum"))
-    total = counts.agg(F.sum("__c").alias("__n"))
+    return _exact_percentile_from_counts(counts, probs)
+
+
+def _exact_percentile_from_counts(counts: DataFrame, probs) -> DataFrame:
+    """The lattice tail of ``_exact_percentile_frame`` over a prebuilt
+    ``DataFrame[__v, __c]`` value-count frame (non-null values, positive
+    counts) — callers that already hold the counts (mad_outliers reuses
+    the median job's lattice for the deviation median) skip the corpus
+    scan and groupBy.
+
+    The cumulative count runs as a TWO-PHASE distributed prefix sum
+    (round 6): a global-order window would drag the whole lattice into
+    one task; instead the lattice is range-partitioned by value (order-
+    preserving across partitions, conf-sized so it scales with the
+    cluster), each partition cumsums locally in parallel, and the
+    per-partition totals — one row per partition — provide the exclusive
+    offsets via a tiny driver-side-scale window. The stamped partition
+    ids come from ONE materialization (lazy localCheckpoint), so the
+    offsets branch and the main branch can never see different sampled
+    range boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rp = (
+        counts.repartitionByRange("__v")
+        .select("__v", "__c", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint(eager=False)
+    )
+    ptot = rp.groupBy("__pid").agg(F.sum("__c").alias("__pc"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "__pid", F.coalesce(F.sum("__pc").over(wo), F.lit(0)).alias("__off")
+    )
+    wl = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rp.join(F.broadcast(offs), "__pid").select(
+        "__v", (F.col("__off") + F.sum("__c").over(wl)).alias("__cum")
+    )
+    total = ptot.agg(F.sum("__pc").alias("__n"))
     z = cum.crossJoin(F.broadcast(total))
 
     def _pos(p):
@@ -525,23 +563,39 @@ def mad_outliers(
         )
 
     def _q50(frame: DataFrame, c) -> float:
-        if exact:
-            # distributed value-lattice median — bit-identical to
-            # percentile(c, 0.5); see _exact_percentile_frame
-            row = (
-                _exact_percentile_frame(frame.select(c.alias("__x")), "__x", (0.5,))
-                .select(F.element_at("vals", 1).alias("m"))
-                .first()
-            )
-        else:
-            row = frame.select(c.alias("__v")).agg(
-                F.expr(f"{fn}(__v, 0.5D{acc})").alias("m")
-            ).first()
+        row = frame.select(c.alias("__v")).agg(
+            F.expr(f"{fn}(__v, 0.5D{acc})").alias("m")
+        ).first()
         return float(row["m"]) if row["m"] is not None else float("nan")
 
-    med = _q50(df, F.col(col))
-    dev = F.abs(F.col(col) - F.lit(med))
-    mad = _q50(df, dev)
+    if exact:
+        # distributed value-lattice medians (bit-identical to
+        # percentile(.., 0.5) — see _exact_percentile_frame). The MAD
+        # lattice derives from the MEDIAN job's value-count frame:
+        # |x - med| over rows is the same multiset as |v - med| weighted
+        # by each distinct value's count, so the second job aggregates
+        # the (cached) lattice instead of rescanning the corpus.
+        def _first_val(frame: DataFrame) -> float:
+            row = frame.select(F.element_at("vals", 1).alias("m")).first()
+            return float(row["m"]) if row["m"] is not None else float("nan")
+
+        counts = (
+            df.select(F.col(col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=False)
+        )
+        med = _first_val(_exact_percentile_from_counts(counts, (0.5,)))
+        dev_counts = counts.groupBy(
+            F.abs(F.col("__v") - F.lit(med)).alias("__v")
+        ).agg(F.sum("__c").alias("__c"))
+        mad = _first_val(_exact_percentile_from_counts(dev_counts, (0.5,)))
+        dev = F.abs(F.col(col) - F.lit(med))
+    else:
+        med = _q50(df, F.col(col))
+        dev = F.abs(F.col(col) - F.lit(med))
+        mad = _q50(df, dev)
     z = F.when(F.lit(mad > 0), dev / F.lit(mad))
     return df.withColumn(z_col, z).withColumn(
         flag_col,
