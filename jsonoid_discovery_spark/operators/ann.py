@@ -343,27 +343,66 @@ def semantic_dup_flags(
         # is the O(bucket^2) part and higher-order folds are interpreted;
         # _norm(a)*_norm(b) == _nrm_a*_nrm_b bitwise (same expression tree)
         .withColumn("_nrm", _norm(vd))
+        # three consumers below (group build, self-dup probe, pair probe):
+        # materialize the interpreted signature fold once instead of
+        # re-running it per re-aliased self-join branch
+        .localCheckpoint(eager=False)
+    )
+    # Degenerate-bucket guard (round 6, VERDICT r5 #2): a dedup corpus is
+    # exactly the input where millions of IDENTICAL embeddings land in one
+    # bucket, where the raw self-join goes O(bucket^2). Collapse each
+    # (signature, vector) group to its min-id representative first — this
+    # is RESULT-IDENTICAL, not an approximation: cosine depends only on
+    # the mate's vector, so "∃ mate j < i with cos >= t" holds iff it
+    # holds against some group's representative (the group's min id is
+    # < i exactly when any member is), and a non-representative of a
+    # group whose self-cosine passes the threshold is a duplicate of its
+    # own representative. The join's build side shrinks from bucket size
+    # to DISTINCT-vector count, so an identical-vector flood costs one
+    # linear join; distinct near-identical vectors keep the plane
+    # budget's expected-8-rows bucket sizing as before.
+    groups = (
+        sigged.groupBy("_sig", F.col(vec_col).alias("_vb"))
+        .agg(F.min(F.col(id_col)).alias("_idb"), F.first("_nrm").alias("_nb"))
+        .localCheckpoint(eager=False)
+    )
+    self_dot = _dot(
+        F.transform(F.col("_vb"), lambda x: x.cast("double")),
+        F.transform(F.col("_vb"), lambda x: x.cast("double")),
+    )
+    self_cos = F.round(self_dot / (F.col("_nb") * F.col("_nb")), 9)
+    reps = groups.select("_sig", "_vb", "_idb", "_nb")
+    # non-representative members of a self-matching group are duplicates
+    # of their own representative
+    self_dups = (
+        sigged.select(F.col(id_col).alias("_ida"), "_sig", F.col(vec_col).alias("_vb"))
+        .join(
+            groups.where(self_cos >= F.lit(threshold)).select("_sig", "_vb", "_idb"),
+            ["_sig", "_vb"],
+        )
+        .where(F.col("_ida") != F.col("_idb"))
+        .select("_ida")
     )
     a = sigged.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
         F.col("_nrm").alias("_na"), F.col("_sig"),
     )
-    b = sigged.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
-        F.col("_nrm").alias("_nb"), F.col("_sig"),
-    )
     pair_dot = _dot(
         F.transform(F.col("_va"), lambda x: x.cast("double")),
         F.transform(F.col("_vb"), lambda x: x.cast("double")),
     )
-    dups = (
-        a.join(b, "_sig")
+    cross_dups = (
+        a.join(reps, "_sig")
         .where(F.col("_idb") < F.col("_ida"))
         .where(
             F.round(pair_dot / (F.col("_na") * F.col("_nb")), 9) >= F.lit(threshold)
         )
-        .select(F.col("_ida").alias(id_col))
+        .select("_ida")
+    )
+    dups = (
+        cross_dups.union(self_dups)
         .distinct()
+        .select(F.col("_ida").alias(id_col))
         .withColumn("is_semantic_dup", F.lit(True))
     )
     return (

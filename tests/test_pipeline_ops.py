@@ -401,6 +401,34 @@ class TestSemanticDedup:
             assert dup[r["vec_id"]] is False  # smaller id survives
             assert dup[r["vec_id"] + 100000] is True  # its clone is dropped
 
+    def test_degenerate_identical_flood_is_linear(self, spark):
+        """VERDICT r5 #2: a dedup corpus can put millions of IDENTICAL
+        embeddings in ONE signature bucket. The (signature, vector)
+        representative collapse must make that case a linear join — with
+        a raw bucket self-join this test's 200K-row single bucket would
+        enumerate ~2e10 pairs and never finish — while flagging exactly
+        all-but-the-min-id (result parity with the uncapped rule)."""
+        from pyspark.sql import functions as F
+
+        n = 200_000
+        flood = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(float(x)) for x in (1.0, 2.0, 3.0, 4.0)]).alias(
+                "embedding"
+            ),
+        )
+        flagged = ann.semantic_dup_flags(
+            flood, "embedding", "vec_id", threshold=0.95, n_planes=4
+        )
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_semantic_dup").cast("long")).alias("n_dup"),
+            F.min(F.when(~F.col("is_semantic_dup"), F.col("vec_id"))).alias("survivor"),
+        ).collect()[0]
+        assert agg["n"] == n
+        assert agg["n_dup"] == n - 1
+        assert agg["survivor"] == 0
+
 
 class TestFrameSampling:
     def test_one_to_n_expansion(self, spark):
