@@ -262,13 +262,63 @@ def pii_redact(col: str | Column) -> Column:
     return c
 
 
+def _regex_battery_arrow(
+    df: DataFrame, col: str, patterns: dict[str, str], redact_col: str | None
+) -> DataFrame:
+    """``df`` + per-pattern match-count columns (+ a sequentially redacted
+    text column) computed by ONE mapInArrow RE2 pass (round 6, guide §4.2).
+
+    The JVM regexp_count/regexp_replace chain paid one java.util.regex
+    scan per pattern per document (4 counts + 4 replaces for PII).
+    Arrow's RE2 kernels run the SAME pattern strings — the patterns are
+    kept inside the Java-regex/RE2 shared subset by contract (no
+    lookaround, ASCII classes/\\b), which is the same argument that lets
+    the DuckDB (RE2) oracle replay them — with C-level batch execution.
+    Null documents keep null counts / null redaction (Arrow kernels
+    propagate nulls exactly like the JVM expressions)."""
+    from pyspark.sql import types as T
+
+    in_fields = df.schema.fields
+    col_idx = next(i for i, f in enumerate(in_fields) if f.name == col)
+    names = [f"n_{k}" for k in patterns]
+    out_fields = list(in_fields) + [
+        T.StructField(nm, T.LongType(), True) for nm in names
+    ]
+    if redact_col:
+        out_fields.append(T.StructField(redact_col, T.StringType(), True))
+    pats = list(patterns.items())
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            arr = b.column(col_idx)
+            extra = [
+                pc.cast(pc.count_substring_regex(arr, pat), pa.int64())
+                for _, pat in pats
+            ]
+            fields = [pa.field(nm, pa.int64()) for nm in names]
+            if redact_col:
+                red = arr
+                for name, pat in pats:
+                    red = pc.replace_substring_regex(
+                        red, pat, f"[{name.upper()}]"
+                    )
+                extra.append(red)
+                fields.append(pa.field(redact_col, red.type))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)] + extra,
+                schema=pa.schema(list(b.schema) + fields),
+            )
+
+    return df.mapInArrow(gen, T.StructType(out_fields))
+
+
 def with_pii(df: DataFrame, col: str, redact: bool = False) -> DataFrame:
-    out = df
-    for name, expr in pii_counts(col).items():
-        out = out.withColumn(name, expr)
-    if redact:
-        out = out.withColumn(f"{col}_redacted", pii_redact(col))
-    return out
+    return _regex_battery_arrow(
+        df, col, PII_PATTERNS, f"{col}_redacted" if redact else None
+    )
 
 
 # ------------------------------------------------------ code quality
@@ -341,11 +391,134 @@ def code_keep(col: str | Column) -> Column:
 
 
 def with_code_quality(df: DataFrame, col: str) -> DataFrame:
-    """df plus every code-quality feature column and the keep verdict."""
-    out = df
-    for name, expr in code_features(col).items():
-        out = out.withColumn(name, expr)
-    return out.withColumn("code_keep", code_keep(col))
+    """df plus every code-quality feature column and the keep verdict.
+
+    Round 6: one mapInArrow pass (guide §4.2) replaces the JVM expression
+    battery, which paid two full java-regex char-class scans, a lower()
+    + four contains() scans, AND re-evaluated all of it for the
+    ``code_keep`` verdict. The kernel replays the exact rules: literal
+    \\n split (Python str.split == Spark's regex split on a literal),
+    character counts via the same class patterns on RE2 (shared-subset
+    contract, as the DuckDB oracle replay), the same null algebra
+    (null text -> null geometry/autogen but 0.0 fractions via the
+    when-otherwise fallthrough), and the same double divisions. The
+    verdict stays a Column over the feature columns, preserving
+    three-valued logic."""
+    from pyspark.sql import types as T
+
+    in_fields = df.schema.fields
+    col_idx = next(i for i, f in enumerate(in_fields) if f.name == col)
+    out_fields = list(in_fields) + [
+        T.StructField("n_lines", T.LongType(), True),
+        T.StructField("max_line_len", T.LongType(), True),
+        T.StructField("mean_line_len", T.DoubleType(), True),
+        T.StructField("long_line_frac", T.DoubleType(), True),
+        T.StructField("alnum_frac", T.DoubleType(), False),
+        T.StructField("alpha_frac", T.DoubleType(), False),
+        T.StructField("autogen", T.BooleanType(), True),
+    ]
+    markers = CODE_AUTOGEN_MARKERS
+
+    import numpy as _np
+
+    # ASCII-class char counts as a byte lookup: in UTF-8 the bytes of
+    # [A-Za-z0-9] only ever encode those very characters, so a per-byte
+    # LUT + segment sums equals the regex count exactly — and runs at
+    # memory bandwidth instead of per-match RE2 cost (every alnum char
+    # is a match; measured ~5 s/50K docs through the regex kernel).
+    _alnum_lut = _np.zeros(256, dtype=_np.int64)
+    _alpha_lut = _np.zeros(256, dtype=_np.int64)
+    for _c in range(256):
+        ch = chr(_c)
+        if ch.isascii() and (ch.isalpha() or ch.isdigit()):
+            _alnum_lut[_c] = 1
+        if ch.isascii() and ch.isalpha():
+            _alpha_lut[_c] = 1
+
+    def _class_counts(arr, lut):
+        import numpy as np
+        import pyarrow as pa
+
+        a = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+        _, offsets_buf, data_buf = a.buffers()
+        dt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+        offs = np.frombuffer(offsets_buf, dtype=dt)[a.offset : a.offset + len(a) + 1]
+        data = np.frombuffer(data_buf, dtype=np.uint8)
+        flags = lut[data]
+        cum = np.concatenate(([0], np.cumsum(flags)))
+        return cum[offs[1:]] - cum[offs[:-1]]  # nulls -> empty span -> 0
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            arr = b.column(col_idx)
+            texts = arr.to_pylist()
+            n_lines, mx, mean, longf = [], [], [], []
+            for s in texts:
+                if s is None:
+                    n_lines.append(None)
+                    mx.append(None)
+                    mean.append(None)
+                    longf.append(None)
+                    continue
+                lines = s.split("\n")
+                lens = [len(x) for x in lines]
+                n = len(lines)
+                n_lines.append(n)
+                mx.append(max(lens))
+                mean.append(float(sum(lens)) / float(n))
+                longf.append(float(sum(1 for v in lens if v > 120)) / float(n))
+            n_chars = pc.utf8_length(arr)
+            alnum = pa.array(_class_counts(arr, _alnum_lut), pa.int64())
+            alpha = pa.array(_class_counts(arr, _alpha_lut), pa.int64())
+            pos = pc.greater(n_chars, 0)
+            fr = lambda num: pc.if_else(  # noqa: E731
+                pc.fill_null(pos, False),
+                pc.divide(
+                    pc.cast(num, pa.float64()), pc.cast(n_chars, pa.float64())
+                ),
+                0.0,
+            )
+            low = pc.utf8_lower(arr)
+            autogen = None
+            for m in markers:
+                hit = pc.match_substring(low, m)
+                autogen = hit if autogen is None else pc.or_(autogen, hit)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [
+                    pa.array(n_lines, pa.int64()),
+                    pa.array(mx, pa.int64()),
+                    pa.array(mean, pa.float64()),
+                    pa.array(longf, pa.float64()),
+                    pc.cast(fr(alnum), pa.float64()),
+                    pc.cast(fr(alpha), pa.float64()),
+                    autogen,
+                ],
+                schema=pa.schema(
+                    list(b.schema)
+                    + [
+                        pa.field("n_lines", pa.int64()),
+                        pa.field("max_line_len", pa.int64()),
+                        pa.field("mean_line_len", pa.float64()),
+                        pa.field("long_line_frac", pa.float64()),
+                        pa.field("alnum_frac", pa.float64()),
+                        pa.field("alpha_frac", pa.float64()),
+                        pa.field("autogen", pa.bool_()),
+                    ]
+                ),
+            )
+
+    out = df.mapInArrow(gen, T.StructType(out_fields))
+    verdict = (
+        (F.col("max_line_len") <= 1000)
+        & (F.col("mean_line_len") <= 100)
+        & (F.col("alnum_frac") >= 0.25)
+        & (~F.col("autogen"))
+    )
+    return out.withColumn("code_keep", verdict)
 
 
 # ------------------------------------------------------------- secrets
@@ -384,13 +557,11 @@ def secret_redact(col: str | Column) -> Column:
 
 
 def with_secrets(df: DataFrame, col: str, redact: bool = False) -> DataFrame:
-    """df plus per-category secret counts (and the redacted text)."""
-    out = df
-    for name, expr in secret_counts(col).items():
-        out = out.withColumn(name, expr)
-    if redact:
-        out = out.withColumn(f"{col}_redacted", secret_redact(col))
-    return out
+    """df plus per-category secret counts (and the redacted text) — the
+    same one-pass Arrow RE2 battery as with_pii."""
+    return _regex_battery_arrow(
+        df, col, SECRET_PATTERNS, f"{col}_redacted" if redact else None
+    )
 
 
 # ------------------------------------------------------- stratified sample

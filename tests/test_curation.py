@@ -211,12 +211,17 @@ def test_repetition_short_and_clean_docs(spark):
     assert out[3]["top_2gram_char_frac"] > 0.0  # some 2-gram exists
 
 
-def test_repetition_plan_is_jvm_only(spark):
-    """No Python in the row path: the plan must contain no BatchEvalPython /
-    ArrowEvalPython / mapInPandas nodes."""
+def test_repetition_plan_shape(spark):
+    """Round 6: repetition is ONE batch-native Arrow kernel (guide §4.2 —
+    the interpreted higher-order SQL folds measured ~8x slower) and still
+    ZERO exchanges: a pure per-document projection at any corpus size."""
     from jsonoid_discovery_spark.operators.curation import repetition_features
 
     df = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
     plan = repetition_features(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow", "MapInPandas"):
+    assert plan.count("MapInArrow") == 1
+    # no shuffle beyond fan_out_input's small-fixture round-robin, and no
+    # row-at-a-time Python paths
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
