@@ -339,11 +339,11 @@ def _semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lang_id_documents(spark: SparkSession, sf: str) -> DataFrame:
-    from jsonoid_discovery_spark.operators.text import lang_id
+    from jsonoid_discovery_spark.operators.text import lang_pred_arrow
 
     return (
-        _t(spark, sf, "documents")
-        .groupBy(lang_id("text").alias("pred"))
+        lang_pred_arrow(_t(spark, sf, "documents").select("text"), "text")
+        .groupBy("pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 

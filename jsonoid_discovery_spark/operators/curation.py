@@ -223,12 +223,104 @@ def gopher_keep(col: str | Column) -> Column:
 
 
 def with_gopher(df: DataFrame, col: str) -> DataFrame:
-    """df plus every Gopher feature column and the keep verdict."""
-    feats = gopher_features(col)
-    out = df
-    for name, expr in feats.items():
-        out = out.withColumn(name, expr)
-    return out.withColumn("gopher_keep", gopher_keep(col))
+    """df plus every Gopher feature column and the keep verdict.
+
+    Round 6: one mapInArrow kernel (guide §4.2) replaces the interpreted
+    higher-order lambdas — per-WORD and per-LINE ``rlike`` filters ran an
+    interpreted java-regex per array element, and ``gopher_keep``
+    re-evaluated the whole battery. The kernel replays the exact rules:
+    Java-\\s tokenization after space-only trim, literal \\n lines, the
+    same ASCII regex classes, and the same long/long -> double division
+    forms; the verdict stays a Column over the feature columns so null
+    documents keep the three-valued NULL verdict."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    in_fields = df.schema.fields
+    col_idx = next(i for i, f in enumerate(in_fields) if f.name == col)
+    spec = [
+        ("n_words", T.LongType(), "int64"),
+        ("mean_word_len", T.DoubleType(), "float64"),
+        ("symbol_word_ratio", T.DoubleType(), "float64"),
+        ("bullet_line_frac", T.DoubleType(), "float64"),
+        ("ellipsis_line_frac", T.DoubleType(), "float64"),
+        ("alpha_word_frac", T.DoubleType(), "float64"),
+        ("stopword_hits", T.LongType(), "int64"),
+        ("dup_line_frac", T.DoubleType(), "float64"),
+    ]
+    out_fields = list(in_fields) + [T.StructField(n, t, True) for n, t, _ in spec]
+    stopwords = list(GOPHER_STOPWORDS)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        split_ws = _re.compile(r"[ \t\n\x0B\f\r]+").split
+        bullet = _re.compile(r"[ \t\x0B\f\r]*[-*•]").match
+        ellipsis = _re.compile(r"(\.\.\.|…)[ \t\x0B\f\r]*$").search
+        has_alpha = _re.compile(r"[A-Za-z]").search
+        for b in batches:
+            arr = b.column(col_idx)
+            # symbol count over the RAW text — vectorized RE2, identical
+            # match set (disjoint literal alternatives)
+            sym = pc.fill_null(pc.count_substring_regex(arr, r"#|\.\.\.|…"), 0)
+            sym_l = sym.to_pylist()
+            cols = {n: [] for n, _, _ in spec}
+            for s, nsym in zip(arr.to_pylist(), sym_l):
+                if s is None:
+                    for v in cols.values():
+                        v.append(None)
+                    continue
+                ws = split_ws(s.strip(" "))
+                nw = len(ws)
+                lines = s.split("\n")
+                nl = len(lines)
+                cols["n_words"].append(nw)
+                cols["mean_word_len"].append(float(sum(map(len, ws))) / float(nw))
+                cols["symbol_word_ratio"].append(float(nsym) / float(nw))
+                cols["bullet_line_frac"].append(
+                    float(sum(1 for l in lines if bullet(l))) / float(nl)
+                )
+                cols["ellipsis_line_frac"].append(
+                    float(sum(1 for l in lines if ellipsis(l))) / float(nl)
+                )
+                cols["alpha_word_frac"].append(
+                    float(sum(1 for w in ws if has_alpha(w))) / float(nw)
+                )
+                low = {w.lower() for w in ws}
+                cols["stopword_hits"].append(sum(1 for w in stopwords if w in low))
+                cols["dup_line_frac"].append(
+                    1.0 - float(len(set(lines))) / float(nl)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [
+                    pa.array(cols[n], getattr(pa, at)())
+                    for n, _, at in spec
+                ],
+                schema=pa.schema(
+                    list(b.schema)
+                    + [pa.field(n, getattr(pa, at)()) for n, _, at in spec]
+                ),
+            )
+
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    out = fan_out_input(df).mapInArrow(gen, T.StructType(out_fields))
+    verdict = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("stopword_hits") >= 2)
+        & (F.col("dup_line_frac") < 0.3)
+    )
+    return out.withColumn("gopher_keep", verdict)
 
 
 # ------------------------------------------------------------------- PII
@@ -312,7 +404,9 @@ def _regex_battery_arrow(
                 schema=pa.schema(list(b.schema) + fields),
             )
 
-    return df.mapInArrow(gen, T.StructType(out_fields))
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    return fan_out_input(df).mapInArrow(gen, T.StructType(out_fields))
 
 
 def with_pii(df: DataFrame, col: str, redact: bool = False) -> DataFrame:
@@ -511,7 +605,9 @@ def with_code_quality(df: DataFrame, col: str) -> DataFrame:
                 ),
             )
 
-    out = df.mapInArrow(gen, T.StructType(out_fields))
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    out = fan_out_input(df).mapInArrow(gen, T.StructType(out_fields))
     verdict = (
         (F.col("max_line_len") <= 1000)
         & (F.col("mean_line_len") <= 100)

@@ -55,6 +55,63 @@ def lang_id(col: str | Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_pred_arrow(df: DataFrame, col: str, out_col: str = "pred") -> DataFrame:
+    """``df`` + ``out_col`` with exactly ``lang_id(col)``'s verdict,
+    computed as ONE mapInArrow RE2 battery (round 6, guide §4.2) instead
+    of one java-regex scan per language per document.
+
+    Exactness: the marker patterns are \\b-anchored word alternations
+    (or single CJK chars for zh), where Java's leftmost-first and RE2's
+    leftmost-longest produce the SAME match set — the same shared-subset
+    argument that lets the DuckDB oracle replay them. The argmax replays
+    the struct-max rule: highest count wins, count ties break to the
+    lexicographically LARGEST language code, zero/null scores -> 'und'
+    (null text scores null in every language, which the struct-max turns
+    into 'und' exactly like the Column form). Project the frame to the
+    needed columns before calling — mapInArrow defeats column pruning."""
+    from pyspark.sql import types as T
+
+    in_fields = df.schema.fields
+    col_idx = next(i for i, f in enumerate(in_fields) if f.name == col)
+    pats = []
+    for lang in sorted(LANG_MARKERS):
+        words = LANG_MARKERS[lang]
+        pat = "|".join(words) if lang == "zh" else r"\b(" + "|".join(words) + r")\b"
+        pats.append((lang, pat))
+    out_schema = T.StructType(list(in_fields) + [T.StructField(out_col, T.StringType(), False)])
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            arr = b.column(col_idx)
+            low = pc.utf8_lower(arr)
+            n = len(arr)
+            valid = np.asarray(pc.is_valid(arr), dtype=bool)
+            best = np.full(n, -1, dtype=np.int64)
+            pred_i = np.zeros(n, dtype=np.int64)
+            for i, (lang, pat) in enumerate(pats):
+                s = np.asarray(
+                    pc.fill_null(pc.count_substring_regex(low, pat), 0)
+                ).astype(np.int64)
+                m = s >= best  # ascending lang order: ties go to the larger code
+                best[m] = s[m]
+                pred_i[m] = i
+            langs = np.array([lang for lang, _ in pats])
+            pred = np.where(valid & (best > 0), langs[pred_i], "und")
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [pa.array(pred.tolist(), pa.string())],
+                schema=pa.schema(list(b.schema) + [pa.field(out_col, pa.string(), False)]),
+            )
+
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    return fan_out_input(df).mapInArrow(gen, out_schema)
+
+
 def quality_features(col: str | Column) -> dict[str, Column]:
     """Length / punctuation / stopword / repetition features for quality
     filtering (the usual pretraining-corpus heuristics)."""
