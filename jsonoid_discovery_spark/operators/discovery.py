@@ -1201,20 +1201,45 @@ def _observe_strings_batch(strs: list, params: EngineParams) -> tuple[int, int, 
         from jsonoid_discovery_spark.operators.profile import format_patterns
 
         carr = pc.filter(arr, cand)
-        unassigned = None  # None == all-true (first pattern scans everything)
-        for name, pat in format_patterns(params):
-            m = pc.match_substring_regex(carr, pat.pattern)
-            hit = m if unassigned is None else pc.and_(m, unassigned)
-            c = pc.sum(hit).as_py() or 0
-            if c:
-                fmt_counts[name] = fmt_counts.get(name, 0) + c
-            unassigned = pc.invert(m) if unassigned is None else pc.and_(unassigned, pc.invert(m))
-        n_none += (pc.sum(unassigned).as_py() or 0) if unassigned is not None else 0
+        # run the battery once per DISTINCT candidate and weight by its
+        # multiplicity (round 6): repeat-heavy categorical fields (status
+        # codes, priorities) otherwise pay the ~20-regex cascade per
+        # OCCURRENCE. value_counts is one C-level hash pass; the weighted
+        # sums produce exactly the per-occurrence counts.
+        vc = pc.value_counts(carr)
+        dvals, dcounts = vc.field("values"), vc.field("counts")
+        if len(dvals) < len(carr):
+            import numpy as _np
+
+            wts = _np.asarray(dcounts)
+            unassigned = None
+            for name, pat in format_patterns(params):
+                m = _np.asarray(
+                    pc.fill_null(pc.match_substring_regex(dvals, pat.pattern), False)
+                )
+                hit = m if unassigned is None else (m & unassigned)
+                c = int(wts[hit].sum())
+                if c:
+                    fmt_counts[name] = fmt_counts.get(name, 0) + c
+                unassigned = ~m if unassigned is None else (unassigned & ~m)
+            if unassigned is not None:
+                n_none += int(wts[unassigned].sum())
+        else:
+            unassigned = None  # None == all-true (first pattern scans everything)
+            for name, pat in format_patterns(params):
+                m = pc.match_substring_regex(carr, pat.pattern)
+                hit = m if unassigned is None else pc.and_(m, unassigned)
+                c = pc.sum(hit).as_py() or 0
+                if c:
+                    fmt_counts[name] = fmt_counts.get(name, 0) + c
+                unassigned = pc.invert(m) if unassigned is None else pc.and_(unassigned, pc.invert(m))
+            n_none += (pc.sum(unassigned).as_py() or 0) if unassigned is not None else 0
     if n_py:
-        # rare fallback: non-ASCII or embedded-newline strings, per-string
-        for s in pc.filter(arr, pc.invert(in_envelope)).to_pylist():
+        # rare fallback: non-ASCII or embedded-newline strings — once per
+        # distinct value, weighted by multiplicity
+        for s, c in Counter(pc.filter(arr, pc.invert(in_envelope)).to_pylist()).items():
             fmt = _detect_format(s, params)
-            fmt_counts[fmt] = fmt_counts.get(fmt, 0) + 1
+            fmt_counts[fmt] = fmt_counts.get(fmt, 0) + c
     if n_none:
         fmt_counts["none"] = fmt_counts.get("none", 0) + n_none
     return mn, mx, fmt_counts
@@ -1327,7 +1352,13 @@ def discover(
             F.count(F.lit(1)).alias("__cnt")
         )
     else:
-        source = df.select(F.col(col))
+        # batch mode folds on the SCAN partitions: a small file (or a wide
+        # maxPartitionBytes) would serialize the Python fold on a few
+        # cores — round-robin raw rows first (no-op on real many-split
+        # tables; the global branch's groupBy already redistributes)
+        from jsonoid_discovery_spark.operators.util import fan_out_input
+
+        source = fan_out_input(df.select(F.col(col)))
 
     # ONE partial per TASK (round 5): the old per-arrow-batch partials
     # paid SchemaNode construction, arrow-kernel fixed costs, pickling and
@@ -1790,7 +1821,9 @@ def discover_by(
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
     else:
-        source = df.select(F.col(group_col), F.col(col))
+        from jsonoid_discovery_spark.operators.util import fan_out_input
+
+        source = fan_out_input(df.select(F.col(group_col), F.col(col)))
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         weighted = dedup == "global"

@@ -820,6 +820,12 @@ def discover_typed(
     struct/list/scalar arrays path-wise (vectorized) instead of documents
     (recursive). SQL NULL means ABSENT key (to_json's null-field
     semantics); see the module docstring for the full semantics map."""
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    # fan out the RAW rows first (no-op on real many-split tables): the
+    # jsonify projection and the Arrow fold then run on every core, and
+    # the exchange carries the untransformed columns once
+    df = fan_out_input(df)
     if columns is None:
         columns = list(df.columns)
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -896,6 +902,12 @@ def discover_from_json(
     The two parsers' malformed boundaries are aligned by strict Jackson
     options; the guard catches the residual pathologies.
     """
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    # fan out the raw JSON strings once (no-op on real tables): the probe
+    # aggregate, the Jackson parse and the Arrow fold all inherit the
+    # full-width layout instead of the source's few scan splits
+    df = fan_out_input(df)
     c = F.col(col)
     # parse ONCE per row: the three probe aggregates all consume the
     # variant, and inlined try_parse_json re-evaluates per consumer (no
