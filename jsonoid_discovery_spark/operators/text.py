@@ -387,7 +387,14 @@ def unigram_lm_score(
     base = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(c, r"\s+")).alias("term")
     ).where(F.col("term") != "")
-    tf = base.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three consumers (vocab, totals-via-vocab, the join's probe
+    # side) and each re-aliased self-join branch would re-explode and
+    # re-aggregate the corpus — materialize it once (round 6)
+    tf = (
+        base.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("c_t"))
     totals = vocab.agg(
         F.sum("c_t").alias("t_total"), F.count(F.lit(1)).alias("v_size")
@@ -756,19 +763,53 @@ def script_shares(df: DataFrame, col: str, by: str | None = None) -> DataFrame:
     the remainder (controls, unlisted scripts, emoji). One scan, one
     group-space aggregate, integer ppm via ``div`` with a ``nullif``
     guard."""
-    pats = {"ascii": "[" + chr(0x20) + "-" + chr(0x7E) + "]"}
-    for name, lo, hi in _SCRIPT_RANGES:
-        pats[name] = "[" + chr(lo) + "-" + chr(hi) + "]"
-    src = df.where(F.col(col).isNotNull()).select(
-        *([by] if by else []),
-        F.length(F.col(col)).alias("__len"),
-        *[
-            F.expr(
-                f"regexp_count({quoted(col)}, '{p}')"
-            ).alias(f"__c_{name}")
-            for name, p in pats.items()
-        ],
+    # round 6: the per-class java-regex counts (one single-char-class scan
+    # per script per document) become one mapInArrow kernel — each doc's
+    # codepoints decode once (UTF-32 view) and every class is a vectorized
+    # range test. Counts are per CODEPOINT, the semantics the RE2 oracle
+    # replays (and identical to the JVM path for BMP text).
+    ranges = [("ascii", 0x20, 0x7E)] + [(n, lo, hi) for n, lo, hi in _SCRIPT_RANGES]
+    pats = {name: None for name, _, _ in ranges}
+    from pyspark.sql import types as T
+
+    from jsonoid_discovery_spark.operators.util import fan_out_input
+
+    proj = df.where(F.col(col).isNotNull()).select(*([by] if by else []), col)
+    names = [f"__c_{name}" for name, _, _ in ranges]
+    out_schema = T.StructType(
+        ([proj.schema.fields[0]] if by else [])
+        + [T.StructField("__len", T.LongType(), True)]
+        + [T.StructField(nm, T.LongType(), True) for nm in names]
     )
+    col_idx = 1 if by else 0
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(col_idx).to_pylist()
+            lens = []
+            counts: list[list] = [[] for _ in ranges]
+            for s in texts:
+                if s is None:  # filtered upstream; defensive
+                    lens.append(None)
+                    for cl in counts:
+                        cl.append(None)
+                    continue
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                lens.append(len(cp))
+                for cl, (_, lo, hi) in zip(counts, ranges):
+                    cl.append(int(((cp >= lo) & (cp <= hi)).sum()))
+            arrays = ([b.column(0)] if by else []) + [
+                pa.array(lens, pa.int64())
+            ] + [pa.array(cl, pa.int64()) for cl in counts]
+            fields = ([b.schema.field(0)] if by else []) + [
+                pa.field("__len", pa.int64())
+            ] + [pa.field(nm, pa.int64()) for nm in names]
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    src = fan_out_input(proj).mapInArrow(gen, out_schema)
     g = src.groupBy(*([by] if by else []))
     agg = g.agg(
         F.sum("__len").alias("total_chars"),
