@@ -1630,7 +1630,18 @@ def write_shards(
         rank_col=rank_col,
     )
     assigned.write.partitionBy(shard_col).mode(mode).format(format).save(path)
-    written = df.sparkSession.read.format(format).load(path)
+    if format == "json":
+        from pyspark.sql import types as T
+
+        # explicit read schema (ADVICE r5): JSONL drops all-null columns
+        # on write, and inference would then omit them — the manifest
+        # aggregation needs token/rank columns present regardless
+        data_schema = T.StructType(
+            [f for f in assigned.schema.fields if f.name != shard_col]
+        )
+        written = df.sparkSession.read.schema(data_schema).format(format).load(path)
+    else:
+        written = df.sparkSession.read.format(format).load(path)
     tok = (
         F.sum(F.coalesce(F.col(token_col).cast("long"), F.lit(0)))
         if token_col is not None

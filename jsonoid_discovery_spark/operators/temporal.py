@@ -236,12 +236,14 @@ def latest_by(
     descending? no — ``desc_nulls_last`` is pinned explicitly)."""
     if not keys:
         raise ValueError("latest_by needs at least one key column")
+    rest = [F.col(c) for c in df.columns if c not in keys and c != order_col]
+    # no remaining columns -> ties are FULL-ROW duplicates, any winner is
+    # identical; a constant tiebreak avoids xxhash64's zero-arg
+    # AnalysisException (ADVICE r5)
     tb = (
         F.col(tiebreak).desc_nulls_last()
         if tiebreak
-        else F.xxhash64(
-            *[F.col(c) for c in df.columns if c not in keys and c != order_col]
-        ).desc()
+        else (F.xxhash64(*rest).desc() if rest else F.lit(0).desc())
     )
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(order_col).desc_nulls_last(), tb

@@ -819,20 +819,29 @@ def script_shares(df: DataFrame, col: str, by: str | None = None) -> DataFrame:
     for name in pats:
         c = F.col(f"__s_{name}")
         counted = c if counted is None else counted + c
+    # ppm in a 128-bit-safe form (ADVICE r5): `count * 1000000` in int64
+    # wraps silently past ~9.2e12 characters per group — well inside the
+    # advertised scale for per-CHARACTER sums. The multiply runs in
+    # decimal(38,0) and the integral quotient casts back to the same
+    # BIGINT the int64 form produced (counts are nonnegative, so
+    # floor == div).
+    def _ppm(expr: str) -> str:
+        return (
+            f"cast(floor(cast(({expr}) as decimal(38,0)) * 1000000"
+            " / nullif(total_chars, 0L)) as bigint)"
+        )
+
+    other = F.col("total_chars") - counted
     return agg.select(
         *([by] if by else []),
         "total_chars",
         *[
-            F.expr(
-                f"__s_{name} * 1000000L div nullif(total_chars, 0L)"
-            ).alias(f"{name}_ppm")
+            F.expr(_ppm(f"__s_{name}")).alias(f"{name}_ppm")
             for name in pats
         ],
-        ((F.col("total_chars") - counted) * F.lit(1_000_000))
-        .cast("long")
-        .alias("__rem"),
+        other.alias("__rem"),
     ).withColumn(
-        "other_ppm", F.expr("__rem div nullif(total_chars, 0L)")
+        "other_ppm", F.expr(_ppm("__rem"))
     ).drop("__rem")
 
 
@@ -867,7 +876,10 @@ def char_entropy(df: DataFrame, col: str, id_col: str) -> DataFrame:
             texts = batch.column(1).to_pylist()
             out_id, out_n, out_e = [], [], []
             for i, t in zip(ids, texts):
-                if t is None:
+                # null id rows are skipped too (ADVICE r5): a null id
+                # becomes NaN in the numpy id array and int(NaN) crashed
+                # the whole job — ids must be long-castable and non-null
+                if t is None or i is None or i != i:
                     continue
                 cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
                 n = len(cps)
