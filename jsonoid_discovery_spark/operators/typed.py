@@ -820,12 +820,6 @@ def discover_typed(
     struct/list/scalar arrays path-wise (vectorized) instead of documents
     (recursive). SQL NULL means ABSENT key (to_json's null-field
     semantics); see the module docstring for the full semantics map."""
-    from jsonoid_discovery_spark.operators.util import fan_out_input
-
-    # fan out the RAW rows first (no-op on real many-split tables): the
-    # jsonify projection and the Arrow fold then run on every core, and
-    # the exchange carries the untransformed columns once
-    df = fan_out_input(df)
     if columns is None:
         columns = list(df.columns)
     schema = {f.name: f.dataType for f in df.schema.fields}
