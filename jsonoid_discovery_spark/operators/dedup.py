@@ -355,11 +355,11 @@ def jaccard_pairs(
         )
         if max_shingle_df is not None:
             g = g.where(F.col("_df") <= max_shingle_df)
-        # both consumers (sizes, pairs) read only the id lists — drop the
-        # shingle string BEFORE the lazy materialization so the checkpoint
-        # stores id arrays, not the full shingle text (the string-bearing
-        # blocks were the memory-pressure/variance source at sf1.0)
-        g = g.select("ids").localCheckpoint(eager=False)
+        # both consumers (sizes, pairs) read only the id lists; the shared
+        # groupBy exchange is deduplicated by ReuseExchange (same subtree,
+        # same DataFrame), so no checkpoint — materialized blocks lingered
+        # in the block manager across the suite and evicted under pressure
+        g = g.select("ids")
         sz = (
             g.select(F.explode("ids").alias("id"))
             .groupBy("id")
