@@ -687,14 +687,54 @@ def grouped_percentiles(
             .groupBy(by, "__v")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        w = Window.partitionBy(by).orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+        # two-phase per-group prefix sum (round 6, same machinery as
+        # _exact_percentile_from_counts): a plain group-partitioned window
+        # caps parallelism at the number of groups (3 for l_returnflag).
+        # Range-partition by (group, value) — any same-group row with a
+        # smaller value lands in the same or an earlier partition — stamp
+        # partition ids from ONE materialization, local cumsums per
+        # (group, pid), exclusive offsets from the per-(group, pid)
+        # totals.
+        rp = (
+            counts.repartitionByRange(by, "__v")
+            .select(by, "__v", "__c", F.spark_partition_id().alias("__pid"))
+            .localCheckpoint(eager=False)
         )
-        cum = counts.select(by, "__v", F.sum("__c").over(w).alias("__cum"))
-        totals = counts.groupBy(F.col(by).alias("__g")).agg(
-            F.sum("__c").alias("__n")
+        ptot = rp.groupBy(F.col(by).alias("__g"), "__pid").agg(
+            F.sum("__c").alias("__pc")
         )
-        z = cum.join(totals, F.col(by).eqNullSafe(F.col("__g"))).drop("__g")
+        wo = (
+            Window.partitionBy("__g")
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = ptot.select(
+            "__g",
+            F.col("__pid").alias("__opid"),
+            F.coalesce(F.sum("__pc").over(wo), F.lit(0)).alias("__off"),
+        )
+        wl = (
+            Window.partitionBy(by, "__pid")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            rp.join(
+                F.broadcast(offs),
+                F.col(by).eqNullSafe(F.col("__g"))
+                & (F.col("__pid") == F.col("__opid")),
+            )
+            .select(
+                by,
+                "__v",
+                "__pid",
+                (F.col("__off") + F.sum("__c").over(wl)).alias("__cum"),
+            )
+        )
+        totals = ptot.groupBy("__g").agg(F.sum("__pc").alias("__n"))
+        z = cum.join(
+            F.broadcast(totals), F.col(by).eqNullSafe(totals["__g"])
+        ).drop("__g")
 
         def _pos(p):
             return F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
